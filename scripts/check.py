@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs `sbt runMain graft.Verify <sfDir> <outDir>` output against the DuckDB
+oracle: for each query, loads the engine's parquet result and the oracle SQL
+result, sorts columns by name, and compares schemas + values exactly.
+
+Usage: python3 scripts/check.py [sfDir] [outDir] [--skip-verify] [query ...]
+"""
+import json
+import math
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+FLAGS = [a for a in sys.argv[3:] if a.startswith("--")]
+ONLY = [a for a in sys.argv[3:] if not a.startswith("--")]
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def run_verify():
+    cmd = ["sbt", f'runMain graft.Verify {SF_DIR} {OUT_DIR}']
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    for line in r.stdout.splitlines():
+        if "[verify]" in line or "error" in line.lower():
+            print(line)
+    for line in r.stderr.splitlines():
+        if "[verify]" in line:
+            print(line)
+    if r.returncode != 0:
+        print(r.stdout[-3000:])
+        print(r.stderr[-3000:])
+        sys.exit(1)
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def compare(name, sql, con):
+    res_dir = Path(OUT_DIR) / name
+    if not res_dir.exists():
+        return f"MISSING (no engine output at {res_dir})"
+    try:
+        mine = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
+        mine_cols = sorted(mine.columns)
+        mine_rows = con.sql(
+            f"SELECT {', '.join(q(c) for c in mine_cols)} FROM '{res_dir}/*.parquet'"
+        ).fetchall()
+    except Exception as e:
+        return f"ENGINE READ FAIL: {e}"
+    try:
+        oracle = con.sql(sql)
+        o_cols = sorted(oracle.columns)
+        o_rows = con.sql(
+            f"SELECT {', '.join(q(c) for c in o_cols)} FROM ({sql})"
+        ).fetchall()
+    except Exception as e:
+        return f"ORACLE FAIL: {e}"
+    if mine_cols != o_cols:
+        return f"SCHEMA MISMATCH: engine {mine_cols} vs oracle {o_cols}"
+    if len(mine_rows) != len(o_rows):
+        return f"ROWCOUNT MISMATCH: engine {len(mine_rows)} vs oracle {len(o_rows)}"
+    for i, (a, b) in enumerate(zip(mine_rows, o_rows)):
+        na, nb = tuple(map(norm, a)), tuple(map(norm, b))
+        if na != nb:
+            return f"VALUE MISMATCH at row {i}: engine {na} vs oracle {nb}"
+    return None
+
+
+def q(c):
+    return '"' + c.replace('"', '""') + '"'
+
+
+def main():
+    if "--skip-verify" not in FLAGS:
+        run_verify()
+    oracles = json.loads(Path(OUT_DIR, "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    names = ONLY or sorted(oracles)
+    failed = 0
+    for name in names:
+        err = compare(name, oracles[name], con)
+        status = "OK " if err is None else "FAIL"
+        print(f"{status} {name}" + (f" — {err}" if err else ""))
+        failed += err is not None
+    # rows-only queries (no oracle): just check output exists and has rows
+    for d in sorted(Path(OUT_DIR).iterdir()):
+        if d.is_dir() and d.name not in oracles:
+            try:
+                n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+                print(f"ROWS {d.name}: {n}")
+            except Exception as e:
+                print(f"FAIL {d.name} (rows-only): {e}")
+                failed += 1
+    print(f"\n{len(names) - failed}/{len(names)} oracle queries pass")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

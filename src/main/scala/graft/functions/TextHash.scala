@@ -1,0 +1,118 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static text-hash kernels (shared by eval + codegen). */
+object TextHashKernels {
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Little-endian int64 of md5-digest bytes [8..16) — numerically identical
+    * to DuckDB's `md5_number_lower`, which makes hash-dependent operators
+    * (SimHash) independently checkable against a SQL oracle.
+    */
+  def md5Lower64(s: UTF8String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val digest = d.digest(s.getBytes)
+    var v = 0L
+    var i = 15
+    while (i >= 8) { v = (v << 8) | (digest(i) & 0xffL); i -= 1 }
+    v
+  }
+
+  /** 32-bit SimHash over a token list (duplicates count): for each bit
+    * position, sum +1/-1 per token according to bit of md5Lower64(token);
+    * bit set iff the sum is positive. Single pass per document — O(tokens)
+    * per row, no shuffle, scales linearly in document count.
+    */
+  def simhash32(tokens: ArrayData): Long = {
+    val counts = new Array[Int](32)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val h = md5Lower64(tokens.getUTF8String(t))
+      var i = 0
+      while (i < 32) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 32) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  /** Polynomial rolling hash (Rabin-Karp style) of a UTF-8 string: 64-bit
+    * base-31 polynomial with natural overflow wrap. Document fingerprinting
+    * primitive — one sequential pass, codegen-friendly.
+    */
+  def rollingHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) {
+      h = 31L * h + (bytes(i) & 0xffL)
+      i += 1
+    }
+    h
+  }
+}
+
+/** `md5_lower64(string) -> long` — see [[TextHashKernels.md5Lower64]]. */
+case class Md5Lower64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"bad input type ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_lower64"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.md5Lower64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.md5Lower64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Lower64 =
+    copy(child = newChild)
+}
+
+/** `simhash32(array<string>) -> long` — near-duplicate sketch over tokens. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] && child.dataType.asInstanceOf[ArrayType].elementType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"bad input type ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash32"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.simhash32(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.simhash32($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** `rolling_hash(string) -> long` — polynomial fingerprint (mod 2^61-1). */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"bad input type ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_hash"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.rollingHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.rollingHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Latest-wins materialization of a change log — the reference's core
+  * semantic: "ignore an event if its replayId is ≤ the stored one for that
+  * record" (`setup.md:542,772`), plus delete-through for
+  * `changeType = 'DELETE'` (`setup.md:806-809`).
+  *
+  * Scale notes: one shuffle on the key (window partition), no driver-side
+  * state; at 100 TB the shuffle is keyed on `sfId`-cardinality which is the
+  * minimum possible data movement for this semantic. Duplicate replayIds
+  * (at-least-once delivery, T6) are neutralized by a deterministic
+  * tiebreaker on the full ordering.
+  */
+object CdcFold {
+
+  /** Keep the highest-`offset` row per `key` (W1 latest-wins ranking). */
+  def latestWins(df: DataFrame, key: Column, offset: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(offset.desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Fold a change log to final table state: latest-wins per key, then
+    * delete-through rows whose winning change is a DELETE (S8 + S9).
+    */
+  def fold(changeLog: DataFrame, key: Column, offset: Column,
+           changeType: Column, deleteType: String = "DELETE"): DataFrame =
+    latestWins(changeLog, key, offset).filter(changeType =!= deleteType)
+
+  /** Batch MERGE emulation (S8): apply a folded change batch over a target
+    * snapshot keyed by `key` — upsert matched/new keys, delete-through
+    * DELETEs. Emulates `MERGE INTO target USING batch ON t.key = b.key
+    * WHEN MATCHED AND b.type='DELETE' THEN DELETE WHEN MATCHED THEN UPDATE
+    * WHEN NOT MATCHED THEN INSERT` without a Delta dependency.
+    *
+    * Requires `target` and `changes` to share the data schema; `changes`
+    * additionally carries `offsetCol` + `changeTypeCol`.
+    */
+  def mergeBatch(target: DataFrame, changes: DataFrame, keyCol: String,
+                 offsetCol: String, changeTypeCol: String,
+                 deleteType: String = "DELETE"): DataFrame = {
+    val dataCols = target.columns.toSeq
+    val folded = latestWins(changes, col(keyCol), col(offsetCol))
+    val survivors = folded.filter(col(changeTypeCol) =!= deleteType)
+      .select(dataCols.map(col): _*)
+    val touched = folded.select(col(keyCol)).distinct()
+    // anti-join drops every key the batch touched (updates + deletes);
+    // union re-inserts the surviving new versions.
+    target.join(touched, Seq(keyCol), "left_anti").unionByName(survivors)
+  }
+}

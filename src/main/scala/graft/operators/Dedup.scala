@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{md5_lower64, simhash32}
+
+/** Document deduplication operators for the training-data pipeline
+  * (SURVEY §2.9 north-star). All variants are pure DataFrame compositions:
+  * shuffles are keyed on content hashes / shingles (the minimum possible for
+  * the semantic), no driver-side collection, so every path scales linearly
+  * with executors at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: group documents by fingerprint of normalized text; each
+    * group keeps its min-id representative. One hash-shuffle, map-side
+    * partial aggregation applies.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), md5(TextOps.normalized(col(textCol))).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Documents with distinct word n-gram shingle sets attached. */
+  def withShingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"), TextOps.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
+    *
+    * Plan: explode shingles → self-equi-join on shingle (shuffle keyed on
+    * shingle) → count shared shingles per pair → join per-doc set sizes →
+    * jaccard filter. At scale the shingle join is the standard inverted-index
+    * pattern; hot shingles can be frequency-capped upstream if the corpus has
+    * degenerate n-grams.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, n: Int = 3): DataFrame = {
+    val sh = withShingles(docs, idCol, textCol, n)
+    val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
+    // cached: both sides of the inverted-index self-join read it
+    val ex = sh.select(col("id"), explode(col("sh")).as("s")).cache()
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash + LSH near-dup pairs, exact-verified.
+    *
+    * shingle → per-doc MinHash signature (k hashes, computed in ONE pass per
+    * row via higher-order functions — no explode/shuffle for signatures) →
+    * band keys (b bands of r rows) → bucket self-join on (band, key) →
+    * candidate pairs → exact Jaccard verification on the shingle sets.
+    *
+    * With r=2, b=16 a pair at true Jaccard 0.8 is missed with probability
+    * (1-0.8^2)^16 ≈ 8e-8, so the verified output equals the exact operator's
+    * w.h.p. while the join only touches LSH-colliding pairs — the 100 TB
+    * scale path (candidate generation is O(docs·b), not O(docs²)).
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, n: Int = 3,
+                      numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    // Cache the shingle sets: they are read three times (signature pass +
+    // both sides of the verification join). Higher-order-function hashing is
+    // not whole-stage-codegen'd, so recomputing signatures per join side
+    // would dominate the runtime.
+    val sh = withShingles(docs, idCol, textCol, n).cache()
+
+    // sig[i] = min over shingles of xxhash64(shingle, i)  (seeded family);
+    // one pass per row, no shuffle.
+    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(col("sh"), s => xxhash64(s, i))))
+    // band j key = hash of its r signature slots
+    val bandKeys = transform(sequence(lit(0), lit(bands - 1)),
+      j => xxhash64(concat_ws(",",
+        transform(slice(col("sig"), j * lit(r) + 1, lit(r)), v => v.cast("string"))), j))
+
+    // Skinny (id, band, bkey) relation for the bucket self-join — no array
+    // payloads cross the shuffle; cached so the expensive signature pass
+    // runs once, not once per join side.
+    val banded = sh
+      .withColumn("sig", sig)
+      .select(col("id"), posexplode(bandKeys).as(Seq("band", "bkey")))
+      .cache()
+
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Per-document 32-bit SimHash sketch (md5-based, oracle-checkable).
+    * Near-dup candidates are docs with small hamming distance between
+    * sketches; pair generation can bucket on sketch prefixes at scale.
+    */
+  def simhashSketches(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      simhash32(TextOps.tokens(col(textCol))).as("simhash"))
+
+  /** SimHash near-dup pairs: bucket by sketch bytes (4 bands of 8 bits —
+    * any pair within hamming distance 3 shares ≥1 band), verify with exact
+    * hamming ≤ maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    // cached: read by both sides of the band self-join
+    val sk = simhashSketches(docs, idCol, textCol).cache()
+    val banded = sk.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftrightunsigned(col("simhash"), j * 8).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band", "bkey")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs (see [[Similarity]] for the kernels).
+    * Exact all-pairs at small scale; the LSH-bucketed variant in
+    * [[Similarity.bucketExpr]] is the 100 TB path.
+    */
+  def embeddingDupPairs(embs: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    import graft.functions.cosine_similarity
+    val a = embs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = embs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine_similarity(col("v_a"), col("v_b")), 3))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{md5_lower64, rolling_hash}
+
+/** Text-analysis operators for the training-data pipeline: language ID,
+  * quality scoring, token counting, fingerprinting. Pure built-in
+  * compositions (codegen'd, scan-pipelined — no shuffle at all), so they
+  * stream at parquet-scan speed regardless of corpus size.
+  */
+object TextAnalysis {
+
+  /** BPE-ish token pattern: letter runs, digit runs, single non-space
+    * symbols — Java-regex and RE2 compatible for oracle parity.
+    */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Language-ID heuristic: ratio of tokens in a small English marker set.
+    * (n-gram/stopword heuristic — the classifier is the plumbing being
+    * exercised; swap the marker table for real per-language profiles.)
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val stops = array(TextOps.EnStopwords.map(lit): _*)
+    val enRatio = size(filter(toks, t => array_contains(stops, t))).cast("double") /
+      size(toks).cast("double")
+    docs.select(col(idCol), round(enRatio, 4).as("en_ratio"),
+      when(enRatio >= 0.10, "en").otherwise("other").as("lang_pred"))
+  }
+
+  /** Quality metrics + a composite score per document. */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val nChars = length(col(textCol))
+    val nTokens = size(toks)
+    val avgTokLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / nTokens.cast("double")
+    val stops = array(TextOps.EnStopwords.map(lit): _*)
+    val stopRatio = size(filter(toks, t => array_contains(stops, t))).cast("double") /
+      nTokens.cast("double")
+    val punctRatio =
+      (nChars - length(regexp_replace(col(textCol), "[^a-z0-9 ]", ""))).cast("double") /
+        nChars.cast("double")
+    // Length-normalized composite: long docs with real words and few
+    // symbols score high.
+    val score = least(lit(1.0), nTokens.cast("double") / lit(100.0)) * lit(0.5) +
+      (lit(1.0) - punctRatio) * lit(0.3) + stopRatio * lit(0.2)
+    docs.select(col(idCol), nChars.as("n_chars"), nTokens.as("n_tokens"),
+      round(avgTokLen, 4).as("avg_token_len"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(score, 4).as("quality_score"))
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(TextOps.tokens(col(textCol))).as("ws_tokens"),
+      size(regexp_extract_all(lower(col(textCol)), lit(BpePattern), lit(0)))
+        .as("bpe_tokens"))
+
+  /** Document fingerprints: md5 hex of normalized text (exact-dup key),
+    * the DuckDB-checkable md5-lower-64 numeric form, and the engine's
+    * rolling hash (not oracle-checkable; covered by unit tests).
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = TextOps.normalized(col(textCol))
+    docs.select(col(idCol), md5(norm).as("fp_md5"),
+      md5_lower64(norm).as("fp_md5_64"), rolling_hash(norm).as("fp_rolling"))
+  }
+}

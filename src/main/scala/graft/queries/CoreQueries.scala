@@ -1,0 +1,346 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.{decode_replay_id, encode_replay_id, expand_bitmap}
+import graft.operators.CdcFold
+
+/** The declared relational query set (SURVEY §2.9 Q1–Q16): one entry per
+  * operator family in SURVEY §2's inventory, each with a DuckDB oracle.
+  *
+  * Oracle-exactness conventions (the driver hash-compares values):
+  *  - every double SUM goes through `DECIMAL(18,4)` so the aggregation is
+  *    exact and associative (order-independent across Spark partitions and
+  *    DuckDB morsels), then back to DOUBLE for a type both engines share;
+  *  - averages are exact-decimal sums divided by counts in double — same
+  *    two inputs on both sides, hence bit-identical results;
+  *  - per-row double arithmetic (no reordering freedom) is emitted as-is;
+  *  - every query carries a total ORDER BY so row order never differs.
+  */
+object CoreQueries {
+
+  /** sum(CAST(c AS DECIMAL(18,4))) cast back to double. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Stored measure cast to exact decimal BEFORE any arithmetic.
+    * Casting a *computed* double to decimal is engine-dependent at rounding
+    * ties (Spark rounds the exact binary expansion, DuckDB rounds
+    * `x * 10^scale` in double space); casting stored 2-decimal currency
+    * columns is unambiguous, and all downstream decimal arithmetic is exact.
+    */
+  private def dec(name: String) = col(name).cast(DecimalType(12, 4))
+  private val one = lit(1).cast(DecimalType(5, 4))
+
+  val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- Q1: filter + limit point lookup (S12/O1) ----
+    ("q01_point_lookup",
+      (s: SparkSession, d: String) =>
+        Tables.customer(s, d).filter(col("c_custkey") === 42),
+      Some("SELECT * FROM customer WHERE c_custkey = 42")),
+
+    // ---- Q2: predicate routing / per-topic counts (P7) ----
+    ("q02_event_counts",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d).groupBy("event_type").agg(count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      Some("SELECT event_type, count(*) AS n FROM events " +
+        "GROUP BY event_type ORDER BY event_type")),
+
+    // ---- Q3: CDC field-bitmap expansion (P4/P11), golden vectors from
+    // eventParser.js:79-152 semantics ----
+    ("q03_bitmap_expand",
+      (s: SparkSession, d: String) => {
+        val fields = typedlit(Seq("Id", "Name", "Type", "BillingAddress",
+          "Phone", "AccountNumber", "Industry", "AnnualRevenue"))
+        val children = typedlit(Map(
+          "BillingAddress" -> Seq("Street", "City", "State", "PostalCode", "Country")))
+        val rows = Seq(
+          (1, Seq("0x06")),
+          (2, Seq("0x01")),
+          (3, Seq("0x0", "3-0x6")),
+          (4, Seq.empty[String]),
+          (5, Seq("0x44")),
+          (6, Seq("0xC0", "3-0x1")),
+          (7, Seq("0x100")))
+        import s.implicits._
+        rows.toDF("id", "bitmaps")
+          .select(col("id"),
+            array_join(expand_bitmap(col("bitmaps"), fields, children), ",").as("fields"))
+          .orderBy("id")
+      },
+      Some("SELECT * FROM (VALUES (1,'Name,Type'), (2,'Id'), " +
+        "(3,'BillingAddress.City,BillingAddress.State'), (4,''), " +
+        "(5,'Type,Industry'), (6,'Industry,AnnualRevenue,BillingAddress.Street'), " +
+        "(7,'')) AS t(id, fields) ORDER BY id")),
+
+    // ---- Q4: equi-join (J2) ----
+    ("q04_join_orders_customer",
+      (s: SparkSession, d: String) =>
+        Tables.orders(s, d).join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, c_name, c_mktsegment FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey")),
+
+    // ---- Q5: star join with broadcast dims (J1/J3) ----
+    ("q05_star_join",
+      (s: SparkSession, d: String) =>
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("p_brand", "s_name")
+          // round(.,4) before the double cast: DuckDB's wide-decimal ->
+          // double conversion is lossy past ~2^53 of unscaled value, so both
+          // engines reduce to scale 4 (exact, tie = half-up) first.
+          .agg(round(sum(dec("l_extendedprice") * (one - dec("l_discount"))), 4)
+            .cast("double").as("revenue"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n"))
+          .orderBy("p_brand", "s_name"),
+      Some("SELECT p_brand, s_name, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * " +
+        "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE) AS revenue, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, " +
+        "count(*) AS n " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY p_brand, s_name ORDER BY p_brand, s_name")),
+
+    // ---- Q6: semi/anti joins (J4) ----
+    ("q06_semi_anti",
+      (s: SparkSession, d: String) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val cond = col("c_custkey") === col("o_custkey")
+        val withO = c.join(o, cond, "left_semi")
+          .agg(count(lit(1)).as("n")).select(lit("with_orders").as("kind"), col("n"))
+        val withoutO = c.join(o, cond, "left_anti")
+          .agg(count(lit(1)).as("n")).select(lit("without_orders").as("kind"), col("n"))
+        withO.unionByName(withoutO).orderBy("kind")
+      },
+      Some("SELECT kind, n FROM (" +
+        "SELECT 'with_orders' AS kind, count(*) AS n FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "UNION ALL " +
+        "SELECT 'without_orders' AS kind, count(*) AS n FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) " +
+        "ORDER BY kind")),
+
+    // ---- Q7: max-offset checkpoint aggregation (A1/A2) ----
+    ("q07_max_offset",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d).groupBy("user_id")
+          .agg(max("event_id").as("last_replay_id"), count(lit(1)).as("n_events"))
+          .orderBy("user_id"),
+      Some("SELECT user_id, max(event_id) AS last_replay_id, count(*) AS n_events " +
+        "FROM events GROUP BY user_id ORDER BY user_id")),
+
+    // ---- Q8: TPC-H Q1-style multi-aggregate (A4) ----
+    ("q08_tpch_q1",
+      (s: SparkSession, d: String) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= lit("1999-01-01"))
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            round(sum(dec("l_extendedprice") * (one - dec("l_discount"))), 4)
+              .cast("double").as("sum_disc_price"),
+            // the 3-factor product would exceed decimal precision 38 (Spark
+            // would round at scale 6); the scale-8 product is exact, so the
+            // intermediate (18,8) downcast is lossless on both engines.
+            // round(.,4) before the double cast — DuckDB's wide-decimal ->
+            // double conversion is lossy past ~2^53 of unscaled value.
+            round(sum((dec("l_extendedprice") * (one - dec("l_discount")))
+              .cast(DecimalType(18, 8)) * (one + dec("l_tax"))), 4)
+              .cast("double").as("sum_charge"),
+            (sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double") /
+              count(lit(1))).as("avg_qty"),
+            (sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast("double") /
+              count(lit(1))).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * " +
+        "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * " +
+        "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(18,8)) * " +
+        "(CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(12,4)))), 4) AS DOUBLE) AS sum_charge, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price, " +
+        "count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
+
+    // ---- Q9: exact distinct (A4) ----
+    ("q09_distinct",
+      (s: SparkSession, d: String) =>
+        Tables.orders(s, d).agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio")),
+      Some("SELECT count(DISTINCT o_custkey) AS n_cust, " +
+        "count(DISTINCT o_orderpriority) AS n_prio FROM orders")),
+
+    // ---- Q9b: approximate distinct (HLL; engine capability, no cross-engine
+    // oracle — sketch estimates are implementation-defined) ----
+    ("q09b_approx_distinct",
+      (s: SparkSession, d: String) =>
+        Tables.orders(s, d).agg(
+          approx_count_distinct(col("o_custkey")).as("approx_cust")),
+      None),
+
+    // ---- Q10: latest-wins ranking (W1) ----
+    ("q10_latest_wins",
+      (s: SparkSession, d: String) =>
+        CdcFold.latestWins(Tables.events(s, d), col("user_id"), col("event_id"))
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_event_type"), col("value").as("last_value"))
+          .orderBy("user_id"),
+      Some("SELECT user_id, event_id AS last_event_id, " +
+        "event_type AS last_event_type, value AS last_value FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn " +
+        "FROM events) WHERE rn = 1 ORDER BY user_id")),
+
+    // ---- Q11: analytic window lag (W3) ----
+    ("q11_lag_delta",
+      (s: SparkSession, d: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("delta", col("value") - lag("value", 1).over(w))
+          .select(col("user_id"), col("event_id"), col("delta"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("SELECT user_id, event_id, value - lag(value) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id) AS delta " +
+        "FROM events ORDER BY user_id, event_id")),
+
+    // ---- Q12: top-k (O4) ----
+    ("q12_topk_revenue",
+      (s: SparkSession, d: String) =>
+        Tables.orders(s, d).groupBy("o_custkey")
+          .agg(dsum(col("o_totalprice")).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_custkey"))
+          .limit(10),
+      Some("SELECT o_custkey, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+        "FROM orders GROUP BY o_custkey ORDER BY revenue DESC, o_custkey LIMIT 10")),
+
+    // ---- Q12b: set operations (O3/O4) ----
+    ("q12b_set_ops",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val a = ev.filter(col("event_type").isin("click", "view")).select("event_id")
+        val b = ev.filter(col("value") > 100).select("event_id")
+        val u = a.union(b).distinct().agg(count(lit(1)).as("n"))
+          .select(lit("union").as("op"), col("n"))
+        val i = a.intersect(b).agg(count(lit(1)).as("n"))
+          .select(lit("intersect").as("op"), col("n"))
+        val e = a.except(b).agg(count(lit(1)).as("n"))
+          .select(lit("except").as("op"), col("n"))
+        u.unionByName(i).unionByName(e).orderBy("op")
+      },
+      Some("WITH a AS (SELECT event_id FROM events WHERE event_type IN ('click','view')), " +
+        "b AS (SELECT event_id FROM events WHERE value > 100) " +
+        "SELECT op, n FROM (" +
+        "SELECT 'union' AS op, count(*) AS n FROM (SELECT event_id FROM a UNION SELECT event_id FROM b) " +
+        "UNION ALL SELECT 'intersect', count(*) FROM (SELECT event_id FROM a INTERSECT SELECT event_id FROM b) " +
+        "UNION ALL SELECT 'except', count(*) FROM (SELECT event_id FROM a EXCEPT SELECT event_id FROM b)) " +
+        "ORDER BY op")),
+
+    // ---- Q13: duplicate elimination under at-least-once delivery (T6) ----
+    ("q13_dedup_replay",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d).select("event_id")
+        ev.union(ev).dropDuplicates("event_id").orderBy("event_id")
+      },
+      Some("SELECT DISTINCT event_id FROM (" +
+        "SELECT event_id FROM events UNION ALL SELECT event_id FROM events) " +
+        "ORDER BY event_id")),
+
+    // ---- Q14: event-time tumbling window (T11) ----
+    ("q14_event_window",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
+          .orderBy("window_start"),
+      Some("SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, " +
+        "count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
+
+    // ---- Q15: CDC fold — latest-wins + delete-through (S8/S9) ----
+    ("q15_cdc_fold",
+      (s: SparkSession, d: String) => {
+        val changeLog = Tables.events(s, d).withColumn("change_type",
+          when(col("event_type") === "error", "DELETE").otherwise("UPSERT"))
+        CdcFold.fold(changeLog, col("user_id"), col("event_id"), col("change_type"))
+          .select(col("user_id"), col("event_id").as("final_event_id"),
+            col("value").as("final_value"))
+          .orderBy("user_id")
+      },
+      Some("SELECT user_id, event_id AS final_event_id, value AS final_value FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn " +
+        "FROM events) WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id")),
+
+    // ---- Q16: JSON + scalar functions (P12/P13) ----
+    ("q16_scalar_json",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d).select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          upper(col("event_type")).as("type_upper"),
+          hour(col("ts")).cast("long").as("hr"),
+          concat(col("event_type"), lit("#"), col("user_id").cast("string")).as("route_key"))
+          .orderBy("event_id"),
+      Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
+        "upper(event_type) AS type_upper, CAST(hour(ts) AS BIGINT) AS hr, " +
+        "event_type || '#' || CAST(user_id AS VARCHAR) AS route_key " +
+        "FROM events ORDER BY event_id")),
+
+    // ---- Q16b: date/string scalars on orders (P12) ----
+    ("q16b_scalar_date",
+      (s: SparkSession, d: String) =>
+        Tables.orders(s, d).select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("order_year"),
+          month(col("o_orderdate")).cast("long").as("order_month"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+          substring(col("o_orderpriority"), 1, 1).as("prio_code"))
+          .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS order_year, " +
+        "CAST(month(o_orderdate) AS BIGINT) AS order_month, " +
+        "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, " +
+        "date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since, " +
+        "substring(o_orderpriority, 1, 1) AS prio_code " +
+        "FROM orders ORDER BY o_orderkey")),
+
+    // ---- CDC replay-ID codec round-trip (P3), golden vectors incl. the
+    // JS 2^53 cliff value (eventParser.js:160-174, avroHelper.js:8-34) ----
+    ("cdc_replay_roundtrip",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        Seq((1, "00000000011427F7"), (2, "0000000000000001"),
+            (3, "FFFFFFFFFFFFFFFF"), (4, "0020000000000001"))
+          .toDF("id", "hex")
+          .withColumn("replay_id", decode_replay_id(unhex(col("hex"))))
+          .withColumn("roundtrip_ok",
+            hex(encode_replay_id(col("replay_id"))) === col("hex"))
+          .select("id", "replay_id", "roundtrip_ok")
+          .orderBy("id")
+      },
+      Some("SELECT * FROM (VALUES (1, 18098167, true), (2, 1, true), " +
+        "(3, -1, true), (4, 9007199254740993, true)) " +
+        "AS t(id, replay_id, roundtrip_ok) ORDER BY id")))
+}

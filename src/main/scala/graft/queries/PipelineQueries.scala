@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators (SURVEY §2.9 north-star): dedup,
+  * similarity search, text analysis, multimodal plumbing — each wired as a
+  * declared query over `documents` / `embeddings` with a DuckDB oracle
+  * where cross-engine determinism is achievable.
+  *
+  * Oracle notes:
+  *  - shingle/Jaccard oracles replicate the tokenization in SQL; Jaccard is
+  *    an integer ratio, so the doubles match exactly;
+  *  - SimHash uses md5-derived 64-bit token hashes (`md5_lower64` ==
+  *    DuckDB `md5_number_lower`), making the sketch itself oracle-checkable;
+  *  - cosine values are rounded to 3 decimals on both sides; thresholds are
+  *    chosen in empty bands of the observed similarity distribution, so a
+  *    sub-1e-12 accumulation difference cannot flip membership;
+  *  - MinHash-LSH emits exact-verified pairs, so its output equals the
+  *    exact-Jaccard operator's (miss probability ≈ (1-s²)³² ≈ 5e-15 at the
+  *    0.8 threshold) while scaling as O(n·bands) instead of O(n²).
+  */
+object PipelineQueries {
+
+  /** Shared DuckDB shingle pipeline (3-word shingles, distinct). */
+  private val shingleCte =
+    "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
+      "FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s " +
+      "FROM toks CROSS JOIN generate_series(1, 2048) g(i) WHERE i <= len(t) - 2), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
+      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+
+  private val jaccardPairsSql =
+    shingleCte +
+      "SELECT id_a, id_b, CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) AS jaccard " +
+      "FROM pairs JOIN sizes s1 ON id_a = s1.doc_id JOIN sizes s2 ON id_b = s2.doc_id " +
+      "WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.8 " +
+      "ORDER BY id_a, id_b"
+
+  /** DuckDB 32-bit SimHash replication (md5_number_lower token hashes). */
+  private val simhashCte =
+    "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok " +
+      "FROM documents), " +
+      "bits AS (SELECT doc_id, i, CASE WHEN sum(CASE WHEN (md5_number_lower(tok) >> i) & 1 = 1 " +
+      "THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b " +
+      "FROM toks CROSS JOIN generate_series(0, 31) g(i) GROUP BY doc_id, i), " +
+      "sk AS (SELECT doc_id, CAST(sum(b * (1::BIGINT << i)) AS BIGINT) AS simhash " +
+      "FROM bits GROUP BY doc_id) "
+
+  private def dCos(a: String, b: String) =
+    s"round(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])), 3)"
+
+  val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- exact dedup: hash-groupBy on normalized-text fingerprint ----
+    ("ns_dedup_exact",
+      (s: SparkSession, d: String) =>
+        Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text").orderBy("fp"),
+      Some("SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, " +
+        "min(doc_id) AS keep_id, count(*) AS n_docs FROM documents " +
+        "GROUP BY fp ORDER BY fp")),
+
+    // ---- exact n-gram Jaccard near-dup pairs ----
+    ("ns_dedup_ngram_jaccard",
+      (s: SparkSession, d: String) =>
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.8)
+          .orderBy("id_a", "id_b"),
+      Some(jaccardPairsSql)),
+
+    // ---- MinHash + LSH near-dup pairs (exact-verified; scale path) ----
+    ("ns_dedup_minhash_lsh",
+      (s: SparkSession, d: String) =>
+        Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text", 0.8)
+          .orderBy("id_a", "id_b"),
+      Some(jaccardPairsSql)),
+
+    // ---- SimHash sketches (oracle-checkable hash) ----
+    ("ns_dedup_simhash",
+      (s: SparkSession, d: String) =>
+        Dedup.simhashSketches(Tables.documents(s, d), "doc_id", "text")
+          .orderBy("id"),
+      Some(simhashCte + "SELECT doc_id AS id, simhash FROM sk ORDER BY id")),
+
+    // ---- SimHash near-dup pairs (banded + exact hamming verify) ----
+    ("ns_dedup_simhash_pairs",
+      (s: SparkSession, d: String) =>
+        Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+          .orderBy("id_a", "id_b"),
+      Some(simhashCte +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
+        "FROM sk a JOIN sk b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY id_a, id_b")),
+
+    // ---- embedding-cosine near-dup pairs ----
+    ("ns_dedup_embedding",
+      (s: SparkSession, d: String) =>
+        Dedup.embeddingDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+          .orderBy("id_a", "id_b"),
+      Some("SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        dCos("a.embedding", "b.embedding") + " AS cos " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE " + dCos("a.embedding", "b.embedding") + " >= 0.4 " +
+        "ORDER BY id_a, id_b")),
+
+    // ---- ANN: brute-force cosine top-k (correctness baseline) ----
+    ("ns_ann_brute_topk",
+      (s: SparkSession, d: String) =>
+        Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0, k = 10),
+      Some("SELECT vec_id, " + dCos("embeddings.embedding", "q.q_vec") + " AS cos " +
+        "FROM embeddings, (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0) q " +
+        "WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10")),
+
+    // ---- ANN: hyperplane-LSH bucketed top-k (scale path; approximate by
+    // design, so no cross-engine oracle — recall vs brute force is asserted
+    // in ScalaTest instead) ----
+    ("ns_ann_lsh_topk",
+      (s: SparkSession, d: String) =>
+        Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0, k = 10),
+      None),
+
+    // ---- text analysis: language-ID heuristic ----
+    ("ns_text_langid",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks " +
+        "FROM documents) " +
+        "SELECT doc_id, round(CAST(len(list_filter(toks, t -> t IN " +
+        "('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(toks), 4) " +
+        "AS en_ratio, " +
+        "CASE WHEN CAST(len(list_filter(toks, t -> t IN " +
+        "('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(toks) >= 0.10 " +
+        "THEN 'en' ELSE 'other' END AS lang_pred FROM t ORDER BY doc_id")),
+
+    // ---- text analysis: quality scoring ----
+    ("ns_text_quality",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks " +
+        "FROM documents), " +
+        "m AS (SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, " +
+        "CAST(len(toks) AS INTEGER) AS n_tokens, " +
+        "CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS atl, " +
+        "CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(toks) AS sr, " +
+        "CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS pr " +
+        "FROM t) " +
+        "SELECT doc_id, n_chars, n_tokens, round(atl, 4) AS avg_token_len, " +
+        "round(sr, 4) AS stopword_ratio, round(pr, 4) AS punct_ratio, " +
+        "round(least(1.0, n_tokens / 100.0) * 0.5 + (1.0 - pr) * 0.3 + sr * 0.2, 4) " +
+        "AS quality_score FROM m ORDER BY doc_id")),
+
+    // ---- text analysis: token counting (whitespace + BPE-ish regex) ----
+    ("ns_text_tokens",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id"),
+      Some("SELECT doc_id, " +
+        "CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INTEGER) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens " +
+        "FROM documents ORDER BY doc_id")),
+
+    // ---- text analysis: fingerprints (md5 + md5-lower-64) ----
+    ("ns_text_fingerprint",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")
+          .drop("fp_rolling") // engine-specific hash; unit-tested, not oracled
+          .orderBy("doc_id"),
+      Some("WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm " +
+        "FROM documents), " +
+        "h AS (SELECT doc_id, md5(norm) AS fp_md5, CAST(md5_number_lower(norm) AS HUGEINT) AS u " +
+        "FROM n) " +
+        "SELECT doc_id, fp_md5, CAST(CASE WHEN u >= 9223372036854775808 " +
+        "THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS fp_md5_64 " +
+        "FROM h ORDER BY doc_id")),
+
+    // ---- multimodal plumbing: opaque binary column + typed metadata.
+    // The image/audio decode itself is STUBBED as a deterministic fake
+    // (no codec libraries in this environment); the Spark-side plumbing —
+    // binary column, metadata schema, frame-offset sampling — is real. ----
+    ("mm_binary_meta",
+      (s: SparkSession, d: String) => {
+        val content = encode(col("text"), "UTF-8")
+        val nBytes = length(content).cast("long")
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          nBytes.as("n_bytes"),
+          // deterministic fake "decode": pretend header fields derived from size
+          when(nBytes % 3 === 0, "img").when(nBytes % 3 === 1, "audio")
+            .otherwise("video").as("fake_format"),
+          ((nBytes % 64) * 16).as("fake_width"),
+          ((nBytes % 48) * 16).as("fake_height"),
+          array_join(transform(sequence(lit(0), lit(4)),
+            i => i * (nBytes / lit(5)).cast("long")), ",").as("frame_offsets"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, octet_length(encode(text)) AS n_bytes, " +
+        "CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'img' " +
+        "WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio' ELSE 'video' END AS fake_format, " +
+        "(octet_length(encode(text)) % 64) * 16 AS fake_width, " +
+        "(octet_length(encode(text)) % 48) * 16 AS fake_height, " +
+        "array_to_string(list_transform(generate_series(0, 4), " +
+        "i -> i * (octet_length(encode(text)) // 5)), ',') AS frame_offsets " +
+        "FROM documents ORDER BY doc_id")))
+}

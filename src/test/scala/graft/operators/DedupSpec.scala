@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class DedupSpec extends SparkSpec {
+
+  test("minhash-LSH verified pairs == exact jaccard pairs (sf0.001)") {
+    val docs = Tables.documents(spark, sfDir)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty, "test corpus should contain near-duplicates")
+  }
+
+  test("exact dedup groups: every doc appears exactly once across groups") {
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.count()
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(groups.agg(sum("n_docs")).collect()(0).getLong(0) == total)
+  }
+
+  test("simhash pairs: near-dup docs have small hamming distance") {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    // sanity: all reported pairs respect the bound, ids ordered
+    val rows = pairs.collect()
+    assert(rows.forall(r => r.getLong(2) <= 3 && r.getLong(0) < r.getLong(1)))
+  }
+
+  test("embedding near-dup pairs are symmetric-free and thresholded") {
+    val pairs = Dedup.embeddingDupPairs(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding", 0.4).collect()
+    assert(rowsOk(pairs))
+    def rowsOk(rs: Array[org.apache.spark.sql.Row]) =
+      rs.forall(r => r.getLong(0) < r.getLong(1) && r.getDouble(2) >= 0.4)
+  }
+}
