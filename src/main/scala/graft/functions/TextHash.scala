@@ -29,19 +29,19 @@ object TextHashKernels {
     v
   }
 
-  /** 32-bit SimHash over a token list (duplicates count): for each bit
-    * position, sum +1/-1 per token according to bit of md5Lower64(token);
-    * bit set iff the sum is positive. Single pass per document — O(tokens)
-    * per row, no shuffle, scales linearly in document count.
+  /** SimHash over a token list (duplicates count): for each bit position,
+    * sum +1/-1 per token according to bit of md5Lower64(token); bit set iff
+    * the sum is positive. Single pass per document — O(tokens) per row, no
+    * shuffle, scales linearly in document count.
     */
-  def simhash32(tokens: ArrayData): Long = {
-    val counts = new Array[Int](32)
+  def simhash(tokens: ArrayData, bits: Int): Long = {
+    val counts = new Array[Int](bits)
     val n = tokens.numElements()
     var t = 0
     while (t < n) {
       val h = md5Lower64(tokens.getUTF8String(t))
       var i = 0
-      while (i < 32) {
+      while (i < bits) {
         if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
         i += 1
       }
@@ -49,9 +49,12 @@ object TextHashKernels {
     }
     var out = 0L
     var i = 0
-    while (i < 32) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+    while (i < bits) { if (counts(i) > 0) out |= (1L << i); i += 1 }
     out
   }
+
+  def simhash32(tokens: ArrayData): Long = simhash(tokens, 32)
+  def simhash64(tokens: ArrayData): Long = simhash(tokens, 64)
 
   /** Polynomial rolling hash (Rabin-Karp style) of a UTF-8 string: 64-bit
     * base-31 polynomial with natural overflow wrap. Document fingerprinting
@@ -85,19 +88,22 @@ case class Md5Lower64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `simhash32(array<string>) -> long` — near-duplicate sketch over tokens. */
-case class SimHash32(child: Expression) extends UnaryExpression {
+/** `simhash(array<string>, bits) -> long` — near-duplicate sketch over
+  * tokens (32- or 64-bit).
+  */
+case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits == 32 || bits == 64, "bits must be 32 or 64")
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType.isInstanceOf[ArrayType] && child.dataType.asInstanceOf[ArrayType].elementType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"bad input type ${child.dataType}")
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = "simhash32"
+  override def prettyName: String = s"simhash$bits"
   override protected def nullSafeEval(input: Any): Any =
-    TextHashKernels.simhash32(input.asInstanceOf[ArrayData])
+    TextHashKernels.simhash(input.asInstanceOf[ArrayData], bits)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.simhash32($c)")
-  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.simhash($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
     copy(child = newChild)
 }
 

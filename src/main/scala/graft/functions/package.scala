@@ -32,8 +32,28 @@ package object functions {
   def md5_lower64(c: Column): Column = col(Md5Lower64(ex(c)))
 
   /** 32-bit SimHash over a token array. */
-  def simhash32(tokens: Column): Column = col(SimHash32(ex(tokens)))
+  def simhash32(tokens: Column): Column = col(SimHash(ex(tokens), 32))
+
+  /** 64-bit SimHash over a token array. */
+  def simhash64(tokens: Column): Column = col(SimHash(ex(tokens), 64))
 
   /** 64-bit polynomial rolling hash of a string. */
   def rolling_hash(c: Column): Column = col(RollingHash(ex(c)))
+
+  /** Distinct word n-gram shingles of a text column, one pass, codegen'd. */
+  def word_shingles(text: Column, n: Int): Column = col(WordShingles(ex(text), n))
+
+  /** MinHash signature (k slots) of a shingle set — one xxhash + k affine
+    * transforms per shingle, codegen'd. */
+  def minhash_signature(shingles: Column, k: Int): Column =
+    col(MinHashSignature(ex(shingles), k))
+
+  /** Per-event Avro decode against a schema JSON (P1); null on corrupt
+    * payloads so failures can dead-letter (S10). */
+  def avro_decode(payload: Column, schemaJson: String): Column =
+    col(AvroDecode(ex(payload), schemaJson))
+
+  /** Avro encode of a struct column for publish (P2). */
+  def avro_encode(record: Column, schemaJson: String): Column =
+    col(AvroEncode(ex(record), schemaJson))
 }

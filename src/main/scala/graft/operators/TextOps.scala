@@ -16,15 +16,13 @@ object TextOps {
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
   /** Distinct word n-gram shingles (space-joined). Empty when the document
-    * has fewer than `n` tokens.
+    * has fewer than `n` tokens. Delegates to the one-pass codegen'd
+    * [[graft.functions.WordShingles]] kernel — the HOF formulation
+    * re-evaluates the token split per lambda iteration (see that kernel's
+    * scaladoc).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
-    when(size(t) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(1), size(t) - (n - 1)),
-          i => concat_ws(" ", slice(t, i, lit(n))))))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.word_shingles(text, n)
 
   /** English stopword marker set for the language-ID heuristic. */
   val EnStopwords: Seq[String] =

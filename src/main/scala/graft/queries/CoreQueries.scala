@@ -326,6 +326,106 @@ object CoreQueries {
         "substring(o_orderpriority, 1, 1) AS prio_code " +
         "FROM orders ORDER BY o_orderkey")),
 
+    // ---- Q17: hierarchical aggregation (A4 rollup/grouping sets) ----
+    ("q17_rollup",
+      (s: SparkSession, d: String) =>
+        Tables.lineitem(s, d)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
+
+    // ---- Q18: backward as-of join (J4-class operator Spark lacks natively;
+    // union + window carry-forward, one shuffle) ----
+    ("q18_asof_join",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+        graft.operators.AsOfJoin.backward(clicks, purchases,
+            key = "user_id", leftTs = "ts", rightTs = "ts",
+            valueCols = Seq("value" -> "last_purchase_value",
+              "event_id" -> "last_purchase_id"),
+            tieBreak = "event_id")
+          .orderBy("event_id")
+      },
+      Some("SELECT l.event_id, l.user_id, l.ts, " +
+        "r.value AS last_purchase_value, r.event_id AS last_purchase_id " +
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l " +
+        "ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events " +
+        "WHERE event_type = 'purchase') r " +
+        "ON l.user_id = r.user_id AND r.ts <= l.ts ORDER BY l.event_id")),
+
+    // ---- Q19: session windows (T11) ----
+    ("q19_session_window",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n"), col("sum_value"))
+          .orderBy("user_id", "session_start"),
+      Some("WITH flagged AS (SELECT user_id, ts, value, " +
+        "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) " +
+        "< INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session " +
+        "FROM events), " +
+        "sessions AS (SELECT user_id, ts, value, " +
+        "sum(new_session) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS session_id FROM flagged) " +
+        "SELECT user_id, min(ts) AS session_start, " +
+        "max(ts) + INTERVAL '30 minutes' AS session_end, " +
+        "count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "FROM sessions GROUP BY user_id, session_id " +
+        "ORDER BY user_id, session_start")),
+
+    // ---- Q20: analytic window frames (W3: rank/dense_rank/ntile/running) ----
+    ("q20_window_frames",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val byValue = Window.partitionBy("user_id")
+          .orderBy(col("value").desc, col("event_id"))
+        val byTime = Window.partitionBy("user_id").orderBy("event_id")
+        val running = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"),
+          rank().over(byValue).cast("long").as("value_rank"),
+          dense_rank().over(byValue).cast("long").as("value_dense_rank"),
+          ntile(4).over(byTime).cast("long").as("quartile"),
+          sum(col("value").cast(DecimalType(18, 4))).over(running)
+            .cast("double").as("running_sum"))
+          .orderBy("event_id")
+      },
+      Some("SELECT event_id, user_id, " +
+        "CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS value_rank, " +
+        "CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS value_dense_rank, " +
+        "CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS quartile, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum " +
+        "FROM events ORDER BY event_id")),
+
+    // ---- Q21: equi + range (interval) join (J4) ----
+    ("q21_range_join",
+      (s: SparkSession, d: String) =>
+        Tables.lineitem(s, d).join(Tables.orders(s, d),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") >= col("o_orderdate") &&
+              col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_orderpriority"),
+      Some("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL '90 days' " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
     // ---- CDC replay-ID codec round-trip (P3), golden vectors incl. the
     // JS 2^53 cliff value (eventParser.js:160-174, avroHelper.js:8-34) ----
     ("cdc_replay_roundtrip",

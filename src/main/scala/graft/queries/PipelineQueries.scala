@@ -42,14 +42,18 @@ object PipelineQueries {
       "WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.8 " +
       "ORDER BY id_a, id_b"
 
-  /** DuckDB 32-bit SimHash replication (md5_number_lower token hashes). */
+  /** DuckDB 64-bit SimHash replication (md5_number_lower token hashes);
+    * bit 63 carries its two's-complement negative weight so the result is
+    * the same signed BIGINT Spark produces.
+    */
   private val simhashCte =
     "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok " +
       "FROM documents), " +
       "bits AS (SELECT doc_id, i, CASE WHEN sum(CASE WHEN (md5_number_lower(tok) >> i) & 1 = 1 " +
-      "THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b " +
-      "FROM toks CROSS JOIN generate_series(0, 31) g(i) GROUP BY doc_id, i), " +
-      "sk AS (SELECT doc_id, CAST(sum(b * (1::BIGINT << i)) AS BIGINT) AS simhash " +
+      "THEN 1 ELSE -1 END) > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS b " +
+      "FROM toks CROSS JOIN generate_series(0, 63) g(i) GROUP BY doc_id, i), " +
+      "sk AS (SELECT doc_id, CAST(sum(CASE WHEN i = 63 THEN b * (-(1::BIGINT << 62) * 2) " +
+      "ELSE b * (1::BIGINT << i) END) AS BIGINT) AS simhash " +
       "FROM bits GROUP BY doc_id) "
 
   private def dCos(a: String, b: String) =

@@ -3,8 +3,9 @@ package graft.sources
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.avro.functions.{from_avro, to_avro}
 import org.apache.spark.sql.functions._
+
+import graft.functions.{avro_decode, avro_encode}
 
 /** Schema-by-ID registry + per-event Avro decode dispatch — the Spark
   * rendering of the reference's `GetSchema` cache and per-event decoder
@@ -13,7 +14,7 @@ import org.apache.spark.sql.functions._
   * The registry is a driver-side memoizing map (schemaId → Avro schema
   * JSON), exactly like the reference's `Map<string, Schema>`; `fetch` is the
   * pluggable `GetSchema` RPC stand-in. Decode dispatch groups the batch by
-  * schemaId and applies `from_avro` per group — one pass per distinct
+  * schemaId and applies [[graft.functions.AvroDecode]] per group — one pass per distinct
   * schema, not per event, so a batch with S schemas costs S codegen'd
   * column scans (S is tiny in practice: schemas change rarely).
   */
@@ -39,15 +40,18 @@ class SchemaRegistry(fetch: String => String) {
     require(ids.nonEmpty, "at least one schema id required")
     val branches = ids.map { id =>
       df.filter(col(schemaIdCol) === id)
-        .withColumn("decoded", from_avro(col(payloadCol), schemaJson(id)))
+        .withColumn("decoded", avro_decode(col(payloadCol), schemaJson(id)))
     }
-    val known = branches.reduce(_ unionByName _)
+    // allowMissingColumns merges heterogeneous decoded structs into their
+    // field superset — also how append-only schema evolution (new fields on
+    // a topic, setup.md:402) surfaces: old events carry null for new fields.
+    val known = branches.reduce(_.unionByName(_, allowMissingColumns = true))
     val unknown = df.filter(!col(schemaIdCol).isin(ids: _*))
       .withColumn("decoded", lit(null).cast(branches.head.schema("decoded").dataType))
-    known.unionByName(unknown)
+    known.unionByName(unknown, allowMissingColumns = true)
   }
 
   /** Encode a struct column back to Avro binary for publish (P2/S5). */
   def encode(df: DataFrame, structCol: String, schemaId: String): DataFrame =
-    df.withColumn("payload", to_avro(col(structCol), schemaJson(schemaId)))
+    df.withColumn("payload", avro_encode(col(structCol), schemaJson(schemaId)))
 }

@@ -57,16 +57,28 @@ object CdcIngest {
     fs.rename(staging, dest)
   }
 
-  /** Start the ingest stream. `valid` filters rows into the main path;
-    * failing rows go to the dead-letter table with a timestamp.
+  /** Start the ingest stream over a parquet file log. `valid` filters rows
+    * into the main path; failing rows go to the dead-letter table.
     */
   def start(spark: SparkSession, logDir: String, logSchema: StructType,
             targetDir: String, checkpointDir: String, dataCols: Seq[String],
             key: String = "sfId", offset: String = "replayId",
             changeType: String = "changeType",
             valid: DataFrame => DataFrame = identity,
-            availableNow: Boolean = true): StreamingQuery = {
-    val stream = spark.readStream.schema(logSchema).parquet(logDir)
+            availableNow: Boolean = true): StreamingQuery =
+    startWith(spark, spark.readStream.schema(logSchema).parquet(logDir),
+      targetDir, checkpointDir, dataCols, key, offset, changeType, valid,
+      availableNow)
+
+  /** Same, over an arbitrary streaming DataFrame (e.g. the `cdc-log` DSv2
+    * source with replay positioning).
+    */
+  def startWith(spark: SparkSession, stream: DataFrame,
+                targetDir: String, checkpointDir: String, dataCols: Seq[String],
+                key: String = "sfId", offset: String = "replayId",
+                changeType: String = "changeType",
+                valid: DataFrame => DataFrame = identity,
+                availableNow: Boolean = true): StreamingQuery = {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
