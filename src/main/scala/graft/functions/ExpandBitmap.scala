@@ -41,6 +41,10 @@ case class ExpandBitmap(first: Expression, second: Expression, third: Expression
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "expand_bitmap"
+  // pure function of its inputs: with literal bitmaps/fields (constant CDC
+  // headers), Catalyst's ConstantFolding collapses the call at plan time —
+  // the "foldable bitmap rule" from SURVEY §4.2 for free.
+  override def foldable: Boolean = children.forall(_.foldable)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = first.dataType.isInstanceOf[ArrayType] &&

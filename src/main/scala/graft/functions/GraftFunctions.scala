@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-surface registration for the engine's custom expressions, so
+  * `spark.sql("SELECT decode_replay_id(replay) ...")` works alongside the
+  * Column DSL in [[graft.functions]].
+  */
+object GraftFunctions {
+
+  private def str(e: Expression, fn: String): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal string argument, got $other")
+  }
+  private def int(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int argument, got $other")
+  }
+
+  /** Register every engine function in the session's function registry. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def add(name: String)(builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+
+    add("decode_replay_id")(es => DecodeReplayId(es.head))
+    add("encode_replay_id")(es => EncodeReplayId(es.head))
+    add("expand_bitmap")(es => ExpandBitmap(es(0), es(1), es(2)))
+    add("cosine_similarity")(es => CosineSimilarity(es(0), es(1)))
+    add("dot_product")(es => DotProduct(es(0), es(1)))
+    add("md5_lower64")(es => Md5Lower64(es.head))
+    add("simhash32")(es => SimHash(es.head, 32))
+    add("simhash64")(es => SimHash(es.head, 64))
+    add("rolling_hash")(es => RollingHash(es.head))
+    add("word_shingles")(es => WordShingles(es(0), int(es(1), "word_shingles")))
+    add("minhash_signature")(es =>
+      MinHashSignature(es(0), int(es(1), "minhash_signature")))
+    add("avro_decode")(es => AvroDecode(es(0), str(es(1), "avro_decode")))
+    add("avro_encode")(es => AvroEncode(es(0), str(es(1), "avro_encode")))
+  }
+}

@@ -46,16 +46,16 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, n: Int = 3): DataFrame = {
     val sh = withShingles(docs, idCol, textCol, n)
-    val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
-    // cached: both sides of the inverted-index self-join read it
-    val ex = sh.select(col("id"), explode(col("sh")).as("s")).cache()
-    val inter = ex.as("a").join(ex.as("b"),
+    // carry each doc's set size through the explode: after the pair
+    // aggregation both sizes ride along as grouping keys, so no extra
+    // joins (and no shingle recompute) are needed to finish the jaccard.
+    val ex = sh.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s")).cache()
+    ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)

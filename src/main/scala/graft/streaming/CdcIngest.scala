@@ -94,4 +94,31 @@ object CdcIngest {
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
+
+  /** Per-topic routed ingest (P7 + S8's `tableForTopic`,
+    * `setup.md:1130-1134`): one materialized table per topic under
+    * `targetRoot/<topic>`. The batch's topic list is collected driver-side
+    * (it is the set of topic NAMES, bounded by the subscription list, not
+    * data volume) and each topic's slice merges into its own table —
+    * per-topic ordering falls out of the per-key fold within each slice.
+    */
+  def startRouted(spark: SparkSession, stream: DataFrame, topicCol: String,
+                  targetRoot: String, checkpointDir: String,
+                  dataCols: Seq[String], key: String = "sfId",
+                  offset: String = "replayId", changeType: String = "changeType",
+                  availableNow: Boolean = true): StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.cache()
+        try {
+          val topics = b.select(topicCol).distinct().collect().map(_.getString(0))
+          topics.foreach { t =>
+            mergeIntoTarget(spark, b.filter(col(topicCol) === t),
+              s"$targetRoot/$t", dataCols, key, offset, changeType)
+          }
+        } finally b.unpersist()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
 }

@@ -1,0 +1,39 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("SQL surface: registered functions run in spark.sql") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  decode_replay_id(unhex('00000000011427F7')) AS rid,
+        |  hex(encode_replay_id(18098167L)) AS hexed,
+        |  array_join(expand_bitmap(array('0x06'), array('Id','Name','Type'),
+        |    map('x', array('y'))), ',') AS fields,
+        |  cosine_similarity(array(cast(1.0 as float), cast(0.0 as float)),
+        |    array(cast(1.0 as float), cast(0.0 as float))) AS cos,
+        |  md5_lower64('abc') AS m64,
+        |  size(word_shingles('a b c d', 3)) AS n_shingles,
+        |  size(minhash_signature(array('x','y'), 16)) AS n_sig
+        |""".stripMargin).collect()(0)
+    assert(row.getAs[Long]("rid") == 18098167L)
+    assert(row.getAs[String]("hexed") == "00000000011427F7")
+    assert(row.getAs[String]("fields") == "Name,Type")
+    assert(math.abs(row.getAs[Double]("cos") - 1.0) < 1e-12)
+    assert(row.getAs[Long]("m64") == 8250560606382298838L)
+    assert(row.getAs[Int]("n_shingles") == 2)
+    assert(row.getAs[Int]("n_sig") == 16)
+  }
+
+  test("expand_bitmap with literal args constant-folds at plan time") {
+    GraftFunctions.register(spark)
+    val df = spark.sql(
+      "SELECT expand_bitmap(array('0x06'), array('Id','Name','Type'), " +
+        "map('x', array('y'))) AS f")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("expand_bitmap"),
+      s"expected constant-folded plan, got:\n$optimized")
+  }
+}
