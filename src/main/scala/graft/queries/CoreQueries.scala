@@ -384,6 +384,19 @@ object CoreQueries {
         "FROM sessions GROUP BY user_id, session_id " +
         "ORDER BY user_id, session_start")),
 
+    // ---- Q22: stream-static enrichment join (J1/J3 shape: broadcast the
+    // dimension onto the event stream; here batch-for-oracle) ----
+    ("q22_enrich_join",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .join(broadcast(Tables.customer(s, d)),
+            col("user_id") === col("c_custkey"), "left")
+          .select(col("event_id"), col("user_id"), col("c_name"),
+            col("c_mktsegment"))
+          .orderBy("event_id"),
+      Some("SELECT event_id, user_id, c_name, c_mktsegment FROM events " +
+        "LEFT JOIN customer ON user_id = c_custkey ORDER BY event_id")),
+
     // ---- Q20: analytic window frames (W3: rank/dense_rank/ntile/running) ----
     ("q20_window_frames",
       (s: SparkSession, d: String) => {

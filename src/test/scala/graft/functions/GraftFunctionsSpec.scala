@@ -27,6 +27,11 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(row.getAs[Int]("n_sig") == 16)
   }
 
+  test("GraftExtensions injects without error (session-build surface)") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext) // builders validated in SQL test above
+  }
+
   test("expand_bitmap with literal args constant-folds at plan time") {
     GraftFunctions.register(spark)
     val df = spark.sql(
