@@ -46,7 +46,10 @@ class SchemaRegistry(fetch: String => String) {
     // field superset — also how append-only schema evolution (new fields on
     // a topic, setup.md:402) surfaces: old events carry null for new fields.
     val known = branches.reduce(_.unionByName(_, allowMissingColumns = true))
-    val unknown = df.filter(!col(schemaIdCol).isin(ids: _*))
+    // NULL schema ids must land in the unknown branch too: a bare
+    // `!isin(...)` evaluates to NULL for them (three-valued logic), which
+    // would silently drop the rows from both branches.
+    val unknown = df.filter(col(schemaIdCol).isNull || !col(schemaIdCol).isin(ids: _*))
       .withColumn("decoded", lit(null).cast(branches.head.schema("decoded").dataType))
     known.unionByName(unknown, allowMissingColumns = true)
   }

@@ -21,25 +21,38 @@ object Publish {
 
   /** Append `batch` (columns: sfId, changeType, data) to the log at
     * `logDir`; returns the (firstReplayId, lastReplayId) range assigned —
-    * the publish "acks".
+    * the publish "acks". An empty batch publishes nothing and returns the
+    * empty range `(base+1, base)` (first > last).
+    *
+    * Single-writer by contract, like the reference's per-topic publisher:
+    * replay IDs are assigned from the log's current max, so two concurrent
+    * appends to the same log would race on the same base offset. Callers
+    * needing fan-in should serialize through one publishing query.
     */
   def append(spark: SparkSession, batch: DataFrame, logDir: String): (Long, Long) = {
     val base = Bootstrap.captureOffset(logDir)
     // deterministic publish order within the batch: caller's sort columns
     // first, then a total tiebreak on all columns via a single window.
     val w = Window.orderBy(batch.columns.map(col): _*)
+    // cache: the id-assignment pass is read twice (count + file write), and
+    // the count also derives `last` so the batch lineage runs exactly once.
     val withIds = batch.withColumn("replayId", row_number().over(w) + base)
       .select("replayId", "sfId", "changeType", "data")
+      .cache()
+    try {
+      val n = withIds.count()
+      if (n == 0) return (base + 1, base)
+      val last = base + n
 
-    val staging = s"$logDir/__publish_staging"
-    withIds.coalesce(1).write.mode("overwrite").json(staging)
+      val staging = s"$logDir/__publish_staging"
+      withIds.coalesce(1).write.mode("overwrite").json(staging)
 
-    val fs = new Path(logDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val part = fs.listStatus(new Path(staging))
-      .map(_.getPath).filter(_.getName.startsWith("part-")).head
-    val last = base + batch.count()
-    fs.rename(part, new Path(logDir, s"events-$last.jsonl"))
-    fs.delete(new Path(staging), true)
-    (base + 1, last)
+      val fs = new Path(logDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(new Path(staging))
+        .map(_.getPath).filter(_.getName.startsWith("part-")).head
+      fs.rename(part, new Path(logDir, s"events-$last.jsonl"))
+      fs.delete(new Path(staging), true)
+      (base + 1, last)
+    } finally withIds.unpersist()
   }
 }

@@ -58,7 +58,14 @@ object StatefulLatestWins {
             else {
               ttl.foreach(state.setTimeoutDuration)
               if (best.changeType == "DELETE") {
-                state.remove()
+                // Keep a TOMBSTONE in state (null data) rather than removing
+                // it: dropping state would also drop the per-key replay-ID
+                // watermark, letting a redelivered older UPSERT in a later
+                // micro-batch resurrect the deleted record. The reference's
+                // rule — ignore events with replayId <= stored
+                // (`setup.md:542`) — must survive the delete; TTL expiry
+                // (retention, T3) is what eventually reclaims the key.
+                state.update(KeyedState(sfId, best.replayId, null))
                 // tombstone: emit with null data so sinks can delete through
                 Iterator(KeyedState(sfId, best.replayId, null))
               } else {

@@ -41,4 +41,28 @@ class StatefulLatestWinsSpec extends SparkSpec {
       ("a", 3L, "v3"), ("b", 2L, "b1"), ("b", 4L, null), ("c", 5L, "c1")))
     q.stop()
   }
+
+  test("delete tombstone blocks resurrection by a redelivered older upsert") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[ChangeEvent]
+    val q = StatefulLatestWins.fold(input.toDS())
+      .writeStream.format("memory").queryName("lw_tomb")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", Files.createTempDirectory("lw_tomb").toString)
+      .start()
+
+    input.addData(ChangeEvent("a", 5, "DELETE", null))
+    q.processAllAvailable()
+    // at-least-once redelivery of an OLDER upsert after the delete: the
+    // tombstone's replay-ID watermark must reject it (setup.md:542)
+    input.addData(ChangeEvent("a", 3, "UPDATE", "stale"))
+    q.processAllAvailable()
+
+    val rows = spark.table("lw_tomb").as[KeyedState].collect()
+    assert(rows.map(r => (r.sfId, r.replayId, r.data)).toSet ==
+      Set(("a", 5L, null)))
+    q.stop()
+  }
 }
