@@ -35,9 +35,15 @@ object Bootstrap {
   def snapshotThenStream(spark: SparkSession, snapshot: DataFrame,
                          logDir: String,
                          targetDir: String, checkpointDir: String,
-                         dataCols: Seq[String]): StreamingQuery = {
+                         dataCols: Seq[String], key: String = "sfId",
+                         numBuckets: Int = CdcIngest.DefaultNumBuckets): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
     val capturedOffset = captureOffset(logDir)
-    snapshot.write.mode("overwrite").parquet(targetDir)
+    // write the snapshot in the ingest target's bucket layout so the
+    // streaming merge can prune/rewrite per bucket from the first batch
+    snapshot
+      .withColumn("__bucket", CdcIngest.bucketOf(col(key), numBuckets))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(targetDir)
     val stream = spark.readStream
       .format("graft.sources.ChangeEventLogProvider")
       .option("path", logDir)

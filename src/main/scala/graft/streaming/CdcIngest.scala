@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -18,57 +18,144 @@ import graft.operators.CdcFold
   *    S1; same offset/replay semantics via the file-source's committed log);
   *  - per micro-batch: latest-wins fold + MERGE into the target (S8/S9),
   *    duplicates across redelivery neutralized by replay-ID monotonicity
-  *    (T6) — the fold is idempotent, and the target overwrite is
+  *    (T6) — the fold is idempotent, and the per-bucket overwrite is
   *    batchId-agnostic so restarts re-applying a batch converge to the
   *    same state;
   *  - checkpointed resume (T1): offsets live in `checkpointDir`, so a
   *    restarted query continues after the last committed batch;
   *  - dead-letter side output (S10): rows failing the validity predicate
-  *    are appended to `<targetDir>_dead_letter` with their replay IDs.
+  *    are appended to `<targetDir>_dead_letter` with their replay IDs, the
+  *    failed predicate as the error cause, and the raw event JSON —
+  *    field parity with the reference's `eventParseError.js:7-55`;
+  *  - sink writes retry with exponential backoff (T7, `setup.md:973-1009`)
+  *    before failing the query.
   *
-  * Scale notes: the only shuffle is the per-key window inside the fold,
-  * keyed on `key` — the minimal movement for keyed upsert. The target
-  * rewrite is the no-Delta-dependency MERGE emulation (SURVEY §7.4.1); on a
-  * real deployment the target write would be a partitioned overwrite of
-  * only affected partitions (partition by bucket(key)).
+  * '''Scale design (S8 hot path).''' The target is laid out as hash-bucket
+  * partitions `__bucket=N/` with `N = pmod(xxhash64(key), numBuckets)`.
+  * A micro-batch touches only the buckets its keys hash into, so the MERGE
+  *  1. reads ONLY those buckets back (partition pruning on `__bucket`),
+  *  2. folds the batch over that slice (one shuffle keyed on `key`),
+  *  3. rewrites ONLY those buckets.
+  * Cost per batch is O(touched buckets), not O(table): at 100× the table
+  * with `numBuckets` sized so a bucket ≈ a few file-split units, a small
+  * batch rewrites a small, bounded byte volume. Untouched buckets' files
+  * are never opened or rewritten (asserted in CdcIngestSpec).
+  *
+  * '''Crash safety.''' The merged buckets are written to a staging dir
+  * first; only after the job completes (its `_SUCCESS` marker exists) are
+  * bucket dirs swapped into the target one rename apiece. Recovery on the
+  * next merge: a complete staging (has `_SUCCESS`) re-plays any missing
+  * renames before merging; an incomplete one is discarded (target was
+  * never touched). There is no window where the table as a whole is
+  * deleted — at worst a single bucket is mid-swap, and its content is
+  * restored from staging before the next merge reads it.
   */
 object CdcIngest {
 
-  /** Merge one (micro-)batch into the parquet target at `targetDir`.
-    * Read-modify-overwrite with a staging directory + atomic-ish rename so
-    * a crash mid-write never leaves a half-written target; re-running the
-    * same batch after restart converges (idempotent MERGE).
+  /** Default bucket count. Sized for tests/local; at 100 TB pick
+    * `numBuckets` so one bucket ≈ 1–4 file-split units (e.g. 4096 buckets
+    * for a 1 TB materialized table at 256 MB splits).
+    */
+  val DefaultNumBuckets = 32
+
+  private val BucketCol = "__bucket"
+
+  /** Deterministic bucket assignment for a key column. */
+  def bucketOf(key: Column, numBuckets: Int): Column =
+    pmod(xxhash64(key), lit(numBuckets.toLong)).cast("int")
+
+  /** Read the materialized table without its physical layout column. */
+  def readTarget(spark: SparkSession, targetDir: String): DataFrame =
+    spark.read.parquet(targetDir).drop(BucketCol)
+
+  private def stagingPath(targetDir: String) = new Path(targetDir + "__staging")
+
+  /** Re-play an interrupted bucket swap. A staging dir with `_SUCCESS`
+    * holds the complete merged output of the interrupted batch: any bucket
+    * dir still in staging whose target dir is missing was deleted-but-not-
+    * renamed mid-swap — rename it in (the checkpoint will re-deliver the
+    * batch, and the merge is idempotent over either pre- or post-merge
+    * bucket state). A staging dir without `_SUCCESS` is an incomplete
+    * write; the target was never touched, so it is simply discarded.
+    */
+  private def recoverStaging(fs: FileSystem, targetDir: String): Unit = {
+    val staging = stagingPath(targetDir)
+    if (!fs.exists(staging)) return
+    if (fs.exists(new Path(staging, "_SUCCESS"))) {
+      val target = new Path(targetDir)
+      if (!fs.exists(target)) fs.mkdirs(target)
+      fs.listStatus(staging).filter(_.getPath.getName.startsWith(BucketCol + "="))
+        .foreach { s =>
+          val dest = new Path(target, s.getPath.getName)
+          if (!fs.exists(dest)) fs.rename(s.getPath, dest)
+        }
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Merge one (micro-)batch into the bucket-partitioned parquet target at
+    * `targetDir`: fold the batch latest-wins, apply it over the touched
+    * buckets only, and swap the rewritten buckets in. Idempotent — re-running
+    * the same batch after a restart converges to the same table.
     */
   def mergeIntoTarget(spark: SparkSession, batch: DataFrame, targetDir: String,
                       dataCols: Seq[String], key: String, offset: String,
-                      changeType: String): Unit = {
+                      changeType: String,
+                      numBuckets: Int = DefaultNumBuckets): Unit = {
     val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target = if (fs.exists(new Path(targetDir))) {
+    recoverStaging(fs, targetDir)
+
+    // Buckets this batch touches: a driver-side list bounded by numBuckets
+    // (NOT by data volume — it is the distinct of a hash-mod).
+    val touched = batch.select(bucketOf(col(key), numBuckets).as(BucketCol))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+
+    val targetExists = fs.exists(new Path(targetDir))
+    val targetSlice = if (targetExists) {
+      // partition pruning: only the touched buckets' files are read
       spark.read.parquet(targetDir)
+        .filter(col(BucketCol).isin(touched.toSeq: _*))
+        .select(dataCols.map(col): _*)
     } else {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(batch.select(dataCols.map(col): _*).schema.fields))
     }
-    val merged = CdcFold.mergeBatch(target, batch, key, offset, changeType)
-    val staging = new Path(targetDir + "__staging")
-    merged.write.mode("overwrite").parquet(staging.toString)
-    val dest = new Path(targetDir)
-    if (fs.exists(dest)) fs.delete(dest, true)
-    fs.rename(staging, dest)
+
+    val merged = CdcFold.mergeBatch(targetSlice, batch, key, offset, changeType)
+      .withColumn(BucketCol, bucketOf(col(key), numBuckets))
+
+    val staging = stagingPath(targetDir)
+    merged.write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
+
+    // swap: per touched bucket, drop the old dir and move the new one in.
+    // A bucket with no survivors has no staging dir — the delete alone is
+    // the correct final state (the bucket emptied out).
+    val target = new Path(targetDir)
+    if (!fs.exists(target)) fs.mkdirs(target)
+    touched.foreach { b =>
+      val name = s"$BucketCol=$b"
+      val dest = new Path(target, name)
+      val src = new Path(staging, name)
+      if (fs.exists(dest)) fs.delete(dest, true)
+      if (fs.exists(src)) fs.rename(src, dest)
+    }
+    fs.delete(staging, true)
   }
 
-  /** Start the ingest stream over a parquet file log. `valid` filters rows
-    * into the main path; failing rows go to the dead-letter table.
+  /** Start the ingest stream over a parquet file log. Rows failing `valid`
+    * go to the dead-letter table with the failed predicate as their cause.
     */
   def start(spark: SparkSession, logDir: String, logSchema: StructType,
             targetDir: String, checkpointDir: String, dataCols: Seq[String],
             key: String = "sfId", offset: String = "replayId",
             changeType: String = "changeType",
-            valid: DataFrame => DataFrame = identity,
-            availableNow: Boolean = true): StreamingQuery =
+            valid: Column = lit(true),
+            availableNow: Boolean = true,
+            numBuckets: Int = DefaultNumBuckets): StreamingQuery =
     startWith(spark, spark.readStream.schema(logSchema).parquet(logDir),
       targetDir, checkpointDir, dataCols, key, offset, changeType, valid,
-      availableNow)
+      availableNow, numBuckets)
 
   /** Same, over an arbitrary streaming DataFrame (e.g. the `cdc-log` DSv2
     * source with replay positioning).
@@ -77,20 +164,34 @@ object CdcIngest {
                 targetDir: String, checkpointDir: String, dataCols: Seq[String],
                 key: String = "sfId", offset: String = "replayId",
                 changeType: String = "changeType",
-                valid: DataFrame => DataFrame = identity,
-                availableNow: Boolean = true): StreamingQuery = {
+                valid: Column = lit(true),
+                availableNow: Boolean = true,
+                numBuckets: Int = DefaultNumBuckets): StreamingQuery = {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val checked = valid(batch).cache()
+        // single-pass valid/invalid split: ONE flag column computed once over
+        // the cached batch, filtered both ways — no exceptAll set-difference
+        // shuffle, no second evaluation of the predicate.
+        val flagged = batch.withColumn("__valid", valid).cache()
         try {
-          val bad = batch.exceptAll(checked)
+          val bad = flagged.filter(!col("__valid")).drop("__valid")
           if (!bad.isEmpty) {
-            bad.withColumn("dead_letter_at", current_timestamp())
-              .write.mode("append").parquet(targetDir + "_dead_letter")
+            Retry.withBackoff() {
+              bad
+                // eventParseError.js:7-55 parity: replayId/topic already ride
+                // along as batch columns; add the cause + raw event + time.
+                .withColumn("cause", lit(s"validation failed: ${valid.toString}"))
+                .withColumn("raw_event", to_json(struct(batch.columns.map(col): _*)))
+                .withColumn("dead_letter_at", current_timestamp())
+                .write.mode("append").parquet(targetDir + "_dead_letter")
+            }
           }
-          mergeIntoTarget(spark, checked, targetDir, dataCols, key, offset, changeType)
-        } finally checked.unpersist()
+          Retry.withBackoff() {
+            mergeIntoTarget(spark, flagged.filter(col("__valid")).drop("__valid"),
+              targetDir, dataCols, key, offset, changeType, numBuckets)
+          }
+        } finally flagged.unpersist()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
@@ -106,7 +207,8 @@ object CdcIngest {
                   targetRoot: String, checkpointDir: String,
                   dataCols: Seq[String], key: String = "sfId",
                   offset: String = "replayId", changeType: String = "changeType",
-                  availableNow: Boolean = true): StreamingQuery = {
+                  availableNow: Boolean = true,
+                  numBuckets: Int = DefaultNumBuckets): StreamingQuery = {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -114,8 +216,10 @@ object CdcIngest {
         try {
           val topics = b.select(topicCol).distinct().collect().map(_.getString(0))
           topics.foreach { t =>
-            mergeIntoTarget(spark, b.filter(col(topicCol) === t),
-              s"$targetRoot/$t", dataCols, key, offset, changeType)
+            Retry.withBackoff() {
+              mergeIntoTarget(spark, b.filter(col(topicCol) === t),
+                s"$targetRoot/$t", dataCols, key, offset, changeType, numBuckets)
+            }
           }
         } finally b.unpersist()
       }

@@ -33,7 +33,7 @@ class BootstrapSpec extends SparkSpec {
       base.resolve("ckpt").toString, Seq("sfId", "data"))
     q.awaitTermination()
     // no post-snapshot events yet: target == snapshot
-    val t0 = spark.read.parquet(base.resolve("target").toString)
+    val t0 = CdcIngest.readTarget(spark, base.resolve("target").toString)
       .as[(String, String)].collect().sortBy(_._1)
     assert(t0.toSeq == Seq(("a", "snap-a"), ("b", "snap-b")))
 
@@ -47,7 +47,7 @@ class BootstrapSpec extends SparkSpec {
       base.resolve("target").toString, base.resolve("ckpt").toString,
       Seq("sfId", "data"))
     q2.awaitTermination()
-    val t1 = spark.read.parquet(base.resolve("target").toString)
+    val t1 = CdcIngest.readTarget(spark, base.resolve("target").toString)
       .as[(String, String)].collect().sortBy(_._1)
     assert(t1.toSeq == Seq(("a", "new-a"), ("b", "snap-b"), ("c", "new-c")))
   }

@@ -2,6 +2,10 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -9,6 +13,8 @@ import graft.SparkSpec
 /** Streaming fold with restart (SURVEY §5.2 item 4): append change-log
   * files, run the ingest to completion, append more, restart from the
   * checkpoint — final table state must equal a batch fold of the full log.
+  * Plus the scale contract of the bucketed MERGE: a batch rewrites only the
+  * buckets its keys hash into.
   */
 class CdcIngestSpec extends SparkSpec {
   import spark.implicits._
@@ -42,16 +48,18 @@ class CdcIngestSpec extends SparkSpec {
     }
 
     runOnce()
-    val mid = spark.read.parquet(targetDir).as[(String, String)].collect().sortBy(_._1)
+    val mid = CdcIngest.readTarget(spark, targetDir)
+      .as[(String, String)].collect().sortBy(_._1)
     assert(mid.toSeq == Seq(("a", "v2"), ("b", "b1")))
 
     append(part2)
     runOnce() // restart from checkpoint; only part2 is a new batch
-    val fin = spark.read.parquet(targetDir).as[(String, String)].collect().sortBy(_._1)
+    val fin = CdcIngest.readTarget(spark, targetDir)
+      .as[(String, String)].collect().sortBy(_._1)
     assert(fin.toSeq == Seq(("a", "v2"), ("c", "c1")))
   }
 
-  test("invalid rows are dead-lettered, valid rows merge") {
+  test("invalid rows are dead-lettered with a cause, valid rows merge") {
     val base = Files.createTempDirectory("cdc_dead").toString
     val logDir = s"$base/log"
     val targetDir = s"$base/target"
@@ -62,12 +70,124 @@ class CdcIngestSpec extends SparkSpec {
     val schema = spark.read.parquet(logDir).schema
 
     val q = CdcIngest.start(spark, logDir, schema, targetDir, s"$base/ckpt",
-      Seq("sfId", "value"), valid = _.filter(col("sfId").isNotNull))
+      Seq("sfId", "value"), valid = col("sfId").isNotNull)
     q.awaitTermination()
 
-    assert(spark.read.parquet(targetDir).count() == 1)
+    assert(CdcIngest.readTarget(spark, targetDir).count() == 1)
     val dead = spark.read.parquet(targetDir + "_dead_letter")
     assert(dead.count() == 1)
     assert(dead.select("replayId").as[Long].collect().toSeq == Seq(2L))
+    // eventParseError parity: cause names the failed predicate, raw_event
+    // carries the whole original row
+    val (cause, raw) = dead.select("cause", "raw_event").as[(String, String)].head()
+    assert(cause.contains("validation failed"))
+    assert(raw.contains("\"replayId\":2"))
+  }
+
+  test("merge rewrites only the touched buckets' files") {
+    val base = Files.createTempDirectory("cdc_bucket").toString
+    val targetDir = s"$base/target"
+    val nb = 8
+    val dataCols = Seq("sfId", "value")
+
+    def merge(rows: Seq[(Long, String, String, String)]): Unit =
+      CdcIngest.mergeIntoTarget(spark,
+        rows.toDF("replayId", "sfId", "changeType", "value"),
+        targetDir, dataCols, "sfId", "replayId", "changeType", numBuckets = nb)
+
+    // spread keys over buckets
+    val keys = (0 until 16).map(i => s"k$i")
+    merge(keys.zipWithIndex.map { case (k, i) => (i.toLong, k, "CREATE", s"v$i") })
+
+    val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bucketFiles: Map[String, Set[String]] =
+      fs.listStatus(new Path(targetDir)).filter(_.getPath.getName.startsWith("__bucket="))
+        .map(d => d.getPath.getName ->
+          fs.listStatus(d.getPath).map(_.getPath.getName).toSet).toMap
+
+    val before = bucketFiles
+    assert(before.size > 1, "expected keys spread over multiple buckets")
+
+    // touch exactly one key -> its bucket only
+    merge(Seq((100L, "k0", "UPDATE", "v0b")))
+    val after = bucketFiles
+
+    val touchedBucket = spark.range(1)
+      .select(CdcIngest.bucketOf(lit("k0"), nb)).as[Int].head()
+    val touchedName = s"__bucket=$touchedBucket"
+    assert(after(touchedName) != before(touchedName),
+      "the touched bucket must be rewritten")
+    (before.keySet - touchedName).foreach { b =>
+      assert(after(b) == before(b), s"untouched bucket $b was rewritten")
+    }
+
+    // and the merge itself is correct
+    val got = CdcIngest.readTarget(spark, targetDir)
+      .as[(String, String)].collect().toMap
+    assert(got("k0") == "v0b" && got("k1") == "v1" && got.size == 16)
+  }
+
+  test("an interrupted bucket swap recovers from complete staging") {
+    val base = Files.createTempDirectory("cdc_recover").toString
+    val targetDir = s"$base/target"
+    val dataCols = Seq("sfId", "value")
+
+    def merge(rows: Seq[(Long, String, String, String)]): Unit =
+      CdcIngest.mergeIntoTarget(spark,
+        rows.toDF("replayId", "sfId", "changeType", "value"),
+        targetDir, dataCols, "sfId", "replayId", "changeType", numBuckets = 4)
+
+    merge(Seq((1L, "a", "CREATE", "v1"), (2L, "b", "CREATE", "b1")))
+
+    // simulate a crash between "delete old bucket" and "rename staging in":
+    // move a's bucket dir into a staging dir with _SUCCESS, delete it from
+    // the target
+    val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aBucket = spark.range(1)
+      .select(CdcIngest.bucketOf(lit("a"), 4)).as[Int].head()
+    val staging = new Path(targetDir + "__staging")
+    fs.mkdirs(staging)
+    fs.rename(new Path(targetDir, s"__bucket=$aBucket"),
+      new Path(staging, s"__bucket=$aBucket"))
+    fs.create(new Path(staging, "_SUCCESS")).close()
+
+    // next merge (the checkpoint's redelivery of the interrupted batch)
+    // must first restore a's bucket from staging, then converge
+    merge(Seq((3L, "b", "UPDATE", "b2")))
+    val got = CdcIngest.readTarget(spark, targetDir)
+      .as[(String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", "v1"), ("b", "b2")))
+    assert(!fs.exists(staging))
+  }
+
+  test("transient sink failure retries with backoff and converges (T7)") {
+    val base = Files.createTempDirectory("cdc_retry").toString
+    val targetDir = s"$base/target"
+    val batch = Seq((1L, "a", "CREATE", "v1")).toDF("replayId", "sfId", "changeType", "value")
+
+    var calls = 0
+    val observed = ArrayBuffer.empty[Int]
+    Retry.withBackoff(attempts = 4, baseDelayMs = 1,
+      onRetry = (a, _) => observed += a) {
+      calls += 1
+      if (calls == 1) throw new java.io.IOException("transient fs failure")
+      CdcIngest.mergeIntoTarget(spark, batch, targetDir,
+        Seq("sfId", "value"), "sfId", "replayId", "changeType")
+    }
+    assert(calls == 2 && observed.toSeq == Seq(1))
+    assert(CdcIngest.readTarget(spark, targetDir)
+      .as[(String, String)].collect().toSeq == Seq(("a", "v1")))
+  }
+
+  test("permanent sink failure exhausts attempts and rethrows (T7)") {
+    var calls = 0
+    val ex = intercept[java.io.IOException] {
+      Retry.withBackoff(attempts = 4, baseDelayMs = 1) {
+        calls += 1
+        throw new java.io.IOException(s"permanent failure $calls")
+      }
+    }
+    assert(calls == 4)
+    assert(ex.getMessage == "permanent failure 4")
   }
 }

@@ -26,9 +26,9 @@ class RoutedIngestSpec extends SparkSpec {
       "topic", s"$base/tables", s"$base/ckpt", Seq("sfId", "value"))
     q.awaitTermination()
 
-    val accounts = spark.read.parquet(s"$base/tables/accounts")
+    val accounts = CdcIngest.readTarget(spark, s"$base/tables/accounts")
       .as[(String, String)].collect().sortBy(_._1)
-    val contacts = spark.read.parquet(s"$base/tables/contacts")
+    val contacts = CdcIngest.readTarget(spark, s"$base/tables/contacts")
       .as[(String, String)].collect().sortBy(_._1)
     assert(accounts.toSeq == Seq(("a", "a2")))
     assert(contacts.toSeq == Seq(("d", "d1"))) // c deleted through
