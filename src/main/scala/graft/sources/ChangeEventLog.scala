@@ -10,7 +10,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -50,7 +50,8 @@ class ChangeEventLogProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new ChangeEventLogTable(properties.get("path"),
-      Option(properties.get("startingReplayId")).getOrElse("earliest"))
+      Option(properties.get("startingReplayId")).getOrElse("earliest"),
+      Option(properties.get("maxEventsPerBatch")).map(_.toLong))
 }
 
 object ChangeEventLog {
@@ -81,7 +82,8 @@ case class ReplayOffset(replayId: Long) extends Offset {
   override def json(): String = s"""{"replayId":$replayId}"""
 }
 
-class ChangeEventLogTable(path: String, startingReplayId: String)
+class ChangeEventLogTable(path: String, startingReplayId: String,
+                          maxEventsPerBatch: Option[Long])
     extends Table with SupportsRead {
   override def name(): String = s"cdc-log(`$path`)"
   override def schema(): StructType = ChangeEventLog.Schema
@@ -91,18 +93,58 @@ class ChangeEventLogTable(path: String, startingReplayId: String)
     () => new Scan {
       override def readSchema(): StructType = ChangeEventLog.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new ChangeEventLogStream(path, startingReplayId)
+        new ChangeEventLogStream(path, startingReplayId, maxEventsPerBatch)
     }
 }
 
-class ChangeEventLogStream(path: String, startingReplayId: String)
-    extends MicroBatchStream {
+/** Micro-batch stream with flow control (S3). `maxEventsPerBatch` is the
+  * reference's batch admission cap (`client.js:46-49,455-507`: request N
+  * events, process, re-request): each micro-batch advances the offset by at
+  * most that many replay IDs, so a restarted stream drains a backlog in
+  * bounded batches instead of one table-sized batch. Replay IDs are densely
+  * assigned by the publish path, so the ID span bounds the event count; with
+  * sparse IDs the cap is conservative (fewer events per batch), never over.
+  *
+  * `SupportsTriggerAvailableNow` makes `Trigger.AvailableNow` respect the
+  * cap too: the end offset is pinned at start, then consumed in capped
+  * micro-batches until drained.
+  */
+class ChangeEventLogStream(path: String, startingReplayId: String,
+                           maxEventsPerBatch: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def maxAvailable: Long =
     ChangeEventLog.listFiles(path).map(ChangeEventLog.fileMaxReplayId)
       .foldLeft(0L)(math.max)
 
-  override def latestOffset(): Offset = ReplayOffset(maxAvailable)
+  // end offset pinned by prepareForTriggerAvailableNow (AvailableNow runs
+  // against a fixed backlog; new appends wait for the next run)
+  private var pinnedAvailable: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedAvailable = Some(maxAvailable)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxEventsPerBatch.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val avail = pinnedAvailable.getOrElse(maxAvailable)
+    val from = start.asInstanceOf[ReplayOffset].replayId
+    def capped(l: ReadLimit): Long = l match {
+      case rows: ReadMaxRows => math.min(avail, from + rows.maxRows())
+      case _: ReadAllAvailable => avail
+      case c: CompositeReadLimit => c.getReadLimits.map(capped).min
+      case _ => avail
+    }
+    ReplayOffset(capped(limit))
+  }
+
+  override def reportLatestOffset(): Offset = ReplayOffset(maxAvailable)
 
   override def initialOffset(): Offset = startingReplayId match {
     case "earliest" => ReplayOffset(0L)
@@ -123,11 +165,17 @@ class ChangeEventLogStream(path: String, startingReplayId: String)
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Capture the session's Hadoop conf ON THE DRIVER and ship it with the
+    // factory — executors must open files with the job's filesystem settings,
+    // not a default `new Configuration()`.
+    val conf = new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[ChangeEventLogPartition]
-      new ChangeEventLogReader(p.file, p.from, p.to)
+      new ChangeEventLogReader(p.file, p.from, p.to, conf.value)
     }
+  }
 
   override def commit(end: Offset): Unit = () // checkpoint log is the commit
   override def stop(): Unit = ()
@@ -136,14 +184,31 @@ class ChangeEventLogStream(path: String, startingReplayId: String)
 case class ChangeEventLogPartition(file: String, from: Long, to: Long)
     extends InputPartition
 
+/** Java-serializable Hadoop `Configuration` carrier (the class itself is
+  * `Writable` but not `Serializable`), for shipping the driver's conf to
+  * executor-side readers.
+  */
+class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 /** Executor-side JSONL reader, filtering to (from, to] replay IDs. */
-class ChangeEventLogReader(file: String, from: Long, to: Long)
+class ChangeEventLogReader(file: String, from: Long, to: Long,
+                           conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
-  private val fs = FileSystem.get(new java.net.URI(file),
-    new org.apache.hadoop.conf.Configuration())
-  private val lines = scala.io.Source.fromInputStream(fs.open(new Path(file)))
-    .getLines()
+  private val fs = FileSystem.get(new java.net.URI(file), conf)
+  private val in = fs.open(new Path(file))
+  private val lines = scala.io.Source.fromInputStream(in).getLines()
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -161,5 +226,5 @@ class ChangeEventLogReader(file: String, from: Long, to: Long)
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = in.close()
 }

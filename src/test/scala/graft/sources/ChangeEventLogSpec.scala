@@ -65,4 +65,50 @@ class ChangeEventLogSpec extends SparkSpec {
     val all = spark.read.parquet(out).select("replayId").as[Long].collect().sorted.toSeq
     assert(all == Seq(1L, 2L, 3L, 4L)) // no re-read of committed offsets
   }
+
+  test("admission control drains a backlog in capped batches and resumes (S3)") {
+    val dir = Files.createTempDirectory("cdclog3")
+    // first half of the backlog: 500 events in files of 250 (file boundaries
+    // deliberately NOT aligned with the 100-event cap)
+    def appendEvents(from: Long, to: Long): Unit =
+      (from to to).grouped(250).foreach { g =>
+        writeLog(dir, s"events-${g.last}.jsonl",
+          g.map(i => ev(i, s"k${i % 7}", "CREATE", s"v$i")))
+      }
+    appendEvents(1, 500)
+
+    val ckpt = Files.createTempDirectory("cdcckpt3").toString
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.ChangeEventLogProvider")
+        .option("path", dir.toString)
+        .option("startingReplayId", "earliest")
+        .option("maxEventsPerBatch", "100")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = batch.select("replayId").as[Long].collect()
+          batchSizes.synchronized { batchSizes += ids.length.toLong }
+          seen.synchronized { seen ++= ids }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    drain() // 500-event backlog -> 5 capped batches
+    assert(batchSizes.size == 5, s"got batches: $batchSizes")
+
+    // second half lands while the stream is down; the restart resumes from
+    // the mid-backlog checkpoint and drains the rest in capped batches
+    appendEvents(501, 1000)
+    drain()
+
+    assert(batchSizes.size == 10, s"got batches: $batchSizes")
+    assert(batchSizes.forall(_ <= 100), s"a batch exceeded the cap: $batchSizes")
+    assert(seen.sorted.toSeq == (1L to 1000L), "every event exactly once")
+  }
 }
