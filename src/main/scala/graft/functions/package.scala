@@ -40,6 +40,11 @@ package object functions {
   /** 64-bit polynomial rolling hash of a string. */
   def rolling_hash(c: Column): Column = col(RollingHash(ex(c)))
 
+  /** Hyperplane-LSH band keys (`bands` keys of `planesPerBand` sign bits)
+    * for a float32 vector — one codegen'd multiply-add pass. */
+  def hyperplane_bands(vec: Column, planesPerBand: Int, bands: Int): Column =
+    col(HyperplaneBands(ex(vec), planesPerBand, bands))
+
   /** Distinct word n-gram shingles of a text column, one pass, codegen'd. */
   def word_shingles(text: Column, n: Int): Column = col(WordShingles(ex(text), n))
 

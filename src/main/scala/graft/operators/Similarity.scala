@@ -30,29 +30,14 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random ±1 hyperplane component for (plane, dim):
-    * parity of xxhash64 — reproducible across executors with no broadcast
-    * of plane matrices.
+  /** Bucket expression: for each of `numPlanes` pseudo-random ±1
+    * hyperplanes (components from fixed hashes — reproducible across
+    * executors with no plane-matrix broadcast), bit p =
+    * [dot(vec, plane_p) > 0]; bucket = bits as an integer. One codegen'd
+    * multiply-add pass ([[graft.functions.HyperplaneBands]], bands = 1).
     */
-  private def signComponent(plane: Column, d: Column): Column =
-    when(pmod(xxhash64(plane * 1024 + d), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
-
-  /** Bucket expression: for each of `numPlanes` pseudo-random hyperplanes,
-    * bit p = [dot(vec, plane_p) > 0]; bucket = bits as an integer.
-    */
-  def bucketExpr(vec: Column, numPlanes: Int): Column = {
-    val bits = transform(sequence(lit(0), lit(numPlanes - 1)), p => {
-      // dot(vec, plane_p) with plane components ±1 derived from xxhash64:
-      // zip vector values with their positions via zip_with over indices.
-      val dotp = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, d) =>
-          v * signComponent(p, d)),
-        lit(0.0).cast("double"),
-        (acc, x) => acc + x)
-      when(dotp > 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
-  }
+  def bucketExpr(vec: Column, numPlanes: Int): Column =
+    element_at(graft.functions.hyperplane_bands(vec, numPlanes, 1), 1)
 
   /** LSH-bucketed ANN top-k: prune to vectors whose bucket is within
     * `maxHamming` bits of the query's bucket (multi-probe), then exact

@@ -38,4 +38,18 @@ class DedupSpec extends SparkSpec {
     def rowsOk(rs: Array[org.apache.spark.sql.Row]) =
       rs.forall(r => r.getLong(0) < r.getLong(1) && r.getDouble(2) >= 0.4)
   }
+
+  test("banded embedding dedup == all-pairs exact, with no nested-loop join") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val banded = Dedup.embeddingDupPairs(embs, "vec_id", "embedding", 0.4)
+    val exact = Dedup.embeddingDupPairsExact(embs, "vec_id", "embedding", 0.4)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val e = toSet(exact)
+    assert(toSet(banded) == e)
+    assert(e.nonEmpty, "test corpus should contain near-dup embeddings")
+    // candidate generation must be a shuffled equi-join, not O(N^2) BNLJ
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(30).mkString("\n"))
+  }
 }
