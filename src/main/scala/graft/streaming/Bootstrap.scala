@@ -36,19 +36,33 @@ object Bootstrap {
                          logDir: String,
                          targetDir: String, checkpointDir: String,
                          dataCols: Seq[String], key: String = "sfId",
-                         numBuckets: Int = CdcIngest.DefaultNumBuckets): StreamingQuery = {
-    import org.apache.spark.sql.functions.col
+                         numBuckets: Int = CdcIngest.DefaultNumBuckets,
+                         commitDir: Option[String] = None,
+                         nowMillis: Long = System.currentTimeMillis()): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, lit}
     val capturedOffset = captureOffset(logDir)
     // write the snapshot in the ingest target's bucket layout so the
     // streaming merge can prune/rewrite per bucket from the first batch
     snapshot
       .withColumn("__bucket", CdcIngest.bucketOf(col(key), numBuckets))
       .write.mode("overwrite").partitionBy("__bucket").parquet(targetDir)
+    // T2/T4: record the snapshot itself as a commit at the captured offset,
+    // so a just-resynced topic is no longer flagged stale even before the
+    // first post-snapshot event arrives (the reference's fullSync updates
+    // cdcSyncState.lastSyncStartedAt, setup.md:1278-1292). batchId=-1 is
+    // reserved for the snapshot row; stream batches re-number from 0.
+    commitDir.foreach { cd =>
+      SyncState.commitOffsets(
+        snapshot.limit(1).select(lit(capturedOffset).as("replayId")),
+        batchId = -1L, lit(new org.apache.hadoop.fs.Path(targetDir).getName),
+        col("replayId"), cd, nowMillis)
+    }
     val stream = spark.readStream
       .format("graft.sources.ChangeEventLogProvider")
       .option("path", logDir)
       .option("startingReplayId", capturedOffset.toString)
       .load()
-    CdcIngest.startWith(spark, stream, targetDir, checkpointDir, dataCols)
+    CdcIngest.startWith(spark, stream, targetDir, checkpointDir, dataCols,
+      commitDir = commitDir)
   }
 }

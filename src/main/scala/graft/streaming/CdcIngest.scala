@@ -166,10 +166,12 @@ object CdcIngest {
                 changeType: String = "changeType",
                 valid: Column = lit(true),
                 availableNow: Boolean = true,
-                numBuckets: Int = DefaultNumBuckets): StreamingQuery = {
+                numBuckets: Int = DefaultNumBuckets,
+                commitDir: Option[String] = None,
+                commitTopic: Option[Column] = None): StreamingQuery = {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // single-pass valid/invalid split: ONE flag column computed once over
         // the cached batch, filtered both ways — no exceptAll set-difference
         // shuffle, no second evaluation of the predicate.
@@ -187,9 +189,19 @@ object CdcIngest {
                 .write.mode("append").parquet(targetDir + "_dead_letter")
             }
           }
+          val good = flagged.filter(col("__valid")).drop("__valid")
           Retry.withBackoff() {
-            mergeIntoTarget(spark, flagged.filter(col("__valid")).drop("__valid"),
-              targetDir, dataCols, key, offset, changeType, numBuckets)
+            mergeIntoTarget(spark, good, targetDir, dataCols, key, offset,
+              changeType, numBuckets)
+          }
+          // T2: external offset-commit AFTER the merge — a crash between the
+          // two re-delivers the batch, and the commit write is idempotent
+          // (batchId-keyed overwrite).
+          commitDir.foreach { cd =>
+            val topic = commitTopic.getOrElse(lit(new Path(targetDir).getName))
+            Retry.withBackoff() {
+              SyncState.commitOffsets(good, batchId, topic, col(offset), cd)
+            }
           }
         } finally flagged.unpersist()
       }

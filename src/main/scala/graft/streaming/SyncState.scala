@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.CdcFold
@@ -47,4 +47,47 @@ object SyncState {
     deadLetter.groupBy(col(topicCol).as("topicName"))
       .agg(count(lit(1)).as("failureCount"),
         max(col("dead_letter_at")).as("lastFailureAt"))
+
+  /** Per-topic offset commit (T2) — the managed-subscription
+    * `commitReplayId` analog (`client.js:515-541`). One row per (batch,
+    * topic): the topic's max replay ID in the batch, the event count, and
+    * the commit time. Rows land under `commitDir/batchId=N/` with overwrite,
+    * so a batch re-delivered after a restart rewrites its own partition with
+    * identical content — the reference's UUID-request-id dedup becomes
+    * directory-keyed idempotence.
+    */
+  def commitOffsets(batch: DataFrame, batchId: Long, topic: Column,
+                    offsetCol: Column, commitDir: String,
+                    nowMillis: Long = System.currentTimeMillis()): Unit =
+    batch.groupBy(topic.as("topicName"))
+      .agg(max(offsetCol).as("lastReplayId"), count(lit(1)).as("eventCount"))
+      .withColumn("committedAt", lit(nowMillis))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$commitDir/batchId=$batchId")
+
+  /** Latest committed offset per topic over the whole commit log — the
+    * external-store view a restarted worker would resume from. Emits the
+    * sync-state columns ([[staleTopics]] reads `lastSyncStartedAt`).
+    */
+  def committedOffsets(spark: SparkSession, commitDir: String): DataFrame =
+    spark.read.parquet(commitDir)
+      .groupBy("topicName")
+      .agg(max("lastReplayId").as("lastReplayId"),
+        sum("eventCount").as("eventCount"),
+        max("committedAt").as("lastSyncStartedAt"))
+
+  /** Close the T3/T4 loop (`setup.md:259,306,1331-1348`): topics whose last
+    * commit is older than `staleMillis` (i.e. past the log's retention
+    * window — their checkpoint can no longer be replayed) get a full resync
+    * via `resync`, typically [[Bootstrap.snapshotThenStream]] with a fresh
+    * checkpoint dir. Returns the topics resynced, sorted.
+    */
+  def resyncIfStale(spark: SparkSession, commitDir: String, nowMillis: Long,
+                    staleMillis: Long = 70L * 3600 * 1000)
+                   (resync: String => Unit): Seq[String] = {
+    val stale = staleTopics(committedOffsets(spark, commitDir), nowMillis, staleMillis)
+      .select("topicName").collect().map(_.getString(0)).toSeq.sorted
+    stale.foreach(resync)
+    stale
+  }
 }
