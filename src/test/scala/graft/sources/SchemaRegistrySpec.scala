@@ -57,6 +57,107 @@ class SchemaRegistrySpec extends SparkSpec {
     assert(fetches == 2, "one fetch per schema id (memoized)")
   }
 
+  test("3-branch mixed union decodes to a member struct and round-trips") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    import graft.functions.avro_decode
+
+    val schemaJson =
+      """{"type":"record","name":"U","fields":[
+        |{"name":"val","type":["null","string","long"],"default":null}]}""".stripMargin
+    val parsed = new Schema.Parser().parse(schemaJson)
+    def payload(v: Any): Array[Byte] = {
+      val rec = new GenericData.Record(parsed)
+      rec.put("val", v)
+      val out = new java.io.ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(out, null)
+      new GenericDatumWriter[GenericRecord](parsed).write(rec, enc)
+      enc.flush(); out.toByteArray
+    }
+
+    val df = Seq(payload(new org.apache.avro.util.Utf8("hello")),
+        payload(java.lang.Long.valueOf(42L)), payload(null))
+      .toDF("payload")
+      .select(avro_decode(col("payload"), schemaJson).as("d"))
+    val rows = df.select("d.val.member_string", "d.val.member_long")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(rows.toSeq == Seq(
+      (Some("hello"), None), (None, Some(42L)), (None, None)))
+
+    // round-trip: re-encode the member struct, decode again, same rows
+    val rt = df
+      .select(avro_encode(struct(col("d.val").as("val")), schemaJson).as("p"))
+      .select(avro_decode(col("p"), schemaJson).as("d"))
+      .select("d.val.member_string", "d.val.member_long")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(rt.toSeq == rows.toSeq)
+  }
+
+  test("same-type union branches flatten to one column (P5)") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    import graft.functions.avro_decode
+
+    val schemaJson =
+      """{"type":"record","name":"F","fields":[
+        |{"name":"status","type":["null","string",
+        |{"type":"enum","name":"St","symbols":["ACTIVE","CLOSED"]}],"default":null}]}""".stripMargin
+    val parsed = new Schema.Parser().parse(schemaJson)
+    val enumSchema = parsed.getField("status").schema().getTypes.get(2)
+    def payload(v: Any): Array[Byte] = {
+      val rec = new GenericData.Record(parsed)
+      rec.put("status", v)
+      val out = new java.io.ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(out, null)
+      new GenericDatumWriter[GenericRecord](parsed).write(rec, enc)
+      enc.flush(); out.toByteArray
+    }
+
+    val df = Seq(payload(new GenericData.EnumSymbol(enumSchema, "ACTIVE")),
+        payload(new org.apache.avro.util.Utf8("custom")))
+      .toDF("payload")
+      .select(avro_decode(col("payload"), schemaJson).as("d"))
+    // string|enum both map to StringType: flattened, no wrapper struct
+    assert(df.select("d.status").as[String].collect().toSeq ==
+      Seq("ACTIVE", "custom"))
+    // and the flattened value re-encodes (string branch) and decodes back
+    val rt = df.select(avro_encode(struct(col("d.status").as("status")),
+        schemaJson).as("p"))
+      .select(avro_decode(col("p"), schemaJson).as("d"))
+    assert(rt.select("d.status").as[String].collect().toSeq ==
+      Seq("ACTIVE", "custom"))
+  }
+
+  test("decimal + timestamp-millis logical types round-trip decode<->encode") {
+    import graft.functions.avro_decode
+    val schemaJson =
+      """{"type":"record","name":"L","fields":[
+        |{"name":"amount","type":{"type":"bytes","logicalType":"decimal","precision":9,"scale":2}},
+        |{"name":"ts","type":{"type":"long","logicalType":"timestamp-millis"}}]}""".stripMargin
+
+    val df = Seq(("12345.67", "2026-01-02 03:04:05.123"),
+        ("-0.05", "1999-12-31 23:59:59.999"))
+      .toDF("a", "t")
+      .select(col("a").cast("decimal(9,2)").as("amount"),
+        col("t").cast("timestamp").as("ts"))
+
+    val back = df
+      .select(avro_encode(struct(col("amount"), col("ts")), schemaJson).as("p"))
+      .select(avro_decode(col("p"), schemaJson).as("d"))
+      .select(col("d.amount").as("amount"), col("d.ts").as("ts"))
+
+    // decoded schema carries the logical types, not raw primitives
+    assert(back.schema("amount").dataType ==
+      org.apache.spark.sql.types.DecimalType(9, 2))
+    assert(back.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val exp = df.collect().map(r => (r.getDecimal(0), r.getTimestamp(1))).toSeq
+    val got = back.collect().map(r => (r.getDecimal(0), r.getTimestamp(1))).toSeq
+    assert(got == exp)
+  }
+
   test("parseEvent-equivalent enrichment: replayId + bitmap expansion (A.2)") {
     val header = struct(
       lit("Account").as("entityName"),
