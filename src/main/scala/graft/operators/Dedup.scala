@@ -35,22 +35,43 @@ object Dedup {
       .select(col("id"), graft.functions.word_shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
-    *
-    * Plan: explode shingles → self-equi-join on shingle (shuffle keyed on
-    * shingle) → count shared shingles per pair → join per-doc set sizes →
-    * jaccard filter. At scale the shingle join is the standard inverted-index
-    * pattern; hot shingles can be frequency-capped upstream if the corpus has
-    * degenerate n-grams.
+  /** Inverted shingle index `(id, n_sh, s)` with hot-shingle pruning: a
+    * shingle whose document frequency exceeds `maxShingleDF` contributes
+    * O(df²) candidate pairs to the self-join while carrying no near-dup
+    * signal (it is corpus boilerplate), so it is dropped before the join —
+    * standard inverted-index DF-capping. The hot list is a tiny aggregate
+    * of the skinny (s) relation, broadcast to an anti-join.
     */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        threshold: Double, n: Int = 3): DataFrame = {
+  private[operators] def shingleIndex(docs: DataFrame, idCol: String,
+                                      textCol: String, n: Int,
+                                      maxShingleDF: Long): DataFrame = {
     val sh = withShingles(docs, idCol, textCol, n)
     // carry each doc's set size through the explode: after the pair
     // aggregation both sizes ride along as grouping keys, so no extra
     // joins (and no shingle recompute) are needed to finish the jaccard.
     val ex = sh.select(col("id"), size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("s")).cache()
+      explode(col("sh")).as("s"))
+    val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDF).select("s")
+    ex.join(broadcast(hot), Seq("s"), "left_anti")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
+    *
+    * Plan: explode shingles → self-equi-join on shingle (shuffle keyed on
+    * shingle) → count shared shingles per pair → join per-doc set sizes →
+    * jaccard filter. The shingle join is the standard inverted-index
+    * pattern; shingles with document frequency above `maxShingleDF` are
+    * dropped before the join ([[shingleIndex]]) so a degenerate boilerplate
+    * n-gram cannot make the join quadratic. Capped shingles don't count
+    * toward the intersection (set sizes stay exact), so a pair whose only
+    * overlap is boilerplate scores 0 — the cap is a semantic floor on
+    * informativeness, not an approximation of the uncapped result.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, n: Int = 3,
+                        maxShingleDF: Long = 100000L): DataFrame = {
+    val ex = shingleIndex(docs, idCol, textCol, n, maxShingleDF).cache()
     ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),

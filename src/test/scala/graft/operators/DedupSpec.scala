@@ -39,6 +39,33 @@ class DedupSpec extends SparkSpec {
       rs.forall(r => r.getLong(0) < r.getLong(1) && r.getDouble(2) >= 0.4)
   }
 
+  test("hot-shingle DF cap bounds candidates on a degenerate corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val uniq = (0 until 60).map(i =>
+      (i.toLong, s"$boiler unique stream alpha$i beta$i gamma$i delta$i epsilon$i"))
+    val twin = "distinct twin content repeated across exactly two documents here"
+    val docs = (uniq ++ Seq((100L, s"$boiler $twin"), (101L, s"$boiler $twin")))
+      .toDF("doc_id", "text")
+
+    def candidates(cap: Long) = {
+      val ex = Dedup.shingleIndex(docs, "doc_id", "text", 3, cap)
+      ex.as("a").join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id")).distinct().count()
+    }
+    // every pair collides on boilerplate shingles: quadratic candidates
+    assert(candidates(Long.MaxValue) == 62L * 61 / 2)
+    // cap drops the boilerplate; only genuinely-shared shingles survive
+    assert(candidates(5) == 1L)
+    // and the surviving true near-dup pair is still reported
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.3, maxShingleDF = 5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((100L, 101L)))
+  }
+
   test("banded embedding dedup == all-pairs exact, with no nested-loop join") {
     val embs = Tables.embeddings(spark, sfDir)
     val banded = Dedup.embeddingDupPairs(embs, "vec_id", "embedding", 0.4)
