@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
 
-import graft.functions.cosine_similarity
+import graft.functions.{cosine_similarity, HyperplaneKernels}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`). Brute-force cosine top-k is the correctness baseline;
@@ -41,7 +42,10 @@ object Similarity {
 
   /** LSH-bucketed ANN top-k: prune to vectors whose bucket is within
     * `maxHamming` bits of the query's bucket (multi-probe), then exact
-    * cosine + top-k on the pruned candidate set.
+    * cosine + top-k on the pruned candidate set. Buckets here are computed
+    * by a full scan per query — fine for ad-hoc one-shots; the repeated-
+    * query scale path is [[buildIndex]] + [[indexTopK]], which prunes the
+    * SCAN, not just the cosine.
     */
   def lshTopK(embs: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, numPlanes: Int = 8,
@@ -55,6 +59,43 @@ object Similarity {
       .withColumn("cos", round(cosine_similarity(col(vecCol), col("query_vec")), 3))
       .select(col(idCol), col("cos"))
       .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Materialize the ANN index: `(id, vec)` written ONCE, laid out as
+    * `bucket=K/` partition dirs (hyperplane bucket of the vector). Build
+    * cost is one codegen'd pass + one write; queries then never scan
+    * non-matching buckets ([[indexTopK]]).
+    */
+  def buildIndex(embs: DataFrame, idCol: String, vecCol: String,
+                 indexDir: String, numPlanes: Int = 8): Unit =
+    embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", bucketExpr(col("vec"), numPlanes))
+      .write.mode("overwrite").partitionBy("bucket").parquet(indexDir)
+
+  /** All buckets within `maxHamming` sign flips of `queryBucket`. */
+  def probeBuckets(queryBucket: Long, numPlanes: Int, maxHamming: Int): Seq[Long] =
+    (0 to maxHamming).flatMap(k => (0 until numPlanes).combinations(k)
+      .map(_.foldLeft(queryBucket)((b, bit) => b ^ (1L << bit))))
+
+  /** Top-k probe against a materialized index: the multi-probe bucket list
+    * is a LITERAL `isin`, so Catalyst partition-prunes at planning time —
+    * only the matching `bucket=K/` dirs' files are opened (asserted via the
+    * scan's numFiles metric in SimilaritySpec). The query's bucket comes
+    * from the same JVM kernel the index was built with, so probe and layout
+    * always agree.
+    */
+  def indexTopK(spark: SparkSession, indexDir: String, queryVec: Array[Float],
+                k: Int, numPlanes: Int = 8, maxHamming: Int = 2): DataFrame = {
+    val qb = HyperplaneKernels.bandKeys(
+      new GenericArrayData(queryVec), numPlanes, 1).getLong(0)
+    val probes = probeBuckets(qb, numPlanes, maxHamming)
+    spark.read.parquet(indexDir)
+      .filter(col("bucket").isin(probes: _*))
+      .withColumn("cos",
+        round(cosine_similarity(col("vec"), typedlit(queryVec.toSeq)), 3))
+      .select(col("id"), col("cos"))
+      .orderBy(col("cos").desc, col("id"))
       .limit(k)
   }
 }

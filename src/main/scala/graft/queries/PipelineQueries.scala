@@ -130,6 +130,22 @@ object PipelineQueries {
           queryId = 0, k = 10),
       None),
 
+    // ---- ANN: materialized bucket-partitioned index probe (repeated-query
+    // scale path: the probe opens ONLY bucket-pruned partitions; recall and
+    // pruning are asserted in SimilaritySpec — approximate by design, no
+    // cross-engine oracle) ----
+    ("ns_ann_index_topk",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        val indexDir = java.nio.file.Files.createTempDirectory("ann_index_q").toString
+        Similarity.buildIndex(embs, "vec_id", "embedding", indexDir)
+        val qv = embs.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        // k+1 then drop the query point itself: a clean top-10 of neighbors
+        Similarity.indexTopK(s, indexDir, qv, k = 11).filter(col("id") =!= 0)
+      },
+      None),
+
     // ---- text analysis: language-ID heuristic ----
     ("ns_text_langid",
       (s: SparkSession, d: String) =>

@@ -33,4 +33,47 @@ class SimilaritySpec extends SparkSpec {
     // multi-probe hamming<=2 over 8 planes: expect most of the true top-10
     assert((brute & lsh).size >= 5, s"recall too low: ${(brute & lsh).size}/10")
   }
+
+  test("materialized index probe scans only bucket-pruned partitions") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions.col
+
+    val embs = Tables.embeddings(spark, sfDir)
+    val indexDir = java.nio.file.Files.createTempDirectory("ann_index").toString
+    Similarity.buildIndex(embs, "vec_id", "embedding", indexDir)
+
+    val queryVec = embs.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val probe = Similarity.indexTopK(spark, indexDir, queryVec, 10)
+    val got = probe.collect()
+
+    // recall: same candidate generation as lshTopK (identical kernel), so
+    // the same bar holds
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0, 10)
+      .collect().map(_.getLong(0)).toSet
+    val idx = got.map(_.getLong(0)).toSet - 0L
+    assert((brute & idx).size >= 5, s"recall too low: ${(brute & idx).size}/10")
+
+    // plan: the scan must open only the probed buckets' files
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case other => other.collect {
+        case f: FileSourceScanExec => Seq(f)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      }.flatten
+    }
+    val scan = scans(probe.queryExecution.executedPlan).head
+    val scannedFiles = scan.metrics("numFiles").value
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBuckets = fs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
+      .count(_.getPath.getName.startsWith("bucket="))
+    val totalFiles = spark.read.parquet(indexDir).inputFiles.length
+    assert(scannedFiles > 0)
+    assert(scannedFiles < totalFiles,
+      s"scan read $scannedFiles of $totalFiles files — no partition pruning")
+    assert(totalBuckets > Similarity.probeBuckets(0L, 8, 2).size,
+      "index must have more buckets than the probe list for the assertion to bite")
+  }
 }
