@@ -44,15 +44,51 @@ object Publish {
       if (n == 0) return (base + 1, base)
       val last = base + n
 
-      val staging = s"$logDir/__publish_staging"
-      withIds.coalesce(1).write.mode("overwrite").json(staging)
-
-      val fs = new Path(logDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val part = fs.listStatus(new Path(staging))
-        .map(_.getPath).filter(_.getName.startsWith("part-")).head
-      fs.rename(part, new Path(logDir, s"events-$last.jsonl"))
-      fs.delete(new Path(staging), true)
+      writeLogFile(spark, withIds, logDir, last)
       (base + 1, last)
     } finally withIds.unpersist()
+  }
+
+  /** Append with per-event acks (S6): `batch` additionally carries a
+    * `correlationKeyCol`; the returned ack table maps each event's
+    * correlation key to its assigned replay ID — the `PublishStream` ack
+    * shape (`client.js:616-668`: every PublishResult carries the event's
+    * correlationKey so the client can settle its in-flight map). The
+    * correlation key is NOT written to the log; it exists only in the ack.
+    *
+    * Acks are collected driver-side (publish batches are ≤100 events by
+    * the reference's contract) so the returned frame is stable after the
+    * log write, not a lazy recompute.
+    */
+  def appendWithAcks(spark: SparkSession, batch: DataFrame, logDir: String,
+                     correlationKeyCol: String = "correlationKey"): DataFrame = {
+    import spark.implicits._
+    val base = Bootstrap.captureOffset(logDir)
+    val w = Window.orderBy(batch.columns.map(col): _*)
+    val withIds = batch.withColumn("replayId", row_number().over(w) + base).cache()
+    try {
+      val acks = withIds.select(col(correlationKeyCol), col("replayId"))
+        .as[(String, Long)].collect()
+      if (acks.nonEmpty) {
+        val last = base + acks.length
+        writeLogFile(spark,
+          withIds.select("replayId", "sfId", "changeType", "data"), logDir, last)
+      }
+      acks.toSeq.toDF(correlationKeyCol, "replayId")
+    } finally withIds.unpersist()
+  }
+
+  /** One-file atomic append: write via a staging dir, rename into the log
+    * as `events-<last>.jsonl`.
+    */
+  private def writeLogFile(spark: SparkSession, rows: DataFrame,
+                           logDir: String, last: Long): Unit = {
+    val staging = s"$logDir/__publish_staging"
+    rows.coalesce(1).write.mode("overwrite").json(staging)
+    val fs = new Path(logDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new Path(staging))
+      .map(_.getPath).filter(_.getName.startsWith("part-")).head
+    fs.rename(part, new Path(logDir, s"events-$last.jsonl"))
+    fs.delete(new Path(staging), true)
   }
 }

@@ -41,4 +41,34 @@ class PublishSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "a", "CREATE"), (2L, "b", "CREATE"),
       (3L, "a", "UPDATE")))
   }
+
+  test("per-event correlation-key acks map each event to its replay ID (S6)") {
+    val base = Files.createTempDirectory("publish_acks")
+    val logDir = base.resolve("log").toString
+    Files.createDirectories(base.resolve("log"))
+
+    val batch = Seq(
+      ("ck-1", "a", "CREATE", """{"v":1}"""),
+      ("ck-2", "b", "CREATE", """{"v":2}"""),
+      ("ck-3", "c", "CREATE", """{"v":3}"""))
+      .toDF("correlationKey", "sfId", "changeType", "data")
+    val acks = Publish.appendWithAcks(spark, batch, logDir)
+      .as[(String, Long)].collect().sortBy(_._2)
+
+    // every event acked once, ids dense from base+1, keys preserved
+    assert(acks.map(_._1).toSet == Set("ck-1", "ck-2", "ck-3"))
+    assert(acks.map(_._2).toSeq == Seq(1L, 2L, 3L))
+
+    // the correlation key is an ack-only field: not written to the log
+    val logged = spark.read.json(s"$logDir/events-3.jsonl")
+    assert(!logged.columns.contains("correlationKey"))
+    assert(logged.count() == 3)
+
+    // a second publish continues the id sequence
+    val acks2 = Publish.appendWithAcks(spark,
+      Seq(("ck-4", "d", "CREATE", """{"v":4}"""))
+        .toDF("correlationKey", "sfId", "changeType", "data"), logDir)
+      .as[(String, Long)].collect()
+    assert(acks2.toSeq == Seq(("ck-4", 4L)))
+  }
 }
