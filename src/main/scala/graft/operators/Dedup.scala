@@ -49,8 +49,10 @@ object Dedup {
     // carry each doc's set size through the explode: after the pair
     // aggregation both sizes ride along as grouping keys, so no extra
     // joins (and no shingle recompute) are needed to finish the jaccard.
+    // cached: the exploded relation feeds BOTH the DF aggregate and the
+    // anti-join input — without it the shingle kernel runs twice
     val ex = sh.select(col("id"), size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("s"))
+      explode(col("sh")).as("s")).cache()
     val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDF).select("s")
     ex.join(broadcast(hot), Seq("s"), "left_anti")

@@ -71,6 +71,10 @@ object Similarity {
                  indexDir: String, numPlanes: Int = 8): Unit =
     embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", bucketExpr(col("vec"), numPlanes))
+      // cluster by bucket before the partitioned write: each bucket's rows
+      // land in ONE task, so the layout is one file per bucket instead of
+      // (tasks × buckets) small files
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(indexDir)
 
   /** All buckets within `maxHamming` sign flips of `queryBucket`. */

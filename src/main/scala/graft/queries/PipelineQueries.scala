@@ -138,11 +138,14 @@ object PipelineQueries {
       (s: SparkSession, d: String) => {
         val embs = Tables.embeddings(s, d)
         val indexDir = java.nio.file.Files.createTempDirectory("ann_index_q").toString
-        Similarity.buildIndex(embs, "vec_id", "embedding", indexDir)
+        // 6 planes = 64 buckets, sized so a bucket holds tens of vectors at
+        // this SF (at 100 TB you'd raise planes so bucket ≈ a file-split)
+        Similarity.buildIndex(embs, "vec_id", "embedding", indexDir, numPlanes = 6)
         val qv = embs.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0).toArray
         // k+1 then drop the query point itself: a clean top-10 of neighbors
-        Similarity.indexTopK(s, indexDir, qv, k = 11).filter(col("id") =!= 0)
+        Similarity.indexTopK(s, indexDir, qv, k = 11, numPlanes = 6)
+          .filter(col("id") =!= 0)
       },
       None),
 
