@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{cosine_similarity, VectorKernels}
+
+/** IVF-flat ANN index: k-means-style inverted lists over an embedding
+  * column, the second scale path for similarity search next to the
+  * hyperplane-LSH index ([[Similarity.buildIndex]]). IVF adapts to the
+  * data distribution (centroids sit where the vectors are), where sign-LSH
+  * buckets are data-independent.
+  *
+  * Everything is deterministic — seeding uses fixed hashes, refinement is
+  * plain averaging — so a rebuilt index is byte-identical and specs can
+  * assert exact recall numbers.
+  *
+  * Build (all DataFrame ops, no driver-side vector loops):
+  *  1. seed k centroids: the vectors with the smallest `xxhash64(id)`
+  *     (a deterministic pseudo-random spread);
+  *  2. Lloyd iterations: assign every vector to its max-cosine centroid
+  *     (broadcast of k centroid rows, map-side-combinable `max_by` — the
+  *     only shuffle is the N-row aggregate), then recompute centroids as
+  *     per-dimension means (explode to (cid, pos, v), one aggregate);
+  *     empty clusters keep their previous centroid;
+  *  3. write the lists clustered + partitioned by `cid` (one file per
+  *     list) and the k centroids as a side table.
+  *
+  * Probe ([[topK]]): rank centroids against the query DRIVER-side (k·dim
+  * floats — bounded, tiny), then scan ONLY the top-`nprobe` lists via a
+  * literal `isin` on the partition column (planning-time pruning, same
+  * contract as [[Similarity.indexTopK]]) and run exact cosine top-k.
+  */
+object IvfIndex {
+
+  // centroids live beside (not inside) the lists dir so a lists read never
+  // mixes schemas; no underscore prefix — Spark's listing would treat the
+  // dir as hidden metadata
+  private def listsDir(indexDir: String) = s"$indexDir/lists"
+  private def centroidsDir(indexDir: String) = s"$indexDir/centroids"
+
+  /** Assign each (id, vec) to its max-cosine centroid: one broadcast
+    * cross-join over k centroid rows + a map-side-combinable aggregate.
+    */
+  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("cos", cosine_similarity(col("vec"), col("cvec")))
+      .groupBy("id")
+      .agg(max_by(col("cid"), struct(col("cos"), col("cid"))).as("cid"),
+        first(col("vec")).as("vec"))
+
+  /** Build the index at `indexDir`. `k` lists, `iterations` Lloyd rounds. */
+  def build(embs: DataFrame, idCol: String, vecCol: String, indexDir: String,
+            k: Int = 16, iterations: Int = 2): Unit = {
+    val vecs = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+
+    // deterministic seeds: smallest xxhash64(id), picked via orderBy+limit
+    // (TakeOrdered — parallel, no global sort); the rank window then runs
+    // over only the k seed rows
+    var centroids = vecs
+      .withColumn("h", xxhash64(col("id")))
+      .orderBy("h", "id").limit(k)
+      .withColumn("cid", row_number().over(Window.orderBy("h", "id")) - 1)
+      .select(col("cid"), col("vec").as("cvec"))
+
+    (0 until iterations).foreach { _ =>
+      val means = assign(vecs, centroids)
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg("v").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m").cast("float")).as("cvec"))
+      // empty clusters (no assigned vectors) keep their previous centroid
+      centroids = centroids.as("old")
+        .join(means.as("new"), Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("new.cvec"), col("old.cvec")).as("cvec"))
+    }
+
+    centroids.coalesce(1).write.mode("overwrite").parquet(centroidsDir(indexDir))
+    val cents = spark(embs).read.parquet(centroidsDir(indexDir))
+    assign(vecs, cents)
+      .repartition(col("cid")) // one file per inverted list
+      .write.mode("overwrite").partitionBy("cid").parquet(listsDir(indexDir))
+  }
+
+  private def spark(df: DataFrame): SparkSession = df.sparkSession
+
+  /** Exact cosine top-k over the `nprobe` nearest inverted lists. */
+  def topK(spark: SparkSession, indexDir: String, queryVec: Array[Float],
+           k: Int, nprobe: Int = 4): DataFrame = {
+    val q = new GenericArrayData(queryVec)
+    // centroid ranking is driver-side: k rows of dim floats, bounded
+    val probeCids = spark.read.parquet(centroidsDir(indexDir))
+      .select("cid", "cvec")
+      .collect()
+      .map(r => (r.getInt(0), new GenericArrayData(r.getSeq[Float](1).toArray)))
+      .sortBy { case (_, c) => -VectorKernels.cosine(q, c) }
+      .take(nprobe).map(_._1)
+    spark.read.parquet(listsDir(indexDir))
+      .filter(col("cid").isin(probeCids.map(Integer.valueOf).toSeq: _*))
+      .withColumn("cos",
+        round(cosine_similarity(col("vec"), typedlit(queryVec.toSeq)), 3))
+      .select(col("id"), col("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+}

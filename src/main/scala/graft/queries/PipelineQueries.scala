@@ -149,6 +149,21 @@ object PipelineQueries {
       },
       None),
 
+    // ---- ANN: IVF-flat inverted lists (data-adaptive scale path: k-means
+    // centroids + nprobe-pruned list scan; deterministic build, recall and
+    // pruning asserted in SimilaritySpec — approximate by design) ----
+    ("ns_ann_ivf_topk",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        val indexDir = java.nio.file.Files.createTempDirectory("ivf_index_q").toString
+        graft.operators.IvfIndex.build(embs, "vec_id", "embedding", indexDir)
+        val qv = embs.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        graft.operators.IvfIndex.topK(s, indexDir, qv, k = 11)
+          .filter(col("id") =!= 0)
+      },
+      None),
+
     // ---- text analysis: language-ID heuristic ----
     ("ns_text_langid",
       (s: SparkSession, d: String) =>

@@ -76,4 +76,43 @@ class SimilaritySpec extends SparkSpec {
     assert(totalBuckets > Similarity.probeBuckets(0L, 8, 2).size,
       "index must have more buckets than the probe list for the assertion to bite")
   }
+
+  test("IVF index: recall vs brute force, probe scans only nprobe lists") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions.col
+
+    val embs = Tables.embeddings(spark, sfDir)
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    IvfIndex.build(embs, "vec_id", "embedding", indexDir, k = 16, iterations = 2)
+
+    // every vector is in exactly one inverted list
+    val lists = spark.read.parquet(s"$indexDir/lists")
+    assert(lists.count() == embs.count())
+    assert(lists.select("id").distinct().count() == embs.count())
+
+    val queryVec = embs.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val probe = IvfIndex.topK(spark, indexDir, queryVec, k = 11, nprobe = 4)
+    val got = probe.collect()
+
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = got.map(_.getLong(0)).toSet - 0L
+    assert((brute & ivf).size >= 5, s"recall too low: ${(brute & ivf).size}/10")
+
+    // the probe must scan only the nprobe lists' files (4 of 16)
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case other => other.collect {
+        case f: FileSourceScanExec => Seq(f)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      }.flatten
+    }
+    val scan = scans(probe.queryExecution.executedPlan).head
+    val scannedFiles = scan.metrics("numFiles").value
+    val totalFiles = lists.inputFiles.length
+    assert(scannedFiles > 0 && scannedFiles < totalFiles,
+      s"scan read $scannedFiles of $totalFiles files — no list pruning")
+  }
 }
