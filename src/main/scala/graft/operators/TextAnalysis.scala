@@ -70,4 +70,36 @@ object TextAnalysis {
     docs.select(col(idCol), md5(norm).as("fp_md5"),
       md5_lower64(norm).as("fp_md5_64"), rolling_hash(norm).as("fp_rolling"))
   }
+
+  /** PII span patterns — written without shorthand classes so the Java and
+    * RE2 dialects agree byte-for-byte (oracle parity).
+    */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhonePattern = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+  /** PII scrubbing before training: replace email/phone-shaped spans with
+    * typed placeholder tokens, and count the spans found. Pure codegen'd
+    * projection — no shuffle, streams at scan speed.
+    */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0)))
+        .as("n_phones"),
+      regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>").as("redacted"))
+
+  /** Corpus-level top-k n-gram document-frequency table (boilerplate /
+    * contamination detection): per-doc DISTINCT shingles (one codegen'd
+    * pass) → one count shuffle with map-side partial aggregation → top-k
+    * via TakeOrdered (no global sort). Total ordering (df desc, ngram asc)
+    * makes the output deterministic.
+    */
+  def topNgrams(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 2, k: Int = 20): DataFrame =
+    docs.select(explode(graft.functions.word_shingles(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(k)
 }

@@ -217,6 +217,30 @@ object PipelineQueries {
         "THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS fp_md5_64 " +
         "FROM h ORDER BY doc_id")),
 
+    // ---- text analysis: PII redaction (emails/phones -> typed tokens) ----
+    ("ns_text_redact_pii",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.redactPii(Tables.documents(s, d), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails, " +
+        "CAST(len(regexp_extract_all(text, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS INTEGER) AS n_phones, " +
+        "regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), " +
+        "'[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS redacted " +
+        "FROM documents ORDER BY doc_id")),
+
+    // ---- text analysis: corpus top-k bigram document frequency ----
+    ("ns_text_topngrams",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.topNgrams(Tables.documents(s, d), "doc_id", "text",
+          n = 2, k = 20),
+      Some("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS ngram " +
+        "FROM toks CROSS JOIN generate_series(1, 2048) g(i) WHERE i <= len(t) - 1) " +
+        "SELECT ngram, count(*) AS df FROM sh GROUP BY ngram " +
+        "ORDER BY df DESC, ngram LIMIT 20")),
+
     // ---- multimodal plumbing: opaque binary column + typed metadata.
     // The image/audio decode itself is STUBBED as a deterministic fake
     // (no codec libraries in this environment); the Spark-side plumbing —

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** PII redaction + corpus n-gram frequency (the oracle checks parity on
+  * the real corpus; these specs pin the semantics on synthetic inputs the
+  * corpus may not contain).
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii replaces email/phone spans with typed tokens and counts them") {
+    val docs = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or 555-123-4567 today"),
+      (2L, "two mails a@b.io c@d.org, phone 111.222.3333 and 444-555-6666"),
+      (3L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect()
+    assert(got(0) == ((1L, 1, 1, "contact <EMAIL> or <PHONE> today")))
+    assert(got(1) == ((2L, 2, 2, "two mails <EMAIL> <EMAIL>, phone <PHONE> and <PHONE>")))
+    assert(got(2) == ((3L, 0, 0, "no pii here at all")))
+  }
+
+  test("topNgrams returns document frequencies with a total order") {
+    val docs = Seq(
+      (1L, "spark engine rules"),
+      (2L, "spark engine rules"),  // same doc twice: each bigram df +1
+      (3L, "spark engine spark engine"), // within-doc repeat counts ONCE
+      (4L, "something else"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.topNgrams(docs, "doc_id", "text", n = 2, k = 3)
+      .as[(String, Long)].collect()
+    assert(got.toSeq == Seq(
+      ("spark engine", 3L), ("engine rules", 2L), ("engine spark", 1L)))
+  }
+}
