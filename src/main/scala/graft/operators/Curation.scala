@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.md5_lower64
+
+/** Corpus-curation operators for training-data pipelines: benchmark
+  * decontamination, deterministic train/val/test splits, and stratified
+  * sampling. These complement the dedup suite ([[Dedup]]) — dedup removes
+  * redundancy, curation controls *composition*.
+  *
+  * All three are deterministic (md5-derived ordering, no RNG), so re-running
+  * a split or sample on the same corpus yields byte-identical output — a
+  * hard requirement for reproducible dataset releases.
+  */
+object Curation {
+
+  /** Benchmark decontamination: for every training document, count the
+    * distinct word n-gram shingles it shares with the evaluation subset
+    * (`evalPred` marks eval membership), and flag it contaminated at
+    * `minOverlap` shared shingles.
+    *
+    * Scale shape: the eval side of the join is `distinct` shingles of the
+    * eval set only — benchmarks are small by nature (thousands of docs),
+    * so it is broadcast and the train side never shuffles: one explode →
+    * broadcast-hash-join → per-doc count with map-side partial agg. The
+    * train corpus can be arbitrarily large.
+    */
+  def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
+                          evalPred: Column, n: Int = 3,
+                          minOverlap: Int = 5): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), evalPred.as("is_eval"),
+      explode(graft.functions.word_shingles(col(textCol), n)).as("s"))
+    val evalShingles = sh.filter(col("is_eval")).select("s").distinct()
+    val overlap = sh.filter(!col("is_eval"))
+      .join(broadcast(evalShingles), "s")
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+    docs.filter(!evalPred).select(col(idCol).as("id"))
+      .join(overlap, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
+  /** Deterministic hash bucket in [0, buckets) for a key column: the
+    * md5-derived 64-bit hash ([[md5_lower64]]) taken positively modulo
+    * `buckets`. Content-addressed, so the assignment is stable across
+    * runs, partitions, and engines (DuckDB `md5_number_lower` replicates
+    * it) — unlike `rand(seed)`, which is partition-order-dependent.
+    */
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(md5_lower64(key.cast("string")), lit(buckets.toLong))
+
+  /** Train/val/test split assignment: pure codegen'd projection, zero
+    * shuffle, streams at scan speed at any corpus size. `trainPct`/`valPct`
+    * are integer percent thresholds (the remainder is test).
+    */
+  def hashSplit(docs: DataFrame, idCol: String,
+                trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val b = hashBucket(col(idCol), 100)
+    docs.select(col(idCol),
+      b.cast("int").as("bucket"),
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Stratified deterministic sample: at most `perStratum` documents per
+    * stratum, chosen by md5-hash order (a content-addressed uniform draw).
+    * One shuffle on the stratum key; the rank window sorts only within each
+    * stratum's partition. At 100 TB with a skewed stratum, the sort is
+    * bounded by the largest stratum — pre-aggregate a per-stratum hash
+    * threshold first if a stratum exceeds a partition's memory.
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+                       perStratum: Int): DataFrame = {
+    val h = md5_lower64(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(h, col(idCol))
+    docs.select(col(idCol), col(stratumCol))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perStratum)
+  }
+}

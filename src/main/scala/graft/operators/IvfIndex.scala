@@ -51,10 +51,20 @@ object IvfIndex {
       .agg(max_by(col("cid"), struct(col("cos"), col("cid"))).as("cid"),
         first(col("vec")).as("vec"))
 
-  /** Build the index at `indexDir`. `k` lists, `iterations` Lloyd rounds. */
+  /** Build the index at `indexDir`. `k` lists, `iterations` Lloyd rounds.
+    * `vecs` is cached for the duration of the build: the Lloyd lineage
+    * references it `2·iterations+1` times, and without the cache every
+    * reference re-scans the source.
+    */
   def build(embs: DataFrame, idCol: String, vecCol: String, indexDir: String,
             k: Int = 16, iterations: Int = 2): Unit = {
-    val vecs = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val vecs = embs.select(col(idCol).as("id"), col(vecCol).as("vec")).cache()
+    try buildCached(vecs, indexDir, k, iterations)
+    finally vecs.unpersist()
+  }
+
+  private def buildCached(vecs: DataFrame, indexDir: String,
+                          k: Int, iterations: Int): Unit = {
 
     // deterministic seeds: smallest xxhash64(id), picked via orderBy+limit
     // (TakeOrdered — parallel, no global sort); the rank window then runs
@@ -80,7 +90,7 @@ object IvfIndex {
     }
 
     centroids.coalesce(1).write.mode("overwrite").parquet(centroidsDir(indexDir))
-    val cents = spark(embs).read.parquet(centroidsDir(indexDir))
+    val cents = spark(vecs).read.parquet(centroidsDir(indexDir))
     assign(vecs, cents)
       .repartition(col("cid")) // one file per inverted list
       .write.mode("overwrite").partitionBy("cid").parquet(listsDir(indexDir))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (SURVEY §2.9 north-star): dedup,
   * similarity search, text analysis, multimodal plumbing — each wired as a
@@ -25,13 +25,16 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
   */
 object PipelineQueries {
 
-  /** Shared DuckDB shingle pipeline (3-word shingles, distinct). */
-  private val shingleCte =
+  /** Shared DuckDB shingle pipeline (3-word shingles, distinct per doc). */
+  private val shingleBaseCte =
     "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
       "FROM documents), " +
       "sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s " +
-      "FROM toks CROSS JOIN generate_series(1, 2048) g(i) WHERE i <= len(t) - 2), " +
-      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "FROM toks CROSS JOIN generate_series(1, 2048) g(i) WHERE i <= len(t) - 2)"
+
+  private val shingleCte =
+    shingleBaseCte +
+      ", sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
       "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
       "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
 
@@ -240,6 +243,57 @@ object PipelineQueries {
         "FROM toks CROSS JOIN generate_series(1, 2048) g(i) WHERE i <= len(t) - 1) " +
         "SELECT ngram, count(*) AS df FROM sh GROUP BY ngram " +
         "ORDER BY df DESC, ngram LIMIT 20")),
+
+    // ---- curation: benchmark decontamination (n-gram overlap vs eval set).
+    // Eval set = doc_id % 10 == 0; broadcast-join of eval shingles means the
+    // train side never shuffles. ----
+    ("ns_curate_decontaminate",
+      (s: SparkSession, d: String) =>
+        Curation.contaminationReport(Tables.documents(s, d), "doc_id", "text",
+          col("doc_id") % 10 === 0, n = 3, minOverlap = 5)
+          .orderBy("id"),
+      Some(shingleBaseCte +
+        ", ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0), " +
+        "ov AS (SELECT sh.doc_id, count(*) AS n_overlap FROM sh JOIN ev USING (s) " +
+        "WHERE sh.doc_id % 10 <> 0 GROUP BY sh.doc_id) " +
+        "SELECT d.doc_id AS id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap, " +
+        "coalesce(ov.n_overlap, 0) >= 5 AS contaminated " +
+        "FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id " +
+        "WHERE d.doc_id % 10 <> 0 ORDER BY id")),
+
+    // ---- curation: deterministic content-addressed train/val/test split ----
+    ("ns_curate_hash_split",
+      (s: SparkSession, d: String) =>
+        Curation.hashSplit(Tables.documents(s, d), "doc_id")
+          .orderBy("doc_id"),
+      // md5_number_lower is UBIGINT; convert to the signed two's-complement
+      // long Spark's md5_lower64 yields before the positive modulo
+      Some("WITH h AS (SELECT doc_id, md5_number_lower(CAST(doc_id AS VARCHAR)) AS u " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808 " +
+        "THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS h64 FROM h), " +
+        "b AS (SELECT doc_id, CAST(((h64 % 100) + 100) % 100 AS INTEGER) AS bucket FROM s) " +
+        "SELECT doc_id, bucket, " +
+        "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' " +
+        "ELSE 'test' END AS split " +
+        "FROM b ORDER BY doc_id")),
+
+    // ---- curation: stratified deterministic sample (<=20 docs per lang) ----
+    ("ns_curate_stratified_sample",
+      (s: SparkSession, d: String) =>
+        Curation.stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
+          perStratum = 20)
+          .orderBy("lang", "rn"),
+      // same unsigned->signed conversion: the rank order must be the order
+      // of the SIGNED hash, matching Spark
+      Some("WITH h AS (SELECT doc_id, lang, md5_number_lower(CAST(doc_id AS VARCHAR)) AS u " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, lang, CAST(CASE WHEN u >= 9223372036854775808 " +
+        "THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS h64 FROM h), " +
+        "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY h64, doc_id) AS rn FROM s) " +
+        "SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 20 " +
+        "ORDER BY lang, rn")),
 
     // ---- multimodal plumbing: opaque binary column + typed metadata.
     // The image/audio decode itself is STUBBED as a deterministic fake

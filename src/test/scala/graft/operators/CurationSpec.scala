@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    // doc 0 is the "eval" doc (0 % 10 == 0); doc 5 copies its text wholesale
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (5L, "the quick brown fox jumps over the lazy dog again and again"),
+    (6L, "a completely different sentence with no shared phrases at all here"),
+    (7L, "the quick brown fox appears briefly but then something else entirely")
+  ).toDF("doc_id", "text")
+
+  test("contaminationReport flags the verbatim copy, not the unrelated doc") {
+    val rep = Curation.contaminationReport(corpus, "doc_id", "text",
+      col("doc_id") % 10 === 0, n = 3, minOverlap = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rep.keySet === Set(5L, 6L, 7L))        // eval doc excluded
+    assert(rep(5L)._2, "verbatim copy must be contaminated")
+    assert(rep(5L)._1 === 10L)                    // 12 words -> 10 trigrams
+    assert(rep(6L) === ((0L, false)))             // zero overlap, still reported
+    assert(!rep(7L)._2, "2 shared trigrams is below the threshold")
+    assert(rep(7L)._1 === 2L)
+  }
+
+  test("contaminationReport broadcasts the eval side (train side never shuffles)") {
+    val plan = Curation.contaminationReport(corpus, "doc_id", "text",
+      col("doc_id") % 10 === 0).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"shingle-overlap join must be broadcast, got:\n$plan")
+  }
+
+  test("hashSplit is a total, deterministic, shuffle-free assignment") {
+    val docs = (0L until 1000L).toDF("doc_id")
+    val split = Curation.hashSplit(docs, "doc_id").cache()
+    try {
+      assert(split.count() === 1000)
+      val byName = split.groupBy("split").count().as[(String, Long)].collect().toMap
+      // md5 is uniform: 80/10/10 within generous tolerance at n=1000
+      assert(byName("train") > 700 && byName("train") < 900, byName.toString)
+      assert(byName("val") > 50 && byName("val") < 160, byName.toString)
+      assert(byName("test") > 50 && byName("test") < 160, byName.toString)
+      assert(split.filter(col("bucket") < 0 || col("bucket") >= 100).isEmpty)
+      // no exchange anywhere: pure projection
+      val plan = split.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"split must not shuffle:\n$plan")
+      // bucket is a pure function of the id: re-derivation matches
+      val again = Curation.hashSplit(docs, "doc_id")
+      assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
+    } finally split.unpersist()
+  }
+
+  test("stratifiedSample caps every stratum and is deterministic") {
+    val docs = (0L until 300L).map(i => (i, s"lang${i % 3}")).toDF("doc_id", "lang")
+    val s1 = Curation.stratifiedSample(docs, "doc_id", "lang", perStratum = 7)
+    val counts = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ === 7L), counts.toString)
+    val s2 = Curation.stratifiedSample(docs, "doc_id", "lang", perStratum = 7)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+  }
+}
