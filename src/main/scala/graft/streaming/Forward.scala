@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.charset.StandardCharsets
 
+import scala.collection.concurrent.TrieMap
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 
@@ -50,6 +52,56 @@ class DirForwardTransport(dir: String, secret: String,
     val dest = new Path(dir, s"chunk-$chunkId.jsonl")
     if (fs.exists(dest)) fs.delete(dest, false)
     fs.rename(tmp, dest)
+  }
+}
+
+/** Token-bucket rate limit on the forward path (T8) — the reference's
+  * `ingestEvents` limiter (`setup.md:989-1002`: rate 50/min, capacity 100,
+  * over-limit requests wait `retryAfter`). Wraps any [[ForwardTransport]]:
+  * each send acquires one token per EVENT (the reference meters events,
+  * not requests), blocking until the bucket refills — backpressure to the
+  * producing micro-batch, which is exactly where the reference applies its
+  * 429+retryAfter loop.
+  *
+  * One bucket per JVM (executor), lazily keyed by `bucketKey`: with E
+  * executors the aggregate send rate is ≤ E·ratePerSec, so size the rate
+  * for per-executor share on a cluster (same reasoning as the reference's
+  * 4-shard fixed-window limiter, which also multiplies by shard count).
+  * `nanoTime`/`sleep` are injectable for deterministic tests.
+  */
+class RateLimitedTransport(inner: ForwardTransport, bucketKey: String,
+                           ratePerSec: Double, capacity: Double)
+  extends ForwardTransport {
+  override def send(chunkId: String, events: Seq[String]): Unit = {
+    RateLimitedTransport.acquire(bucketKey, ratePerSec, capacity, events.size)
+    inner.send(chunkId, events)
+  }
+}
+
+object RateLimitedTransport {
+  private final class Bucket(var tokens: Double, var lastNanos: Long)
+  private val buckets = TrieMap.empty[String, Bucket]
+
+  // injectable clock/sleeper for tests
+  @volatile private[streaming] var nanoTime: () => Long = () => System.nanoTime()
+  @volatile private[streaming] var sleep: Long => Unit = Thread.sleep
+
+  private[streaming] def reset(): Unit = buckets.clear()
+
+  /** Blocking token acquisition: refill at `ratePerSec` up to `capacity`,
+    * take `n`, sleeping out any deficit (the `retryAfter` wait).
+    */
+  def acquire(key: String, ratePerSec: Double, capacity: Double, n: Int): Unit = {
+    val b = buckets.getOrElseUpdate(key, new Bucket(capacity, nanoTime()))
+    val waitMs = b.synchronized {
+      val now = nanoTime()
+      b.tokens = math.min(capacity,
+        b.tokens + (now - b.lastNanos) / 1e9 * ratePerSec)
+      b.lastNanos = now
+      b.tokens -= n
+      if (b.tokens >= 0) 0L else math.ceil(-b.tokens / ratePerSec * 1000).toLong
+    }
+    if (waitMs > 0) sleep(waitMs)
   }
 }
 

@@ -96,6 +96,41 @@ class ForwardSpec extends SparkSpec {
       .forall(!_.getName.startsWith("chunk-")), "nothing may land on auth failure")
   }
 
+  test("token bucket meters events, sleeps out deficits, refills capped (T8)") {
+    RateLimitedTransport.reset()
+    var now = 0L
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    RateLimitedTransport.nanoTime = () => now
+    RateLimitedTransport.sleep = ms => sleeps += ms
+    try {
+      // capacity 10, rate 5/s: a full burst passes free
+      RateLimitedTransport.acquire("k", 5.0, 10.0, 10)
+      assert(sleeps.isEmpty)
+      // 5 more with an empty bucket -> wait 5/5 = 1s
+      RateLimitedTransport.acquire("k", 5.0, 10.0, 5)
+      assert(sleeps.toSeq === Seq(1000L))
+      // 3 s later the bucket holds min(10, -5 + 15) = 10: burst passes free
+      now = 3L * 1000 * 1000 * 1000
+      RateLimitedTransport.acquire("k", 5.0, 10.0, 10)
+      assert(sleeps.toSeq === Seq(1000L))
+    } finally {
+      RateLimitedTransport.nanoTime = () => System.nanoTime()
+      RateLimitedTransport.sleep = Thread.sleep
+      RateLimitedTransport.reset()
+    }
+  }
+
+  test("rate-limited transport delivers through the inner transport") {
+    RateLimitedTransport.reset()
+    val dir = Files.createTempDirectory("fwd_rl").toString
+    val t = new RateLimitedTransport(
+      Forward.dirTransport(spark, dir, "s", "s"), "rl-spec",
+      ratePerSec = 1e6, capacity = 1e6)
+    Forward.forwardBatch(events(30), batchId = 3, t, "sfId", "replayId",
+      chunkSize = 10)
+    assert(landedLines(dir).flatMap(_._2).size === 30)
+  }
+
   test("streaming forward: checkpointed end-to-end delivery") {
     val log = Files.createTempDirectory("fwd_log").toString
     val ckpt = Files.createTempDirectory("fwd_ckpt").toString
