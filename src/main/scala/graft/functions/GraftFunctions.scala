@@ -31,6 +31,7 @@ object GraftFunctions {
     add("encode_replay_id")(es => EncodeReplayId(es.head))
     add("expand_bitmap")(es => ExpandBitmap(es(0), es(1), es(2)))
     add("cosine_similarity")(es => CosineSimilarity(es(0), es(1)))
+    add("vector_avg")(es => VectorAvg(es(0)))
     add("dot_product")(es => DotProduct(es(0), es(1)))
     add("md5_lower64")(es => Md5Lower64(es.head))
     add("simhash32")(es => SimHash(es.head, 32))

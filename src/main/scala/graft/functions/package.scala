@@ -28,6 +28,11 @@ package object functions {
   /** Dot product of two float32 vectors (double result). */
   def dot_product(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
 
+  /** Element-wise mean of equal-length vectors (native aggregate: one dense
+    * buffer per group, map-side combinable — no posexplode shuffle). */
+  def vector_avg(vec: Column): Column =
+    col(VectorAvg(ex(vec)).toAggregateExpression())
+
   /** Lower 64 bits of md5 (little-endian) — DuckDB `md5_number_lower` compatible. */
   def md5_lower64(c: Column): Column = col(Md5Lower64(ex(c)))
 

@@ -76,12 +76,11 @@ object IvfIndex {
       .select(col("cid"), col("vec").as("cvec"))
 
     (0 until iterations).foreach { _ =>
+      // centroid refinement: ONE map-side-combinable aggregate over intact
+      // vector rows (vector_avg) — not a posexplode of N·dim rows
       val means = assign(vecs, centroids)
-        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(avg("v").as("m"))
         .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m").cast("float")).as("cvec"))
+        .agg(graft.functions.vector_avg(col("vec")).as("cvec"))
       // empty clusters (no assigned vectors) keep their previous centroid
       centroids = centroids.as("old")
         .join(means.as("new"), Seq("cid"), "left")

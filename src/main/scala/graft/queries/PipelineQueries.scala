@@ -244,6 +244,31 @@ object PipelineQueries {
         "SELECT ngram, count(*) AS df FROM sh GROUP BY ngram " +
         "ORDER BY df DESC, ngram LIMIT 20")),
 
+    // ---- embeddings: per-group centroid (label-conditioned mean vector).
+    // The declared query takes the posexplode + DECIMAL-sum path because
+    // that is bit-exactly reproducible cross-engine (order-independent
+    // decimal accumulation); the SCALE kernel for the same computation is
+    // the native `vector_avg` aggregate (one map-side-combinable buffer per
+    // group, no N·dim explode) — equality of the two paths is asserted in
+    // VectorAvgSpec/SimilaritySpec, and IvfIndex uses vector_avg. ----
+    ("ns_embed_centroids",
+      (s: SparkSession, d: String) =>
+        Tables.embeddings(s, d)
+          .select(col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          .agg(count(lit(1)).as("n"),
+            sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+              .as("sd"))
+          .select(col("label"), col("pos"),
+            round(col("sd").cast("double") / col("n"), 6).as("mean_v"))
+          .orderBy("label", "pos"),
+      Some("WITH e AS (SELECT label, CAST(i - 1 AS INTEGER) AS pos, " +
+        "CAST(embedding[i] AS DECIMAL(28,12)) AS v " +
+        "FROM embeddings CROSS JOIN generate_series(1, 64) g(i)) " +
+        "SELECT label, pos, round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_v " +
+        "FROM e GROUP BY label, pos ORDER BY label, pos")),
+
     // ---- curation: benchmark decontamination (n-gram overlap vs eval set).
     // Eval set = doc_id % 10 == 0; broadcast-join of eval shingles means the
     // train side never shuffles. ----
