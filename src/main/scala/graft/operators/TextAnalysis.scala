@@ -90,6 +90,28 @@ object TextAnalysis {
       regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
         PhonePattern, "<PHONE>").as("redacted"))
 
+  /** Repetition signals (Gopher-style quality filters): fraction of
+    * duplicate words, and the share of the most frequent bigram in all
+    * bigram occurrences. Pure per-row HOF compute — zero shuffle; the
+    * per-doc bigram mode is O(distinct·total) within one row, bounded by
+    * document length, never by corpus size.
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val nToks = size(toks)
+    // bigram list WITH duplicates (word_shingles is distinct by design)
+    val bigrams = transform(sequence(lit(1), nToks - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val counts = transform(array_distinct(bigrams),
+      b => size(filter(bigrams, x => x === b)))
+    val dupWordFrac = lit(1.0) -
+      size(array_distinct(toks)).cast("double") / nToks.cast("double")
+    val topShare = array_max(counts).cast("double") / size(bigrams).cast("double")
+    docs.select(col(idCol),
+      round(dupWordFrac, 4).as("dup_word_frac"),
+      round(topShare, 4).as("top_bigram_share"))
+  }
+
   /** Corpus-level top-k n-gram document-frequency table (boilerplate /
     * contamination detection): per-doc DISTINCT shingles (one codegen'd
     * pass) → one count shuffle with map-side partial aggregation → top-k

@@ -232,6 +232,23 @@ object PipelineQueries {
         "'[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS redacted " +
         "FROM documents ORDER BY doc_id")),
 
+    // ---- text analysis: repetition signals (Gopher-style filters) ----
+    ("ns_text_repetition",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents), " +
+        "bg AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS b " +
+        "FROM toks CROSS JOIN generate_series(1, 2048) g(i) WHERE i <= len(t) - 1), " +
+        "cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2), " +
+        "agg AS (SELECT doc_id, max(c) AS maxc, CAST(sum(c) AS BIGINT) AS total " +
+        "FROM cnt GROUP BY 1) " +
+        "SELECT t.doc_id, " +
+        "round(1.0 - CAST(len(list_distinct(t.t)) AS DOUBLE) / len(t.t), 4) AS dup_word_frac, " +
+        "round(CAST(a.maxc AS DOUBLE) / a.total, 4) AS top_bigram_share " +
+        "FROM toks t JOIN agg a ON t.doc_id = a.doc_id ORDER BY t.doc_id")),
+
     // ---- text analysis: corpus top-k bigram document frequency ----
     ("ns_text_topngrams",
       (s: SparkSession, d: String) =>

@@ -37,4 +37,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq == Seq(
       ("spark engine", 3L), ("engine rules", 2L), ("engine spark", 1L)))
   }
+
+  test("repetition: duplicate-word fraction and top-bigram share") {
+    val docs = Seq(
+      (1L, "a a a b"),          // toks 4, distinct 2; bigrams: a a, a a, a b
+      (2L, "x y z w")           // all distinct; each bigram unique
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L) === ((0.5, 0.6667)))
+    assert(out(2L) === ((0.0, 0.3333)))
+  }
 }
