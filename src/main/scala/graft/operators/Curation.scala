@@ -67,6 +67,58 @@ object Curation {
         .otherwise("test").as("split"))
   }
 
+  /** Token-budget shard packing: assign documents to training shards of
+    * ~`tokensPerShard` tokens each, in deterministic md5-hash order (a
+    * content-addressed global shuffle of the corpus, so shards are i.i.d.
+    * slices). shard = floor(exclusive-prefix-sum(tokens) / tokensPerShard).
+    *
+    * The global prefix sum never uses a single-partition window — the
+    * standard two-phase distributed scan, expressed declaratively:
+    *  1. a deterministic, ORDER-ALIGNED slice id from the uniform hash
+    *     (`slice = floor(scale(h))`, monotone in h — no range-partitioner
+    *     sampling, so recomputation is stable and nothing needs caching);
+    *  2. per-slice token subtotals → driver scanLeft → slice base offsets
+    *     (P longs, broadcast-joined back);
+    *  3. within-slice exclusive running sum via a window PARTITIONED by
+    *     slice (each slice ≈ corpus/P rows — bounded, shuffled once).
+    * Output is independent of `partitions`: the hash order is total, so
+    * slicing only changes parallelism, never shard assignment.
+    */
+  def packTokenShards(docs: DataFrame, idCol: String, tokenCol: String,
+                      tokensPerShard: Long, partitions: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val p = if (partitions > 0) partitions
+            else spark.sessionState.conf.numShufflePartitions
+    // order-aligned slice: h ∈ [Long.Min, Long.Max] uniform → [0, p)
+    val h = md5_lower64(col(idCol).cast("string"))
+    val slice = floor((h.cast("double") / lit(2.0 * Long.MaxValue) + lit(0.5)) *
+      lit(p.toDouble)).cast("int")
+
+    val sliced = docs
+      .select(col(idCol), col(tokenCol).cast("long").as("n_tokens"),
+        h.as("__h"), least(slice, lit(p - 1)).as("__slice"))
+
+    val bases = sliced.groupBy("__slice").agg(sum("n_tokens").as("t"))
+      .collect().sortBy(_.getInt(0))
+    val offsets = bases.scanLeft((-1, 0L)) {
+      case ((_, acc), r) => (r.getInt(0), acc + r.getLong(1))
+    }
+    // base offset of slice s = total tokens of all slices BEFORE s
+    val baseOf = bases.map(_.getInt(0)).zip(offsets.dropRight(1).map(_._2)).toMap
+    val baseDf = spark.createDataFrame(
+      baseOf.toSeq.map { case (s, b) => (s, b) }.sortBy(_._1))
+      .toDF("__slice", "__base")
+
+    val w = Window.partitionBy("__slice").orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sliced
+      .join(broadcast(baseDf), Seq("__slice"))
+      .withColumn("__pre", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("n_tokens"),
+        ((col("__base") + col("__pre")) / tokensPerShard)
+          .cast("long").cast("int").as("shard"))
+  }
+
   /** Stratified deterministic sample: at most `perStratum` documents per
     * stratum, chosen by md5-hash order (a content-addressed uniform draw).
     * One shuffle on the stratum key; the rank window sorts only within each

@@ -320,6 +320,22 @@ object PipelineQueries {
         "ELSE 'test' END AS split " +
         "FROM b ORDER BY doc_id")),
 
+    // ---- curation: token-budget shard packing (distributed prefix sum) ----
+    ("ns_curate_pack_shards",
+      (s: SparkSession, d: String) =>
+        Curation.packTokenShards(Tables.documents(s, d), "doc_id", "n_chars",
+          tokensPerShard = 20000L)
+          .orderBy("doc_id"),
+      Some("WITH h AS (SELECT doc_id, n_chars AS n_tokens, " +
+        "md5_number_lower(CAST(doc_id AS VARCHAR)) AS u FROM documents), " +
+        "s AS (SELECT doc_id, n_tokens, CAST(CASE WHEN u >= 9223372036854775808 " +
+        "THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS h64 FROM h), " +
+        "o AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER " +
+        "(ORDER BY h64, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre " +
+        "FROM s) " +
+        "SELECT doc_id, n_tokens, CAST(pre // 20000 AS INTEGER) AS shard " +
+        "FROM o ORDER BY doc_id")),
+
     // ---- curation: stratified deterministic sample (<=20 docs per lang) ----
     ("ns_curate_stratified_sample",
       (s: SparkSession, d: String) =>

@@ -54,6 +54,25 @@ class CurationSpec extends SparkSpec {
     } finally split.unpersist()
   }
 
+  test("packTokenShards: global prefix-sum semantics, independent of slicing") {
+    val docs = (0L until 200L).map(i => (i, 10L + i % 7)).toDF("doc_id", "n_toks")
+    val a = Curation.packTokenShards(docs, "doc_id", "n_toks", 100L, partitions = 3)
+    val b = Curation.packTokenShards(docs, "doc_id", "n_toks", 100L, partitions = 7)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "shard assignment must not depend on parallelism")
+
+    // every shard except the last packs to budget ± one max doc (a doc
+    // straddling the boundary belongs to the earlier shard); ids dense from 0
+    val sizes = a.groupBy("shard").agg(sum("n_tokens").as("t"))
+      .orderBy("shard").as[(Int, Long)].collect()
+    assert(sizes.map(_._1).toSeq === sizes.indices.toSeq)
+    sizes.dropRight(1).foreach { case (_, t) =>
+      assert(t > 100L - 16L && t < 100L + 16L, s"shard size $t out of band")
+    }
+    // global conservation
+    assert(sizes.map(_._2).sum === (0L until 200L).map(i => 10L + i % 7).sum)
+  }
+
   test("stratifiedSample caps every stratum and is deterministic") {
     val docs = (0L until 300L).map(i => (i, s"lang${i % 3}")).toDF("doc_id", "lang")
     val s1 = Curation.stratifiedSample(docs, "doc_id", "lang", perStratum = 7)
