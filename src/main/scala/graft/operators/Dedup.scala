@@ -97,21 +97,31 @@ object Dedup {
     * w.h.p. while the join only touches LSH-colliding pairs — the 100 TB
     * scale path (candidate generation is O(docs·b), not O(docs²)).
     */
+  /** Band keys over an already-materialized MinHash signature column:
+    * band j's key = salted hash of its `numHashes/bands` signature slots.
+    * Takes the signature as a COLUMN (not an expression to inline) so the
+    * one-pass signature kernel isn't duplicated per band in the tree.
+    */
+  private[graft] def bandKeysOfSig(sigCol: org.apache.spark.sql.Column,
+                                   numHashes: Int, bands: Int): org.apache.spark.sql.Column = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => xxhash64(concat_ws(",",
+        transform(slice(sigCol, j * lit(r) + 1, lit(r)), v => v.cast("string"))), j))
+  }
+
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, n: Int = 3,
                       numHashes: Int = 32, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     // Cache the shingle sets: they are read three times (signature pass +
     // both sides of the verification join).
     val sh = withShingles(docs, idCol, textCol, n).cache()
 
     // codegen'd one-pass MinHash signature (see MinHashKernel)
     val sig = graft.functions.minhash_signature(col("sh"), numHashes)
-    // band j key = hash of its r signature slots
-    val bandKeys = transform(sequence(lit(0), lit(bands - 1)),
-      j => xxhash64(concat_ws(",",
-        transform(slice(col("sig"), j * lit(r) + 1, lit(r)), v => v.cast("string"))), j))
+    val bandKeys = bandKeysOfSig(col("sig"), numHashes, bands)
 
     // Skinny (id, band, bkey) relation for the bucket self-join — no array
     // payloads cross the shuffle; cached so the expensive signature pass

@@ -90,4 +90,124 @@ object StreamingDedup {
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
+
+  // ------------------------------------------------------------------
+  // Near-dup variant: MinHash-LSH band index + shingle store
+  // ------------------------------------------------------------------
+
+  /** One micro-batch of first-seen NEAR-dup dedup (streaming rendering of
+    * [[graft.operators.Dedup.minhashLshPairs]]): a document is admitted iff
+    * it is not a verified near-duplicate (n-gram Jaccard ≥ `threshold`) of
+    * any previously admitted document.
+    *
+    * Persistent state, two bucket-partitioned parquet tables under
+    * `indexDir` (both append-only — dedup state only grows):
+    *  - `bands/`  : `(band, bkey, id)`, bucketed by `xxhash64(bkey)` —
+    *    the LSH postings list;
+    *  - `shingles/`: `(id, sh)`, bucketed by `xxhash64(id)` — the shingle
+    *    sets needed for exact verification of band collisions.
+    *
+    * Batch plan: shingle+sign the batch once; resolve WITHIN-batch near-dups
+    * (keep the min id of each verified pair — same keep-min convention as
+    * [[graft.operators.Dedup.exactGroups]]); probe the band index reading
+    * ONLY the buckets the batch's band keys hash into; exact-verify the
+    * colliding candidates against the shingle store (again bucket-pruned,
+    * by candidate id); admit the clean remainder and append its postings +
+    * shingles. Per batch the state I/O is O(batch · bands + touched
+    * buckets), never O(corpus).
+    */
+  def nearDedupBatch(spark: SparkSession, batch: DataFrame, idCol: String,
+                     textCol: String, indexDir: String, outDir: String,
+                     threshold: Double = 0.8, n: Int = 3,
+                     numHashes: Int = 32, bands: Int = 16,
+                     numBuckets: Int = CdcIngest.DefaultNumBuckets): Unit = {
+    import graft.operators.Dedup
+    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bandsDir = s"$indexDir/bands"
+    val shDir = s"$indexDir/shingles"
+
+    // within-batch near-dups: reject the larger id of every verified pair
+    val localPairs = Dedup.minhashLshPairs(batch, idCol, textCol, threshold,
+      n, numHashes, bands)
+    val localKept = batch.join(
+      localPairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+    val sh = Dedup.withShingles(localKept, idCol, textCol, n)
+      .withColumn("sig", graft.functions.minhash_signature(col("sh"), numHashes))
+      .withColumn("bk", Dedup.bandKeysOfSig(col("sig"), numHashes, bands))
+      .cache()
+    try {
+      val posting = sh.select(col("id"), col("sh"),
+        posexplode(col("bk")).as(Seq("band", "bkey")))
+        .withColumn("__bucket", CdcIngest.bucketOf(col("bkey"), numBuckets))
+        .cache()
+      try {
+        // candidates among PREVIOUSLY admitted docs: bucket-pruned postings probe
+        val rejected =
+          if (!fs.exists(new Path(bandsDir))) sh.select("id").limit(0)
+          else {
+            val touched = posting.select("__bucket").distinct()
+              .collect().map(_.getInt(0)).sorted
+            val idxBands = spark.read.parquet(bandsDir)
+              .filter(col("__bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
+              .select(col("band").as("i_band"), col("bkey").as("i_bkey"),
+                col("id").as("i_id"))
+            val cands = posting.join(idxBands,
+                col("band") === col("i_band") && col("bkey") === col("i_bkey"))
+              .select(col("id"), col("i_id")).distinct()
+            // exact verify against the shingle store, bucket-pruned by i_id
+            val candBuckets = cands
+              .select(CdcIngest.bucketOf(col("i_id"), numBuckets).as("b"))
+              .distinct().collect().map(_.getInt(0))
+            if (candBuckets.isEmpty) cands.select("id").limit(0)
+            else {
+              val store = spark.read.parquet(shDir)
+                .filter(col("__bucket").isin(candBuckets.map(Integer.valueOf).toSeq: _*))
+                .select(col("id").as("i_id"), col("sh").as("i_sh"))
+              cands
+                .join(sh.select(col("id"), col("sh")), "id")
+                .join(store, "i_id")
+                .withColumn("inter", size(array_intersect(col("sh"), col("i_sh"))))
+                .filter(col("inter").cast("double") /
+                  (size(col("sh")) + size(col("i_sh")) - col("inter")) >= threshold)
+                .select("id").distinct()
+            }
+          }
+
+        val keptIds = sh.select("id").join(rejected, Seq("id"), "left_anti").cache()
+        try {
+          if (!keptIds.isEmpty) {
+            localKept.join(keptIds.withColumnRenamed("id", idCol), Seq(idCol))
+              .write.mode("append").parquet(outDir)
+            posting.join(keptIds, Seq("id"))
+              .select(col("band"), col("bkey"), col("id"), col("__bucket"))
+              .write.mode("append").partitionBy("__bucket").parquet(bandsDir)
+            sh.join(keptIds, Seq("id"))
+              .select(col("id"), col("sh"),
+                CdcIngest.bucketOf(col("id"), numBuckets).as("__bucket"))
+              .write.mode("append").partitionBy("__bucket").parquet(shDir)
+          }
+        } finally keptIds.unpersist()
+      } finally posting.unpersist()
+    } finally sh.unpersist()
+  }
+
+  /** Start the checkpointed streaming NEAR-dup dedup. */
+  def startNearDedup(spark: SparkSession, stream: DataFrame, idCol: String,
+                     textCol: String, indexDir: String, outDir: String,
+                     checkpointDir: String, threshold: Double = 0.8,
+                     n: Int = 3, numHashes: Int = 32, bands: Int = 16,
+                     numBuckets: Int = CdcIngest.DefaultNumBuckets,
+                     availableNow: Boolean = true): StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Retry.withBackoff() {
+          nearDedupBatch(spark, batch, idCol, textCol, indexDir, outDir,
+            threshold, n, numHashes, bands, numBuckets)
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
 }

@@ -42,4 +42,46 @@ class StreamingDedupSpec extends SparkSpec {
     assert(index.select("fp").distinct().count() === 3)
     assert(index.columns.toSet === Set("fp", "__bucket"))
   }
+
+  test("near-dup streaming dedup: verified LSH matches rejected across and within batches") {
+    val log = Files.createTempDirectory("nd_log").toString
+    val idx = Files.createTempDirectory("nd_idx").toString + "/index"
+    val out = Files.createTempDirectory("nd_out").toString + "/corpus"
+    val ckpt = Files.createTempDirectory("nd_ckpt").toString
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+
+    def words(prefix: String) = (0 until 40).map(i => s"$prefix$i").mkString(" ")
+    def variant(prefix: String) =
+      (0 until 40).map(i => if (i == 20) "changed" else s"$prefix$i").mkString(" ")
+    // one-word change in 40 words: trigram jaccard ≈ 35/41 ≈ 0.85 ≥ 0.8
+
+    def runOnce(ck: String): Unit = {
+      val q = StreamingDedup.startNearDedup(spark,
+        spark.readStream.schema(schema).parquet(log),
+        "doc_id", "text", idx, out, ck, threshold = 0.8)
+      q.awaitTermination()
+    }
+
+    Seq((1L, words("alpha")), (2L, words("beta")))
+      .toDF("doc_id", "text").write.mode("append").parquet(log)
+    runOnce(ckpt)
+    Seq((3L, variant("alpha")),              // near-dup of 1 (cross-batch)
+        (4L, words("gamma")),                // new
+        (5L, variant("gamma")),              // near-dup of 4 (within batch)
+        (6L, words("delta")))                // new
+      .toDF("doc_id", "text").write.mode("append").parquet(log)
+    runOnce(ckpt)
+
+    val corpus = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().toSet
+    assert(corpus === Set(1L, 2L, 4L, 6L), corpus.toString)
+
+    // full redelivery with a fresh checkpoint: nothing new admitted
+    runOnce(Files.createTempDirectory("nd_ckpt2").toString)
+    assert(spark.read.parquet(out).count() === 4)
+
+    // state tables: postings for 4 docs x 16 bands; 4 shingle sets
+    assert(spark.read.parquet(s"$idx/bands").count() === 4L * 16)
+    assert(spark.read.parquet(s"$idx/shingles").count() === 4)
+  }
 }
