@@ -220,19 +220,36 @@ object CdcIngest {
                   dataCols: Seq[String], key: String = "sfId",
                   offset: String = "replayId", changeType: String = "changeType",
                   availableNow: Boolean = true,
-                  numBuckets: Int = DefaultNumBuckets): StreamingQuery = {
+                  numBuckets: Int = DefaultNumBuckets,
+                  mergeParallelism: Int = 4): StreamingQuery = {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.cache()
         try {
           val topics = b.select(topicCol).distinct().collect().map(_.getString(0))
-          topics.foreach { t =>
-            Retry.withBackoff() {
-              mergeIntoTarget(spark, b.filter(col(topicCol) === t),
-                s"$targetRoot/$t", dataCols, key, offset, changeType, numBuckets)
+          // Per-topic merges land in DISJOINT table dirs, so they can run as
+          // concurrent Spark jobs: a bounded driver-side pool keeps many
+          // small topics from serializing into #topics sequential jobs
+          // (each merge's own stages still parallelize across the cluster).
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.max(1, math.min(mergeParallelism, topics.length)))
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          try {
+            val merges = topics.toSeq.map { t =>
+              scala.concurrent.Future {
+                Retry.withBackoff() {
+                  mergeIntoTarget(spark, b.filter(col(topicCol) === t),
+                    s"$targetRoot/$t", dataCols, key, offset, changeType, numBuckets)
+                }
+              }
             }
-          }
+            scala.concurrent.Await.result(
+              scala.concurrent.Future.sequence(merges),
+              scala.concurrent.duration.Duration.Inf)
+            ()
+          } finally pool.shutdown()
         } finally b.unpersist()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
