@@ -82,6 +82,70 @@ object Similarity {
     (0 to maxHamming).flatMap(k => (0 until numPlanes).combinations(k)
       .map(_.foldLeft(queryBucket)((b, bit) => b ^ (1L << bit))))
 
+  /** BATCH brute-force: exact cosine top-k for EVERY query vector in
+    * `queries` at once — the realistic pipeline shape (ANN labeling of a
+    * query table), not a per-vector loop. The (small) query side is
+    * broadcast so the embedding scan stays one parallel pass; ranking is a
+    * window PARTITIONED by query id (each partition = one query's
+    * candidates — bounded, and at scale you pre-prune candidates with
+    * [[indexTopKBatch]] so the window never sees the full corpus).
+    */
+  def bruteForceTopKBatch(embs: DataFrame, idCol: String, vecCol: String,
+                          queries: DataFrame, qidCol: String, qvecCol: String,
+                          k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+    val scored = embs.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col(idCol) =!= col("qid") else lit(true))
+      .withColumn("cos", round(cosine_similarity(col(vecCol), col("qvec")), 3))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol).as("id"), col("cos"), col("rank"))
+  }
+
+  /** BATCH probe of the materialized index: every query's multi-probe
+    * bucket list is computed as columns (one codegen'd pass over the query
+    * table), the union of probe buckets — bounded by Q·probes, collected
+    * driver-side — becomes a LITERAL partition filter on the index scan
+    * (planning-time pruning, like [[indexTopK]]), and an equi-join on
+    * `bucket` pairs each query with only its probed buckets' vectors.
+    * Exact cosine + per-query window rank finish on the candidate set.
+    */
+  def indexTopKBatch(spark: SparkSession, indexDir: String, queries: DataFrame,
+                     qidCol: String, qvecCol: String, k: Int,
+                     numPlanes: Int = 8, maxHamming: Int = 2,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val masks = (0 to maxHamming).flatMap(h => (0 until numPlanes).combinations(h)
+      .map(_.foldLeft(0L)((m, bit) => m | (1L << bit))))
+    val qb = bucketExpr(col("qvec"), numPlanes)
+    val probes = queries
+      .select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+      .withColumn("qb", qb)
+      .select(col("qid"), col("qvec"),
+        explode(array(masks.map(m => col("qb").bitwiseXOR(lit(m))): _*)).as("bucket"))
+      .cache()
+    try {
+      val bucketList = probes.select("bucket").distinct()
+        .collect().map(_.getLong(0)).sorted
+      val candidates = spark.read.parquet(indexDir)
+        .filter(col("bucket").isin(bucketList: _*)) // literal: partition-pruned
+        .join(probes, Seq("bucket"))
+        .filter(if (excludeSelf) col("id") =!= col("qid") else lit(true))
+        // no dedup needed: a vector lives in exactly ONE bucket partition
+        // and a query's probe buckets are distinct, so (qid, id) pairs are
+        // unique by construction
+        .select(col("qid"), col("id"), col("vec"), col("qvec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("id"))
+      candidates
+        .withColumn("cos", round(cosine_similarity(col("vec"), col("qvec")), 3))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("id"), col("cos"), col("rank"))
+    } finally probes.unpersist()
+  }
+
   /** Top-k probe against a materialized index: the multi-probe bucket list
     * is a LITERAL `isin`, so Catalyst partition-prunes at planning time —
     * only the matching `bucket=K/` dirs' files are opened (asserted via the

@@ -167,6 +167,38 @@ object PipelineQueries {
       },
       None),
 
+    // ---- ANN: BATCH brute-force top-k (one pass, all query vectors) ----
+    ("ns_ann_batch_topk",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        Similarity.bruteForceTopKBatch(embs, "vec_id", "embedding",
+          embs.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
+          .orderBy("qid", "rank")
+      },
+      Some("WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings " +
+        "WHERE vec_id < 10), " +
+        "scored AS (SELECT q.qid, e.vec_id AS id, " +
+        "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+        "CAST(q.qvec AS DOUBLE[])), 3) AS cos " +
+        "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid), " +
+        "r AS (SELECT qid, id, cos, CAST(row_number() OVER (PARTITION BY qid " +
+        "ORDER BY cos DESC, id) AS INTEGER) AS rank FROM scored) " +
+        "SELECT qid, id, cos, rank FROM r WHERE rank <= 3 ORDER BY qid, rank")),
+
+    // ---- ANN: BATCH index probe (bucket-pruned scan; approximate by
+    // design — recall vs the batch brute force asserted in SimilaritySpec) ----
+    ("ns_ann_batch_index_topk",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        val indexDir = java.nio.file.Files.createTempDirectory("ann_bidx_q").toString
+        Similarity.buildIndex(embs, "vec_id", "embedding", indexDir, numPlanes = 6)
+        Similarity.indexTopKBatch(s, indexDir,
+          embs.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 3, numPlanes = 6)
+          .orderBy("qid", "rank")
+      },
+      None),
+
     // ---- text analysis: language-ID heuristic ----
     ("ns_text_langid",
       (s: SparkSession, d: String) =>

@@ -115,4 +115,29 @@ class SimilaritySpec extends SparkSpec {
     assert(scannedFiles > 0 && scannedFiles < totalFiles,
       s"scan read $scannedFiles of $totalFiles files — no list pruning")
   }
+
+  test("batch brute-force equals per-query brute force; batch index recall") {
+    import org.apache.spark.sql.functions.col
+    val embs = Tables.embeddings(spark, sfDir)
+    val queries = embs.filter(col("vec_id") < 5)
+    val batch = Similarity.bruteForceTopKBatch(embs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // per-query reference
+    (0L until 5L).foreach { q =>
+      val single = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 5)
+        .collect().map(_.getLong(0)).toSet
+      assert(batch(q) === single, s"query $q: batch != single")
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("bidx").toString
+    Similarity.buildIndex(embs, "vec_id", "embedding", dir, numPlanes = 6)
+    val idx = Similarity.indexTopKBatch(spark, dir, queries, "vec_id",
+      "embedding", k = 5, numPlanes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recall = (0L until 5L).map(q => (batch(q) & idx.getOrElse(q, Set.empty)).size).sum
+    assert(recall >= 13, s"batch index recall too low: $recall/25")
+  }
 }
