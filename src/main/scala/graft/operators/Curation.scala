@@ -17,6 +17,39 @@ import graft.functions.md5_lower64
   */
 object Curation {
 
+  /** Curation funnel: the canonical filter chain of a training-data
+    * pipeline (language → quality → repetition → exact dedup), reported as
+    * cumulative survivor counts in ONE aggregate row. Composes the
+    * [[TextAnalysis]] signal operators by doc-id equi-join — in a real
+    * pipeline each signal table is materialized once and reused, so the
+    * joins are between computed signal tables, not repeated text scans.
+    * All signals are rounded identically on both engines, so the threshold
+    * comparisons are bit-deterministic.
+    */
+  def funnelReport(docs: DataFrame, idCol: String, textCol: String,
+                   minEnRatio: Double = 0.10, minQuality: Double = 0.5,
+                   maxDupWordFrac: Double = 0.6): DataFrame = {
+    val lang = TextAnalysis.langId(docs, idCol, textCol)
+      .select(col(idCol), col("en_ratio"))
+    val qual = TextAnalysis.quality(docs, idCol, textCol)
+      .select(col(idCol), col("quality_score"))
+    val rep = TextAnalysis.repetition(docs, idCol, textCol)
+      .select(col(idCol), col("dup_word_frac"))
+    val fp = docs.select(col(idCol),
+      md5(TextOps.normalized(col(textCol))).as("fp"))
+
+    val passLang = col("en_ratio") >= minEnRatio
+    val passQual = passLang && col("quality_score") >= minQuality
+    val passRep = passQual && col("dup_word_frac") <= maxDupWordFrac
+
+    lang.join(qual, idCol).join(rep, idCol).join(fp, idCol)
+      .agg(count(lit(1)).as("n_total"),
+        count(when(passLang, 1)).as("n_lang"),
+        count(when(passQual, 1)).as("n_quality"),
+        count(when(passRep, 1)).as("n_repetition"),
+        countDistinct(when(passRep, col("fp"))).as("n_unique"))
+  }
+
   /** Benchmark decontamination: for every training document, count the
     * distinct word n-gram shingles it shares with the evaluation subset
     * (`evalPred` marks eval membership), and flag it contaminated at

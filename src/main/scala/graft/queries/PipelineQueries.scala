@@ -352,6 +352,33 @@ object PipelineQueries {
         "ELSE 'test' END AS split " +
         "FROM b ORDER BY doc_id")),
 
+    // ---- curation: funnel report (lang -> quality -> repetition -> dedup) ----
+    ("ns_curate_funnel",
+      (s: SparkSession, d: String) =>
+        Curation.funnelReport(Tables.documents(s, d), "doc_id", "text"),
+      Some("WITH t AS (SELECT doc_id, text, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), " +
+        "sig AS (SELECT doc_id, " +
+        "round(CAST(len(list_filter(toks, x -> x IN " +
+        "('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(toks), 4) AS en_ratio, " +
+        "round(least(1.0, CAST(len(toks) AS INTEGER) / 100.0) * 0.5 + " +
+        "(1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 + " +
+        "CAST(len(list_filter(toks, x -> x IN " +
+        "('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(toks) * 0.2, 4) AS quality_score, " +
+        "round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS dup_word_frac, " +
+        "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp " +
+        "FROM t), " +
+        "flags AS (SELECT *, en_ratio >= 0.10 AS p1, " +
+        "en_ratio >= 0.10 AND quality_score >= 0.5 AS p2, " +
+        "en_ratio >= 0.10 AND quality_score >= 0.5 AND dup_word_frac <= 0.6 AS p3 " +
+        "FROM sig) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_total, " +
+        "CAST(count(CASE WHEN p1 THEN 1 END) AS BIGINT) AS n_lang, " +
+        "CAST(count(CASE WHEN p2 THEN 1 END) AS BIGINT) AS n_quality, " +
+        "CAST(count(CASE WHEN p3 THEN 1 END) AS BIGINT) AS n_repetition, " +
+        "CAST(count(DISTINCT CASE WHEN p3 THEN fp END) AS BIGINT) AS n_unique " +
+        "FROM flags")),
+
     // ---- curation: token-budget shard packing (distributed prefix sum) ----
     ("ns_curate_pack_shards",
       (s: SparkSession, d: String) =>
