@@ -47,4 +47,24 @@ object Multimodal {
   def withMeta(df: DataFrame, contentCol: String, frames: Int = 5): DataFrame =
     df.select(df.columns.map(col) ++ fakeDecodeMeta(col(contentCol)) :+
       frameOffsets(col(contentCol), frames).as("frame_offsets"): _*)
+
+  /** Frame extraction: slice `frames` equal byte ranges out of the payload
+    * and fingerprint each (the dedup / integrity key a video pipeline
+    * computes per sampled frame). The SLICING and hashing are real binary
+    * ops (`substring` on `binary`, md5); only the interpretation of a slice
+    * as a decoded frame is the stub. One row per (doc, frame), produced by
+    * a single explode — no shuffle, scan-speed.
+    */
+  def frameSlices(df: DataFrame, idCol: String, contentCol: String,
+                  frames: Int = 5): DataFrame = {
+    val flen = (length(col(contentCol)).cast("long") / lit(frames)).cast("int")
+    df.select(col(idCol), col(contentCol).as("__c"), flen.as("__flen"))
+      .select(col(idCol), col("__flen"),
+        posexplode(transform(sequence(lit(0), lit(frames - 1)),
+          i => i.cast("int") * col("__flen"))).as(Seq("frame_no", "off")),
+        col("__c"))
+      .select(col(idCol), col("frame_no"), col("off").cast("long").as("off"),
+        col("__flen").cast("long").as("frame_len"),
+        md5(expr(s"substring(__c, off + 1, __flen)")).as("frame_md5"))
+  }
 }

@@ -412,6 +412,25 @@ object PipelineQueries {
         "SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 20 " +
         "ORDER BY lang, rn")),
 
+    // ---- multimodal plumbing: frame slicing + per-frame fingerprints.
+    // Spark slices the BINARY payload; DuckDB has no BLOB substring, so the
+    // oracle slices the VARCHAR — byte-identical here because the corpus is
+    // ASCII (UTF-8 bytes == chars). ----
+    ("mm_frame_slices",
+      (s: SparkSession, d: String) =>
+        graft.operators.Multimodal.frameSlices(
+          Tables.documents(s, d).select(col("doc_id"),
+            encode(col("text"), "UTF-8").as("content")),
+          "doc_id", "content", frames = 5)
+          .orderBy("doc_id", "frame_no"),
+      Some("WITH f AS (SELECT doc_id, text, length(text) // 5 AS flen, " +
+        "CAST(i AS INTEGER) AS frame_no FROM documents " +
+        "CROSS JOIN generate_series(0, 4) g(i)) " +
+        "SELECT doc_id, frame_no, CAST(frame_no * flen AS BIGINT) AS off, " +
+        "CAST(flen AS BIGINT) AS frame_len, " +
+        "md5(substring(text, frame_no * flen + 1, flen)) AS frame_md5 " +
+        "FROM f ORDER BY doc_id, frame_no")),
+
     // ---- multimodal plumbing: opaque binary column + typed metadata.
     // The image/audio decode itself is STUBBED as a deterministic fake
     // (no codec libraries in this environment); the Spark-side plumbing —
