@@ -439,6 +439,65 @@ object CoreQueries {
         "AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL '90 days' " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority")),
 
+    // ---- Q23: pivot (wide per-entity event-type profile; O4-adjacent
+    // reshaping any reporting consumer needs) ----
+    ("q23_pivot",
+      (s: SparkSession, d: String) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .select(col("user_id") +:
+            types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+          .orderBy("user_id")
+      },
+      Some("SELECT user_id, " +
+        "CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click, " +
+        "CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error, " +
+        "CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase, " +
+        "CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup, " +
+        "CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view " +
+        "FROM events GROUP BY user_id ORDER BY user_id")),
+
+    // ---- Q24: CUBE grouping sets (A4 beyond rollup: all 4 grouping
+    // combinations in one pass, map-side combinable) ----
+    ("q24_cube",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .withColumn("dow", dayofweek(col("ts")).cast("long"))
+          .cube("event_type", "dow")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("event_type"), asc_nulls_first("dow")),
+      Some("WITH e AS (SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow " +
+        "FROM events) " +
+        "SELECT event_type, dow, count(*) AS n FROM e " +
+        "GROUP BY CUBE(event_type, dow) " +
+        "ORDER BY event_type NULLS FIRST, dow NULLS FIRST")),
+
+    // ---- Q25: time-series gap fill (T11-adjacent: dense hourly spine via
+    // sequence+explode, zero-filled left join — no driver loops) ----
+    ("q25_gapfill",
+      (s: SparkSession, d: String) => {
+        val hours = s.range(1).select(explode(expr(
+          "sequence(TIMESTAMP_NTZ '2024-01-01 00:00:00', " +
+            "TIMESTAMP_NTZ '2024-01-30 23:00:00', INTERVAL 1 HOUR)")).as("hour"))
+        val counts = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n"))
+        hours.join(counts, Seq("hour"), "left")
+          .select(col("hour"), coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("hour")
+      },
+      Some("WITH hours AS (SELECT unnest(generate_series(" +
+        "TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-30 23:00:00', " +
+        "INTERVAL 1 HOUR)) AS hour), " +
+        "c AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1) " +
+        "SELECT h.hour, CAST(coalesce(c.n, 0) AS BIGINT) AS n " +
+        "FROM hours h LEFT JOIN c ON h.hour = c.hour ORDER BY h.hour")),
+
     // ---- CDC replay-ID codec round-trip (P3), golden vectors incl. the
     // JS 2^53 cliff value (eventParser.js:160-174, avroHelper.js:8-34) ----
     ("cdc_replay_roundtrip",
