@@ -245,6 +245,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Near-dup CLUSTERS from a pair list: connected components over the
+    * similarity graph, labeled by each component's minimum doc id — the end
+    * product of a dedup pipeline ("which docs are the same, which one do we
+    * keep"). Returns `(id, cluster)` for every id in `allIds`; singletons
+    * label themselves.
+    *
+    * Algorithm: iterative min-label propagation (the standard distributed
+    * connected-components loop — one equi-join + one min-aggregate per
+    * round, all shuffles keyed on id). Rounds needed ≤ the longest
+    * min-label chain; near-dup components are small and dense in practice,
+    * so this converges in a handful of rounds — each checked with a cheap
+    * count-based fixpoint test, `localCheckpoint` every round truncating
+    * the iterative lineage (else round N replans N joins deep).
+    */
+  def dupClusters(pairs: DataFrame, allIds: DataFrame, idCol: String,
+                  maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    try {
+      var labels = allIds.select(col(idCol).as("id"), col(idCol).as("lbl"))
+        .localCheckpoint(true)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        val neighborMin = edges
+          .join(labels.select(col("id").as("src"), col("lbl").as("nlbl")), "src")
+          .groupBy(col("dst").as("id")).agg(min("nlbl").as("nmin"))
+        val next = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+          .localCheckpoint(true)
+        converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+          .filter(col("lbl") =!= col("old")).isEmpty
+        labels = next
+        iter += 1
+      }
+      labels.select(col("id"), col("lbl").as("cluster"))
+    } finally edges.unpersist()
+  }
+
   /** Reference all-pairs definition of [[embeddingDupPairs]] — O(N²); used
     * by specs to assert the banded operator's output is identical.
     */

@@ -86,6 +86,30 @@ object PipelineQueries {
           .orderBy("id_a", "id_b"),
       Some(jaccardPairsSql)),
 
+    // ---- near-dup clusters: connected components over the 0.8-Jaccard
+    // pair graph, min-id labels (the "which doc do we keep" end product).
+    // Oracle: recursive-CTE transitive closure over the same pairs. ----
+    ("ns_dedup_clusters",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        Dedup.dupClusters(
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.8),
+          docs, "doc_id")
+          .orderBy("id")
+      },
+      Some(shingleCte +
+        ", dup AS (SELECT id_a, id_b FROM pairs " +
+        "JOIN sizes s1 ON id_a = s1.doc_id JOIN sizes s2 ON id_b = s2.doc_id " +
+        "WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.8), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM dup " +
+        "UNION ALL SELECT id_b, id_a FROM dup), " +
+        "closure AS (WITH RECURSIVE reach(id, r) AS (" +
+        "SELECT a, a FROM (SELECT DISTINCT a FROM edges) " +
+        "UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id) " +
+        "SELECT id, min(r) AS cluster FROM reach GROUP BY id) " +
+        "SELECT d.doc_id AS id, coalesce(c.cluster, d.doc_id) AS cluster " +
+        "FROM documents d LEFT JOIN closure c ON d.doc_id = c.id ORDER BY id")),
+
     // ---- SimHash sketches (oracle-checkable hash) ----
     ("ns_dedup_simhash",
       (s: SparkSession, d: String) =>

@@ -79,4 +79,15 @@ class DedupSpec extends SparkSpec {
     val plan = banded.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(30).mkString("\n"))
   }
+
+  test("dupClusters: chains collapse to min-id components, singletons self-label") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (5L, 6L, 0.9), (6L, 7L, 0.9),
+      (7L, 8L, 0.9)).toDF("id_a", "id_b", "jaccard")
+    val ids = (1L to 9L).toDF("doc_id")
+    val got = Dedup.dupClusters(pairs, ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L, 9L -> 9L))
+  }
 }
