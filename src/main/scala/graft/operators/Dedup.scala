@@ -265,7 +265,10 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
     try {
-      var labels = allIds.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      // only edge-touched ids can ever change label — iterate over THOSE
+      // (O(edges) per round), and attach untouched singletons at the end
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
         .localCheckpoint(true)
       var iter = 0
       var converged = false
@@ -281,7 +284,9 @@ object Dedup {
         labels = next
         iter += 1
       }
-      labels.select(col("id"), col("lbl").as("cluster"))
+      allIds.select(col(idCol).as("id"))
+        .join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster"))
     } finally edges.unpersist()
   }
 
