@@ -498,6 +498,24 @@ object CoreQueries {
         "SELECT h.hour, CAST(coalesce(c.n, 0) AS BIGINT) AS n " +
         "FROM hours h LEFT JOIN c ON h.hour = c.hour ORDER BY h.hour")),
 
+    // ---- Q26: exact percentiles per group (A4 depth: both engines use
+    // linear interpolation over the sorted values, so exact percentile is
+    // cross-engine deterministic where approx sketches are not) ----
+    ("q26_percentiles",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(
+            round(expr("percentile(value, 0.5)"), 4).as("p50"),
+            round(expr("percentile(value, 0.9)"), 4).as("p90"),
+            round(expr("percentile(value, 0.99)"), 4).as("p99"))
+          .orderBy("event_type"),
+      Some("SELECT event_type, " +
+        "round(quantile_cont(value, 0.5), 4) AS p50, " +
+        "round(quantile_cont(value, 0.9), 4) AS p90, " +
+        "round(quantile_cont(value, 0.99), 4) AS p99 " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
+
     // ---- CDC replay-ID codec round-trip (P3), golden vectors incl. the
     // JS 2^53 cliff value (eventParser.js:160-174, avroHelper.js:8-34) ----
     ("cdc_replay_roundtrip",
