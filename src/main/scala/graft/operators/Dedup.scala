@@ -276,12 +276,16 @@ object Dedup {
         val neighborMin = edges
           .join(labels.select(col("id").as("src"), col("lbl").as("nlbl")), "src")
           .groupBy(col("dst").as("id")).agg(min("nlbl").as("nmin"))
-        val next = labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        // carry the previous label through the checkpoint: the fixpoint
+        // check is then a filter over materialized rows, not a second join
+        val next = labels.withColumnRenamed("lbl", "old")
+          .join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("old"), coalesce(col("nmin"), col("old"))).as("lbl"),
+            col("old"))
           .localCheckpoint(true)
-        converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-          .filter(col("lbl") =!= col("old")).isEmpty
-        labels = next
+        converged = next.filter(col("lbl") =!= col("old")).isEmpty
+        labels = next.drop("old")
         iter += 1
       }
       allIds.select(col(idCol).as("id"))
