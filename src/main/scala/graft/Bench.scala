@@ -28,11 +28,25 @@ object Bench {
     }
     try SparkEntry.queries("q05_star_join")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // JIT/codegen-compile the heavy pipeline kernels (shingling, MinHash,
+    // hyperplane LSH, cosine) on a tiny subset so compilation cost doesn't
+    // land on whichever dedup/ANN query alphabetically runs first
+    try {
+      val docs = Tables.load(spark, sfDir, "documents").limit(200)
+      graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8).count()
+      val embs = Tables.load(spark, sfDir, "embeddings").limit(200)
+      graft.operators.Dedup.embeddingDupPairs(embs, "vec_id", "embedding", 0.4).count()
+    } catch { case _: Throwable => () }
+    spark.catalog.clearCache()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // outside the timer: queries are independent, so caches one query
+      // leaves behind must not squeeze executor storage for the next 50
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

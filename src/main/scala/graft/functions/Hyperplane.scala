@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   * `bands` keys, each from `planesPerBand` pseudo-random ±1 hyperplanes —
   * bit p of band b is `[dot(vec, plane_{b*r+p}) > 0]`.
   *
-  * Plane components are ±1 from the parity of `xxhash64(plane * 1024 + dim)`
-  * (seed 42) — deterministic across executors with no broadcast of plane
-  * matrices. The ±1 sign matrix is memoized per (planes, dims) JVM-wide, so
+  * Plane components are ±1 from the parity of `xxhash64(dim, seed =
+  * xxhash64(plane, 42))` — deterministic across executors with no broadcast
+  * of plane matrices, and free of inter-plane correlation at any
+  * dimensionality (a fixed-stride `plane*K + dim` index would make plane p
+  * a shifted copy of plane p+1 once dims exceed K). The ±1 sign matrix is memoized per (planes, dims) JVM-wide, so
   * the per-row work is a plain multiply-add sweep (planes × dims), fully
   * inside whole-stage codegen — the round-1 higher-order-function
   * formulation was interpreted and re-hashed every row.
@@ -28,9 +30,15 @@ object HyperplaneKernels {
       val m = new Array[Byte](p * d)
       var i = 0
       while (i < p) {
+        // per-plane seed derived by a full hash round (not a fixed stride):
+        // with `i * K + j` style indexing, dims > K made plane p's tail a
+        // shifted copy of plane p+1's head — correlated hyperplanes degrade
+        // LSH selectivity. Hashing j under a per-plane seed decorrelates
+        // planes for any dimensionality.
+        val planeSeed = XXH64.hashLong(i.toLong, 42L)
         var j = 0
         while (j < d) {
-          val h = XXH64.hashLong(i * 1024L + j, 42L)
+          val h = XXH64.hashLong(j.toLong, planeSeed)
           m(i * d + j) = if ((h & 1L) == 0L) 1 else -1
           j += 1
         }

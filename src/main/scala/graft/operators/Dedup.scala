@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.CacheScope
 import graft.functions.{md5_lower64, simhash64}
 
 /** Document deduplication operators for the training-data pipeline
@@ -44,15 +45,16 @@ object Dedup {
     */
   private[operators] def shingleIndex(docs: DataFrame, idCol: String,
                                       textCol: String, n: Int,
-                                      maxShingleDF: Long): DataFrame = {
+                                      maxShingleDF: Long)
+                                     (implicit scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val sh = withShingles(docs, idCol, textCol, n)
     // carry each doc's set size through the explode: after the pair
     // aggregation both sizes ride along as grouping keys, so no extra
     // joins (and no shingle recompute) are needed to finish the jaccard.
     // cached: the exploded relation feeds BOTH the DF aggregate and the
     // anti-join input — without it the shingle kernel runs twice
-    val ex = sh.select(col("id"), size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("s")).cache()
+    val ex = scope.own(sh.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s")))
     val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDF).select("s")
     ex.join(broadcast(hot), Seq("s"), "left_anti")
@@ -72,8 +74,9 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, n: Int = 3,
-                        maxShingleDF: Long = 100000L): DataFrame = {
-    val ex = shingleIndex(docs, idCol, textCol, n, maxShingleDF).cache()
+                        maxShingleDF: Long = 100000L)
+                       (implicit scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val ex = scope.own(shingleIndex(docs, idCol, textCol, n, maxShingleDF))
     ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -113,11 +116,12 @@ object Dedup {
 
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, n: Int = 3,
-                      numHashes: Int = 32, bands: Int = 16): DataFrame = {
+                      numHashes: Int = 32, bands: Int = 16)
+                     (implicit scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // Cache the shingle sets: they are read three times (signature pass +
     // both sides of the verification join).
-    val sh = withShingles(docs, idCol, textCol, n).cache()
+    val sh = scope.own(withShingles(docs, idCol, textCol, n))
 
     // codegen'd one-pass MinHash signature (see MinHashKernel)
     val sig = graft.functions.minhash_signature(col("sh"), numHashes)
@@ -126,10 +130,9 @@ object Dedup {
     // Skinny (id, band, bkey) relation for the bucket self-join — no array
     // payloads cross the shuffle; cached so the expensive signature pass
     // runs once, not once per join side.
-    val banded = sh
+    val banded = scope.own(sh
       .withColumn("sig", sig)
-      .select(col("id"), posexplode(bandKeys).as(Seq("band", "bkey")))
-      .cache()
+      .select(col("id"), posexplode(bandKeys).as(Seq("band", "bkey"))))
 
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -166,10 +169,11 @@ object Dedup {
     * candidates vs 0.4M at sf0.1 for the same 1.7k verified pairs).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3)
+                  (implicit scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(maxHamming <= 3, "4 x 16-bit bands guarantee recall only for hamming <= 3")
     // cached: read by both sides of the band self-join
-    val sk = simhashSketches(docs, idCol, textCol).cache()
+    val sk = scope.own(simhashSketches(docs, idCol, textCol))
     val banded = sk.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(j =>
         shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(lit(65535L))): _*))
@@ -211,15 +215,15 @@ object Dedup {
     */
   def embeddingDupPairs(embs: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, planesPerBand: Int = 8,
-                        bands: Int = 16, probeBits: Int = 2): DataFrame = {
+                        bands: Int = 16, probeBits: Int = 2)
+                       (implicit scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     import graft.functions.{cosine_similarity, hyperplane_bands}
     require(probeBits <= planesPerBand, "probeBits <= planesPerBand")
 
     // cached: read by the probe explode, the exact side, and the verify join
-    val sk = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sk = scope.own(embs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(embs.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("bk", hyperplane_bands(col("v"), planesPerBand, bands))
-      .cache()
+      .withColumn("bk", hyperplane_bands(col("v"), planesPerBand, bands)))
 
     // skinny (id, band, key) relation — no vector payloads cross the shuffle
     val banded = sk.select(col("id"), posexplode(col("bk")).as(Seq("band", "key")))
@@ -288,6 +292,13 @@ object Dedup {
         labels = next.drop("old")
         iter += 1
       }
+      // silently returning un-converged labels would hand the caller WRONG
+      // clusters (and diverge from the oracle's exact closure) — fail loud
+      if (!converged)
+        throw new IllegalStateException(
+          s"dupClusters: min-label propagation did not converge within " +
+            s"$maxIters rounds (a component's min-label chain is longer); " +
+            s"raise maxIters")
       allIds.select(col(idCol).as("id"))
         .join(labels, Seq("id"), "left")
         .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster"))

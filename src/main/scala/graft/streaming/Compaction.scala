@@ -45,10 +45,16 @@ object Compaction {
       }
       .filter(_._2.length > maxFilesPerBucket)
 
-    oversized.map { case (bucketDir, oldFiles) =>
+    oversized.flatMap { case (bucketDir, oldFiles) =>
       // 1. write the merged replacement INTO the bucket (readers may briefly
       //    see rows twice — harmless by the table's duplicate-tolerant
-      //    contract); 2. delete the superseded files.
+      //    contract); 2. delete the superseded files ONLY once the merged
+      //    file is durably in place. The destination keeps the staging
+      //    part-file's name (globally unique), so two compactions in the
+      //    same millisecond can't collide; a failed rename (local/HDFS
+      //    return false rather than throw on an existing destination)
+      //    aborts the bucket with the old files intact — the table's
+      //    contract is "duplicates, never loss".
       val staging = new Path(bucketDir.getParent,
         s".compact_${bucketDir.getName}")
       spark.read.parquet(oldFiles.map(_.toString): _*)
@@ -56,11 +62,12 @@ object Compaction {
         .write.mode("overwrite").parquet(staging.toString)
       val part = fs.listStatus(staging)
         .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-      fs.rename(part, new Path(bucketDir,
-        s"compacted-${System.currentTimeMillis()}.parquet"))
+      val renamed = fs.rename(part, new Path(bucketDir, part.getName))
       fs.delete(staging, true)
-      oldFiles.foreach(f => fs.delete(f, false))
-      bucketDir.getName.stripPrefix("__bucket=").toInt
+      if (renamed) {
+        oldFiles.foreach(f => fs.delete(f, false))
+        Some(bucketDir.getName.stripPrefix("__bucket=").toInt)
+      } else None
     }.sorted
   }
 }

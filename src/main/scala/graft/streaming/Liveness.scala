@@ -44,15 +44,24 @@ class LivenessMonitor extends StreamingQueryListener {
       if (n != null && n.has("replayId")) Some(n.get("replayId").asLong()) else None
     } catch { case _: Exception => None }
 
+  /** Unnamed queries have a null `name`; key those on the stable query id
+    * instead (a null key would NPE inside the listener bus and silently
+    * disable the watchdog for every unnamed ingest query).
+    */
+  private def keyOf(name: String, id: java.util.UUID): String =
+    if (name != null) name else id.toString
+
   override def onQueryStarted(event: QueryStartedEvent): Unit =
-    beats.put(event.name, Heartbeat(System.currentTimeMillis(), -1L, 0L, None))
+    beats.put(keyOf(event.name, event.id),
+      Heartbeat(System.currentTimeMillis(), -1L, 0L, None))
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
+    val key = keyOf(p.name, p.id)
     val latest = p.sources.headOption
       .flatMap(s => Option(s.latestOffset)).flatMap(parseReplayId)
-    val prevRows = beats.get(p.name).map(_.inputRows).getOrElse(0L)
-    beats.put(p.name,
+    val prevRows = beats.get(key).map(_.inputRows).getOrElse(0L)
+    beats.put(key,
       Heartbeat(System.currentTimeMillis(), p.batchId,
         prevRows + p.numInputRows, latest))
   }

@@ -126,6 +126,10 @@ object StreamingDedup {
     val bandsDir = s"$indexDir/bands"
     val shDir = s"$indexDir/shingles"
 
+    // this batch owns the dedup operator's internal caches: without a scope,
+    // every micro-batch would leave orphaned cached RDDs in executor storage
+    implicit val scope: graft.CacheScope = graft.CacheScope()
+
     // within-batch near-dups: reject the larger id of every verified pair
     val localPairs = Dedup.minhashLshPairs(batch, idCol, textCol, threshold,
       n, numHashes, bands)
@@ -190,7 +194,10 @@ object StreamingDedup {
           }
         } finally keptIds.unpersist()
       } finally posting.unpersist()
-    } finally sh.unpersist()
+    } finally {
+      sh.unpersist()
+      scope.close()
+    }
   }
 
   /** Start the checkpointed streaming NEAR-dup dedup. */

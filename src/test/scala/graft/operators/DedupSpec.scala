@@ -90,4 +90,16 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
       5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L, 9L -> 9L))
   }
+
+  test("dupClusters fails loud (not wrong) when maxIters is too small") {
+    import spark.implicits._
+    // a 3-chain needs 2 min-label rounds; maxIters = 1 must throw, never
+    // return silently-unconverged labels
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9)).toDF("id_a", "id_b", "jaccard")
+    val ids = (1L to 3L).toDF("doc_id")
+    val e = intercept[IllegalStateException] {
+      Dedup.dupClusters(pairs, ids, "doc_id", maxIters = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }

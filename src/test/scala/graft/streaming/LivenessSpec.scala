@@ -41,6 +41,27 @@ class LivenessSpec extends SparkSpec {
     } finally Liveness.uninstall(spark, m)
   }
 
+  test("unnamed queries are tracked under their id (no NPE on null name)") {
+    val log = Files.createTempDirectory("live_log_unnamed").toString
+    val events = Seq(("a", "UPDATE", "{}")).toDF("sfId", "changeType", "data")
+    Publish.append(spark, events, log)
+
+    val m = Liveness.install(spark)
+    try {
+      // NOTE: no .queryName(...) — event.name/progress.name are null, the
+      // monitor must fall back to the stable query id
+      val q = spark.readStream.format("graft.sources.ChangeEventLogProvider")
+        .option("path", log).load()
+        .writeStream
+        .option("checkpointLocation", Files.createTempDirectory("live_ck_unnamed").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      q.awaitTermination()
+      awaitBeat(m, q.id.toString, hb => hb.batchId >= 0)
+    } finally Liveness.uninstall(spark, m)
+  }
+
   test("silent queries are flagged dead and restarted exactly once per sweep") {
     val m = new LivenessMonitor
     val now = System.currentTimeMillis()
