@@ -21,22 +21,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: scan every table once, exercise one agg+join plan
+    // Warmup pass: run the ENTIRE suite once, untimed, against the smallest
+    // SF. This pays every one-time JVM cost outside the timed region — the
+    // big one in Spark 4.x is CollationAwareUTF8String.<clinit> (~6 s of ICU
+    // case-mapping table construction, triggered by the first lower()/upper()
+    // call), plus whole-stage-codegen compilation per plan shape and C2 JIT
+    // of the kernel loops. Warming at sf0.001 keeps the pass cheap while
+    // hitting the same generated-code cache entries the timed run uses.
+    val warmDir = {
+      val w = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+      if (new java.io.File(w).isDirectory) w else sfDir
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
+    // then touch every table at the TARGET SF so footer reads and OS page
+    // cache are warm for the timed pass
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
-    try SparkEntry.queries("q05_star_join")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    // JIT/codegen-compile the heavy pipeline kernels (shingling, MinHash,
-    // hyperplane LSH, cosine) on a tiny subset so compilation cost doesn't
-    // land on whichever dedup/ANN query alphabetically runs first
-    try {
-      val docs = Tables.load(spark, sfDir, "documents").limit(200)
-      graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8).count()
-      val embs = Tables.load(spark, sfDir, "embeddings").limit(200)
-      graft.operators.Dedup.embeddingDupPairs(embs, "vec_id", "embedding", 0.4).count()
-    } catch { case _: Throwable => () }
     spark.catalog.clearCache()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
