@@ -167,4 +167,51 @@ object Curation {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= perStratum)
   }
+
+  /** Per-domain document cap (the C4/RefinedWeb "no domain dominates the
+    * corpus" rule): keep at most `cap` documents per domain, chosen in
+    * md5-hash order — a content-addressed uniform draw within each domain,
+    * stable across runs and engines. Every document is returned with its
+    * within-domain rank and a `kept` flag, so callers can either filter or
+    * audit what the cap removed.
+    *
+    * Same scale shape as [[stratifiedSample]]: one shuffle keyed on the
+    * domain; the rank window sorts only within a domain's partition (with
+    * AQE skew handling for a mega-domain).
+    */
+  def domainCap(docs: DataFrame, idCol: String, domainCol: String,
+                cap: Int): DataFrame = {
+    val h = md5_lower64(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(domainCol)).orderBy(h, col(idCol))
+    docs.select(col(idCol), col(domainCol))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("kept", col("rn") <= cap)
+  }
+
+  /** Domain-mixture reweighting: given target shares per domain (e.g. the
+    * mixture a training run wants), compute each domain's actual share and
+    * the sampling weight `target_share / actual_share` that resamples the
+    * corpus to the target mixture. Domains absent from `targets` get
+    * target 0 (weight 0 — dropped by the sampler).
+    *
+    * One count aggregate (map-side combinable) over the corpus + a
+    * broadcast of the tiny target table; shares divide through exact
+    * decimal so the report is bit-deterministic cross-engine.
+    */
+  def mixWeights(docs: DataFrame, domainCol: String,
+                 targets: Map[String, Double]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = targets.toSeq.sortBy(_._1).toDF(domainCol, "target_share")
+    val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_total", sum("n_docs").over(Window.partitionBy()))
+    counts.join(broadcast(t), Seq(domainCol), "left")
+      .select(col(domainCol), col("n_docs"),
+        round(col("n_docs").cast(org.apache.spark.sql.types.DecimalType(28, 12))
+          / col("n_total"), 6).cast("double").as("actual_share"),
+        coalesce(col("target_share"), lit(0.0)).as("target_share"))
+      .withColumn("weight",
+        when(col("actual_share") > 0,
+          round(col("target_share") / col("actual_share"), 6)).otherwise(0.0))
+  }
 }

@@ -255,13 +255,17 @@ object Dedup {
     * keep"). Returns `(id, cluster)` for every id in `allIds`; singletons
     * label themselves.
     *
-    * Algorithm: iterative min-label propagation (the standard distributed
-    * connected-components loop — one equi-join + one min-aggregate per
-    * round, all shuffles keyed on id). Rounds needed ≤ the longest
-    * min-label chain; near-dup components are small and dense in practice,
-    * so this converges in a handful of rounds — each checked with a cheap
-    * count-based fixpoint test, `localCheckpoint` every round truncating
-    * the iterative lineage (else round N replans N joins deep).
+    * Algorithm: min-label propagation with pointer doubling — each round
+    * takes the min of (own label, neighbors' labels, label-of-own-label).
+    * The last term is the path-halving shortcut: label chains collapse
+    * geometrically, so rounds are O(log longest-chain) instead of
+    * O(longest-chain) — a 100-link chain (pathological boilerplate corpus)
+    * converges in ~8 rounds, not ~100 (asserted in DedupSpec). The
+    * shortcut is sound because every label IS a node id of the same
+    * component (labels start as ids and only min-combine), so `lbl(lbl)`
+    * is always defined and component-internal. All joins are tiny
+    * id-keyed equi-joins; `localCheckpoint` every round truncates the
+    * iterative lineage (else round N replans N joins deep).
     */
   def dupClusters(pairs: DataFrame, allIds: DataFrame, idCol: String,
                   maxIters: Int = 20): DataFrame = {
@@ -280,12 +284,19 @@ object Dedup {
         val neighborMin = edges
           .join(labels.select(col("id").as("src"), col("lbl").as("nlbl")), "src")
           .groupBy(col("dst").as("id")).agg(min("nlbl").as("nmin"))
+        // pointer doubling: my label's label (always present — labels are
+        // closed under lbl, see scaladoc)
+        val shortcut = labels.as("l1")
+          .join(labels.select(col("id").as("lbl"), col("lbl").as("slbl")).as("l2"), "lbl")
+          .select(col("id"), col("slbl"))
         // carry the previous label through the checkpoint: the fixpoint
         // check is then a filter over materialized rows, not a second join
         val next = labels.withColumnRenamed("lbl", "old")
           .join(neighborMin, Seq("id"), "left")
+          .join(shortcut, Seq("id"), "left")
           .select(col("id"),
-            least(col("old"), coalesce(col("nmin"), col("old"))).as("lbl"),
+            least(col("old"), coalesce(col("nmin"), col("old")),
+              coalesce(col("slbl"), col("old"))).as("lbl"),
             col("old"))
           .localCheckpoint(true)
         converged = next.filter(col("lbl") =!= col("old")).isEmpty

@@ -146,6 +146,28 @@ object Similarity {
     } finally probes.unpersist()
   }
 
+  /** Per-vector statistics (corpus hygiene for an embedding column): L2
+    * norm, component min/max, and a unit-norm flag — the checks a pipeline
+    * runs before cosine math (a zero or wildly-scaled vector poisons
+    * similarity scores silently). Pure codegen'd projection, zero shuffle.
+    *
+    * Determinism: the squared-norm accumulates float components cast to
+    * double, left-to-right — the same order DuckDB's `list_sum` uses — so
+    * the rounded values are bit-identical cross-engine.
+    */
+  def embedStats(embs: DataFrame, idCol: String, vecCol: String,
+                 unitTol: Double = 0.01): DataFrame = {
+    val v = col(vecCol)
+    val sumSq = aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val norm = sqrt(sumSq)
+    embs.select(col(idCol), size(v).as("dims"),
+      round(norm, 4).as("l2_norm"),
+      round(array_min(v).cast("double"), 4).as("min_v"),
+      round(array_max(v).cast("double"), 4).as("max_v"),
+      (abs(norm - 1.0) <= unitTol).as("is_unit"))
+  }
+
   /** Top-k probe against a materialized index: the multi-probe bucket list
     * is a LITERAL `isin`, so Catalyst partition-prunes at planning time —
     * only the matching `bucket=K/` dirs' files are opened (asserted via the

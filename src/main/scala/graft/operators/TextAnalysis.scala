@@ -124,4 +124,35 @@ object TextAnalysis {
       .groupBy("ngram").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("ngram"))
       .limit(k)
+
+  /** Character-level Shannon entropy per document (low entropy = repetitive
+    * / machine-generated text, high = random noise — both filter targets).
+    * Zero-shuffle per-row HOF compute like [[repetition]]; the per-char
+    * frequency scan is O(distinct·len) within one row.
+    *
+    * Cross-engine determinism: probabilities are exact integer ratios, and
+    * the sum runs over the SORTED distinct characters on both engines
+    * (binary collation both sides), so term order — the only source of
+    * floating-point divergence in a sum — is pinned. log is natural log on
+    * both engines (log2 in Spark is ln/ln2 with a different rounding than
+    * DuckDB's native log2; dividing by ln 2 once, after the sum, keeps the
+    * arithmetic identical).
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = lower(col(textCol))
+    val n = length(s)
+    // split on "" emits a trailing "" (regex split, limit -1) — drop it
+    val chars = filter(split(s, ""), c => c =!= lit(""))
+    val sortedDistinct = array_sort(array_distinct(chars))
+    val sumPLnP = aggregate(sortedDistinct, lit(0.0),
+      (acc, ch) => {
+        val p = size(filter(chars, x => x === ch)).cast("double") / n.cast("double")
+        acc + p * log(p)
+      })
+    // 0 - x, not -x: a one-symbol doc sums to ±0.0 and unary minus would
+    // emit -0.0, which is NOT value-equal to 0.0 once boxed/hashed
+    docs.select(col(idCol), n.as("n_chars"),
+      size(sortedDistinct).as("n_distinct_chars"),
+      round((lit(0.0) - sumPLnP) / log(lit(2.0)), 4).as("char_entropy_bits"))
+  }
 }

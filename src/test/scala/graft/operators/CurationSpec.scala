@@ -81,4 +81,29 @@ class CurationSpec extends SparkSpec {
     val s2 = Curation.stratifiedSample(docs, "doc_id", "lang", perStratum = 7)
     assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
   }
+
+  test("domainCap keeps exactly cap docs per domain, flags the rest") {
+    val docs = (0L until 200L).map(i => (i, s"dom${i % 4}")).toDF("doc_id", "source")
+    val capped = Curation.domainCap(docs, "doc_id", "source", cap = 10)
+    assert(capped.count() == 200) // audit shape: every doc returned
+    val kept = capped.filter(col("kept")).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept.values.forall(_ === 10L), kept.toString)
+    // ranks within a domain are 1..n with no gaps
+    val ranks = capped.filter(col("source") === "dom0")
+      .select("rn").as[Int].collect().sorted
+    assert(ranks.toSeq == (1 to 50))
+  }
+
+  test("mixWeights: weight resamples actual share to target share") {
+    val docs = ((0L until 60L).map(i => (i, "a")) ++
+      (60L until 100L).map(i => (i, "b")) ++
+      (100L until 120L).map(i => (i, "c"))).toDF("doc_id", "source")
+    val w = Curation.mixWeights(docs, "source", Map("a" -> 0.25, "b" -> 0.75))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(w("a") == ((60L, 0.5, 0.25, 0.5)))   // over-represented: downsample
+    assert(w("b") == ((40L, 0.333333, 0.75, 2.250002)))  // upsample
+    assert(w("c")._4 == 0.0)                    // not in targets: dropped
+  }
 }

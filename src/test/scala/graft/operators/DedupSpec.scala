@@ -91,6 +91,18 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L, 9L -> 9L))
   }
 
+  test("dupClusters: pointer doubling converges a 64-link chain in O(log) rounds") {
+    import spark.implicits._
+    // path graph 1-2-…-65: plain min-label propagation needs 64 rounds;
+    // path halving must land it within ~log2(64)+2 — run with maxIters=10
+    // so a regression to linear convergence fails loud
+    val pairs = (1L until 65L).map(i => (i, i + 1, 0.9)).toDF("id_a", "id_b", "jaccard")
+    val ids = (1L to 65L).toDF("doc_id")
+    val got = Dedup.dupClusters(pairs, ids, "doc_id", maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet === Set(1L) && got.size == 65)
+  }
+
   test("dupClusters fails loud (not wrong) when maxIters is too small") {
     import spark.implicits._
     // a 3-chain needs 2 min-label rounds; maxIters = 1 must throw, never

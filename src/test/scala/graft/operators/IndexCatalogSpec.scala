@@ -1,0 +1,135 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IndexCatalogSpec extends SparkSpec {
+
+  private def withRoot[A](f: String => A): A = {
+    val root = Files.createTempDirectory("idx_cat_spec").toString
+    spark.conf.set("spark.graft.index.root", root)
+    IndexCatalog.invalidateMemo()
+    try f(root)
+    finally {
+      spark.conf.unset("spark.graft.index.root")
+      IndexCatalog.invalidateMemo()
+    }
+  }
+
+  private def writeInput(rows: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("idx_cat_in").toString + "/t.parquet"
+    import spark.implicits._
+    rows.toDF("id", "v").coalesce(1).write.parquet(dir)
+    dir
+  }
+
+  test("builds once, then serves the same directory without rebuilding") {
+    withRoot { _ =>
+      val in = writeInput(Seq((1L, "a"), (2L, "b")))
+      val builds = new AtomicInteger(0)
+      def ensure() = IndexCatalog.ensure(spark, "t", Seq(in), "p=1") { dir =>
+        builds.incrementAndGet()
+        spark.read.parquet(in).write.parquet(dir + "/data")
+      }
+      val d1 = ensure()
+      val d2 = ensure()
+      assert(d1 == d2)
+      assert(builds.get() == 1)
+      assert(spark.read.parquet(d1 + "/data").count() == 2)
+    }
+  }
+
+  test("FS entry survives a memo wipe (new-JVM analog): still no rebuild") {
+    withRoot { _ =>
+      val in = writeInput(Seq((1L, "a")))
+      val builds = new AtomicInteger(0)
+      def ensure() = IndexCatalog.ensure(spark, "t", Seq(in), "p=1") { dir =>
+        builds.incrementAndGet()
+        spark.read.parquet(in).write.parquet(dir + "/data")
+      }
+      val d1 = ensure()
+      IndexCatalog.invalidateMemo() // as if a fresh JVM resolved the key
+      val d2 = ensure()
+      assert(d1 == d2 && builds.get() == 1)
+    }
+  }
+
+  test("changed input files produce a different entry (staleness safety)") {
+    withRoot { _ =>
+      val in = writeInput(Seq((1L, "a")))
+      val builds = new AtomicInteger(0)
+      def ensure() = IndexCatalog.ensure(spark, "t", Seq(in), "p=1") { dir =>
+        builds.incrementAndGet()
+        spark.read.parquet(in).write.parquet(dir + "/data")
+      }
+      val d1 = ensure()
+      // rewrite the input: new file name + length + mtime => new fingerprint
+      import spark.implicits._
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      val d2 = ensure()
+      assert(d1 != d2, "stale index must not be served after input change")
+      assert(builds.get() == 2)
+      assert(spark.read.parquet(d2 + "/data").count() == 3)
+    }
+  }
+
+  test("different params are distinct entries; kinds namespace the key") {
+    withRoot { _ =>
+      val in = writeInput(Seq((1L, "a")))
+      def ensure(kind: String, params: String) =
+        IndexCatalog.ensure(spark, kind, Seq(in), params) { dir =>
+          Files.createDirectories(Paths.get(dir))
+          Files.write(Paths.get(dir, "m"), params.getBytes)
+        }
+      val a = ensure("t", "p=1")
+      val b = ensure("t", "p=2")
+      val c = ensure("u", "p=1")
+      assert(Set(a, b, c).size == 3)
+      assert(a.contains("t-") && c.contains("u-"))
+    }
+  }
+
+  test("crashed build leaves no visible entry; a retry builds cleanly") {
+    withRoot { root =>
+      val in = writeInput(Seq((1L, "a")))
+      intercept[RuntimeException] {
+        IndexCatalog.ensure(spark, "t", Seq(in), "p=1") { dir =>
+          spark.read.parquet(in).write.parquet(dir + "/data")
+          throw new RuntimeException("builder died mid-flight")
+        }
+      }
+      IndexCatalog.invalidateMemo() // the failed computeIfAbsent left no memo
+      // only dot-prefixed staging wreckage may exist — no final entry
+      val visible = new java.io.File(root).listFiles()
+        .filterNot(_.getName.startsWith("."))
+      assert(visible.isEmpty)
+      val d = IndexCatalog.ensure(spark, "t", Seq(in), "p=1") { dir =>
+        spark.read.parquet(in).write.parquet(dir + "/data")
+      }
+      assert(spark.read.parquet(d + "/data").count() == 1)
+    }
+  }
+
+  test("ANN LSH probe through the catalog matches a direct-built index") {
+    withRoot { _ =>
+      val embsDir = sfDir + "/embeddings.parquet"
+      val embs = spark.read.parquet(embsDir)
+      val direct = Files.createTempDirectory("idx_direct").toString
+      Similarity.buildIndex(embs, "vec_id", "embedding", direct, numPlanes = 6)
+      val cat = IndexCatalog.ensure(spark, "ann-lsh", Seq(embsDir), "planes=6")(
+        dir => Similarity.buildIndex(embs, "vec_id", "embedding", dir, numPlanes = 6))
+      val qv = embs.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val a = Similarity.indexTopK(spark, direct, qv, k = 11, numPlanes = 6)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = Similarity.indexTopK(spark, cat, qv, k = 11, numPlanes = 6)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b)
+    }
+  }
+}

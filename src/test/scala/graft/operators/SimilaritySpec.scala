@@ -140,4 +140,19 @@ class SimilaritySpec extends SparkSpec {
     val recall = (0L until 5L).map(q => (batch(q) & idx.getOrElse(q, Set.empty)).size).sum
     assert(recall >= 13, s"batch index recall too low: $recall/25")
   }
+
+  test("embedStats: norms, ranges, unit flag on known vectors") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Array(3f, 4f)),          // norm 5
+      (2L, Array(0.6f, 0.8f)),      // unit
+      (3L, Array(0f, 0f))           // degenerate zero vector
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.embedStats(embs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(got(1L) === ((2, 5.0, 3.0, 4.0, false)))
+    assert(got(2L)._2 === 1.0 && got(2L)._5 === true)
+    assert(got(3L) === ((2, 0.0, 0.0, 0.0, false)))
+  }
 }

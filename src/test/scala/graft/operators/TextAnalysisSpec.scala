@@ -48,4 +48,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) === ((0.5, 0.6667)))
     assert(out(2L) === ((0.0, 0.3333)))
   }
+
+  test("charEntropy: uniform chars hit log2(k) bits, repeats score zero") {
+    val docs = Seq(
+      (1L, "aaaa"),   // one symbol: entropy 0
+      (2L, "abcd"),   // 4 equiprobable symbols: exactly 2 bits
+      (3L, "AAbb")    // lowercased first: {a,b} equiprobable -> 1 bit
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((4, 1, 0.0)))
+    assert(out(2L) === ((4, 4, 2.0)))
+    assert(out(3L) === ((4, 2, 1.0)))
+  }
 }
