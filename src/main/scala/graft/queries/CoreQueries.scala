@@ -516,6 +516,30 @@ object CoreQueries {
         "round(quantile_cont(value, 0.99), 4) AS p99 " +
         "FROM events GROUP BY event_type ORDER BY event_type")),
 
+    // ---- Q27: correlated scalar subquery (TPC-H Q17 shape): lineitems
+    // whose quantity is below 20% of their part's average quantity.
+    // The per-part average never materializes as a double: the predicate
+    // qty < 0.2 * (sum/cnt) cross-multiplies to 5 * qty * cnt < sum — all
+    // integral doubles (quantities are whole numbers, sums < 2^53), so the
+    // comparison is EXACT on both engines, no rounding epsilon anywhere. ----
+    ("q27_corr_subquery",
+      (s: SparkSession, d: String) => {
+        val li = Tables.lineitem(s, d)
+        val perPart = li.groupBy(col("l_partkey").as("p_key"))
+          .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt_qty"))
+        li.join(perPart, col("l_partkey") === col("p_key"))
+          .filter(col("l_quantity") * 5 * col("cnt_qty") < col("sum_qty"))
+          .agg(count(lit(1)).as("n_small"),
+            round(sum(dec("l_extendedprice")), 4).cast("double").as("small_revenue"))
+      },
+      Some("WITH pp AS (SELECT l_partkey AS p_key, sum(l_quantity) AS sum_qty, " +
+        "count(*) AS cnt_qty FROM lineitem GROUP BY l_partkey) " +
+        "SELECT count(*) AS n_small, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))), 4) AS DOUBLE) " +
+        "AS small_revenue " +
+        "FROM lineitem JOIN pp ON l_partkey = p_key " +
+        "WHERE l_quantity * 5 * cnt_qty < sum_qty")),
+
     // ---- CDC replay-ID codec round-trip (P3), golden vectors incl. the
     // JS 2^53 cliff value (eventParser.js:160-174, avroHelper.js:8-34) ----
     ("cdc_replay_roundtrip",

@@ -62,6 +62,20 @@ object PipelineQueries {
   private def dCos(a: String, b: String) =
     s"round(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])), 3)"
 
+  /** Materialize the ANN index-catalog entries for `d` if absent (the same
+    * entries the `ns_ann_*_index`/`ivf` queries resolve). An index build is
+    * a ONE-TIME cost per dataset version by design — callers that benchmark
+    * or serve repeated queries warm it here so the query path measures what
+    * production runs: the bucket-pruned probe.
+    */
+  def warmIndexes(s: SparkSession, d: String): Unit = {
+    val embs = Tables.embeddings(s, d)
+    IndexCatalog.ensure(s, "ann-lsh", Seq(s"$d/embeddings.parquet"), "planes=6")(
+      dir => Similarity.buildIndex(embs, "vec_id", "embedding", dir, numPlanes = 6))
+    IndexCatalog.ensure(s, "ann-ivf", Seq(s"$d/embeddings.parquet"), "k=16,it=2")(
+      dir => graft.operators.IvfIndex.build(embs, "vec_id", "embedding", dir))
+  }
+
   val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- exact dedup: hash-groupBy on normalized-text fingerprint ----
