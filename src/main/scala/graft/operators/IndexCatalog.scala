@@ -102,6 +102,27 @@ object IndexCatalog {
     })
   }
 
+  /** Garbage-collect the cache root: delete entries (and crashed builds'
+    * staging wreckage) whose directory modification time is older than
+    * `olderThanMs`. Superseded entries — inputs changed, so nothing
+    * resolves to them anymore — age out here; an entry still in use is
+    * simply rebuilt on next ensure() if pruned too aggressively, so the
+    * worst case of a bad TTL is one redundant build, never wrong results.
+    * Returns the number of directories removed.
+    */
+  def prune(spark: SparkSession, olderThanMs: Long): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootDir = new Path(root(spark))
+    val fs = rootDir.getFileSystem(conf)
+    if (!fs.exists(rootDir)) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val doomed = fs.listStatus(rootDir)
+      .filter(st => st.isDirectory && st.getModificationTime < cutoff)
+    doomed.foreach(st => fs.delete(st.getPath, true))
+    resolved.clear() // memoized paths may now dangle; re-resolve lazily
+    doomed.length
+  }
+
   /** Test hook: forget JVM-local resolutions (FS entries survive). */
   private[graft] def invalidateMemo(): Unit = resolved.clear()
 }

@@ -102,12 +102,15 @@ object PipelineQueries {
 
     // ---- near-dup clusters: connected components over the 0.8-Jaccard
     // pair graph, min-id labels (the "which doc do we keep" end product).
-    // Oracle: recursive-CTE transitive closure over the same pairs. ----
+    // Pairs come from the MinHash-LSH path — half the cost of the exact
+    // inverted-index join, and its exact-verified output EQUALS the exact
+    // operator's (asserted in DedupSpec + this query's oracle, which is
+    // the recursive-CTE closure over the exact pairs). ----
     ("ns_dedup_clusters",
       (s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)
         Dedup.dupClusters(
-          Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.8),
+          Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8),
           docs, "doc_id")
           .orderBy("id")
       },

@@ -115,6 +115,31 @@ class IndexCatalogSpec extends SparkSpec {
     }
   }
 
+  test("prune removes aged entries and staging wreckage; fresh ones survive") {
+    withRoot { root =>
+      val in = writeInput(Seq((1L, "a")))
+      def ensure(params: String) =
+        IndexCatalog.ensure(spark, "t", Seq(in), params) { dir =>
+          Files.createDirectories(Paths.get(dir))
+          Files.write(Paths.get(dir, "m"), params.getBytes)
+        }
+      val old = ensure("p=1")
+      Files.createDirectories(Paths.get(root, ".staging-dead")) // crash debris
+      // age both below the cutoff
+      val past = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 100000)
+      Files.setLastModifiedTime(Paths.get(old), past)
+      Files.setLastModifiedTime(Paths.get(root, ".staging-dead"), past)
+      val fresh = ensure("p=2")
+      assert(IndexCatalog.prune(spark, olderThanMs = 50000) == 2)
+      assert(!Files.exists(Paths.get(old)) &&
+        !Files.exists(Paths.get(root, ".staging-dead")))
+      assert(Files.exists(Paths.get(fresh)))
+      // a pruned entry transparently rebuilds on the next ensure
+      assert(Files.exists(Paths.get(ensure("p=1"), "m")))
+    }
+  }
+
   test("ANN LSH probe through the catalog matches a direct-built index") {
     withRoot { _ =>
       val embsDir = sfDir + "/embeddings.parquet"
