@@ -540,6 +540,92 @@ object CoreQueries {
         "FROM lineitem JOIN pp ON l_partkey = p_key " +
         "WHERE l_quantity * 5 * cnt_qty < sum_qty")),
 
+    // ---- Q28: per-group top-k (the "top customers per segment" analytic):
+    // rank inside each group by exact-decimal total, keep the top 3.
+    // One shuffle on the group key; the rank window sorts only within a
+    // group's partition (never a global sort). ----
+    ("q28_group_topk",
+      (s: SparkSession, d: String) => {
+        val totals = Tables.events(s, d)
+          .groupBy("event_type", "user_id")
+          .agg(round(sum(dec("value")), 4).cast("double").as("total_value"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+          .orderBy(col("total_value").desc, col("user_id"))
+        totals.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("event_type", "rn")
+      },
+      Some("WITH t AS (SELECT event_type, user_id, " +
+        "CAST(round(sum(CAST(value AS DECIMAL(12,4))), 4) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY event_type, user_id), " +
+        "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY total_value DESC, user_id) AS INTEGER) AS rn FROM t) " +
+        "SELECT event_type, user_id, total_value, rn FROM r WHERE rn <= 3 " +
+        "ORDER BY event_type, rn")),
+
+    // ---- Q29: table diff — reconcile two versions of the materialized
+    // state (the fold of the change log at two replay cutoffs): which keys
+    // appeared, which changed, which are untouched. The reconciliation
+    // primitive behind the reference's stale-replay full resync
+    // (setup.md resync path): diff the rebuilt state against the stale one
+    // instead of blindly rewriting. One full outer join on the key. ----
+    ("q29_table_diff",
+      (s: SparkSession, d: String) => {
+        def latest(df: DataFrame) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(col("event_id").desc)
+          df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select("user_id", "event_id")
+        }
+        val ev = Tables.events(s, d)
+        val v1 = latest(ev.filter(col("event_id") <= 5000))
+          .withColumnsRenamed(Map("user_id" -> "u1", "event_id" -> "v1_event_id"))
+        val v2 = latest(ev)
+          .withColumnsRenamed(Map("user_id" -> "u2", "event_id" -> "v2_event_id"))
+        v1.join(v2, col("u1") === col("u2"), "full_outer")
+          .select(coalesce(col("u2"), col("u1")).as("user_id"),
+            when(col("u1").isNull, "added")
+              .when(col("v1_event_id") =!= col("v2_event_id"), "changed")
+              .otherwise("unchanged").as("status"),
+            col("v1_event_id"), col("v2_event_id"))
+          .orderBy("user_id")
+      },
+      Some("WITH v1 AS (SELECT user_id, event_id FROM (SELECT user_id, event_id, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn " +
+        "FROM events WHERE event_id <= 5000) WHERE rn = 1), " +
+        "v2 AS (SELECT user_id, event_id FROM (SELECT user_id, event_id, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn " +
+        "FROM events) WHERE rn = 1) " +
+        "SELECT coalesce(v2.user_id, v1.user_id) AS user_id, " +
+        "CASE WHEN v1.user_id IS NULL THEN 'added' " +
+        "WHEN v1.event_id <> v2.event_id THEN 'changed' " +
+        "ELSE 'unchanged' END AS status, " +
+        "v1.event_id AS v1_event_id, v2.event_id AS v2_event_id " +
+        "FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id " +
+        "ORDER BY user_id")),
+
+    // ---- Q30: SCD2 history build from the change log — each change
+    // becomes a versioned row with [valid_from, valid_to) effectivity and
+    // a current flag (the warehouse-side rendering of the CDC stream the
+    // reference only applies latest-wins). Pure per-key window, one
+    // shuffle on the key. ----
+    ("q30_scd2",
+      (s: SparkSession, d: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts").as("valid_from"),
+            lead(col("ts"), 1).over(w).as("valid_to"))
+          .withColumn("is_current", col("valid_to").isNull)
+          .orderBy("user_id", "event_id")
+      },
+      Some("SELECT user_id, event_id, event_type, ts AS valid_from, " +
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to, " +
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL AS is_current " +
+        "FROM events ORDER BY user_id, event_id")),
+
     // ---- CDC replay-ID codec round-trip (P3), golden vectors incl. the
     // JS 2^53 cliff value (eventParser.js:160-174, avroHelper.js:8-34) ----
     ("cdc_replay_roundtrip",
