@@ -626,6 +626,31 @@ object CoreQueries {
         "lead(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL AS is_current " +
         "FROM events ORDER BY user_id, event_id")),
 
+    // ---- Q31: incremental materialized aggregate — the change log is
+    // applied in two micro-batch halves through MaterializedAgg (per-batch
+    // partial aggregates, idempotent batch partitions, then a compaction),
+    // and the read-side merge must equal the one-shot groupBy the oracle
+    // runs. Exercises the streaming materialized-view path end-to-end
+    // inside the oracle gate. ----
+    ("q31_incremental_agg",
+      (s: SparkSession, d: String) => {
+        import graft.streaming.MaterializedAgg
+        val tgt = java.nio.file.Files.createTempDirectory("q31_agg").toString + "/agg"
+        val ev = Tables.events(s, d)
+        MaterializedAgg.upsertBatch(s, ev.filter(col("event_id") % 2 === 0), 0L,
+          tgt, Seq("event_type"), Seq("value"))
+        MaterializedAgg.upsertBatch(s, ev.filter(col("event_id") % 2 === 1), 1L,
+          tgt, Seq("event_type"), Seq("value"))
+        MaterializedAgg.compact(s, tgt, Seq("event_type"), Seq("value"))
+        MaterializedAgg.read(s, tgt, Seq("event_type"), Seq("value"))
+          .select(col("event_type"), col("cnt"),
+            round(col("sum_value"), 4).cast("double").as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, count(*) AS cnt, " +
+        "CAST(round(sum(CAST(value AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
+
     // ---- CDC replay-ID codec round-trip (P3), golden vectors incl. the
     // JS 2^53 cliff value (eventParser.js:160-174, avroHelper.js:8-34) ----
     ("cdc_replay_roundtrip",

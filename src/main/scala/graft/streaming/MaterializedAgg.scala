@@ -1,0 +1,153 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** Incrementally-maintained aggregate table (a streaming materialized
+  * view): per-key counts and exact-decimal sums kept current under a
+  * change stream WITHOUT ever recomputing the full aggregate — the
+  * streaming rendering of the reference's per-topic event counters
+  * (`setup.md` ingest metrics), generalized to any grouped additive
+  * aggregate.
+  *
+  * Layout: `targetDir/__batch=b<id>/` holds micro-batch `id`'s PARTIAL
+  * aggregate (one groupBy of the batch — map-side combinable, O(batch)).
+  * The write is an overwrite of exactly that partition directory, so
+  * redelivery of a batch after a crash is IDEMPOTENT — it overwrites the
+  * same partials with the same content, never double-counts (the classic
+  * batchId-keyed `foreachBatch` exactly-once pattern). No target read on
+  * the hot path at all: per-batch cost is O(batch), independent of both
+  * table and history size.
+  *
+  * Reads ([[read]]) merge the partials with one groupBy — associative
+  * (counts and decimal sums), so any subset of batch partitions merges
+  * correctly. Read cost grows with the number of batch partitions;
+  * [[compact]] folds them back to one.
+  *
+  * Compaction crash safety (additive partials tolerate NEITHER loss NOR
+  * duplication, so the swap is manifest-arbitrated):
+  *  1. the fold is written to a staging dir, together with a `_SOURCES`
+  *     manifest naming the partitions it folded, then `_SUCCESS`;
+  *  2. the source partitions are deleted;
+  *  3. the compacted partition renames into the table; staging is removed.
+  * [[recover]] (run by every writer entry point) finishes an interrupted
+  * run from the manifest: with `_SUCCESS` present it re-deletes any listed
+  * source still on disk, renames the fold in if missing, and drops
+  * staging; without `_SUCCESS` the sources were never touched and the
+  * staging wreckage is discarded. Readers can transiently under-report
+  * between 2 and 3, but can never double-count, and the next write
+  * converges the table.
+  */
+object MaterializedAgg {
+
+  private def stagingPath(targetDir: String) = new Path(targetDir + "__agg_staging")
+
+  /** Partial aggregate of one batch: count + exact-decimal sum per value
+    * column, grouped by `keyCols`. Decimal(28,6) holds 2-decimal currency
+    * sums to ~10^21 rows per key.
+    */
+  private def partial(batch: DataFrame, keyCols: Seq[String],
+                      valueCols: Seq[String]): DataFrame =
+    batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        valueCols.map(v =>
+          sum(col(v).cast(DecimalType(28, 6))).as(s"sum_$v")): _*)
+
+  /** Re-play an interrupted compaction from its staging manifest. */
+  private def recover(fs: FileSystem, targetDir: String): Unit = {
+    val staging = stagingPath(targetDir)
+    if (!fs.exists(staging)) return
+    if (fs.exists(new Path(staging, "_SUCCESS"))) {
+      val sources = {
+        val in = fs.open(new Path(staging, "_SOURCES"))
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+      sources.foreach(s => fs.delete(new Path(targetDir, s), true))
+      fs.listStatus(staging).map(_.getPath.getName)
+        .find(_.startsWith("__batch=")).foreach { t =>
+          val dest = new Path(targetDir, t)
+          if (!fs.exists(dest)) fs.rename(new Path(staging, t), dest)
+        }
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Apply one micro-batch: write its partial aggregate to the batch's own
+    * partition (idempotent overwrite — safe under redelivery).
+    */
+  def upsertBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                  targetDir: String, keyCols: Seq[String],
+                  valueCols: Seq[String]): Unit = {
+    val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(fs, targetDir)
+    partial(batch, keyCols, valueCols)
+      .coalesce(1) // partials are tiny (≤ #keys rows); one file per batch
+      .write.mode("overwrite").parquet(s"$targetDir/__batch=b$batchId")
+  }
+
+  /** Start the checkpointed incremental maintenance. */
+  def start(spark: SparkSession, stream: DataFrame, targetDir: String,
+            checkpointDir: String, keyCols: Seq[String],
+            valueCols: Seq[String],
+            availableNow: Boolean = true): StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Retry.withBackoff() {
+          upsertBatch(spark, batch, batchId, targetDir, keyCols, valueCols)
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** The current aggregate: merge all batch partials (associative), with
+    * counts and exact-decimal sums per value column. One small groupBy over
+    * ≤ batches·keys partial rows — never a scan of the ingested data.
+    */
+  def read(spark: SparkSession, targetDir: String, keyCols: Seq[String],
+           valueCols: Seq[String]): DataFrame =
+    spark.read.parquet(targetDir)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("cnt").as("cnt"),
+        valueCols.map(v => sum(s"sum_$v").as(s"sum_$v")): _*)
+
+  /** Fold every batch partition into one, bounding read cost. Safe to run
+    * between (not during) writer batches; crash-recoverable via the
+    * staging manifest (see object scaladoc).
+    */
+  def compact(spark: SparkSession, targetDir: String, keyCols: Seq[String],
+              valueCols: Seq[String]): Unit = {
+    val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(fs, targetDir)
+    if (!fs.exists(new Path(targetDir))) return
+    val parts = fs.listStatus(new Path(targetDir))
+      .map(_.getPath.getName).filter(_.startsWith("__batch=")).sorted
+    if (parts.length <= 1) return
+
+    // deterministic tag: max numeric batch id among the sources,
+    // 'c'-prefixed — never collides with a future streaming batch tag
+    // (those are 'b'-prefixed), nor with a previous compact (batch ids are
+    // monotonic, so a later compact always folds a higher id)
+    val tag = "__batch=c" + parts.map(_.filter(_.isDigit))
+      .filter(_.nonEmpty).map(BigInt(_)).max
+    val staging = stagingPath(targetDir)
+    read(spark, targetDir, keyCols, valueCols)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(new Path(staging, tag).toString)
+    val src = fs.create(new Path(staging, "_SOURCES"), true)
+    try src.write(parts.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally src.close()
+    fs.createNewFile(new Path(staging, "_SUCCESS"))
+
+    parts.foreach(p => fs.delete(new Path(targetDir, p), true))
+    fs.rename(new Path(staging, tag), new Path(targetDir, tag))
+    fs.delete(staging, true)
+  }
+}
