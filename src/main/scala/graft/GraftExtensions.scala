@@ -46,5 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashSignature(es(0), litInt(es(1), "minhash_signature")))
     add("avro_decode")(es => AvroDecode(es(0), lit(es(1), "avro_decode")))
     add("avro_encode")(es => AvroEncode(es(0), lit(es(1), "avro_encode")))
+    add("i8_quantize")(es => Int8Quantize(es.head))
+    add("i8_scale")(es => Int8Scale(es.head))
+    add("cosine_i8")(es => Int8Cosine(es(0), es(1)))
   }
 }

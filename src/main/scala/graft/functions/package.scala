@@ -50,6 +50,15 @@ package object functions {
   def hyperplane_bands(vec: Column, planesPerBand: Int, bands: Int): Column =
     col(HyperplaneBands(ex(vec), planesPerBand, bands))
 
+  /** Symmetric int8 quantization of a float32 vector (one byte/dim). */
+  def i8_quantize(vec: Column): Column = col(Int8Quantize(ex(vec)))
+
+  /** Per-vector dequantization scale (`max |v| / 127`). */
+  def i8_scale(vec: Column): Column = col(Int8Scale(ex(vec)))
+
+  /** Cosine over int8-quantized payloads — exact integer accumulation. */
+  def cosine_i8(a: Column, b: Column): Column = col(Int8Cosine(ex(a), ex(b)))
+
   /** Distinct word n-gram shingles of a text column, one pass, codegen'd. */
   def word_shingles(text: Column, n: Int): Column = col(WordShingles(ex(text), n))
 

@@ -146,6 +146,33 @@ object Similarity {
     } finally probes.unpersist()
   }
 
+  /** Int8-quantized brute-force top-k: vectors are stored/scanned as one
+    * byte per dimension (4× less I/O and shuffle than float32 — at 100 TB
+    * of embeddings, the difference between an index that fits the cluster
+    * and one that doesn't), and ranking runs [[graft.functions.cosine_i8]]
+    * directly on the byte payloads — cosine is scale-invariant, so
+    * symmetric per-vector quantization needs NO dequantization to rank.
+    * Quantization perturbs cosines by ~1e-3 on unit vectors; recall vs the
+    * float ranking is asserted in SimilaritySpec.
+    *
+    * `quantized` (from [[quantize]]) is the materialized compact table; at
+    * scale it is written once and scanned by every query, like the LSH
+    * index — and composes with it (bucket the quantized payloads).
+    */
+  def quantize(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embs.select(col(idCol).as("id"),
+      graft.functions.i8_scale(col(vecCol)).as("scale"),
+      graft.functions.i8_quantize(col(vecCol)).as("qvec"))
+
+  def quantizedTopK(quantized: DataFrame, queryQvec: Array[Byte],
+                    queryId: Long, k: Int): DataFrame =
+    quantized.filter(col("id") =!= queryId)
+      .withColumn("cos",
+        round(graft.functions.cosine_i8(col("qvec"), lit(queryQvec)), 3))
+      .select(col("id"), col("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+
   /** Per-vector statistics (corpus hygiene for an embedding column): L2
     * norm, component min/max, and a unit-norm flag — the checks a pipeline
     * runs before cosine math (a zero or wildly-scaled vector poisons

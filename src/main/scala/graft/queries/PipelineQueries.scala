@@ -212,6 +212,16 @@ object PipelineQueries {
       },
       None),
 
+    // ---- ANN: int8-quantized top-k (4x smaller scan; approximate by
+    // design — recall vs the float ranking asserted in SimilaritySpec) ----
+    ("ns_ann_quantized_topk",
+      (s: SparkSession, d: String) => {
+        val q = Similarity.quantize(Tables.embeddings(s, d), "vec_id", "embedding")
+        val qv = q.filter(col("id") === 0).select("qvec").head().getAs[Array[Byte]](0)
+        Similarity.quantizedTopK(q, qv, queryId = 0, k = 10)
+      },
+      None),
+
     // ---- ANN: BATCH brute-force top-k (one pass, all query vectors) ----
     ("ns_ann_batch_topk",
       (s: SparkSession, d: String) => {

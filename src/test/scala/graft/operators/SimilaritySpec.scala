@@ -141,6 +141,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 13, s"batch index recall too low: $recall/25")
   }
 
+  test("int8 quantization: 1 byte/dim payloads, high recall vs float ranking") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val q = Similarity.quantize(embs, "vec_id", "embedding").cache()
+    try {
+      // payload is exactly dims bytes (4x smaller than float32)
+      val (dims, bytes) = embs.select(
+        org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("embedding")))
+        .head().getInt(0) -> q.select("qvec").head().getAs[Array[Byte]](0).length
+      assert(bytes == dims)
+
+      val qv = q.filter(org.apache.spark.sql.functions.col("id") === 0)
+        .select("qvec").head().getAs[Array[Byte]](0)
+      val quantTop = Similarity.quantizedTopK(q, qv, queryId = 0, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      val floatTop = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0, 10)
+        .collect().map(_.getLong(0)).toSet
+      val recall = (quantTop & floatTop).size
+      assert(recall >= 8, s"quantized recall too low: $recall/10")
+    } finally q.unpersist()
+  }
+
   test("embedStats: norms, ranges, unit flag on known vectors") {
     import spark.implicits._
     val embs = Seq(

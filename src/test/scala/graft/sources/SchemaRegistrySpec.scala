@@ -57,6 +57,34 @@ class SchemaRegistrySpec extends SparkSpec {
     assert(fetches == 2, "one fetch per schema id (memoized)")
   }
 
+  test("append-only schema evolution: v1 events surface null for v2 fields") {
+    // the reference's topic-evolution case (setup.md:402): a field is added
+    // to the topic's schema; already-published v1 events must decode into
+    // the superset table with null for the new field, not dead-letter
+    val v1 = """{"type":"record","name":"Ev","fields":[
+      |{"name":"a","type":["null","string"],"default":null}
+      |]}""".stripMargin
+    val v2 = """{"type":"record","name":"Ev","fields":[
+      |{"name":"a","type":["null","string"],"default":null},
+      |{"name":"b","type":["null","long"],"default":null}
+      |]}""".stripMargin
+    val registry = new SchemaRegistry(id => if (id == "v1") v1 else v2)
+
+    val oldEvents = Seq(Tuple1("x")).toDF("a")
+      .select(lit("v1").as("schemaId"),
+        avro_encode(struct(col("a")), v1).as("payload"))
+    val newEvents = Seq(("y", 7L)).toDF("a", "b")
+      .select(lit("v2").as("schemaId"),
+        avro_encode(struct(col("a"), col("b")), v2).as("payload"))
+
+    val decoded = registry.decode(oldEvents.unionByName(newEvents),
+      "schemaId", "payload", Seq("v1", "v2"))
+      .select(col("schemaId"), col("decoded.a"), col("decoded.b"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    assert(decoded == Set(("v1", "x", null), ("v2", "y", 7L)))
+  }
+
   test("3-branch mixed union decodes to a member struct and round-trips") {
     import org.apache.avro.Schema
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
