@@ -50,6 +50,13 @@ package object functions {
   def hyperplane_bands(vec: Column, planesPerBand: Int, bands: Int): Column =
     col(HyperplaneBands(ex(vec), planesPerBand, bands))
 
+  /** Per-band probe-key lists (`[key, probe keys…]` per band) for
+    * query-directed multi-probe LSH — flips subsets (≤ probeBits) of the
+    * probePlanes lowest-|margin| planes. */
+  def hyperplane_probes(vec: Column, planesPerBand: Int, bands: Int,
+                        probeBits: Int, probePlanes: Int): Column =
+    col(HyperplaneProbes(ex(vec), planesPerBand, bands, probeBits, probePlanes))
+
   /** Symmetric int8 quantization of a float32 vector (one byte/dim). */
   def i8_quantize(vec: Column): Column = col(Int8Quantize(ex(vec)))
 

@@ -212,28 +212,49 @@ object Dedup {
     * *shape* (shuffled equi-join that partitions by key, no driver/broadcast
     * bottleneck), not the candidate count. At realistic near-dup thresholds
     * (≥ 0.8) the same plan prunes candidates by orders of magnitude.
+    *
+    * Multi-probe is QUERY-DIRECTED (Lv et al., VLDB 2007): instead of all
+    * `Σ C(r,k)` = 37 XOR masks per (id, band) — the round-4 bench
+    * regression, a 37× probe-relation blow-up — each row probes only
+    * subsets of its `probePlanes` lowest-|margin| planes (22 keys at the
+    * defaults). A sign bit differs between two near vectors only where a
+    * projection crosses 0, so flips concentrate on low-|margin| planes.
+    * Measured on the testdata at cos 0.4 — whose matching pairs sit right
+    * AT the decision boundary (cos ∈ [0.40, 0.60]), the adversarial case
+    * for any LSH — the recall ladder vs blind 37-key probing at sf0.1
+    * (932 true pairs) is: probePlanes 4 → 24 missed, 5 → 6, 6/7/8 → 0,
+    * with 6 also exact at sf0.001 and sf0.01. The default 6 takes the
+    * 1.7× join-input cut that costs nothing measured; only
+    * probePlanes = planesPerBand (blind) carries the analytic
+    * 1-(1-P(Binom(r,θ/π) ≤ probeBits))^b guarantee, so callers wanting
+    * worst-case boundary recall should raise it back to r. probeBits=0
+    * degenerates to the plain banded self-join (no probing; misses ~60%
+    * of boundary pairs on the same data — do not lower it for speed,
+    * lower probePlanes instead).
     */
   def embeddingDupPairs(embs: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, planesPerBand: Int = 8,
-                        bands: Int = 16, probeBits: Int = 2)
+                        bands: Int = 16, probeBits: Int = 2,
+                        probePlanes: Int = 6)
                        (implicit scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    import graft.functions.{cosine_similarity, hyperplane_bands}
-    require(probeBits <= planesPerBand, "probeBits <= planesPerBand")
+    import graft.functions.{cosine_similarity, hyperplane_probes}
+    require(probeBits <= probePlanes && probePlanes <= planesPerBand,
+      "probeBits <= probePlanes <= planesPerBand")
 
-    // cached: read by the probe explode, the exact side, and the verify join
+    // cached: read by the probe explode, the exact side, and the verify join.
+    // pk holds per-band [key, probe keys…] from ONE codegen'd kernel pass.
     val sk = scope.own(embs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(embs.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("bk", hyperplane_bands(col("v"), planesPerBand, bands)))
+      .withColumn("pk",
+        hyperplane_probes(col("v"), planesPerBand, bands, probeBits, probePlanes)))
 
-    // skinny (id, band, key) relation — no vector payloads cross the shuffle
-    val banded = sk.select(col("id"), posexplode(col("bk")).as(Seq("band", "key")))
-
-    // multi-probe side: every key within `probeBits` flips of the doc's key
-    // (XOR masks of ≤ probeBits bits, a fixed literal list)
-    val masks = (0 to probeBits).flatMap(k =>
-      (0 until planesPerBand).combinations(k).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
-    val probes = banded.select(col("id"), col("band"),
-      explode(array(masks.map(m => col("key").bitwiseXOR(lit(m))): _*)).as("key"))
+    // skinny (id, band, key) relations — no vector payloads cross the shuffle
+    val exploded = sk.select(col("id"), posexplode(col("pk")).as(Seq("band", "keys")))
+    val banded = exploded.select(col("id"), col("band"),
+      element_at(col("keys"), 1).as("key"))
+    val probes =
+      if (probeBits == 0) banded
+      else exploded.select(col("id"), col("band"), explode(col("keys")).as("key"))
 
     val candidates = probes.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -263,9 +284,18 @@ object Dedup {
     * converges in ~8 rounds, not ~100 (asserted in DedupSpec). The
     * shortcut is sound because every label IS a node id of the same
     * component (labels start as ids and only min-combine), so `lbl(lbl)`
-    * is always defined and component-internal. All joins are tiny
-    * id-keyed equi-joins; `localCheckpoint` every round truncates the
-    * iterative lineage (else round N replans N joins deep).
+    * is always defined and component-internal.
+    *
+    * The shortcut does NOT cost a second join: a row `(id, lbl)` with
+    * `lbl != id` is emitted as a pseudo-edge `lbl -> id`, so the single
+    * neighbor-min join delivers `lbl(lbl)` to `id` in the same shuffle
+    * that delivers the true neighbors' labels. Round 1 has no such rows
+    * (labels start equal to ids) and stabilized rows emit none either, so
+    * the shortcut's cost is proportional to how much chain-collapsing work
+    * is left — on shallow graphs (the common corpus) it is ~free, while a
+    * dedicated labels⋈labels join would cost a full extra shuffle every
+    * round. `localCheckpoint` every round truncates the iterative lineage
+    * (else round N replans N joins deep).
     */
   def dupClusters(pairs: DataFrame, allIds: DataFrame, idCol: String,
                   maxIters: Int = 20): DataFrame = {
@@ -281,22 +311,19 @@ object Dedup {
       var iter = 0
       var converged = false
       while (!converged && iter < maxIters) {
-        val neighborMin = edges
+        // pointer-doubling pseudo-edges (see scaladoc): empty in round 1,
+        // shrinking as labels stabilize
+        val labelEdges = labels.filter(col("lbl") =!= col("id"))
+          .select(col("lbl").as("src"), col("id").as("dst"))
+        val neighborMin = edges.union(labelEdges)
           .join(labels.select(col("id").as("src"), col("lbl").as("nlbl")), "src")
           .groupBy(col("dst").as("id")).agg(min("nlbl").as("nmin"))
-        // pointer doubling: my label's label (always present — labels are
-        // closed under lbl, see scaladoc)
-        val shortcut = labels.as("l1")
-          .join(labels.select(col("id").as("lbl"), col("lbl").as("slbl")).as("l2"), "lbl")
-          .select(col("id"), col("slbl"))
         // carry the previous label through the checkpoint: the fixpoint
         // check is then a filter over materialized rows, not a second join
         val next = labels.withColumnRenamed("lbl", "old")
           .join(neighborMin, Seq("id"), "left")
-          .join(shortcut, Seq("id"), "left")
           .select(col("id"),
-            least(col("old"), coalesce(col("nmin"), col("old")),
-              coalesce(col("slbl"), col("old"))).as("lbl"),
+            least(col("old"), coalesce(col("nmin"), col("old"))).as("lbl"),
             col("old"))
           .localCheckpoint(true)
         converged = next.filter(col("lbl") =!= col("old")).isEmpty
