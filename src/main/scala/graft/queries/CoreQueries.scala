@@ -586,6 +586,7 @@ object CoreQueries {
         v1.join(v2, col("u1") === col("u2"), "full_outer")
           .select(coalesce(col("u2"), col("u1")).as("user_id"),
             when(col("u1").isNull, "added")
+              .when(col("u2").isNull, "removed")
               .when(col("v1_event_id") =!= col("v2_event_id"), "changed")
               .otherwise("unchanged").as("status"),
             col("v1_event_id"), col("v2_event_id"))
@@ -599,6 +600,7 @@ object CoreQueries {
         "FROM events) WHERE rn = 1) " +
         "SELECT coalesce(v2.user_id, v1.user_id) AS user_id, " +
         "CASE WHEN v1.user_id IS NULL THEN 'added' " +
+        "WHEN v2.user_id IS NULL THEN 'removed' " +
         "WHEN v1.event_id <> v2.event_id THEN 'changed' " +
         "ELSE 'unchanged' END AS status, " +
         "v1.event_id AS v1_event_id, v2.event_id AS v2_event_id " +
@@ -635,7 +637,14 @@ object CoreQueries {
     ("q31_incremental_agg",
       (s: SparkSession, d: String) => {
         import graft.streaming.MaterializedAgg
-        val tgt = java.nio.file.Files.createTempDirectory("q31_agg").toString + "/agg"
+        // deterministic per-dataset location, wiped before each run — a
+        // fresh createTempDirectory here would leak one dir per invocation
+        // across bench/correctness runs
+        val root = new org.apache.hadoop.fs.Path(
+          s"${System.getProperty("java.io.tmpdir")}/graft_q31_${math.abs(d.hashCode)}")
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(root, true)
+        val tgt = s"$root/agg"
         val ev = Tables.events(s, d)
         MaterializedAgg.upsertBatch(s, ev.filter(col("event_id") % 2 === 0), 0L,
           tgt, Seq("event_type"), Seq("value"))

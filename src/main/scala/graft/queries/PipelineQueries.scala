@@ -212,6 +212,37 @@ object PipelineQueries {
       },
       None),
 
+    // ---- ANN: COLD index builds, timed every invocation (deterministic
+    // dir, wiped first). The probe queries above amortize builds through
+    // IndexCatalog by design — these entries exist so BENCH still observes
+    // build cost and a build-time regression can't hide behind the cache.
+    // Returned stats are engine-internal layout (no DuckDB analog). ----
+    ("ns_ann_lsh_build",
+      (s: SparkSession, d: String) => {
+        val root = new org.apache.hadoop.fs.Path(
+          s"${System.getProperty("java.io.tmpdir")}/graft_lsh_build_${math.abs(d.hashCode)}")
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(root, true)
+        Similarity.buildIndex(Tables.embeddings(s, d), "vec_id", "embedding",
+          root.toString, numPlanes = 6)
+        s.read.parquet(root.toString).groupBy("bucket")
+          .agg(count(lit(1)).as("n_vecs")).orderBy("bucket")
+      },
+      None),
+
+    ("ns_ann_ivf_build",
+      (s: SparkSession, d: String) => {
+        val root = new org.apache.hadoop.fs.Path(
+          s"${System.getProperty("java.io.tmpdir")}/graft_ivf_build_${math.abs(d.hashCode)}")
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(root, true)
+        graft.operators.IvfIndex.build(Tables.embeddings(s, d), "vec_id",
+          "embedding", root.toString)
+        s.read.parquet(s"$root/lists").groupBy("cid")
+          .agg(count(lit(1)).as("n_vecs")).orderBy("cid")
+      },
+      None),
+
     // ---- ANN: int8-quantized top-k (4x smaller scan; approximate by
     // design — recall vs the float ranking asserted in SimilaritySpec) ----
     ("ns_ann_quantized_topk",
@@ -489,9 +520,11 @@ object PipelineQueries {
       (s: SparkSession, d: String) =>
         TextAnalysis.charEntropy(Tables.documents(s, d), "doc_id", "text")
           .orderBy("doc_id"),
-      Some("WITH c AS (SELECT doc_id, lower(text) AS s, length(text) AS n FROM documents), " +
-        "ch AS (SELECT doc_id, n, substring(s, i, 1) AS ch FROM c " +
-        "CROSS JOIN generate_series(1, 2048) g(i) WHERE i <= n), " +
+      // n from the LOWERED string (matches the Spark operator under
+      // lowercase-expanding Unicode); chars via per-row split, not a
+      // fixed-bound generate_series (no silent 2048-char truncation)
+      Some("WITH c AS (SELECT doc_id, lower(text) AS s, length(lower(text)) AS n FROM documents), " +
+        "ch AS (SELECT doc_id, n, unnest(string_split(s, '')) AS ch FROM c), " +
         "cnt AS (SELECT doc_id, any_value(n) AS n, ch, count(*) AS k " +
         "FROM ch GROUP BY doc_id, ch), " +
         "e AS (SELECT doc_id, any_value(n) AS n, count(*) AS n_distinct, " +

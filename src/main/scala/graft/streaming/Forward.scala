@@ -55,6 +55,51 @@ class DirForwardTransport(dir: String, secret: String,
   }
 }
 
+/** HTTP transport: POSTs each chunk to `endpoint` as a JSON array body,
+  * authenticated by a shared secret sent with every request (the
+  * reference forwards each decoded event to its backend action together
+  * with `webhookSecret`, `index.ts:49-54`; here the secret rides the
+  * `X-Webhook-Secret` header so the body stays the bare event array).
+  * The chunk id rides in `X-Chunk-Id`, giving an idempotent receiver its
+  * deduplication key for redeliveries.
+  *
+  * Any non-2xx response throws, handing delivery to the caller's
+  * retry/backoff wrapper (T7): a 503 from a struggling receiver gets
+  * retried with backoff, an auth rejection keeps failing loudly — the
+  * reference logs-and-drops on forward failure (`index.ts:56-59`, with a
+  * TODO for retry/DLQ); this sink upgrades that to real retries plus the
+  * fail-loud batch abort that makes the checkpoint redeliver.
+  *
+  * The client is per-JVM-instance (`@transient lazy`), so executors reuse
+  * connections across sends instead of serializing driver state.
+  */
+class HttpForwardTransport(endpoint: String, secret: String,
+                           connectTimeoutMs: Long = 5000,
+                           requestTimeoutMs: Long = 30000)
+  extends ForwardTransport {
+  import java.net.URI
+  import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
+    .build()
+
+  override def send(chunkId: String, events: Seq[String]): Unit = {
+    val req = HttpRequest.newBuilder(URI.create(endpoint))
+      .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
+      .header("Content-Type", "application/json")
+      .header("X-Webhook-Secret", secret)
+      .header("X-Chunk-Id", chunkId)
+      .POST(HttpRequest.BodyPublishers.ofString(
+        events.mkString("[", ",", "]"), StandardCharsets.UTF_8))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(s"forward POST chunk $chunkId -> " +
+        s"HTTP ${resp.statusCode()}: ${String.valueOf(resp.body()).take(200)}")
+  }
+}
+
 /** Token-bucket rate limit on the forward path (T8) — the reference's
   * `ingestEvents` limiter (`setup.md:989-1002`: rate 50/min, capacity 100,
   * over-limit requests wait `retryAfter`). Wraps any [[ForwardTransport]]:

@@ -21,9 +21,12 @@ import org.apache.spark.sql.types.DecimalType
   * The write is an overwrite of exactly that partition directory, so
   * redelivery of a batch after a crash is IDEMPOTENT — it overwrites the
   * same partials with the same content, never double-counts (the classic
-  * batchId-keyed `foreachBatch` exactly-once pattern). No target read on
-  * the hot path at all: per-batch cost is O(batch), independent of both
-  * table and history size.
+  * batchId-keyed `foreachBatch` exactly-once pattern). A redelivered batch
+  * whose partition was already FOLDED AWAY by [[compact]] (crash before
+  * checkpoint commit, compact before restart) is detected via the fold's
+  * batch-id tag and skipped, not rewritten — see [[upsertBatch]]. No
+  * target read on the hot path at all: per-batch cost is O(batch) plus
+  * one directory listing, independent of both table and history size.
   *
   * Reads ([[read]]) merge the partials with one groupBy — associative
   * (counts and decimal sums), so any subset of batch partitions merges
@@ -79,14 +82,37 @@ object MaterializedAgg {
     fs.delete(staging, true)
   }
 
+  /** Highest batch id already folded into a compacted (`c`-tagged)
+    * partition, or -1. The compaction tag records the max batch id of its
+    * sources, so any batch at or below it is already counted inside the
+    * fold — even one whose checkpoint never committed.
+    */
+  private def compactedMax(fs: FileSystem, targetDir: String): Long = {
+    val dir = new Path(targetDir)
+    if (!fs.exists(dir)) return -1L
+    val ids = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("__batch=c")).map(_.stripPrefix("__batch=c"))
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+    if (ids.isEmpty) -1L else ids.max
+  }
+
   /** Apply one micro-batch: write its partial aggregate to the batch's own
     * partition (idempotent overwrite — safe under redelivery).
+    *
+    * Redelivery of an ALREADY-COMPACTED batch is skipped entirely: if the
+    * stream crashed after this partition was written but before the
+    * checkpoint committed, and a compact() ran before restart, the batch's
+    * rows live on inside the `c` fold (whose tag is ≥ this batchId) while
+    * its own partition is gone — rewriting it would count the batch twice.
+    * Checkpointed replay of a batch is deterministic, so "id ≤ newest fold
+    * tag" is exactly "already folded" and skipping is safe.
     */
   def upsertBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                   targetDir: String, keyCols: Seq[String],
                   valueCols: Seq[String]): Unit = {
     val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(fs, targetDir)
+    if (batchId <= compactedMax(fs, targetDir)) return
     partial(batch, keyCols, valueCols)
       .coalesce(1) // partials are tiny (≤ #keys rows); one file per batch
       .write.mode("overwrite").parquet(s"$targetDir/__batch=b$batchId")
@@ -138,7 +164,13 @@ object MaterializedAgg {
     val tag = "__batch=c" + parts.map(_.filter(_.isDigit))
       .filter(_.nonEmpty).map(BigInt(_)).max
     val staging = stagingPath(targetDir)
+    // cast the re-aggregated sums back to the partial-side type: sum over
+    // DECIMAL(28,6) widens to (38,6), and a table whose partitions disagree
+    // on decimal width makes mergeSchema-less reads depend on which file's
+    // footer Spark samples first
     read(spark, targetDir, keyCols, valueCols)
+      .select(keyCols.map(col) ++ (col("cnt") +:
+        valueCols.map(v => col(s"sum_$v").cast(DecimalType(28, 6)).as(s"sum_$v"))): _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(new Path(staging, tag).toString)
     val src = fs.create(new Path(staging, "_SOURCES"), true)

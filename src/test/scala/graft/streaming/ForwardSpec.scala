@@ -27,6 +27,49 @@ class FlakyTransport(inner: ForwardTransport) extends ForwardTransport {
   }
 }
 
+/** In-process HTTP receiver for [[HttpForwardTransport]] specs. Records
+  * every request thread-safely (partitions POST in parallel) and can 503
+  * the first `failFirst` attempts of each chunk id.
+  */
+object HttpReceiver {
+  import java.net.InetSocketAddress
+
+  import com.sun.net.httpserver.HttpServer
+
+  final case class Req(seq: Int, chunkId: String, secret: String,
+                       body: String, status: Int)
+
+  def start(expectedSecret: String, failFirst: Int = 0)
+      : (HttpServer, java.util.List[Req]) = {
+    val received = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Req]())
+    val attempts = TrieMap.empty[String, Int]
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/receive", { exchange =>
+      val body = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
+      val chunkId = exchange.getRequestHeaders.getFirst("X-Chunk-Id")
+      val secret = exchange.getRequestHeaders.getFirst("X-Webhook-Secret")
+      val n = attempts.updateWith(chunkId) {
+        case Some(k) => Some(k + 1); case None => Some(1)
+      }.get
+      val status =
+        if (secret != expectedSecret) 401
+        else if (n <= failFirst) 503
+        else 200
+      received.synchronized {
+        received.add(Req(received.size(), chunkId, secret, body, status))
+      }
+      exchange.sendResponseHeaders(status, -1)
+      exchange.close()
+    })
+    server.start()
+    (server, received)
+  }
+
+  def endpoint(server: HttpServer): String =
+    s"http://127.0.0.1:${server.getAddress.getPort}/receive"
+}
+
 class ForwardSpec extends SparkSpec {
   import spark.implicits._
 
@@ -129,6 +172,68 @@ class ForwardSpec extends SparkSpec {
     Forward.forwardBatch(events(30), batchId = 3, t, "sfId", "replayId",
       chunkSize = 10)
     assert(landedLines(dir).flatMap(_._2).size === 30)
+  }
+
+  private val eventRe = """\{"sfId":"(k\d+)","replayId":(\d+)[,}]""".r
+
+  test("HTTP transport: chunked POSTs carry secret + chunk id, ordered per key") {
+    import scala.jdk.CollectionConverters._
+    val (server, received) = HttpReceiver.start("hush")
+    try {
+      val t = new HttpForwardTransport(HttpReceiver.endpoint(server), "hush")
+      Forward.forwardBatch(events(60), batchId = 2, t, "sfId", "replayId",
+        chunkSize = 8)
+      val reqs = received.asScala.toSeq.sortBy(_.seq)
+      assert(reqs.nonEmpty && reqs.forall(_.secret == "hush"))
+      val all = reqs.flatMap(r =>
+        eventRe.findAllMatchIn(r.body).map(m => (m.group(1), m.group(2).toLong)))
+      assert(all.size == 60)
+      assert(all.toSet === (0 until 60).map(i => (s"k${i % 7}", i.toLong)).toSet)
+      // a key lives in ONE partition whose chunks POST sequentially, so the
+      // key's replayIds must increase in arrival order
+      all.groupBy(_._1).values.foreach { grp =>
+        val offs = grp.map(_._2)
+        assert(offs == offs.sorted, s"per-key HTTP delivery out of order: $offs")
+      }
+    } finally server.stop(0)
+  }
+
+  test("HTTP transport: 503 responses retry with backoff and converge") {
+    import scala.jdk.CollectionConverters._
+    val (server, received) = HttpReceiver.start("s", failFirst = 1)
+    try {
+      val t = new HttpForwardTransport(HttpReceiver.endpoint(server), "s")
+      Forward.forwardBatch(events(40), batchId = 9, t, "sfId", "replayId",
+        chunkSize = 10, retryBaseDelayMs = 10)
+      val byChunk = received.asScala.toSeq.groupBy(_.chunkId)
+      assert(byChunk.nonEmpty)
+      assert(byChunk.values.forall(g =>
+        g.count(_.status == 503) == 1 && g.count(_.status == 200) == 1),
+        byChunk.view.mapValues(_.map(_.status)).toMap.toString)
+    } finally server.stop(0)
+  }
+
+  test("HTTP transport: auth rejection fails loudly; rate limit composes") {
+    import scala.jdk.CollectionConverters._
+    val (server, received) = HttpReceiver.start("right")
+    try {
+      val bad = new HttpForwardTransport(HttpReceiver.endpoint(server), "wrong")
+      intercept[Exception] {
+        Forward.forwardBatch(events(5), batchId = 1, bad, "sfId", "replayId",
+          retryAttempts = 2, retryBaseDelayMs = 5)
+      }
+      assert(received.asScala.nonEmpty && received.asScala.forall(_.status == 401))
+      received.clear()
+      RateLimitedTransport.reset()
+      val limited = new RateLimitedTransport(
+        new HttpForwardTransport(HttpReceiver.endpoint(server), "right"),
+        "http-rl-spec", ratePerSec = 1e6, capacity = 1e6)
+      Forward.forwardBatch(events(30), batchId = 3, limited, "sfId", "replayId",
+        chunkSize = 10)
+      val delivered = received.asScala.toSeq.filter(_.status == 200)
+        .flatMap(r => eventRe.findAllMatchIn(r.body)).size
+      assert(delivered == 30)
+    } finally server.stop(0)
   }
 
   test("streaming forward: checkpointed end-to-end delivery") {

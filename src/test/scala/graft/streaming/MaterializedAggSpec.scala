@@ -55,6 +55,44 @@ class MaterializedAggSpec extends SparkSpec {
     assertSame(MaterializedAgg.read(spark, tgt, Seq("k"), Seq("v")), expected(rows))
   }
 
+  test("redelivered batch already folded by compact is skipped, not re-counted") {
+    val tgt = Files.createTempDirectory("ma_tgt4").toString + "/agg"
+    val b0 = Seq(("a", 1.0), ("b", 2.0))
+    val b1 = Seq(("a", 4.0))
+    MaterializedAgg.upsertBatch(spark, b0.toDF("k", "v"), 0, tgt, Seq("k"), Seq("v"))
+    // crash window: batch 1's partition was written but its checkpoint
+    // never committed…
+    MaterializedAgg.upsertBatch(spark, b1.toDF("k", "v"), 1, tgt, Seq("k"), Seq("v"))
+    // …and an operator ran compact() before the stream restarted (fold
+    // tag c1 now contains batch 1's rows)
+    MaterializedAgg.compact(spark, tgt, Seq("k"), Seq("v"))
+    // restart redelivers batch 1 — it must be skipped, not written fresh
+    MaterializedAgg.upsertBatch(spark, b1.toDF("k", "v"), 1, tgt, Seq("k"), Seq("v"))
+    assertSame(MaterializedAgg.read(spark, tgt, Seq("k"), Seq("v")),
+      expected(b0 ++ b1))
+    // a genuinely new batch (id above the fold tag) still lands
+    val b2 = Seq(("c", 9.0))
+    MaterializedAgg.upsertBatch(spark, b2.toDF("k", "v"), 2, tgt, Seq("k"), Seq("v"))
+    assertSame(MaterializedAgg.read(spark, tgt, Seq("k"), Seq("v")),
+      expected(b0 ++ b1 ++ b2))
+  }
+
+  test("compacted partition keeps the partial-side decimal schema") {
+    val tgt = Files.createTempDirectory("ma_tgt5").toString + "/agg"
+    MaterializedAgg.upsertBatch(spark, Seq(("a", 1.0)).toDF("k", "v"), 0, tgt,
+      Seq("k"), Seq("v"))
+    MaterializedAgg.upsertBatch(spark, Seq(("a", 2.0)).toDF("k", "v"), 1, tgt,
+      Seq("k"), Seq("v"))
+    MaterializedAgg.compact(spark, tgt, Seq("k"), Seq("v"))
+    val fs = new Path(tgt).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cPart = fs.listStatus(new Path(tgt)).map(_.getPath.getName)
+      .find(_.startsWith("__batch=c")).get
+    // every partition must carry the partial-side DECIMAL(28,6), so reads
+    // never depend on which file's footer Spark samples first
+    assert(spark.read.parquet(s"$tgt/$cPart").schema("sum_v").dataType ==
+      DecimalType(28, 6))
+  }
+
   test("compact folds partitions, preserves totals, survives a crash window") {
     val tgt = Files.createTempDirectory("ma_tgt3").toString + "/agg"
     val all = (0 until 6).map(i => (s"k${i % 2}", i * 1.25))
