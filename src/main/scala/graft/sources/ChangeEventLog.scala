@@ -38,10 +38,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * changeType STRING, data STRING` (`data` = opaque JSON payload; decode
   * with `from_json`/[[SchemaRegistry]]).
   *
-  * Scale notes: one input partition per log file (splittable further by
-  * row-group if files are parquet; JSONL chosen here for append
-  * friendliness); the driver touches only file *names*, never data, so
-  * `latestOffset` stays O(#files) — executors do all row work.
+  * Scale notes: log files split into `splitBytes` byte ranges (Hadoop
+  * text-split convention), so a restart-after-downtime backlog that landed
+  * in one fat file still fans out across cores; the driver touches only
+  * file *names and lengths*, never data, so `latestOffset` stays
+  * O(#files) — executors do all row work.
   */
 class ChangeEventLogProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "cdc-log"
@@ -51,7 +52,9 @@ class ChangeEventLogProvider extends TableProvider with DataSourceRegister {
                         properties: util.Map[String, String]): Table =
     new ChangeEventLogTable(properties.get("path"),
       Option(properties.get("startingReplayId")).getOrElse("earliest"),
-      Option(properties.get("maxEventsPerBatch")).map(_.toLong))
+      Option(properties.get("maxEventsPerBatch")).map(_.toLong),
+      Option(properties.get("splitBytes")).map(_.toLong)
+        .getOrElse(ChangeEventLog.DefaultSplitBytes))
 }
 
 object ChangeEventLog {
@@ -61,20 +64,37 @@ object ChangeEventLog {
     StructField("changeType", StringType),
     StructField("data", StringType)))
 
-  /** Max replay ID encoded in a log file name (`events-<id>.jsonl`). */
-  def fileMaxReplayId(p: Path): Long = {
-    val n = p.getName
-    val core = n.stripPrefix("events-").stripSuffix(".jsonl")
-    try core.toLong catch { case _: NumberFormatException => Long.MaxValue }
+  /** Input-split size for log files (parquet's default row-group scale). */
+  val DefaultSplitBytes: Long = 128L * 1024 * 1024
+
+  // `events-<maxReplayId>[-n<rows>].jsonl`: the name carries the file's
+  // highest replay ID (pure-listing offset math) and, when the writer
+  // recorded it, the file's ROW COUNT — which makes batch admission
+  // row-accurate even when replay IDs are sparse (post-compaction logs,
+  // interleaved topics).
+  private val FileName = """events-(\d+)(?:-n(\d+))?\.jsonl""".r
+
+  /** Max replay ID encoded in a log file name. */
+  def fileMaxReplayId(p: Path): Long = p.getName match {
+    case FileName(id, _) => id.toLong
+    case _ => Long.MaxValue
   }
 
-  def listFiles(path: String): Seq[Path] = {
+  /** Row count encoded in a log file name, when the writer recorded one. */
+  def fileRowCount(p: Path): Option[Long] = p.getName match {
+    case FileName(_, n) if n != null => Some(n.toLong)
+    case _ => None
+  }
+
+  def listFiles(path: String): Seq[Path] = listStatuses(path).map(_.getPath)
+
+  def listStatuses(path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val p = new Path(path)
     val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.filter(s => s.isFile &&
-      s.getPath.getName.endsWith(".jsonl")).map(_.getPath)
+      s.getPath.getName.endsWith(".jsonl"))
   }
 }
 
@@ -83,7 +103,8 @@ case class ReplayOffset(replayId: Long) extends Offset {
 }
 
 class ChangeEventLogTable(path: String, startingReplayId: String,
-                          maxEventsPerBatch: Option[Long])
+                          maxEventsPerBatch: Option[Long],
+                          splitBytes: Long = ChangeEventLog.DefaultSplitBytes)
     extends Table with SupportsRead {
   override def name(): String = s"cdc-log(`$path`)"
   override def schema(): StructType = ChangeEventLog.Schema
@@ -93,24 +114,30 @@ class ChangeEventLogTable(path: String, startingReplayId: String,
     () => new Scan {
       override def readSchema(): StructType = ChangeEventLog.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new ChangeEventLogStream(path, startingReplayId, maxEventsPerBatch)
+        new ChangeEventLogStream(path, startingReplayId, maxEventsPerBatch,
+          splitBytes)
     }
 }
 
 /** Micro-batch stream with flow control (S3). `maxEventsPerBatch` is the
   * reference's batch admission cap (`client.js:46-49,455-507`: request N
-  * events, process, re-request): each micro-batch advances the offset by at
-  * most that many replay IDs, so a restarted stream drains a backlog in
-  * bounded batches instead of one table-sized batch. Replay IDs are densely
-  * assigned by the publish path, so the ID span bounds the event count; with
-  * sparse IDs the cap is conservative (fewer events per batch), never over.
+  * events, process, re-request): each micro-batch admits at most that many
+  * ROWS, so a restarted stream drains a backlog in bounded batches instead
+  * of one table-sized batch. Admission is row-accurate at file granularity:
+  * whole files are admitted against their name-encoded row counts (exact
+  * even when replay IDs are sparse — post-compaction logs, interleaved
+  * topics); a file too large for the remaining budget, or one whose writer
+  * recorded no count, degrades to the ID-span cap within it (replay IDs
+  * are distinct integers, so a span of k admits ≤ k rows — the span cap
+  * can under-fill a batch but never over-admit).
   *
   * `SupportsTriggerAvailableNow` makes `Trigger.AvailableNow` respect the
   * cap too: the end offset is pinned at start, then consumed in capped
   * micro-batches until drained.
   */
 class ChangeEventLogStream(path: String, startingReplayId: String,
-                           maxEventsPerBatch: Option[Long] = None)
+                           maxEventsPerBatch: Option[Long] = None,
+                           splitBytes: Long = ChangeEventLog.DefaultSplitBytes)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -136,12 +163,36 @@ class ChangeEventLogStream(path: String, startingReplayId: String,
     val avail = pinnedAvailable.getOrElse(maxAvailable)
     val from = start.asInstanceOf[ReplayOffset].replayId
     def capped(l: ReadLimit): Long = l match {
-      case rows: ReadMaxRows => math.min(avail, from + rows.maxRows())
+      case rows: ReadMaxRows => rowCapped(from, avail, rows.maxRows())
       case _: ReadAllAvailable => avail
       case c: CompositeReadLimit => c.getReadLimits.map(capped).min
       case _ => avail
     }
     ReplayOffset(capped(limit))
+  }
+
+  /** Advance `from` by at most `maxRows` rows (see class scaladoc for the
+    * per-file accounting). A partially-consumed first file (a previous
+    * span-capped batch ended inside it) charges its FULL count against the
+    * budget — conservative, never over.
+    */
+  private def rowCapped(from: Long, avail: Long, maxRows: Long): Long = {
+    val files = ChangeEventLog.listFiles(path)
+      .map(p => (ChangeEventLog.fileMaxReplayId(p), ChangeEventLog.fileRowCount(p)))
+      .filter(_._1 > from).sortBy(_._1)
+    var budget = maxRows
+    var to = from
+    files.foreach { case (maxId, cnt) =>
+      if (to < avail && budget > 0) {
+        cnt match {
+          case Some(n) if n <= budget => budget -= n; to = maxId
+          case _ => // span cap: distinct integer IDs make it row-safe
+            val adv = math.min(maxId - to, budget)
+            budget -= adv; to += adv
+        }
+      }
+    }
+    math.min(to, avail)
   }
 
   override def reportLatestOffset(): Offset = ReplayOffset(maxAvailable)
@@ -158,10 +209,18 @@ class ChangeEventLogStream(path: String, startingReplayId: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[ReplayOffset].replayId
     val to = end.asInstanceOf[ReplayOffset].replayId
-    // prune whole files by their name-encoded max replay ID
-    ChangeEventLog.listFiles(path)
-      .filter(p => ChangeEventLog.fileMaxReplayId(p) > from)
-      .map(p => ChangeEventLogPartition(p.toString, from, to): InputPartition)
+    // prune whole files by their name-encoded max replay ID, then split
+    // each into byte ranges — a restart-after-downtime backlog is often
+    // ONE fat file, which must not serialize onto a single core
+    ChangeEventLog.listStatuses(path)
+      .filter(s => ChangeEventLog.fileMaxReplayId(s.getPath) > from)
+      .flatMap { s =>
+        val len = s.getLen
+        val ranges = math.max(1L, (len + splitBytes - 1) / splitBytes)
+        (0L until ranges).map(i =>
+          ChangeEventLogPartition(s.getPath.toString, from, to,
+            i * splitBytes, math.min(len, (i + 1) * splitBytes)): InputPartition)
+      }
       .toArray
   }
 
@@ -173,7 +232,8 @@ class ChangeEventLogStream(path: String, startingReplayId: String,
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[ChangeEventLogPartition]
-      new ChangeEventLogReader(p.file, p.from, p.to, conf.value)
+      new ChangeEventLogReader(p.file, p.from, p.to, p.rangeStart, p.rangeEnd,
+        conf.value)
     }
   }
 
@@ -181,7 +241,8 @@ class ChangeEventLogStream(path: String, startingReplayId: String,
   override def stop(): Unit = ()
 }
 
-case class ChangeEventLogPartition(file: String, from: Long, to: Long)
+case class ChangeEventLogPartition(file: String, from: Long, to: Long,
+                                   rangeStart: Long, rangeEnd: Long)
     extends InputPartition
 
 /** Java-serializable Hadoop `Configuration` carrier (the class itself is
@@ -201,19 +262,40 @@ class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Config
   }
 }
 
-/** Executor-side JSONL reader, filtering to (from, to] replay IDs. */
+/** Executor-side JSONL reader over one byte range of one log file,
+  * filtering to (from, to] replay IDs.
+  *
+  * Byte ranges follow the Hadoop text-split convention: a reader whose
+  * range does not start the file discards its (partial) first line, and
+  * every reader runs one line past its range end — so across the file's
+  * ranges each line is read exactly once, wherever the split boundaries
+  * fall. `LineReader` counts BYTES consumed (multi-byte UTF-8 safe),
+  * which is what the range arithmetic needs.
+  */
 class ChangeEventLogReader(file: String, from: Long, to: Long,
+                           rangeStart: Long, rangeEnd: Long,
                            conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private val fs = FileSystem.get(new java.net.URI(file), conf)
   private val in = fs.open(new Path(file))
-  private val lines = scala.io.Source.fromInputStream(in).getLines()
+  private val text = new org.apache.hadoop.io.Text()
+  private val lines = {
+    if (rangeStart > 0) in.seek(rangeStart)
+    new org.apache.hadoop.util.LineReader(in)
+  }
+  // a line starting at byte pos ≤ rangeEnd belongs to this range; the
+  // discarded first line of a non-first range belongs to the previous one
+  private var pos = rangeStart +
+    (if (rangeStart > 0) lines.readLine(text).toLong else 0L)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    while (lines.hasNext) {
-      val node = mapper.readTree(lines.next())
+    while (pos <= rangeEnd) {
+      val consumed = lines.readLine(text)
+      if (consumed == 0) return false // EOF
+      pos += consumed
+      val node = mapper.readTree(text.toString)
       val rid = node.get("replayId").asLong()
       if (rid > from && rid <= to) {
         def str(f: String) =
@@ -226,5 +308,5 @@ class ChangeEventLogReader(file: String, from: Long, to: Long,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = in.close()
+  override def close(): Unit = lines.close()
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Publish sink (S5/S6): append a batch of events to a replayable
-  * change-event log in the `cdc-log` layout (`events-<maxReplayId>.jsonl`),
+  * change-event log in the `cdc-log` layout (`events-<maxReplayId>-n<rows>.jsonl`),
   * assigning monotonically increasing replay IDs — the in-engine equivalent
   * of the reference's `Publish`/`PublishStream` RPCs (`client.js:550-709`),
   * whose acks return the assigned replay IDs.
@@ -44,7 +44,7 @@ object Publish {
       if (n == 0) return (base + 1, base)
       val last = base + n
 
-      writeLogFile(spark, withIds, logDir, last)
+      writeLogFile(spark, withIds, logDir, last, n)
       (base + 1, last)
     } finally withIds.unpersist()
   }
@@ -72,23 +72,26 @@ object Publish {
       if (acks.nonEmpty) {
         val last = base + acks.length
         writeLogFile(spark,
-          withIds.select("replayId", "sfId", "changeType", "data"), logDir, last)
+          withIds.select("replayId", "sfId", "changeType", "data"), logDir, last,
+          acks.length.toLong)
       }
       acks.toSeq.toDF(correlationKeyCol, "replayId")
     } finally withIds.unpersist()
   }
 
   /** One-file atomic append: write via a staging dir, rename into the log
-    * as `events-<last>.jsonl`.
+    * as `events-<last>-n<rows>.jsonl` — the name carries the file's max
+    * replay ID (offset math) and row count (row-accurate source admission
+    * even under sparse replay IDs).
     */
   private def writeLogFile(spark: SparkSession, rows: DataFrame,
-                           logDir: String, last: Long): Unit = {
+                           logDir: String, last: Long, n: Long): Unit = {
     val staging = s"$logDir/__publish_staging"
     rows.coalesce(1).write.mode("overwrite").json(staging)
     val fs = new Path(logDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val part = fs.listStatus(new Path(staging))
       .map(_.getPath).filter(_.getName.startsWith("part-")).head
-    fs.rename(part, new Path(logDir, s"events-$last.jsonl"))
+    fs.rename(part, new Path(logDir, s"events-$last-n$n.jsonl"))
     fs.delete(new Path(staging), true)
   }
 }

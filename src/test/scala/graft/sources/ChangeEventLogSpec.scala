@@ -66,6 +66,65 @@ class ChangeEventLogSpec extends SparkSpec {
     assert(all == Seq(1L, 2L, 3L, 4L)) // no re-read of committed offsets
   }
 
+  test("one fat backlog file plans multiple byte-range partitions, same output") {
+    val dir = Files.createTempDirectory("cdclog_split")
+    // one file, ~200 events of varying line lengths (split boundaries must
+    // not align with line boundaries)
+    writeLog(dir, "events-200.jsonl",
+      (1L to 200L).map(i => ev(i, s"k${i % 7}", "CREATE", "v" * (i % 13).toInt)))
+
+    val partitionCounts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft.sources.ChangeEventLogProvider")
+      .option("path", dir.toString)
+      .option("startingReplayId", "earliest")
+      .option("splitBytes", "512") // tiny ranges to force many splits
+      .load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("cdcckpt_split").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        partitionCounts.synchronized { partitionCounts += batch.rdd.getNumPartitions }
+        val ids = batch.select("replayId").as[Long].collect()
+        seen.synchronized { seen ++= ids }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    assert(partitionCounts.exists(_ > 1),
+      s"a fat file must fan out over several input partitions: $partitionCounts")
+    assert(seen.sorted.toSeq == (1L to 200L), "every line exactly once across ranges")
+  }
+
+  test("row-counted file names make admission row-accurate under sparse IDs") {
+    val dir = Files.createTempDirectory("cdclog_sparse")
+    // 6 files x 50 rows with huge ID gaps between files (compacted-log
+    // shape). Span-based admission would advance 100 IDs per batch and
+    // need ~30 batches for the first file alone; row-accurate admission
+    // takes 2 whole files per 100-row batch.
+    (0 until 6).foreach { f =>
+      val ids = (1L to 50L).map(_ + f * 10000L)
+      writeLog(dir, s"events-${ids.last}-n50.jsonl",
+        ids.map(i => ev(i, s"k${i % 7}", "CREATE", s"v$i")))
+    }
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft.sources.ChangeEventLogProvider")
+      .option("path", dir.toString)
+      .option("startingReplayId", "earliest")
+      .option("maxEventsPerBatch", "100")
+      .load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("cdcckpt_sparse").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += batch.count() }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batchSizes.toSeq == Seq(100L, 100L, 100L),
+      s"sparse backlog must drain in 3 full batches, got: $batchSizes")
+  }
+
   test("admission control drains a backlog in capped batches and resumes (S3)") {
     val dir = Files.createTempDirectory("cdclog3")
     // first half of the backlog: 500 events in files of 250 (file boundaries

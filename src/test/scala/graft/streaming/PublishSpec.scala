@@ -60,7 +60,7 @@ class PublishSpec extends SparkSpec {
     assert(acks.map(_._2).toSeq == Seq(1L, 2L, 3L))
 
     // the correlation key is an ack-only field: not written to the log
-    val logged = spark.read.json(s"$logDir/events-3.jsonl")
+    val logged = spark.read.json(s"$logDir/events-3-n3.jsonl")
     assert(!logged.columns.contains("correlationKey"))
     assert(logged.count() == 3)
 
