@@ -48,21 +48,26 @@ object IndexCatalog {
   private val resolved = new ConcurrentHashMap[String, String]()
 
   /** Fingerprint of the input files: (path, len, mtime) of every non-hidden
-    * file under each input path. A listing, not a scan — O(files), the same
-    * cost Spark pays to plan a read of the input.
+    * file under each input path, RECURSIVELY — a change two directory
+    * levels deep (one file of a bucket-partitioned input) must change the
+    * fingerprint, or a stale index would be served. A listing, not a
+    * scan — O(files), the same cost Spark pays to plan a read of the input.
     */
   private[operators] def fingerprint(spark: SparkSession, inputs: Seq[String]): String = {
     val conf = spark.sessionState.newHadoopConf()
     inputs.sorted.map { in =>
       val p = new Path(in)
       val fs = p.getFileSystem(conf)
-      val files = fs.listStatus(p).filterNot { st =>
-        val n = st.getPath.getName
-        n.startsWith("_") || n.startsWith(".")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        // hidden if any path component below the input is _ or . prefixed
+        val rel = st.getPath.toString.stripPrefix(p.toString).stripPrefix("/")
+        if (!rel.split('/').exists(c => c.startsWith("_") || c.startsWith(".")))
+          buf += s"${st.getPath}#${st.getLen}#${st.getModificationTime}"
       }
-      files.sortBy(_.getPath.toString)
-        .map(st => s"${st.getPath}#${st.getLen}#${st.getModificationTime}")
-        .mkString(in + "::", "|", "")
+      buf.sorted.mkString(in + "::", "|", "")
     }.mkString(";")
   }
 
@@ -100,6 +105,41 @@ object IndexCatalog {
       }
       finalDir.toString
     })
+  }
+
+  /** Rebuild-on-drift hook: resolve (building if needed) the entry for the
+    * CURRENT inputs, then delete every other entry of the same `kind` —
+    * their fingerprints no longer match any live input, so they are stale
+    * by construction. This closes the maintenance loop for indexes that
+    * cannot be kept fresh incrementally (IVF: appended vectors shift the
+    * centroids, which is why [[graft.streaming.StreamingAnnIndex]] refuses
+    * IVF appends): a drifted corpus triggers a rebuild here instead of
+    * silently degrading probe recall against an old index.
+    *
+    * Single-maintainer contract: callers racing ensureCurrent for the same
+    * kind may delete an entry another JVM is mid-probe on — run it from the
+    * maintenance path (post-ingest, scheduled), not from concurrent readers
+    * (those use [[ensure]], which never deletes).
+    */
+  def ensureCurrent(spark: SparkSession, kind: String, inputs: Seq[String],
+                    params: String)(build: String => Unit): String = {
+    val dir = ensure(spark, kind, inputs, params)(build)
+    val rootStr = root(spark)
+    val conf = spark.sessionState.newHadoopConf()
+    val rootDir = new Path(rootStr)
+    val fs = rootDir.getFileSystem(conf)
+    val keep = new Path(dir).getName
+    if (fs.exists(rootDir)) {
+      fs.listStatus(rootDir)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(kind + "-") &&
+          st.getPath.getName != keep) // name compare: listings are scheme-qualified
+        .foreach { st =>
+          fs.delete(st.getPath, true)
+          resolved.remove(rootStr + "/" + st.getPath.getName)
+        }
+    }
+    dir
   }
 
   /** Garbage-collect the cache root: delete entries (and crashed builds'

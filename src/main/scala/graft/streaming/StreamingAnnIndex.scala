@@ -17,7 +17,9 @@ import graft.operators.Similarity
   * rest of the corpus, so append is semantically exact (contrast IVF, whose
   * centroids drift with the data distribution and need periodic
   * re-clustering — that is why [[graft.operators.IvfIndex]] has no
-  * streaming append).
+  * streaming append; its maintenance hook is
+  * [[graft.operators.IndexCatalog.ensureCurrent]], which rebuilds the IVF
+  * entry when the input fingerprint drifts and prunes the superseded one).
   *
   * Per micro-batch: one codegen'd bucket pass over the batch, a
   * `repartition(bucket)` so each touched bucket gets ONE new file (not

@@ -78,6 +78,55 @@ class IndexCatalogSpec extends SparkSpec {
     }
   }
 
+  test("fingerprint sees changes nested under partition dirs (recursive listing)") {
+    withRoot { _ =>
+      import spark.implicits._
+      val in = Files.createTempDirectory("idx_cat_nested").toString + "/t"
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").withColumn("b", col("id") % 2)
+        .write.partitionBy("b").parquet(in)
+      val builds = new AtomicInteger(0)
+      def ensure() = IndexCatalog.ensure(spark, "t", Seq(in), "p=1") { dir =>
+        builds.incrementAndGet()
+        Files.createDirectories(Paths.get(dir))
+        Files.write(Paths.get(dir, "m"), "x".getBytes)
+      }
+      val d1 = ensure()
+      // change lands two levels deep (t/b=1/part-*.parquet): the top-level
+      // listing is unchanged, only a recursive fingerprint can see it
+      Seq((3L, "c")).toDF("id", "v").withColumn("b", lit(1L))
+        .write.mode("append").partitionBy("b").parquet(in)
+      val d2 = ensure()
+      assert(d1 != d2, "nested input change must change the catalog entry")
+      assert(builds.get() == 2)
+    }
+  }
+
+  test("ensureCurrent: input drift builds a new entry and prunes the stale one") {
+    withRoot { _ =>
+      val in = writeInput(Seq((1L, "a")))
+      val builds = new AtomicInteger(0)
+      def current() = IndexCatalog.ensureCurrent(spark, "ivf", Seq(in), "k=4") { dir =>
+        builds.incrementAndGet()
+        spark.read.parquet(in).write.parquet(dir + "/data")
+      }
+      // an unrelated kind's entry must survive the supersede sweep
+      val other = IndexCatalog.ensure(spark, "lsh", Seq(in), "p=1") { dir =>
+        Files.createDirectories(Paths.get(dir))
+        Files.write(Paths.get(dir, "m"), "x".getBytes)
+      }
+      val d1 = current()
+      import spark.implicits._
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      val d2 = current()
+      assert(d1 != d2 && builds.get() == 2)
+      assert(!Files.exists(Paths.get(d1)), "drifted same-kind entry must be pruned")
+      assert(Files.exists(Paths.get(d2)) && Files.exists(Paths.get(other)))
+      // steady state: same inputs -> same entry, no rebuild, nothing pruned
+      assert(current() == d2 && builds.get() == 2)
+    }
+  }
+
   test("different params are distinct entries; kinds namespace the key") {
     withRoot { _ =>
       val in = writeInput(Seq((1L, "a")))
