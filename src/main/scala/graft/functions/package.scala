@@ -33,6 +33,10 @@ package object functions {
   def vector_avg(vec: Column): Column =
     col(VectorAvg(ex(vec)).toAggregateExpression())
 
+  /** Container-header sniff of a binary media payload:
+    * `struct<format, width, height>` (png/jpeg/bmp/gif/unknown). */
+  def media_header(content: Column): Column = col(MediaHeader(ex(content)))
+
   /** Lower 64 bits of md5 (little-endian) — DuckDB `md5_number_lower` compatible. */
   def md5_lower64(c: Column): Column = col(Md5Lower64(ex(c)))
 

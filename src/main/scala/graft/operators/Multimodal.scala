@@ -7,31 +7,28 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract / frame-sample
   * stages shaped for a 100 TB training-data pipeline.
   *
-  * The actual codec work (JPEG decode, resampling, frame extraction) is
-  * STUBBED — this environment ships no image/audio libraries — behind
-  * [[fakeDecodeMeta]], a deterministic stand-in with the same schema,
-  * partitioning behavior, and batch shape a real decoder would have. The
-  * Spark-side plumbing (binary columns, metadata struct, per-row offsets,
-  * no shuffle in the decode stage) is real and tested.
+  * Header METADATA extraction is real: [[headerMeta]] sniffs magic bytes
+  * and parses pixel dimensions for PNG/JPEG/BMP/GIF in pure JVM
+  * ([[graft.functions.MediaHeaderKernel]]). Pixel DECODE (inflate, DCT,
+  * resampling) is the part that needs a codec library this environment
+  * doesn't ship — a real binding drops in as another scalar projection
+  * with the same shape: per-row, fully parallel, no shuffle.
   */
 object Multimodal {
 
-  /** Typed metadata a decoder would emit. */
-  val MetaCols: Seq[String] = Seq("n_bytes", "fake_format", "fake_width", "fake_height")
+  /** Typed metadata the header pass emits. */
+  val MetaCols: Seq[String] = Seq("n_bytes", "format", "width", "height")
 
-  /** Deterministic fake "decode": header-ish fields derived from the byte
-    * length. A real implementation parses the container header per row —
-    * same shape: scalar projection over a binary column, fully parallel,
-    * no shuffle. STUB — replace with a real codec binding.
+  /** Container-header metadata of a binary payload: byte size, sniffed
+    * format, parsed pixel dimensions (null when the format is unknown).
+    * One codegen'd projection — scales with scan throughput.
     */
-  def fakeDecodeMeta(content: Column): Seq[Column] = {
-    val nBytes = length(content).cast("long")
-    Seq(
-      nBytes.as("n_bytes"),
-      when(nBytes % 3 === 0, "img").when(nBytes % 3 === 1, "audio")
-        .otherwise("video").as("fake_format"),
-      ((nBytes % 64) * 16).as("fake_width"),
-      ((nBytes % 48) * 16).as("fake_height"))
+  def headerMeta(content: Column): Seq[Column] = {
+    val hdr = graft.functions.media_header(content)
+    Seq(length(content).cast("long").as("n_bytes"),
+      hdr.getField("format").as("format"),
+      hdr.getField("width").as("width"),
+      hdr.getField("height").as("height"))
   }
 
   /** Evenly-spaced frame/sample offsets into the payload — the frame-sample
@@ -41,11 +38,11 @@ object Multimodal {
     transform(sequence(lit(0), lit(frames - 1)),
       i => i * (length(content).cast("long") / lit(frames)).cast("long"))
 
-  /** Attach decoded metadata + sampled frame offsets to a binary-content
+  /** Attach header metadata + sampled frame offsets to a binary-content
     * DataFrame. Pure projection: scales with scan throughput.
     */
   def withMeta(df: DataFrame, contentCol: String, frames: Int = 5): DataFrame =
-    df.select(df.columns.map(col) ++ fakeDecodeMeta(col(contentCol)) :+
+    df.select(df.columns.map(col) ++ headerMeta(col(contentCol)) :+
       frameOffsets(col(contentCol), frames).as("frame_offsets"): _*)
 
   /** Frame extraction: slice `frames` equal byte ranges out of the payload

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -583,32 +583,41 @@ object PipelineQueries {
         "md5(substring(text, frame_no * flen + 1, flen)) AS frame_md5 " +
         "FROM f ORDER BY doc_id, frame_no")),
 
-    // ---- multimodal plumbing: opaque binary column + typed metadata.
-    // The image/audio decode itself is STUBBED as a deterministic fake
-    // (no codec libraries in this environment); the Spark-side plumbing —
-    // binary column, metadata schema, frame-offset sampling — is real. ----
+    // ---- multimodal metadata: REAL container-header parsing. Each doc_id
+    // deterministically constructs a valid PNG/JPEG/BMP/GIF header (the
+    // dimensions are doc_id arithmetic), media_header parses the bytes
+    // back, and the oracle emits the same fields from the arithmetic
+    // alone — so any magic-byte or endianness bug in the parser breaks
+    // the hash match. Pixel decode (the part that needs codec libraries
+    // this environment doesn't ship) is out of scope; see Multimodal. ----
     ("mm_binary_meta",
       (s: SparkSession, d: String) => {
-        val content = encode(col("text"), "UTF-8")
-        val nBytes = length(content).cast("long")
-        Tables.documents(s, d).select(
-          col("doc_id"),
-          nBytes.as("n_bytes"),
-          // deterministic fake "decode": pretend header fields derived from size
-          when(nBytes % 3 === 0, "img").when(nBytes % 3 === 1, "audio")
-            .otherwise("video").as("fake_format"),
-          ((nBytes % 64) * 16).as("fake_width"),
-          ((nBytes % 48) * 16).as("fake_height"),
-          array_join(transform(sequence(lit(0), lit(4)),
-            i => i * (nBytes / lit(5)).cast("long")), ",").as("frame_offsets"))
+        import graft.operators.Multimodal
+        val w = (lit(16) + col("doc_id") % 640).cast("int")
+        val h = (lit(16) + col("doc_id") % 480).cast("int")
+        def hex2(c: Column) = lpad(hex(c % 256), 2, "0")
+        def be16(c: Column) = lpad(hex(c), 4, "0")
+        def be32(c: Column) = lpad(hex(c), 8, "0")
+        def le16(c: Column) = concat(hex2(c), hex2(floor(c / 256).cast("int")))
+        val hdrHex = when(col("doc_id") % 4 === 0, // PNG: sig + IHDR, BE u32 dims
+            concat(lit("89504E470D0A1A0A0000000D49484452"), be32(w), be32(h)))
+          .when(col("doc_id") % 4 === 1, // JPEG: SOI, APP0, SOF0 with BE u16 dims
+            concat(lit("FFD8FFE000040000FFC0000B08"), be16(h), be16(w), lit("01011100")))
+          .when(col("doc_id") % 4 === 2, // BMP: "BM" + 16 filler, LE i32 dims
+            concat(lit("424D" + "00" * 16), le16(w), lit("0000"), le16(h), lit("0000")))
+          .otherwise( // GIF89a: LE u16 dims
+            concat(lit("474946383961"), le16(w), le16(h)))
+        Tables.documents(s, d)
+          .select(col("doc_id"), unhex(hdrHex).as("content"))
+          .select(col("doc_id") +: Multimodal.headerMeta(col("content")): _*)
           .orderBy("doc_id")
       },
-      Some("SELECT doc_id, octet_length(encode(text)) AS n_bytes, " +
-        "CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'img' " +
-        "WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio' ELSE 'video' END AS fake_format, " +
-        "(octet_length(encode(text)) % 64) * 16 AS fake_width, " +
-        "(octet_length(encode(text)) % 48) * 16 AS fake_height, " +
-        "array_to_string(list_transform(generate_series(0, 4), " +
-        "i -> i * (octet_length(encode(text)) // 5)), ',') AS frame_offsets " +
+      Some("SELECT doc_id, " +
+        "CAST(CASE doc_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 21 WHEN 2 THEN 26 " +
+        "ELSE 10 END AS BIGINT) AS n_bytes, " +
+        "CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'bmp' " +
+        "ELSE 'gif' END AS format, " +
+        "CAST(16 + doc_id % 640 AS INTEGER) AS width, " +
+        "CAST(16 + doc_id % 480 AS INTEGER) AS height " +
         "FROM documents ORDER BY doc_id")))
 }
