@@ -138,6 +138,103 @@ object TextAnalysis {
     * DuckDB's native log2; dividing by ln 2 once, after the sum, keeps the
     * arithmetic identical).
     */
+  /** Duplicated-span detection — the SPAN-level dedup pass of an LLM data
+    * pipeline (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022), rendered at token-k-gram granularity:
+    * suffix arrays don't distribute, positional k-gram fingerprints do.
+    * A span is k consecutive tokens; it is DUPLICATED when its fingerprint
+    * occurs at least twice corpus-wide (cross-document boilerplate AND
+    * within-document self-repetition both count, as in the paper's
+    * masking rule). Returns per-doc coverage: how many token positions sit
+    * under ≥1 duplicated span — the "fraction of my text is boilerplate"
+    * signal curation thresholds on.
+    *
+    * Plan shape at 100 TB: posexplode to (id, pos, token) — L rows per doc
+    * but SKINNY; ONE id-partitioned window builds positional k-grams via
+    * `lead` (no per-position array slicing); one hash-shuffle groupBy on
+    * the fingerprint finds multiply-occurring spans (map-side combinable
+    * count, no distinct); an equi-join brings them back; the per-doc
+    * interval union is one more id-window (running max of span ends), not
+    * a UDF. Join fan-out on a hot fingerprint is proportional to its real
+    * occurrence count — output-sized, never quadratic.
+    */
+  def duplicatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int = 5): DataFrame = {
+    require(k >= 2, "a 1-token span is just a token count")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("t"))
+      .select(col("id"), col("t"), size(col("t")).cast("long").as("n_tokens"))
+    val wn = Window.partitionBy("id").orderBy("pos")
+    val gram = concat_ws(" ",
+      col("w") +: (1 until k).map(j => lead(col("w"), j).over(wn)): _*)
+    val spans = toks
+      .select(col("id"), col("n_tokens"), posexplode(col("t")).as(Seq("pos", "w")))
+      .withColumn("fp", md5(gram))
+      .filter(col("pos") <= col("n_tokens") - k) // complete k-grams only (pos 0-based)
+      .select(col("id"), col("pos"), col("fp"))
+    val dupFp = spans.groupBy("fp").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("fp")
+    // interval union: clip each span's start to the running max end of the
+    // doc's preceding spans, so overlaps aren't double-counted
+    val prevEnd = max(col("pos") + k)
+      .over(Window.partitionBy("id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val covered = spans.join(dupFp, "fp")
+      .withColumn("clip", greatest(col("pos"), coalesce(prevEnd, col("pos"))))
+      .groupBy("id").agg(count(lit(1)).as("n_dup_spans"),
+        sum(greatest(lit(0L), col("pos") + k - col("clip"))).as("covered"))
+    toks.select(col("id"), col("n_tokens"),
+        greatest(lit(0L), col("n_tokens") - (k - 1)).as("n_spans"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("covered"), lit(0L)).cast("double") /
+            col("n_tokens"), 4)).as("dup_token_frac"))
+  }
+
+  /** BM25 ranked retrieval for a literal query-term list (Robertson &
+    * Zaragoza 2009; Lucene-style idf = ln(1 + (N - df + 0.5)/(df + 0.5)))
+    * — the retrieval scoring a data pipeline uses for decontamination
+    * triage and topic mining.
+    *
+    * Plan shape: per-term tf via codegen'd filters over the token array
+    * (terms are a literal list — no explode, no per-term shuffle);
+    * N/avgdl/df come from ONE tiny aggregate row broadcast back with a
+    * crossJoin; top-k is orderBy+limit (TakeOrdered — parallel partial
+    * top-k, no global sort); the rank window runs over the k survivors
+    * only. Terms are summed in fixed list order and the score is rounded
+    * before ranking, so ordering is deterministic cross-engine.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.tokens(col(textCol))
+    val base = docs.select(Seq(col(idCol).as("doc_id"),
+      size(toks).cast("long").as("dl")) ++
+      terms.indices.map(i =>
+        size(filter(toks, x => x === lit(terms(i)))).cast("double").as(s"tf$i")): _*)
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl") +:
+        terms.indices.map(i =>
+          sum((col(s"tf$i") > 0).cast("long")).cast("double").as(s"df$i")): _*)
+    val score = terms.indices.map { i =>
+      val idf = log(lit(1.0) + (col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+      (idf * (col(s"tf$i") * lit(k1 + 1))) /
+        (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    }.reduce(_ + _)
+    val top = base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      .orderBy("rank")
+  }
+
   def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val s = lower(col(textCol))
     val n = length(s)

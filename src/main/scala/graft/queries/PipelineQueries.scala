@@ -534,6 +534,63 @@ object PipelineQueries {
         "CAST(n_distinct AS INTEGER) AS n_distinct_chars, " +
         "round(ent, 4) AS char_entropy_bits FROM e ORDER BY doc_id")),
 
+    // ---- text analysis: duplicated-span coverage (Lee et al. span-level
+    // dedup at token-5-gram granularity; see TextAnalysis scaladoc) ----
+    ("ns_text_dup_spans",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.duplicatedSpanStats(Tables.documents(s, d), "doc_id", "text",
+          k = 5).orderBy("doc_id"),
+      Some("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents), " +
+        "tok AS (SELECT doc_id, len(t) AS n, unnest(t) AS w, " +
+        "generate_subscripts(t, 1) AS pos FROM toks), " +
+        "kg AS (SELECT doc_id, n, pos, md5(concat_ws(' ', w, " +
+        "lead(w, 1) OVER win, lead(w, 2) OVER win, lead(w, 3) OVER win, " +
+        "lead(w, 4) OVER win)) AS fp FROM tok " +
+        "WINDOW win AS (PARTITION BY doc_id ORDER BY pos) " +
+        "QUALIFY pos <= n - 4), " + // pos 1-based: complete 5-grams only
+        "dup AS (SELECT fp FROM kg GROUP BY fp HAVING count(*) >= 2), " +
+        "ds AS (SELECT kg.doc_id, kg.pos FROM kg JOIN dup ON kg.fp = dup.fp), " +
+        "c1 AS (SELECT doc_id, pos, greatest(pos, coalesce(max(pos + 5) OVER (" +
+        "PARTITION BY doc_id ORDER BY pos " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos)) AS clip FROM ds), " +
+        "cov AS (SELECT doc_id, count(*) AS n_dup_spans, " +
+        "sum(greatest(0, pos + 5 - clip)) AS covered FROM c1 GROUP BY doc_id) " +
+        "SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens, " +
+        "CAST(greatest(0, b.n - 4) AS BIGINT) AS n_spans, " +
+        "CAST(coalesce(c.n_dup_spans, 0) AS BIGINT) AS n_dup_spans, " +
+        "CASE WHEN b.n = 0 THEN 0.0 ELSE " +
+        "round(CAST(coalesce(c.covered, 0) AS DOUBLE) / b.n, 4) END AS dup_token_frac " +
+        "FROM (SELECT doc_id, len(t) AS n FROM toks) b " +
+        "LEFT JOIN cov c ON b.doc_id = c.doc_id ORDER BY b.doc_id")),
+
+    // ---- text retrieval: BM25 top-k for a literal term list ----
+    ("ns_text_bm25",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+          terms = Seq("join", "stream", "dup"), k = 10),
+      Some("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents), " +
+        "d AS (SELECT doc_id, len(t) AS dl, " +
+        "CAST(len(list_filter(t, x -> x = 'join')) AS DOUBLE) AS tf0, " +
+        "CAST(len(list_filter(t, x -> x = 'stream')) AS DOUBLE) AS tf1, " +
+        "CAST(len(list_filter(t, x -> x = 'dup')) AS DOUBLE) AS tf2 FROM toks), " +
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, " +
+        "CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0, " +
+        "CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1, " +
+        "CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2 FROM d), " +
+        "sc AS (SELECT doc_id, round(" +
+        "(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)) / " +
+        "(tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)) + " +
+        "(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)) / " +
+        "(tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) + " +
+        "(ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)) / " +
+        "(tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS score FROM d, s) " +
+        "SELECT doc_id, score, " +
+        "CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank " +
+        "FROM sc ORDER BY score DESC, doc_id LIMIT 10")),
+
     // ---- embeddings: per-vector hygiene stats (norms, ranges, unit flag) ----
     ("ns_embed_stats",
       (s: SparkSession, d: String) =>

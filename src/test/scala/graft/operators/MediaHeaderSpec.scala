@@ -49,6 +49,22 @@ class MediaHeaderSpec extends SparkSpec {
     assert(got(7L) == (("gif", 255, 257)))
   }
 
+  test("fuzz: no byte sequence throws (seeded, 20k arrays incl. magic prefixes)") {
+    val rnd = new scala.util.Random(42)
+    val magics = Seq(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A),
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte),
+      Array[Byte]('B', 'M'),
+      "GIF89a".getBytes, "GIF87a".getBytes, Array.empty[Byte])
+    (0 until 20000).foreach { i =>
+      val body = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(body)
+      val bytes = magics(i % magics.size) ++ body
+      val row = graft.functions.MediaHeaderKernel.parse(bytes)
+      assert(row.getUTF8String(0) != null) // format always present
+    }
+  }
+
   test("corrupt or truncated payloads are data, not errors") {
     val got = parse(Seq(
       1L -> "",                                   // empty

@@ -49,6 +49,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === ((0.0, 0.3333)))
   }
 
+  test("duplicatedSpanStats: cross-doc + self-repetition, overlap-clipped coverage") {
+    val docs = Seq(
+      (1L, "a b c d e f"),                     // shares "a b c d e" with doc 2
+      (2L, "x a b c d e y"),
+      (3L, "u v w"),                           // shorter than k: no spans
+      (4L, "p q r s t p q r s t p q r s t")    // periodic: every span duplicated
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.duplicatedSpanStats(docs, "doc_id", "text", k = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(out(1L) === ((6L, 2L, 1L, 0.8333)))  // [0,5) of 6 tokens covered
+    assert(out(2L) === ((7L, 3L, 1L, 0.7143)))  // [1,6) of 7 tokens covered
+    assert(out(3L) === ((3L, 0L, 0L, 0.0)))
+    // all 11 spans duplicated; overlapping intervals union to the full doc
+    assert(out(4L) === ((15L, 11L, 11L, 1.0)))
+  }
+
+  test("bm25TopK: multi-term match outranks single-term; absent terms score 0") {
+    val docs = Seq(
+      (1L, "join join other"),
+      (2L, "join stream"),
+      (3L, "x y z w")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        terms = Seq("join", "stream", "dup"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+
+    // reference computation (N=3, avgdl=3, df_join=2, df_stream=1, df_dup=0)
+    def idf(df: Double) = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+    def part(tf: Double, df: Double, dl: Double) =
+      (idf(df) * (tf * 2.2)) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    val s1 = math.rint(part(2, 2, 3) * 1e4) / 1e4
+    val s2 = math.rint((part(1, 2, 2) + part(1, 1, 2)) * 1e4) / 1e4
+
+    assert(out.map(_._1).toSeq == Seq(2L, 1L, 3L), out.mkString(","))
+    assert(out.map(_._3).toSeq == Seq(1, 2, 3))
+    assert(out(0)._2 == s2 && out(1)._2 == s1 && out(2)._2 == 0.0)
+  }
+
   test("charEntropy: uniform chars hit log2(k) bits, repeats score zero") {
     val docs = Seq(
       (1L, "aaaa"),   // one symbol: entropy 0
