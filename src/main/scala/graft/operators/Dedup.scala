@@ -286,16 +286,21 @@ object Dedup {
     * component (labels start as ids and only min-combine), so `lbl(lbl)`
     * is always defined and component-internal.
     *
-    * The shortcut does NOT cost a second join: a row `(id, lbl)` with
-    * `lbl != id` is emitted as a pseudo-edge `lbl -> id`, so the single
-    * neighbor-min join delivers `lbl(lbl)` to `id` in the same shuffle
-    * that delivers the true neighbors' labels. Round 1 has no such rows
-    * (labels start equal to ids) and stabilized rows emit none either, so
-    * the shortcut's cost is proportional to how much chain-collapsing work
-    * is left — on shallow graphs (the common corpus) it is ~free, while a
-    * dedicated labels⋈labels join would cost a full extra shuffle every
-    * round. `localCheckpoint` every round truncates the iterative lineage
-    * (else round N replans N joins deep).
+    * The shortcut runs as a DEDICATED `labels ⋈ labels` join, engaged only
+    * from round 3. Both alternatives were measured at sf0.1 (same verified
+    * pair list, alternating samples in one JVM): folding the shortcut into
+    * the neighbor-min join as `lbl → id` pseudo-edges is ~1.7× SLOWER —
+    * the per-round `edges ∪ labelEdges` union rebuilds and reshuffles the
+    * plan around the big static edge relation, which dwarfs what it saves,
+    * while the dedicated join only shuffles the labels relation (edge-
+    * touched ids — orders of magnitude smaller than edges). Gating it on
+    * round ≥ 3 removes it where it provably cannot help: rounds 1–2 of
+    * plain propagation already deliver labels from distance ≤ 2, which is
+    * all a shortcut could offer that early, so shallow similarity graphs
+    * (the common corpus) never pay the extra join at all and deep chains
+    * keep O(log) convergence (64-link chain in ≤ 10 rounds, asserted).
+    * `localCheckpoint` every round truncates the iterative lineage (else
+    * round N replans N joins deep).
     */
   def dupClusters(pairs: DataFrame, allIds: DataFrame, idCol: String,
                   maxIters: Int = 20): DataFrame = {
@@ -311,21 +316,33 @@ object Dedup {
       var iter = 0
       var converged = false
       while (!converged && iter < maxIters) {
-        // pointer-doubling pseudo-edges (see scaladoc): empty in round 1,
-        // shrinking as labels stabilize
-        val labelEdges = labels.filter(col("lbl") =!= col("id"))
-          .select(col("lbl").as("src"), col("id").as("dst"))
-        val neighborMin = edges.union(labelEdges)
+        val neighborMin = edges
           .join(labels.select(col("id").as("src"), col("lbl").as("nlbl")), "src")
           .groupBy(col("dst").as("id")).agg(min("nlbl").as("nmin"))
+        // pointer-doubling shortcut (see scaladoc): a tiny labels⋈labels
+        // join, and only once plain propagation has exhausted distance ≤ 2
+        val withShortcut =
+          if (iter < 2)
+            labels.withColumnRenamed("lbl", "old")
+              .join(neighborMin, Seq("id"), "left")
+              .select(col("id"),
+                least(col("old"), coalesce(col("nmin"), col("old"))).as("lbl"),
+                col("old"))
+          else {
+            val shortcut = labels
+              .join(labels.select(col("id").as("lbl"), col("lbl").as("slbl")), "lbl")
+              .select(col("id"), col("slbl"))
+            labels.withColumnRenamed("lbl", "old")
+              .join(neighborMin, Seq("id"), "left")
+              .join(shortcut, Seq("id"), "left")
+              .select(col("id"),
+                least(col("old"), coalesce(col("nmin"), col("old")),
+                  coalesce(col("slbl"), col("old"))).as("lbl"),
+                col("old"))
+          }
         // carry the previous label through the checkpoint: the fixpoint
         // check is then a filter over materialized rows, not a second join
-        val next = labels.withColumnRenamed("lbl", "old")
-          .join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("old"), coalesce(col("nmin"), col("old"))).as("lbl"),
-            col("old"))
-          .localCheckpoint(true)
+        val next = withShortcut.localCheckpoint(true)
         converged = next.filter(col("lbl") =!= col("old")).isEmpty
         labels = next.drop("old")
         iter += 1
