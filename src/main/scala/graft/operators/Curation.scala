@@ -77,6 +77,73 @@ object Curation {
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /** SEMANTIC benchmark decontamination: flag every corpus embedding whose
+    * cosine similarity to ANY evaluation-set embedding reaches `threshold`
+    * — the embedding-space complement of [[contaminationReport]]'s lexical
+    * shingle overlap (catches paraphrased or reformatted eval leakage that
+    * shares no n-grams).
+    *
+    * Scale shape: candidate generation is hyperplane-LSH banded, like
+    * [[Dedup.embeddingDupPairs]], but CROSS-SET — and the eval side is
+    * small by nature (a benchmark suite), so its banded keys and its
+    * vectors are both broadcast. Candidates are therefore generated
+    * map-side over the corpus (zero shuffle), and the only shuffle in the
+    * whole operator is the per-corpus-id aggregation of verified matches,
+    * which is bounded by the candidate count, not the corpus. BOTH sides
+    * emit multi-probe keys (a pair is caught if any probe of one side hits
+    * a probe of the other — a superset of the either-direction probe test
+    * the self-join dedup gets for free), with exact cosine verification
+    * behind the candidates, inheriting the measured-exact recall of the
+    * dedup operator's tuned defaults. For an eval set too large to
+    * broadcast, drop the hints and the same plan degrades gracefully to a
+    * shuffled band equi-join.
+    *
+    * Returns one row per NON-eval corpus id: `(id, n_matches, max_cos,
+    * contaminated)` — max_cos is over verified matches only (0.0 when
+    * clean), so the output depends solely on above-threshold structure
+    * that the LSH candidates cover, never on sub-threshold cosines LSH is
+    * free to skip.
+    */
+  def semanticContaminationReport(embs: DataFrame, idCol: String,
+                                  vecCol: String, evalPred: Column,
+                                  threshold: Double,
+                                  planesPerBand: Int = 8, bands: Int = 16,
+                                  probeBits: Int = 2, probePlanes: Int = 6)
+                                 (implicit scope: graft.CacheScope =
+                                    graft.CacheScope.unmanaged): DataFrame = {
+    import graft.functions.{cosine_similarity, hyperplane_probes}
+    val sk = scope.own(embs
+      .select(col(idCol).as("id"), col(vecCol).as("v"), evalPred.as("is_eval"))
+      .repartition(embs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("pk",
+        hyperplane_probes(col("v"), planesPerBand, bands, probeBits, probePlanes)))
+
+    def probeKeys(side: DataFrame, asId: String) = side
+      .select(col("id").as(asId), posexplode(col("pk")).as(Seq("band", "keys")))
+      .select(col(asId), col("band"), explode(col("keys")).as("key"))
+
+    val corpus = sk.filter(!col("is_eval"))
+    val eval = sk.filter(col("is_eval"))
+    val candidates = probeKeys(corpus, "id")
+      .join(broadcast(probeKeys(eval, "eid")), Seq("band", "key"))
+      .select(col("id"), col("eid")).distinct()
+
+    val verified = candidates
+      .join(corpus.select(col("id"), col("v")), "id")
+      .join(broadcast(eval.select(col("id").as("eid"), col("v").as("ev"))), "eid")
+      .withColumn("cos", round(cosine_similarity(col("v"), col("ev")), 3))
+      .filter(col("cos") >= threshold)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_matches"), max(col("cos")).as("max_cos"))
+
+    corpus.select(col("id"))
+      .join(verified, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("max_cos"), lit(0.0)).as("max_cos"),
+        col("n_matches").isNotNull.as("contaminated"))
+  }
+
   /** Deterministic hash bucket in [0, buckets) for a key column: the
     * md5-derived 64-bit hash ([[md5_lower64]]) taken positively modulo
     * `buckets`. Content-addressed, so the assignment is stable across

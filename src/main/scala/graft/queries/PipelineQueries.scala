@@ -25,12 +25,18 @@ import graft.operators.{Curation, Dedup, IndexCatalog, Similarity, TextAnalysis}
   */
 object PipelineQueries {
 
-  /** Shared DuckDB shingle pipeline (3-word shingles, distinct per doc). */
+  /** Shared DuckDB shingle pipeline (3-word shingles, distinct per doc).
+    * Positional unnest + lead windows, not a fixed-bound generate_series —
+    * no token-count ceiling to silently truncate at (ADVICE r4).
+    */
   private val shingleBaseCte =
     "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
       "FROM documents), " +
-      "sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s " +
-      "FROM toks CROSS JOIN generate_series(1, 2048) g(i) WHERE i <= len(t) - 2)"
+      "tokpos AS (SELECT doc_id, len(t) AS n, unnest(t) AS w, " +
+      "generate_subscripts(t, 1) AS pos FROM toks), " +
+      "sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w, " +
+      "lead(w, 1) OVER win, lead(w, 2) OVER win) AS s FROM tokpos " +
+      "WINDOW win AS (PARTITION BY doc_id ORDER BY pos) QUALIFY pos <= n - 2)"
 
   private val shingleCte =
     shingleBaseCte +
@@ -360,8 +366,10 @@ object PipelineQueries {
           .orderBy("doc_id"),
       Some("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
         "FROM documents), " +
-        "bg AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS b " +
-        "FROM toks CROSS JOIN generate_series(1, 2048) g(i) WHERE i <= len(t) - 1), " +
+        "tokpos AS (SELECT doc_id, len(t) AS n, unnest(t) AS w, " +
+        "generate_subscripts(t, 1) AS pos FROM toks), " +
+        "bg AS (SELECT doc_id, concat_ws(' ', w, lead(w, 1) OVER win) AS b FROM tokpos " +
+        "WINDOW win AS (PARTITION BY doc_id ORDER BY pos) QUALIFY pos <= n - 1), " +
         "cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2), " +
         "agg AS (SELECT doc_id, max(c) AS maxc, CAST(sum(c) AS BIGINT) AS total " +
         "FROM cnt GROUP BY 1) " +
@@ -377,8 +385,10 @@ object PipelineQueries {
           n = 2, k = 20),
       Some("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
         "FROM documents), " +
-        "sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS ngram " +
-        "FROM toks CROSS JOIN generate_series(1, 2048) g(i) WHERE i <= len(t) - 1) " +
+        "tokpos AS (SELECT doc_id, len(t) AS n, unnest(t) AS w, " +
+        "generate_subscripts(t, 1) AS pos FROM toks), " +
+        "sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w, lead(w, 1) OVER win) AS ngram " +
+        "FROM tokpos WINDOW win AS (PARTITION BY doc_id ORDER BY pos) QUALIFY pos <= n - 1) " +
         "SELECT ngram, count(*) AS df FROM sh GROUP BY ngram " +
         "ORDER BY df DESC, ngram LIMIT 20")),
 
@@ -423,6 +433,26 @@ object PipelineQueries {
         "coalesce(ov.n_overlap, 0) >= 5 AS contaminated " +
         "FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id " +
         "WHERE d.doc_id % 10 <> 0 ORDER BY id")),
+
+    // ---- curation: SEMANTIC decontamination (embedding-cosine vs an eval
+    // subset; catches paraphrased leakage the shingle overlap misses). The
+    // LSH candidates are exact-verified, so the report equals the all-pairs
+    // oracle as long as candidate recall holds at the 0.4 boundary — the
+    // same measured-exact regime as ns_dedup_embedding. ----
+    ("ns_curate_semantic_decon",
+      (s: SparkSession, d: String) =>
+        Curation.semanticContaminationReport(Tables.embeddings(s, d), "vec_id",
+          "embedding", col("vec_id") % 50 === 0, threshold = 0.4)
+          .orderBy("id"),
+      Some("WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0), " +
+        "c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0), " +
+        "m AS (SELECT c.vec_id AS id, count(*) AS n_matches, " +
+        "max(" + dCos("c.embedding", "ev.embedding") + ") AS max_cos " +
+        "FROM c JOIN ev ON " + dCos("c.embedding", "ev.embedding") + " >= 0.4 " +
+        "GROUP BY c.vec_id) " +
+        "SELECT c.vec_id AS id, CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches, " +
+        "coalesce(m.max_cos, 0.0) AS max_cos, m.id IS NOT NULL AS contaminated " +
+        "FROM c LEFT JOIN m ON c.vec_id = m.id ORDER BY id")),
 
     // ---- curation: deterministic content-addressed train/val/test split ----
     ("ns_curate_hash_split",

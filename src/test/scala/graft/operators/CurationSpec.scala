@@ -34,6 +34,44 @@ class CurationSpec extends SparkSpec {
       s"shingle-overlap join must be broadcast, got:\n$plan")
   }
 
+  test("semanticContaminationReport equals the brute-force cross join") {
+    val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Curation.semanticContaminationReport(embs, "vec_id", "embedding",
+      col("vec_id") % 50 === 0, threshold = 0.4)
+
+    // brute-force reference: every (corpus, eval) cosine, same rounding
+    val ev = embs.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("eid"), col("embedding").as("ev"))
+    val c = embs.filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val matches = c.crossJoin(broadcast(ev))
+      .withColumn("cos",
+        round(graft.functions.cosine_similarity(col("v"), col("ev")), 3))
+      .filter(col("cos") >= 0.4)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_matches"), max("cos").as("max_cos"))
+    val want = c.select(col("id")).join(matches, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("max_cos"), lit(0.0)).as("max_cos"),
+        col("n_matches").isNotNull.as("contaminated"))
+
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "LSH-candidate report must equal the exact all-pairs report")
+    assert(got.filter(col("contaminated")).count() > 0,
+      "fixture must actually contain contamination for the test to bite")
+  }
+
+  test("semanticContaminationReport broadcasts the eval side") {
+    val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = Curation.semanticContaminationReport(embs, "vec_id", "embedding",
+      col("vec_id") % 50 === 0, threshold = 0.4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval band keys and vectors must broadcast, got:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be an equi-join, never a nested loop")
+  }
+
   test("hashSplit is a total, deterministic, shuffle-free assignment") {
     val docs = (0L until 1000L).toDF("doc_id")
     val split = Curation.hashSplit(docs, "doc_id").cache()
