@@ -200,6 +200,132 @@ object StreamingDedup {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Semantic variant: hyperplane-LSH band index + vector store
+  // ------------------------------------------------------------------
+
+  /** One micro-batch of first-seen SEMANTIC dedup (streaming rendering of
+    * [[graft.operators.Dedup.embeddingDupPairs]]): a vector is admitted iff
+    * its exact cosine similarity to every previously admitted vector stays
+    * below `threshold` — continuous embedding-level dedup of an ingest
+    * stream, completing the streaming matrix (exact / lexical near-dup /
+    * semantic).
+    *
+    * Persistent state, two bucket-partitioned append-only tables under
+    * `indexDir` (same layout contract as the MinHash variant):
+    *  - `bands/`: `(band, key, id)`, bucketed by `xxhash64(key)` — each
+    *    admitted vector's EXACT sign-LSH band keys;
+    *  - `vecs/` : `(id, vec)`, bucketed by `xxhash64(id)` — for exact
+    *    cosine verification of band collisions.
+    *
+    * The batch side probes with BLIND multi-probe (`probePlanes =
+    * planesPerBand`), not the batch operator's query-directed default:
+    * streaming candidate generation is single-direction (the batch probes
+    * against the index's exact keys; the index cannot probe back), so only
+    * the full probe set carries the per-direction analytic recall bound
+    * `1-(1-P(Binom(r,θ/π) ≤ probeBits))^b` — the self-join operator gets
+    * the second direction for free, a stream-vs-corpus probe does not.
+    * Collisions are exact-verified, so extra probes cost candidates, never
+    * correctness. Per batch the state I/O is O(batch · bands · probes +
+    * touched buckets), never O(corpus).
+    */
+  def semanticDedupBatch(spark: SparkSession, batch: DataFrame, idCol: String,
+                         vecCol: String, indexDir: String, outDir: String,
+                         threshold: Double = 0.9, planesPerBand: Int = 8,
+                         bands: Int = 16, probeBits: Int = 2,
+                         numBuckets: Int = CdcIngest.DefaultNumBuckets): Unit = {
+    import graft.operators.Dedup
+    import graft.functions.{cosine_similarity, hyperplane_probes}
+    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bandsDir = s"$indexDir/bands"
+    val vecsDir = s"$indexDir/vecs"
+
+    implicit val scope: graft.CacheScope = graft.CacheScope()
+    try {
+      // within-batch near-dups: reject the larger id of every verified pair
+      val localPairs = Dedup.embeddingDupPairs(batch, idCol, vecCol, threshold,
+        planesPerBand, bands, probeBits)
+      val localKept = batch.join(
+        localPairs.select(col("id_b").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+
+      val sk = scope.own(localKept
+        .select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .withColumn("pk", hyperplane_probes(col("vec"), planesPerBand, bands,
+          probeBits, planesPerBand)))
+      val exploded = sk.select(col("id"), posexplode(col("pk")).as(Seq("band", "keys")))
+      // exact keys (stored for future batches to probe against) and the
+      // blind probe set (this batch probing the stored exact keys)
+      val posting = scope.own(exploded
+        .select(col("band"), element_at(col("keys"), 1).as("key"), col("id"))
+        .withColumn("__bucket", CdcIngest.bucketOf(col("key"), numBuckets)))
+      val probes = exploded
+        .select(col("id"), col("band"), explode(col("keys")).as("key"))
+        .withColumn("__bucket", CdcIngest.bucketOf(col("key"), numBuckets))
+
+      val rejected =
+        if (!fs.exists(new Path(bandsDir))) sk.select("id").limit(0)
+        else {
+          val touched = probes.select("__bucket").distinct()
+            .collect().map(_.getInt(0)).sorted
+          val idxBands = spark.read.parquet(bandsDir)
+            .filter(col("__bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
+            .select(col("band").as("i_band"), col("key").as("i_key"),
+              col("id").as("i_id"))
+          val cands = probes.join(idxBands,
+              col("band") === col("i_band") && col("key") === col("i_key"))
+            .select(col("id"), col("i_id")).distinct()
+          val candBuckets = cands
+            .select(CdcIngest.bucketOf(col("i_id"), numBuckets).as("b"))
+            .distinct().collect().map(_.getInt(0))
+          if (candBuckets.isEmpty) sk.select("id").limit(0)
+          else {
+            val store = spark.read.parquet(vecsDir)
+              .filter(col("__bucket").isin(candBuckets.map(Integer.valueOf).toSeq: _*))
+              .select(col("id").as("i_id"), col("vec").as("i_vec"))
+            cands
+              .join(sk.select(col("id"), col("vec")), "id")
+              .join(store, "i_id")
+              .filter(round(cosine_similarity(col("vec"), col("i_vec")), 3)
+                >= threshold)
+              .select("id").distinct()
+          }
+        }
+
+      val keptIds = scope.own(sk.select("id").join(rejected, Seq("id"), "left_anti"))
+      if (!keptIds.isEmpty) {
+        localKept.join(keptIds.withColumnRenamed("id", idCol), Seq(idCol))
+          .write.mode("append").parquet(outDir)
+        posting.join(keptIds, Seq("id"))
+          .select(col("band"), col("key"), col("id"), col("__bucket"))
+          .write.mode("append").partitionBy("__bucket").parquet(bandsDir)
+        sk.join(keptIds, Seq("id"))
+          .select(col("id"), col("vec"),
+            CdcIngest.bucketOf(col("id"), numBuckets).as("__bucket"))
+          .write.mode("append").partitionBy("__bucket").parquet(vecsDir)
+      }
+    } finally scope.close()
+  }
+
+  /** Start the checkpointed streaming SEMANTIC dedup. */
+  def startSemanticDedup(spark: SparkSession, stream: DataFrame, idCol: String,
+                         vecCol: String, indexDir: String, outDir: String,
+                         checkpointDir: String, threshold: Double = 0.9,
+                         planesPerBand: Int = 8, bands: Int = 16,
+                         probeBits: Int = 2,
+                         numBuckets: Int = CdcIngest.DefaultNumBuckets,
+                         availableNow: Boolean = true): StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Retry.withBackoff() {
+          semanticDedupBatch(spark, batch, idCol, vecCol, indexDir, outDir,
+            threshold, planesPerBand, bands, probeBits, numBuckets)
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   /** Start the checkpointed streaming NEAR-dup dedup. */
   def startNearDedup(spark: SparkSession, stream: DataFrame, idCol: String,
                      textCol: String, indexDir: String, outDir: String,

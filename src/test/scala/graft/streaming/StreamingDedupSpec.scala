@@ -43,6 +43,49 @@ class StreamingDedupSpec extends SparkSpec {
     assert(index.columns.toSet === Set("fp", "__bucket"))
   }
 
+  test("semantic streaming dedup: cosine near-dups rejected across and within batches") {
+    val log = Files.createTempDirectory("se_log").toString
+    val idx = Files.createTempDirectory("se_idx").toString + "/index"
+    val out = Files.createTempDirectory("se_out").toString + "/corpus"
+    val ckpt = Files.createTempDirectory("se_ckpt").toString
+
+    def axis(i: Int): Array[Float] =
+      Array.tabulate(8)(j => if (j == i) 1.0f else 0.0f)
+    def near(i: Int): Array[Float] =              // cos vs axis(i) ≈ 0.990
+      Array.tabulate(8)(j =>
+        if (j == i) 0.99f else if (j == (i + 1) % 8) 0.14f else 0.0f)
+
+    val schema = Seq((0L, Array(0.0f))).toDF("vec_id", "embedding").schema
+    def runOnce(ck: String): Unit = {
+      val q = StreamingDedup.startSemanticDedup(spark,
+        spark.readStream.schema(schema).parquet(log),
+        "vec_id", "embedding", idx, out, ck, threshold = 0.9)
+      q.awaitTermination()
+    }
+
+    Seq((1L, axis(0)), (2L, axis(1)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(log)
+    runOnce(ckpt)
+    Seq((3L, near(0)),                           // semantic dup of 1 (cross-batch)
+        (4L, axis(2)),                           // new
+        (5L, near(2)),                           // semantic dup of 4 (within batch)
+        (6L, axis(3)))                           // new
+      .toDF("vec_id", "embedding").write.mode("append").parquet(log)
+    runOnce(ckpt)
+
+    val corpus = spark.read.parquet(out).select("vec_id")
+      .as[Long].collect().toSet
+    assert(corpus === Set(1L, 2L, 4L, 6L), corpus.toString)
+
+    // full redelivery with a fresh checkpoint: nothing new admitted
+    runOnce(Files.createTempDirectory("se_ckpt2").toString)
+    assert(spark.read.parquet(out).count() === 4)
+
+    // state tables: exact band keys for 4 vectors x 16 bands; 4 vectors
+    assert(spark.read.parquet(s"$idx/bands").count() === 4L * 16)
+    assert(spark.read.parquet(s"$idx/vecs").count() === 4)
+  }
+
   test("near-dup streaming dedup: verified LSH matches rejected across and within batches") {
     val log = Files.createTempDirectory("nd_log").toString
     val idx = Files.createTempDirectory("nd_idx").toString + "/index"
