@@ -454,6 +454,59 @@ object PipelineQueries {
         "coalesce(m.max_cos, 0.0) AS max_cos, m.id IS NOT NULL AS contaminated " +
         "FROM c LEFT JOIN m ON c.vec_id = m.id ORDER BY id")),
 
+    // ---- curation: cluster-representative selection — near-dup clusters
+    // keep their HIGHEST-QUALITY member (tie: min id), not the min id: the
+    // real-world dedup policy ("of these near-identical pages, keep the
+    // cleanest"). Pure composition: minhashLshPairs → dupClusters →
+    // quality join → per-cluster rank-1 via a cluster-partitioned window
+    // (no global window), conditional-agg so the groupBy reuses the
+    // window's partitioning. ----
+    ("ns_curate_keep_best",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val clusters = Dedup.dupClusters(
+          Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8), docs, "doc_id")
+        val qual = TextAnalysis.quality(docs, "doc_id", "text")
+          .select(col("doc_id").as("id"), col("quality_score"))
+        val w = Window.partitionBy("cluster")
+          .orderBy(col("quality_score").desc, col("id"))
+        clusters.join(qual, "id")
+          .withColumn("rn", row_number().over(w))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_docs"),
+            max(when(col("rn") === 1, col("id"))).as("keep_id"),
+            max(when(col("rn") === 1, col("quality_score"))).as("keep_quality"))
+          .orderBy("cluster")
+      },
+      Some(shingleCte +
+        ", dup AS (SELECT id_a, id_b FROM pairs " +
+        "JOIN sizes s1 ON id_a = s1.doc_id JOIN sizes s2 ON id_b = s2.doc_id " +
+        "WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.8), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM dup " +
+        "UNION ALL SELECT id_b, id_a FROM dup), " +
+        "closure AS (WITH RECURSIVE reach(id, r) AS (" +
+        "SELECT a, a FROM (SELECT DISTINCT a FROM edges) " +
+        "UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id) " +
+        "SELECT id, min(r) AS cluster FROM reach GROUP BY id), " +
+        "cl AS (SELECT d.doc_id AS id, coalesce(c.cluster, d.doc_id) AS cluster " +
+        "FROM documents d LEFT JOIN closure c ON d.doc_id = c.id), " +
+        // quality_score exactly as ns_text_quality computes it (same
+        // rounding, so the rank order is the engine-agreed rounded value)
+        "qm AS (SELECT t.doc_id, CAST(len(t.t) AS INTEGER) AS n_tokens, " +
+        "CAST(len(list_filter(t.t, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(t.t) AS sr, " +
+        "CAST(length(d.text) - length(regexp_replace(d.text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(d.text) AS pr " +
+        "FROM toks t JOIN documents d USING (doc_id)), " +
+        "q AS (SELECT doc_id, round(least(1.0, n_tokens / 100.0) * 0.5 + " +
+        "(1.0 - pr) * 0.3 + sr * 0.2, 4) AS score FROM qm), " +
+        "r AS (SELECT cl.cluster, cl.id, q.score, row_number() OVER (" +
+        "PARTITION BY cl.cluster ORDER BY q.score DESC, cl.id) AS rn " +
+        "FROM cl JOIN q ON cl.id = q.doc_id) " +
+        "SELECT cluster, count(*) AS n_docs, " +
+        "max(CASE WHEN rn = 1 THEN id END) AS keep_id, " +
+        "max(CASE WHEN rn = 1 THEN score END) AS keep_quality " +
+        "FROM r GROUP BY cluster ORDER BY cluster")),
+
     // ---- curation: deterministic content-addressed train/val/test split ----
     ("ns_curate_hash_split",
       (s: SparkSession, d: String) =>
