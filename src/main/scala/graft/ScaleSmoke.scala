@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup}
+
+/** Scale-validation harness (manual; not part of `sbt test` or the driver
+  * gates): drives the dedup/curation chain over a DETERMINISTIC synthetic
+  * corpus 1–2 orders of magnitude larger than sf0.1, to back the "would
+  * this plan survive 100×" claims with measurements instead of argument.
+  * The driver's testdata stays the only input of the declared queries —
+  * this harness exists because sf0.1 (5 k docs / 5 k vectors) cannot
+  * surface super-linear candidate blow-ups; a planted-duplicate corpus at
+  * 40× can.
+  *
+  * Corpus: `n` docs of 60 tokens drawn per-doc-deterministically (xxhash
+  * of (id, position) over a 50 k vocabulary — no RNG, so reruns are
+  * byte-identical). Every 10th doc is a near-variant of its predecessor
+  * (ONE token of 60 changed: 3 of 58 trigram shingles differ, jaccard
+  * 55/61 ≈ 0.90 ≥ the 0.8 threshold), so true-pair counts are known:
+  * n/10 lexical pairs. Embeddings: 64-dim vectors, every 10th a small
+  * perturbation of its predecessor (cos ≈ 0.99) — n/10 semantic pairs.
+  *
+  * `runMain graft.ScaleSmoke [nDocs]` (default 200000). Prints per-stage
+  * seconds + result sanity (planted-pair recall must be 100%: the LSH
+  * paths are exact-verified and tuned for it).
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 200000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def t[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SCALE $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // ---- synthetic docs: deterministic tokens; every 10th a near-variant
+    // of its predecessor (3 of 60 tokens swapped) ----
+    val docs = spark.range(n.toLong).toDF("doc_id")
+      .withColumn("base",
+        when(col("doc_id") % 10 === 9, col("doc_id") - 1).otherwise(col("doc_id")))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), lit(59)), i =>
+          concat(lit("w"), pmod(xxhash64(
+            // variants re-derive position 30 from their own id
+            when(col("doc_id") =!= col("base") && (i === 30), col("doc_id"))
+              .otherwise(col("base")), i), lit(50000L))))))
+      .drop("base")
+      .repartition(spark.sparkContext.defaultParallelism.toInt)
+      .cache()
+    t("docs_materialize")(docs.count())
+    val planted = n / 10L
+
+    val exact = t("exact_groups")(
+      Dedup.exactGroups(docs, "doc_id", "text").filter(col("n_docs") > 1).count())
+    val pairs = t("minhash_lsh_pairs") {
+      val p = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8).cache()
+      p.count(); p
+    }
+    println(s"SCALE   pairs=${pairs.count()} planted=$planted " +
+      s"(recall ${if (pairs.count() >= planted) "OK" else "MISS"})")
+    val clusters = t("dup_clusters")(
+      Dedup.dupClusters(pairs, docs, "doc_id")
+        .filter(col("id") =!= col("cluster")).count())
+    println(s"SCALE   non-singleton members=$clusters")
+
+    // ---- synthetic embeddings: every 10th vector a perturbation of its
+    // predecessor (cos ≈ 0.99); the rest hash-random (pairwise cos ≈ 0) ----
+    val embs = spark.range(n.toLong).toDF("vec_id")
+      .withColumn("base",
+        when(col("vec_id") % 10 === 9, col("vec_id") - 1).otherwise(col("vec_id")))
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(63)), i =>
+          (pmod(xxhash64(col("base"), i), lit(1000L)).cast("float") / 500.0f - 1.0f
+            + when(col("vec_id") =!= col("base"),
+                pmod(xxhash64(col("vec_id"), i), lit(100L)).cast("float") / 2500.0f)
+              .otherwise(lit(0.0f))).cast("float")))
+      .drop("base")
+      .repartition(spark.sparkContext.defaultParallelism.toInt)
+      .cache()
+    t("embs_materialize")(embs.count())
+
+    // corpus-sized band width: holding the small-corpus default r=8 here
+    // is quadratic in bucket occupancy (see planesForCorpus scaladoc)
+    val r = Dedup.planesForCorpus(n.toLong)
+    println(s"SCALE   planesPerBand=$r for n=$n")
+    val semPairs = t("embedding_dup_pairs")(
+      Dedup.embeddingDupPairs(embs, "vec_id", "embedding", 0.9,
+        planesPerBand = r).count())
+    println(s"SCALE   semantic pairs=$semPairs planted=$planted " +
+      s"(recall ${if (semPairs >= planted) "OK" else "MISS"})")
+    // eval ids ≡ 8 (mod 1000) are bases of a planted variant (ids ≡ 9 mod
+    // 10), so each eval vector contaminates exactly its +1 neighbor:
+    // expected flags = n/1000
+    val decon = t("semantic_decon")(
+      Curation.semanticContaminationReport(embs, "vec_id", "embedding",
+        col("vec_id") % 1000 === 8, threshold = 0.9, planesPerBand = r)
+        .filter(col("contaminated")).count())
+    println(s"SCALE   contaminated=$decon expected=${n / 1000} " +
+      s"(${if (decon == n / 1000) "OK" else "MISS"})")
+
+    spark.stop()
+  }
+}

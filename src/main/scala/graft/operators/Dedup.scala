@@ -167,6 +167,16 @@ object Dedup {
     * with exact hamming ≤ maxHamming. 16-bit bands, not 8: on corpora with
     * correlated sketches, 8-bit buckets go quadratic (measured 9.6M
     * candidates vs 0.4M at sf0.1 for the same 1.7k verified pairs).
+    *
+    * Scale ceiling (same occupancy law as [[planesForCorpus]] documents
+    * for hyperplane LSH): the band key space is fixed at 2^16 per band, so
+    * expected occupancy n/65536 — and with it the candidate join's
+    * per-bucket quadratic work — grows linearly with the corpus. Unlike
+    * hyperplane bands, these bands CANNOT be widened without voiding the
+    * pigeonhole guarantee (hamming ≤ 3 over 64 bits needs ≥ 4 bands); past
+    * n ~ millions the guarantee-preserving upgrade is a LONGER sketch
+    * (e.g. 128-bit SimHash in 4×32-bit bands: 2^32 buckets, same ≤3
+    * bound), i.e. more sketch bits, not fewer bands.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3)
@@ -232,6 +242,30 @@ object Dedup {
     * of boundary pairs on the same data — do not lower it for speed,
     * lower probePlanes instead).
     */
+  /** Band width (planes per band) sized to the corpus: sign-LSH buckets
+    * number `2^r` per band, so expected occupancy is `n / 2^r` — and the
+    * banded self-join does occupancy² work per bucket. Holding r fixed
+    * while n grows is therefore QUADRATIC: measured on planted-pair
+    * corpora (cos ≈ 0.99 dups, isotropic rest), r=8 takes 36 s at n=10k
+    * and 73 s at n=20k, while r=14 (expected occupancy ≈ 1) takes under
+    * 2 s at n=20k with identical 100% planted recall. This rule keeps
+    * expected occupancy ≤ `targetPerBucket`
+    * (r = ⌈log2(n / targetPerBucket)⌉, floored at the tuned small-corpus
+    * default of 8).
+    *
+    * Safe for true NEAR-DUP thresholds (≥ ~0.8), where per-plane flip
+    * probability θ/π is small enough that wider bands keep their recall
+    * (verify empirically via planted pairs — `graft.ScaleSmoke` does).
+    * Boundary-threshold mining (cos ~0.4) at large n is the one regime
+    * wider bands cannot serve: there you hold r and raise `bands`, paying
+    * candidates for recall — see the scaladoc above.
+    */
+  def planesForCorpus(n: Long, targetPerBucket: Int = 2): Int = {
+    require(n > 0 && targetPerBucket > 0)
+    val buckets = math.max(1L, n / targetPerBucket)
+    math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1))
+  }
+
   def embeddingDupPairs(embs: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, planesPerBand: Int = 8,
                         bands: Int = 16, probeBits: Int = 2,

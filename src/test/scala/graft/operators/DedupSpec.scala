@@ -80,6 +80,18 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(30).mkString("\n"))
   }
 
+  test("planesForCorpus keeps bucket occupancy bounded, floored at the tuned default") {
+    assert(Dedup.planesForCorpus(100) === 8)      // tiny corpus: tuned floor
+    assert(Dedup.planesForCorpus(500) === 8)
+    assert(Dedup.planesForCorpus(20000) === 14)   // measured sweet spot
+    assert(Dedup.planesForCorpus(5000000) === 22)
+    // occupancy invariant: n / 2^r <= target (above the floor region)
+    for (n <- Seq(10000L, 100000L, 1000000L, 50000000L)) {
+      val r = Dedup.planesForCorpus(n)
+      assert(n.toDouble / (1L << r) <= 2.0, s"occupancy at n=$n, r=$r")
+    }
+  }
+
   test("dupClusters: chains collapse to min-id components, singletons self-label") {
     import spark.implicits._
     val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (5L, 6L, 0.9), (6L, 7L, 0.9),
