@@ -101,6 +101,11 @@ object ScaleSmoke {
         planesPerBand = r).count())
     println(s"SCALE   semantic pairs=$semPairs planted=$planted " +
       s"(recall ${if (semPairs >= planted) "OK" else "MISS"})")
+    val semPairsQ = t("embedding_dup_pairs_i8pre")(
+      Dedup.embeddingDupPairs(embs, "vec_id", "embedding", 0.9,
+        planesPerBand = r, prefilterMargin = Some(0.1)).count())
+    println(s"SCALE   i8-prefiltered pairs=$semPairsQ " +
+      s"(${if (semPairsQ == semPairs) "EQUAL to exact path" else "MISMATCH"})")
     // eval ids ≡ 8 (mod 1000) are bases of a planted variant (ids ≡ 9 mod
     // 10), so each eval vector contaminates exactly its +1 neighbor:
     // expected flags = n/1000

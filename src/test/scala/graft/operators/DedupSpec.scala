@@ -78,6 +78,14 @@ class DedupSpec extends SparkSpec {
     // candidate generation must be a shuffled equi-join, not O(N^2) BNLJ
     val plan = banded.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(30).mkString("\n"))
+
+    // int8-prefiltered verify emits the identical pair set with the
+    // identical exact-float cos values — even at this boundary threshold
+    // (0.4, margin 0.1: drift would have to exceed the measured 0.06 bound
+    // by 2/3 more to kill a true pair)
+    val prefiltered = Dedup.embeddingDupPairs(embs, "vec_id", "embedding", 0.4,
+      prefilterMargin = Some(0.1))
+    assert(toSet(prefiltered) == e)
   }
 
   test("planesForCorpus keeps bucket occupancy bounded, floored at the tuned default") {
