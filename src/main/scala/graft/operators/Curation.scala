@@ -108,10 +108,11 @@ object Curation {
                                   vecCol: String, evalPred: Column,
                                   threshold: Double,
                                   planesPerBand: Int = 8, bands: Int = 16,
-                                  probeBits: Int = 2, probePlanes: Int = 6)
+                                  probeBits: Int = 2, probePlanes: Int = 6,
+                                  prefilterMargin: Option[Double] = None)
                                  (implicit scope: graft.CacheScope =
                                     graft.CacheScope.unmanaged): DataFrame = {
-    import graft.functions.{cosine_similarity, hyperplane_probes}
+    import graft.functions.{cosine_i8, cosine_similarity, hyperplane_probes, i8_quantize}
     val sk = scope.own(embs
       .select(col(idCol).as("id"), col(vecCol).as("v"), evalPred.as("is_eval"))
       .repartition(embs.sparkSession.sparkContext.defaultParallelism)
@@ -128,7 +129,21 @@ object Curation {
       .join(broadcast(probeKeys(eval, "eid")), Seq("band", "key"))
       .select(col("id"), col("eid")).distinct()
 
-    val verified = candidates
+    // optional int8 prefilter, same contract as Dedup.embeddingDupPairs:
+    // random collisions die on broadcast-joined 1-byte/dim payloads; the
+    // reported matches and max_cos still come from the exact float kernel
+    val toVerify = prefilterMargin match {
+      case None => candidates
+      case Some(m) =>
+        candidates
+          .join(corpus.select(col("id"), i8_quantize(col("v")).as("qv")), "id")
+          .join(broadcast(eval.select(col("id").as("eid"),
+            i8_quantize(col("v")).as("qe"))), "eid")
+          .filter(cosine_i8(col("qv"), col("qe")) >= threshold - m)
+          .select(col("id"), col("eid"))
+    }
+
+    val verified = toVerify
       .join(corpus.select(col("id"), col("v")), "id")
       .join(broadcast(eval.select(col("id").as("eid"), col("v").as("ev"))), "eid")
       .withColumn("cos", round(cosine_similarity(col("v"), col("ev")), 3))

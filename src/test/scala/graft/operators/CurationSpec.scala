@@ -59,6 +59,12 @@ class CurationSpec extends SparkSpec {
       "LSH-candidate report must equal the exact all-pairs report")
     assert(got.filter(col("contaminated")).count() > 0,
       "fixture must actually contain contamination for the test to bite")
+
+    // the int8-prefiltered variant reports identically (exact float kernel
+    // behind a conservative quantized cut — see Dedup.embeddingDupPairs)
+    val pre = Curation.semanticContaminationReport(embs, "vec_id", "embedding",
+      col("vec_id") % 50 === 0, threshold = 0.4, prefilterMargin = Some(0.1))
+    assert(pre.exceptAll(want).isEmpty && want.exceptAll(pre).isEmpty)
   }
 
   test("semanticContaminationReport broadcasts the eval side") {
