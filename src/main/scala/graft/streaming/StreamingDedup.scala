@@ -228,6 +228,15 @@ object StreamingDedup {
     * Collisions are exact-verified, so extra probes cost candidates, never
     * correctness. Per batch the state I/O is O(batch · bands · probes +
     * touched buckets), never O(corpus).
+    *
+    * Size `planesPerBand` for the EXPECTED admitted-corpus size, not the
+    * batch ([[graft.operators.Dedup.planesForCorpus]]): the band width is
+    * baked into the stored keys, and the occupancy law documented there
+    * applies to the accumulated index — a long-lived stream left at the
+    * small-corpus default will see per-batch candidate volume grow
+    * linearly with everything admitted so far. Sign-LSH keys are
+    * data-independent, so choosing r up front is safe; changing it later
+    * means a rebuild.
     */
   def semanticDedupBatch(spark: SparkSession, batch: DataFrame, idCol: String,
                          vecCol: String, indexDir: String, outDir: String,
