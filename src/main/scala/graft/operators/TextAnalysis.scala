@@ -193,6 +193,59 @@ object TextAnalysis {
             col("n_tokens"), 4)).as("dup_token_frac"))
   }
 
+  /** Corpus-fitted bigram language-model score per document — the
+    * perplexity-style quality filter of web-corpus pipelines (CCNet /
+    * Gopher): fit add-k-smoothed bigram statistics on the corpus itself,
+    * then score each document by its mean bigram log-probability.
+    * Documents whose word transitions are improbable under the corpus's
+    * own statistics (noise, wrong-domain contamination) score low;
+    * degenerate boilerplate scores anomalously high — both tails are
+    * filter targets.
+    *
+    * Determinism (the oracle hash-matches DuckDB): each bigram's `ln p`
+    * is rounded to 6 decimals first, the per-document sum runs in token-
+    * position order (array_sort of position-tagged values, then a
+    * sequential fold), and the mean is rounded to 4 — float addition
+    * order is pinned on both engines.
+    *
+    * Scale shape: the model is two hash aggregates over the exploded
+    * bigram relation plus a 1-row vocabulary count; scoring is an
+    * equi-join keyed on the bigram; the only per-document state is the
+    * collected (pos, lnp) list, bounded by document length.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    smoothK: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wn = Window.partitionBy("id").orderBy("pos")
+    val toks = docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("t"))
+    val pos = toks.select(col("id"), posexplode(col("t")).as(Seq("pos", "w")))
+    val big = pos
+      .withColumn("w2", lead(col("w"), 1).over(wn))
+      .filter(col("w2").isNotNull)
+    val c12 = big.groupBy("w", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = big.groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = pos.agg(countDistinct(col("w")).cast("double").as("v"))
+
+    val lnp = round(log((col("c12") + smoothK) / (col("c1") + lit(smoothK) * col("v"))), 6)
+    val scored = big
+      .join(c12, Seq("w", "w2")).join(c1, Seq("w"))
+      .crossJoin(broadcast(vocab))
+      .select(col("id"), col("pos"), lnp.as("lnp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(
+          aggregate(
+            transform(array_sort(collect_list(struct(col("pos"), col("lnp")))),
+              s => s.getField("lnp")),
+            lit(0.0), (acc, x) => acc + x) / count(lit(1)), 4).as("avg_logprob"))
+
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
+  }
+
   /** BM25 ranked retrieval for a literal query-term list (Robertson &
     * Zaragoza 2009; Lucene-style idf = ln(1 + (N - df + 0.5)/(df + 0.5)))
     * — the retrieval scoring a data pipeline uses for decontamination

@@ -647,6 +647,33 @@ object PipelineQueries {
         "FROM (SELECT doc_id, len(t) AS n FROM toks) b " +
         "LEFT JOIN cov c ON b.doc_id = c.doc_id ORDER BY b.doc_id")),
 
+    // ---- text analysis: corpus-fitted bigram LM score (perplexity-style
+    // quality filter; position-ordered summation for cross-engine float
+    // determinism — see TextAnalysis.bigramLogProb scaladoc) ----
+    ("ns_text_bigram_logprob",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents), " +
+        "tokpos AS (SELECT doc_id, unnest(t) AS w, " +
+        "generate_subscripts(t, 1) AS pos FROM toks), " +
+        "big AS (SELECT doc_id, pos, w, " +
+        "lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tokpos " +
+        "QUALIFY w2 IS NOT NULL), " +
+        "c12 AS (SELECT w, w2, count(*) AS c12 FROM big GROUP BY 1, 2), " +
+        "c1 AS (SELECT w, count(*) AS c1 FROM big GROUP BY 1), " +
+        "v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM tokpos), " +
+        "sc AS (SELECT big.doc_id, big.pos, " +
+        "round(ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v)), 6) AS lnp " +
+        "FROM big JOIN c12 USING (w, w2) JOIN c1 USING (w) CROSS JOIN v), " +
+        "agg AS (SELECT doc_id, count(*) AS n_bigrams, " +
+        "round(list_sum(list(lnp ORDER BY pos)) / count(*), 4) AS avg_logprob " +
+        "FROM sc GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
+        "coalesce(a.avg_logprob, 0.0) AS avg_logprob " +
+        "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id")),
+
     // ---- text retrieval: BM25 top-k for a literal term list ----
     ("ns_text_bm25",
       (s: SparkSession, d: String) =>

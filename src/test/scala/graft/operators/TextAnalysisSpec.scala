@@ -89,6 +89,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0)._2 == s2 && out(1)._2 == s1 && out(2)._2 == 0.0)
   }
 
+  test("bigramLogProb: corpus-typical transitions outscore unique ones; empties report 0") {
+    val docs = Seq(
+      (1L, "the cat sat"),   // transitions shared with doc 2
+      (2L, "the cat sat"),
+      (3L, "zebra quark flux"), // transitions seen once in the corpus
+      (4L, "solo"),            // no bigrams
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(out(1L) === out(2L), "identical docs must score identically")
+    assert(out(1L)._1 === 2L && out(3L)._1 === 2L)
+    assert(out(1L)._2 > out(3L)._2,
+      "twice-seen transitions must outscore once-seen ones")
+    assert(out(4L) === ((0L, 0.0)) && out(5L)._1 === 0L)
+  }
+
   test("charEntropy: uniform chars hit log2(k) bits, repeats score zero") {
     val docs = Seq(
       (1L, "aaaa"),   // one symbol: entropy 0
