@@ -47,7 +47,7 @@ object ScaleSmoke {
     }
 
     // ---- synthetic docs: deterministic tokens; every 10th a near-variant
-    // of its predecessor (3 of 60 tokens swapped) ----
+    // of its predecessor (1 of 60 tokens swapped) ----
     val docs = spark.range(n.toLong).toDF("doc_id")
       .withColumn("base",
         when(col("doc_id") % 10 === 9, col("doc_id") - 1).otherwise(col("doc_id")))
@@ -76,6 +76,17 @@ object ScaleSmoke {
         .filter(col("id") =!= col("cluster")).count())
     println(s"SCALE   non-singleton members=$clusters")
 
+    // 64- vs 128-bit SimHash banding: the 64-bit bands' 2^16 keys go
+    // linear-occupancy past n ~ millions; the 128-bit bands (2^32 keys)
+    // must stay near-linear here. (No planted recall check: a 1-of-60
+    // token swap lands at hamming ≈ 13, far outside the ≤3 near-identity
+    // regime SimHash targets — this stage measures candidate-join shape.)
+    val sh64 = t("simhash_pairs_64")(
+      Dedup.simhashPairs(docs, "doc_id", "text").count())
+    val sh128 = t("simhash_pairs_128")(
+      Dedup.simhash128Pairs(docs, "doc_id", "text").count())
+    println(s"SCALE   simhash pairs 64-bit=$sh64 128-bit=$sh128")
+
     // ---- synthetic embeddings: every 10th vector a perturbation of its
     // predecessor (cos ≈ 0.99); the rest hash-random (pairwise cos ≈ 0) ----
     val embs = spark.range(n.toLong).toDF("vec_id")
@@ -92,18 +103,18 @@ object ScaleSmoke {
       .cache()
     t("embs_materialize")(embs.count())
 
-    // corpus-sized band width: holding the small-corpus default r=8 here
-    // is quadratic in bucket occupancy (see planesForCorpus scaladoc)
-    val r = Dedup.planesForCorpus(n.toLong)
-    println(s"SCALE   planesPerBand=$r for n=$n")
+    // DEFAULT parameters: at this near-dup threshold the operators derive
+    // the corpus-sized band width and the threshold-aware narrow probe
+    // themselves (Dedup.resolveLshParams) — this harness measures exactly
+    // what a first-time caller gets, no tuning on the call site
+    println(s"SCALE   auto planesPerBand=${Dedup.planesForCorpus(n.toLong)} for n=$n")
     val semPairs = t("embedding_dup_pairs")(
-      Dedup.embeddingDupPairs(embs, "vec_id", "embedding", 0.9,
-        planesPerBand = r).count())
+      Dedup.embeddingDupPairs(embs, "vec_id", "embedding", 0.9).count())
     println(s"SCALE   semantic pairs=$semPairs planted=$planted " +
       s"(recall ${if (semPairs >= planted) "OK" else "MISS"})")
     val semPairsQ = t("embedding_dup_pairs_i8pre")(
       Dedup.embeddingDupPairs(embs, "vec_id", "embedding", 0.9,
-        planesPerBand = r, prefilterMargin = Some(0.1)).count())
+        prefilterMargin = Some(0.1)).count())
     println(s"SCALE   i8-prefiltered pairs=$semPairsQ " +
       s"(${if (semPairsQ == semPairs) "EQUAL to exact path" else "MISMATCH"})")
     // eval ids ≡ 8 (mod 1000) are bases of a planted variant (ids ≡ 9 mod
@@ -111,7 +122,7 @@ object ScaleSmoke {
     // expected flags = n/1000
     val decon = t("semantic_decon")(
       Curation.semanticContaminationReport(embs, "vec_id", "embedding",
-        col("vec_id") % 1000 === 8, threshold = 0.9, planesPerBand = r)
+        col("vec_id") % 1000 === 8, threshold = 0.9)
         .filter(col("contaminated")).count())
     println(s"SCALE   contaminated=$decon expected=${n / 1000} " +
       s"(${if (decon == n / 1000) "OK" else "MISS"})")

@@ -36,6 +36,7 @@ object GraftFunctions {
     add("md5_lower64")(es => Md5Lower64(es.head))
     add("simhash32")(es => SimHash(es.head, 32))
     add("simhash64")(es => SimHash(es.head, 64))
+    add("simhash128")(es => SimHash128(es.head))
     add("rolling_hash")(es => RollingHash(es.head))
     add("word_shingles")(es => WordShingles(es(0), int(es(1), "word_shingles")))
     add("minhash_signature")(es =>

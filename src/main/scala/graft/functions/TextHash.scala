@@ -56,6 +56,49 @@ object TextHashKernels {
   def simhash32(tokens: ArrayData): Long = simhash(tokens, 32)
   def simhash64(tokens: ArrayData): Long = simhash(tokens, 64)
 
+  /** 128-bit SimHash over a token list, as `[hi, lo]` longs: `lo` uses the
+    * md5 digest's lower-half bits (bytes [8..16) LE — DuckDB
+    * `md5_number_lower`, so it EQUALS [[simhash]]`(tokens, 64)`), `hi` the
+    * upper half (bytes [0..8) LE — `md5_number_upper`). One digest call
+    * per token feeds both halves. The longer sketch exists for the banding
+    * ceiling (see `Dedup.simhash128Pairs`): 4×32-bit bands give 2^32 keys
+    * per band — occupancy stays sub-linear far past the 2^16-key ceiling
+    * of the 64-bit sketch — while preserving the pigeonhole hamming ≤ 3
+    * guarantee.
+    */
+  def simhash128(tokens: ArrayData): ArrayData = {
+    val counts = new Array[Int](128) // [0..64) lo bits, [64..128) hi bits
+    val n = tokens.numElements()
+    val d = md5Local.get()
+    var t = 0
+    while (t < n) {
+      d.reset()
+      val digest = d.digest(tokens.getUTF8String(t).getBytes)
+      var lo = 0L
+      var hi = 0L
+      var i = 15
+      while (i >= 8) { lo = (lo << 8) | (digest(i) & 0xffL); i -= 1 }
+      i = 7
+      while (i >= 0) { hi = (hi << 8) | (digest(i) & 0xffL); i -= 1 }
+      var b = 0
+      while (b < 64) {
+        if (((lo >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        if (((hi >>> b) & 1L) == 1L) counts(64 + b) += 1 else counts(64 + b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var outLo = 0L
+    var outHi = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) outLo |= (1L << b)
+      if (counts(64 + b) > 0) outHi |= (1L << b)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(outHi, outLo))
+  }
+
   /** Polynomial rolling hash (Rabin-Karp style) of a UTF-8 string: 64-bit
     * base-31 polynomial with natural overflow wrap. Document fingerprinting
     * primitive — one sequential pass, codegen-friendly.
@@ -104,6 +147,24 @@ case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.simhash($c, $bits)")
   override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+/** `simhash128(array<string>) -> array<long>` — 128-bit near-duplicate
+  * sketch as `[hi, lo]`; see [[TextHashKernels.simhash128]].
+  */
+case class SimHash128(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] && child.dataType.asInstanceOf[ArrayType].elementType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"bad input type ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash128"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.simhash128(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.simhash128($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash128 =
     copy(child = newChild)
 }
 

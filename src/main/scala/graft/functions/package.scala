@@ -46,6 +46,9 @@ package object functions {
   /** 64-bit SimHash over a token array. */
   def simhash64(tokens: Column): Column = col(SimHash(ex(tokens), 64))
 
+  /** 128-bit SimHash over a token array, as `[hi, lo]` longs. */
+  def simhash128(tokens: Column): Column = col(SimHash128(ex(tokens)))
+
   /** 64-bit polynomial rolling hash of a string. */
   def rolling_hash(c: Column): Column = col(RollingHash(ex(c)))
 

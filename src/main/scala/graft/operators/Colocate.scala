@@ -56,6 +56,20 @@ object Colocate {
     require(ls.bucketColumnNames == rs.bucketColumnNames,
       s"bucket keys differ: $left=${ls.bucketColumnNames}, " +
         s"$right=${rs.bucketColumnNames}")
-    spark.table(left).join(spark.table(right), ls.bucketColumnNames, how)
+    // key TYPES must match too: same-named keys of different types would
+    // pass the name check, then Catalyst inserts a cast on one side whose
+    // hash no longer agrees with the file layout — and plans an Exchange,
+    // silently voiding the contract this helper exists to enforce
+    val lt = spark.table(left)
+    val rt = spark.table(right)
+    val mismatched = ls.bucketColumnNames.filter { c =>
+      lt.schema(c).dataType != rt.schema(c).dataType
+    }
+    require(mismatched.isEmpty,
+      s"bucket key types differ on ${mismatched.mkString(", ")}: " +
+        mismatched.map(c => s"$left.$c=${lt.schema(c).dataType.simpleString} vs " +
+          s"$right.$c=${rt.schema(c).dataType.simpleString}").mkString("; ") +
+        " — a cast would force an Exchange; rewrite one side with matching types")
+    lt.join(rt, ls.bucketColumnNames, how)
   }
 }

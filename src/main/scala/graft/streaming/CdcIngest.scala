@@ -208,6 +208,77 @@ object CdcIngest {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  /** Schema-dispatched ingest — the reference's hot path END-TO-END
+    * through the streaming source (`client.js:758-764`: per-event
+    * `schemaId` → registry lookup → decode; `proto:57-80`): each envelope
+    * row carries `schemaIdCol` and a BASE64 Avro payload in `payloadCol`
+    * (the JSONL log is a text container; base64 is its binary encoding).
+    * Per micro-batch:
+    *
+    *  1. the batch's distinct schema ids are collected (bounded by the
+    *     topic's schema count, not data volume) and split into resolvable
+    *     vs not via the registry (S4 — fetch-once, cached);
+    *  2. resolvable rows decode per schema id in one codegen'd pass per id
+    *     ([[graft.sources.SchemaRegistry.decode]]), heterogeneous decoded
+    *     structs merging into their field superset (append-only schema
+    *     evolution: old events read null for new fields);
+    *  3. decoded fields are flattened beside the envelope keys and merged
+    *     latest-wins into the bucket-partitioned target (S8);
+    *  4. rows with unresolvable/unknown schema ids dead-letter with the id
+    *     in the cause (S10) — a batch never fails on one bad producer.
+    */
+  def startSchemaDispatched(spark: SparkSession, stream: DataFrame,
+                            registry: graft.sources.SchemaRegistry,
+                            targetDir: String, checkpointDir: String,
+                            key: String = "sfId", offset: String = "replayId",
+                            changeType: String = "changeType",
+                            schemaIdCol: String = "schemaId",
+                            payloadCol: String = "data",
+                            availableNow: Boolean = true,
+                            numBuckets: Int = DefaultNumBuckets): StreamingQuery = {
+    def deadLetter(rows: DataFrame, cause: Column): Unit =
+      Retry.withBackoff() {
+        rows.withColumn("cause", cause)
+          .withColumn("raw_event", to_json(struct(rows.columns.map(col): _*)))
+          .withColumn("dead_letter_at", current_timestamp())
+          .write.mode("append").parquet(targetDir + "_dead_letter")
+      }
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.cache()
+        try {
+          val ids = b.select(schemaIdCol).distinct().collect()
+            .flatMap(r => Option(r.getString(0)))
+          val known = ids.filter(registry.resolvable).toSeq.sorted
+          if (known.isEmpty) {
+            if (!b.isEmpty)
+              deadLetter(b, concat(lit("unresolvable schemaId: "), col(schemaIdCol)))
+          } else {
+            val decoded = registry.decode(
+              b.withColumn("__payload", unbase64(col(payloadCol))),
+              schemaIdCol, "__payload", known).cache()
+            try {
+              val bad = decoded.filter(col("decoded").isNull)
+                .drop("decoded", "__payload")
+              if (!bad.isEmpty)
+                deadLetter(bad, concat(lit("unresolvable schemaId: "), col(schemaIdCol)))
+              val flat = decoded.filter(col("decoded").isNotNull)
+                .select(col(offset) +: col(key) +: col(changeType) +:
+                  decoded.schema("decoded").dataType
+                    .asInstanceOf[StructType].fieldNames.toSeq
+                    .map(f => col(s"decoded.`$f`")): _*)
+              Retry.withBackoff() {
+                mergeIntoTarget(spark, flat, targetDir, flat.columns.toSeq, key,
+                  offset, changeType, numBuckets)
+              }
+            } finally decoded.unpersist()
+          }
+        } finally b.unpersist()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   /** Per-topic routed ingest (P7 + S8's `tableForTopic`,
     * `setup.md:1130-1134`): one materialized table per topic under
     * `targetRoot/<topic>`. The batch's topic list is collected driver-side

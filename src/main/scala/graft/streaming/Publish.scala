@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,10 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Publish {
 
-  /** Append `batch` (columns: sfId, changeType, data) to the log at
-    * `logDir`; returns the (firstReplayId, lastReplayId) range assigned —
-    * the publish "acks". An empty batch publishes nothing and returns the
-    * empty range `(base+1, base)` (first > last).
+  /** Envelope columns written to the log: the core four always; the
+    * per-event `schemaId` (registry-dispatched decode, `proto:58`) and
+    * `headers` (`proto:65`) ride along when the batch carries them.
+    */
+  private def envelopeCols(batch: DataFrame): Seq[String] =
+    Seq("replayId", "sfId", "changeType", "data") ++
+      Seq("schemaId", "headers").filter(batch.columns.contains)
+
+  /** Append `batch` (columns: sfId, changeType, data, and optionally
+    * schemaId/headers) to the log at `logDir`; returns the
+    * (firstReplayId, lastReplayId) range assigned — the publish "acks".
+    * An empty batch publishes nothing and returns the empty range
+    * `(base+1, base)` (first > last).
     *
     * Single-writer by contract, like the reference's per-topic publisher:
     * replay IDs are assigned from the log's current max, so two concurrent
@@ -37,7 +46,7 @@ object Publish {
     // cache: the id-assignment pass is read twice (count + file write), and
     // the count also derives `last` so the batch lineage runs exactly once.
     val withIds = batch.withColumn("replayId", row_number().over(w) + base)
-      .select("replayId", "sfId", "changeType", "data")
+      .select(envelopeCols(batch).map(col): _*)
       .cache()
     try {
       val n = withIds.count()
@@ -72,11 +81,58 @@ object Publish {
       if (acks.nonEmpty) {
         val last = base + acks.length
         writeLogFile(spark,
-          withIds.select("replayId", "sfId", "changeType", "data"), logDir, last,
+          withIds.select(envelopeCols(batch).map(col): _*), logDir, last,
           acks.length.toLong)
       }
       acks.toSeq.toDF(correlationKeyCol, "replayId")
     } finally withIds.unpersist()
+  }
+
+  /** Producer-side payload cap: the reference's Pub/Sub rejects oversize
+    * events server-side with a per-event error result; here the cap fails
+    * fast at the producer with the same per-event granularity.
+    */
+  val MaxEventBytes = 1048576
+
+  /** Default publish validity: an event needs a key and a payload within
+    * the size cap. */
+  def defaultPublishValid: Column =
+    col("sfId").isNotNull &&
+      coalesce(octet_length(col("data")), lit(0)) <= MaxEventBytes
+
+  /** Publish with RESPONSE-TYPE dispatch (the `PublishStream` consumer
+    * surface, `client.js:638-684`: results arrive as `publishResponse` OR
+    * `error` per event, and the client settles its in-flight map from
+    * whichever comes): events failing `valid` are NOT written to the log
+    * and come back as `status='error'` rows with the failure in `error`;
+    * valid events are written and acked `status='ack'` with their assigned
+    * replay IDs. One bad event never fails the batch — exactly the
+    * reference's per-result settlement, where an error result frees its
+    * correlationKey while the rest of the batch publishes.
+    *
+    * Returns `(correlationKey, replayId, status, error)`; like
+    * [[appendWithAcks]] the response table is collected driver-side
+    * (publish batches are ≤100 events by contract) so it is stable after
+    * the write, never a lazy recompute.
+    */
+  def appendWithResponses(spark: SparkSession, batch: DataFrame, logDir: String,
+                          correlationKeyCol: String = "correlationKey",
+                          valid: Column = defaultPublishValid): DataFrame = {
+    import spark.implicits._
+    val flagged = batch.withColumn("__valid", valid).cache()
+    try {
+      // null predicate results (three-valued logic) are failures too
+      val errKeys = flagged.filter(col("__valid").isNull || !col("__valid"))
+        .select(col(correlationKeyCol)).as[String].collect()
+      val good = flagged.filter(col("__valid")).drop("__valid")
+      val ackRows = appendWithAcks(spark, good, logDir, correlationKeyCol)
+        .as[(String, Long)].collect()
+      val responses =
+        ackRows.toSeq.map { case (k, rid) => (k, Some(rid), "ack", None: Option[String]) } ++
+          errKeys.toSeq.map(k =>
+            (k, None: Option[Long], "error", Some(s"validation failed: $valid")))
+      responses.toDF(correlationKeyCol, "replayId", "status", "error")
+    } finally flagged.unpersist()
   }
 
   /** One-file atomic append: write via a staging dir, rename into the log

@@ -205,11 +205,14 @@ object StreamingDedup {
   // ------------------------------------------------------------------
 
   /** One micro-batch of first-seen SEMANTIC dedup (streaming rendering of
-    * [[graft.operators.Dedup.embeddingDupPairs]]): a vector is admitted iff
-    * its exact cosine similarity to every previously admitted vector stays
-    * below `threshold` — continuous embedding-level dedup of an ingest
-    * stream, completing the streaming matrix (exact / lexical near-dup /
-    * semantic).
+    * [[graft.operators.Dedup.embeddingDupPairs]]): a vector is rejected if
+    * it exact-cosine-matches (≥ `threshold`) any PREVIOUSLY ADMITTED vector
+    * from an earlier batch, or if it is the larger-id side of any verified
+    * within-batch pair (keep-min pairwise rejection — which over-rejects
+    * transitive chains: in A~B, B~C, A≁C both B and C drop; see the
+    * within-batch note in the body). Continuous embedding-level dedup of
+    * an ingest stream, completing the streaming matrix (exact / lexical
+    * near-dup / semantic).
     *
     * Persistent state, two bucket-partitioned append-only tables under
     * `indexDir` (same layout contract as the MinHash variant):
@@ -229,39 +232,55 @@ object StreamingDedup {
     * correctness. Per batch the state I/O is O(batch · bands · probes +
     * touched buckets), never O(corpus).
     *
-    * Size `planesPerBand` for the EXPECTED admitted-corpus size, not the
-    * batch ([[graft.operators.Dedup.planesForCorpus]]): the band width is
-    * baked into the stored keys, and the occupancy law documented there
-    * applies to the accumulated index — a long-lived stream left at the
-    * small-corpus default will see per-batch candidate volume grow
-    * linearly with everything admitted so far. Sign-LSH keys are
-    * data-independent, so choosing r up front is safe; changing it later
-    * means a rebuild.
+    * The band width is baked into the stored keys, and the occupancy law
+    * of [[graft.operators.Dedup.planesForCorpus]] applies to the
+    * ACCUMULATED index, not the batch — a long-lived stream left at the
+    * small-corpus width sees per-batch candidate volume grow linearly
+    * with everything admitted so far. So when `planesPerBand` is left at
+    * the 0 sentinel, the width derives from `expectedCorpus` (the stream-
+    * lifetime admitted-vector estimate); with neither given it falls back
+    * to the tuned small-corpus 8. Sign-LSH keys are data-independent, so
+    * choosing r up front is safe; changing it later means a rebuild — the
+    * derivation is from the CALLER-DECLARED estimate precisely so every
+    * batch of one stream agrees on it.
     */
   def semanticDedupBatch(spark: SparkSession, batch: DataFrame, idCol: String,
                          vecCol: String, indexDir: String, outDir: String,
-                         threshold: Double = 0.9, planesPerBand: Int = 8,
+                         threshold: Double = 0.9, planesPerBand: Int = 0,
                          bands: Int = 16, probeBits: Int = 2,
-                         numBuckets: Int = CdcIngest.DefaultNumBuckets): Unit = {
+                         numBuckets: Int = CdcIngest.DefaultNumBuckets,
+                         expectedCorpus: Long = 0): Unit = {
     import graft.operators.Dedup
     import graft.functions.{cosine_similarity, hyperplane_probes}
     val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bandsDir = s"$indexDir/bands"
     val vecsDir = s"$indexDir/vecs"
+    val r = if (planesPerBand > 0) planesPerBand
+            else if (expectedCorpus > 0) Dedup.planesForCorpus(expectedCorpus)
+            else 8
 
     implicit val scope: graft.CacheScope = graft.CacheScope()
     try {
-      // within-batch near-dups: reject the larger id of every verified pair
+      // Within-batch near-dups: reject id_b of every verified pair — the
+      // keep-min PAIRWISE-rejection convention (same as exactGroups' min-id
+      // representative). Note this over-rejects transitive chains relative
+      // to a sequential first-seen fold: in A~B, B~C, A≁C both B and C are
+      // dropped even though C's only near-dup is the already-rejected B.
+      // That is the intended batch semantic (deterministic, order-free,
+      // one join); callers needing exact first-seen admission should
+      // shrink the trigger interval so chains split across batches.
+      // probePlanes is left to the auto policy, which clamps it to the
+      // band width — a narrow-band caller never trips the invariant.
       val localPairs = Dedup.embeddingDupPairs(batch, idCol, vecCol, threshold,
-        planesPerBand, bands, probeBits)
+        r, bands, probeBits)
       val localKept = batch.join(
         localPairs.select(col("id_b").as(idCol)).distinct(),
         Seq(idCol), "left_anti")
 
       val sk = scope.own(localKept
         .select(col(idCol).as("id"), col(vecCol).as("vec"))
-        .withColumn("pk", hyperplane_probes(col("vec"), planesPerBand, bands,
-          probeBits, planesPerBand)))
+        .withColumn("pk", hyperplane_probes(col("vec"), r, bands,
+          probeBits, r)))
       val exploded = sk.select(col("id"), posexplode(col("pk")).as(Seq("band", "keys")))
       // exact keys (stored for future batches to probe against) and the
       // blind probe set (this batch probing the stored exact keys)
@@ -316,20 +335,26 @@ object StreamingDedup {
     } finally scope.close()
   }
 
-  /** Start the checkpointed streaming SEMANTIC dedup. */
+  /** Start the checkpointed streaming SEMANTIC dedup. `expectedCorpus`
+    * sizes the index's band width for the stream's LIFETIME admitted
+    * volume (see [[semanticDedupBatch]]) — pass it for any long-lived
+    * stream.
+    */
   def startSemanticDedup(spark: SparkSession, stream: DataFrame, idCol: String,
                          vecCol: String, indexDir: String, outDir: String,
                          checkpointDir: String, threshold: Double = 0.9,
-                         planesPerBand: Int = 8, bands: Int = 16,
+                         planesPerBand: Int = 0, bands: Int = 16,
                          probeBits: Int = 2,
                          numBuckets: Int = CdcIngest.DefaultNumBuckets,
-                         availableNow: Boolean = true): StreamingQuery = {
+                         availableNow: Boolean = true,
+                         expectedCorpus: Long = 0): StreamingQuery = {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         Retry.withBackoff() {
           semanticDedupBatch(spark, batch, idCol, vecCol, indexDir, outDir,
-            threshold, planesPerBand, bands, probeBits, numBuckets)
+            threshold, planesPerBand, bands, probeBits, numBuckets,
+            expectedCorpus)
         }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()

@@ -53,4 +53,15 @@ class ColocateSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("not bucketed"))
   }
+
+  test("same-named bucket keys of different types fail loud (cast would force an Exchange)") {
+    import spark.implicits._
+    Colocate.materialize((1L to 10L).toDF("k"), "co_klong", "k", numBuckets = 8)
+    Colocate.materialize((1 to 10).map(_.toString).toDF("k"), "co_kstr", "k",
+      numBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      Colocate.join(spark, "co_klong", "co_kstr")
+    }
+    assert(e.getMessage.contains("bucket key types differ"))
+  }
 }

@@ -31,6 +31,30 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(2) <= 3 && r.getLong(0) < r.getLong(1)))
   }
 
+  test("simhash128: lo half equals the 64-bit sketch; banded pairs == brute force") {
+    val docs = Tables.documents(spark, sfDir)
+    val sk128 = Dedup.simhash128Sketches(docs, "doc_id", "text").cache()
+    try {
+      // the lower half is bit-identical to the 64-bit operator (same md5
+      // lower-half token hashes, same majority rule)
+      val lo = sk128.select(col("id"), col("simhash_lo").as("simhash"))
+      val sk64 = Dedup.simhashSketches(docs, "doc_id", "text")
+      assert(lo.exceptAll(sk64).isEmpty && sk64.exceptAll(lo).isEmpty)
+
+      // banded candidate generation loses nothing vs the all-pairs
+      // definition at hamming <= 3 (pigeonhole over 4x32-bit bands)
+      val ham = (bit_count(col("a.simhash_hi").bitwiseXOR(col("b.simhash_hi"))) +
+        bit_count(col("a.simhash_lo").bitwiseXOR(col("b.simhash_lo")))).cast("long")
+      val brute = sk128.as("a").join(sk128.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"), ham.as("hamming"))
+        .filter(col("hamming") <= 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val banded = Dedup.simhash128Pairs(docs, "doc_id", "text", maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(banded == brute)
+    } finally sk128.unpersist()
+  }
+
   test("embedding near-dup pairs are symmetric-free and thresholded") {
     val pairs = Dedup.embeddingDupPairs(
       Tables.embeddings(spark, sfDir), "vec_id", "embedding", 0.4).collect()
@@ -98,6 +122,23 @@ class DedupSpec extends SparkSpec {
       val r = Dedup.planesForCorpus(n)
       assert(n.toDouble / (1L << r) <= 2.0, s"occupancy at n=$n, r=$r")
     }
+  }
+
+  test("resolveLshParams: corpus-sized narrow probing at near-dup thresholds, tuned 8/2/6 at boundary") {
+    // boundary threshold: the measured-exact small-band/wide-probe regime,
+    // REGARDLESS of corpus size (wider bands lose boundary recall) — this
+    // is what keeps the 0.4-threshold sf oracles byte-identical
+    assert(Dedup.resolveLshParams(0.4, 2000L, 0, -1, -1) === ((8, 2, 6)))
+    assert(Dedup.resolveLshParams(0.4, 10000000L, 0, -1, -1) === ((8, 2, 6)))
+    // near-dup threshold: corpus-sized bands + 1-bit/4-plane probing
+    assert(Dedup.resolveLshParams(0.9, 20000L, 0, -1, -1) === ((14, 1, 4)))
+    assert(Dedup.resolveLshParams(0.9, 500L, 0, -1, -1) === ((8, 1, 4)))
+    // explicit values pin; explicit probePlanes clamps to the band width
+    assert(Dedup.resolveLshParams(0.9, 20000L, 8, 2, 6) === ((8, 2, 6)))
+    assert(Dedup.resolveLshParams(0.9, 500L, 3, 1, 6) === ((3, 1, 3)))
+    // the corpus count must not be forced when the width is explicit
+    assert(Dedup.resolveLshParams(0.9, sys.error("must stay lazy"), 8, 2, 6)
+      === ((8, 2, 6)))
   }
 
   test("dupClusters: chains collapse to min-id components, singletons self-label") {

@@ -190,4 +190,82 @@ class CdcIngestSpec extends SparkSpec {
     assert(calls == 4)
     assert(ex.getMessage == "permanent failure 4")
   }
+
+  test("schema-dispatched ingest: two schema ids in one batch decode and merge; unknown id dead-letters") {
+    import graft.functions.avro_encode
+    val base = Files.createTempDirectory("cdc_dispatch").toString
+    val logDir = s"$base/log"
+    new java.io.File(logDir).mkdirs()
+    val targetDir = s"$base/target"
+
+    val acctSchema =
+      """{"type":"record","name":"Acct","fields":[
+        |{"name":"Name","type":["null","string"],"default":null}]}""".stripMargin
+    val contSchema =
+      """{"type":"record","name":"Cont","fields":[
+        |{"name":"Email","type":["null","string"],"default":null}]}""".stripMargin
+    val registry = new graft.sources.SchemaRegistry({
+      case "acct" => acctSchema
+      case "cont" => contSchema
+      case other => sys.error(s"GetSchema: no schema $other")
+    })
+
+    // publish a mixed batch: per-event schemaId + headers in the envelope,
+    // base64 Avro payloads in `data` (proto:57-80 ProducerEvent shape)
+    val hdrs = array(struct(lit("src").as("key"), lit("unit-test").as("value")))
+    val events = Seq(("a1", "Acme"), ("a2", "Globex")).toDF("sfId", "Name")
+      .select(col("sfId"), lit("CREATE").as("changeType"),
+        base64(avro_encode(struct(col("Name")), acctSchema)).as("data"),
+        lit("acct").as("schemaId"), hdrs.as("headers"))
+      .unionByName(Seq(Tuple1("c@x.com")).toDF("Email")
+        .select(lit("c1").as("sfId"), lit("CREATE").as("changeType"),
+          base64(avro_encode(struct(col("Email")), contSchema)).as("data"),
+          lit("cont").as("schemaId"), hdrs.as("headers")))
+      .unionByName(Seq(Tuple1("x1")).toDF("sfId")
+        .select(col("sfId"), lit("CREATE").as("changeType"),
+          base64(lit(Array[Byte](1, 2, 3))).as("data"),
+          lit("mystery").as("schemaId"),
+          lit(null).cast("array<struct<key:string,value:string>>").as("headers")))
+    Publish.append(spark, events, logDir)
+
+    val stream = spark.readStream.format("graft.sources.ChangeEventLogProvider")
+      .option("path", logDir).load()
+    val q = CdcIngest.startSchemaDispatched(spark, stream, registry,
+      targetDir, s"$base/ckpt")
+    q.awaitTermination()
+
+    // both schemas decoded IN THE SAME BATCH and merged into the field
+    // superset (append-only evolution shape)
+    val target = CdcIngest.readTarget(spark, targetDir)
+    assert(target.columns.toSet ==
+      Set("replayId", "sfId", "changeType", "Name", "Email"))
+    val byId = target.collect().map(r => r.getAs[String]("sfId") ->
+      ((r.getAs[String]("Name"), r.getAs[String]("Email")))).toMap
+    assert(byId == Map("a1" -> (("Acme", null)), "a2" -> (("Globex", null)),
+      "c1" -> ((null, "c@x.com"))))
+
+    // the unknown schema id dead-letters with the id in the cause; the
+    // batch itself succeeded (S10 — one bad producer never fails the batch)
+    val dead = spark.read.parquet(targetDir + "_dead_letter")
+    assert(dead.count() == 1)
+    val row = dead.collect()(0)
+    assert(row.getAs[String]("sfId") == "x1")
+    assert(row.getAs[String]("cause").contains("mystery"))
+
+    // headers survive the envelope round trip THROUGH the DSv2 source
+    // (publish → jsonl → source parse), not just in the file
+    assert(row.getAs[String]("raw_event").contains("\"schemaId\":\"mystery\""))
+    val out = Files.createTempDirectory("cdc_hdr").toString
+    val hq = spark.readStream.format("graft.sources.ChangeEventLogProvider")
+      .option("path", logDir).load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", out + "_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    hq.awaitTermination()
+    val headerVals = spark.read.parquet(out)
+      .filter(col("schemaId") === "acct")
+      .select(explode(col("headers")).as("h")).select("h.key", "h.value")
+      .as[(String, String)].collect().toSet
+    assert(headerVals == Set(("src", "unit-test")))
+  }
 }

@@ -71,4 +71,35 @@ class PublishSpec extends SparkSpec {
       .as[(String, Long)].collect()
     assert(acks2.toSeq == Seq(("ck-4", 4L)))
   }
+
+  test("response-type dispatch: invalid events error per-event, valid ones still ack (client.js:638-684)") {
+    val base = Files.createTempDirectory("publish_resp")
+    val logDir = base.resolve("log").toString
+    Files.createDirectories(base.resolve("log"))
+
+    val oversize = "x" * (Publish.MaxEventBytes + 1)
+    val batch = Seq(
+      ("ck-ok-1", "a", "CREATE", """{"v":1}"""),
+      ("ck-big", "b", "CREATE", oversize), // oversize payload
+      ("ck-nokey", null, "CREATE", """{"v":2}"""), // missing key
+      ("ck-ok-2", "c", "CREATE", """{"v":3}"""))
+      .toDF("correlationKey", "sfId", "changeType", "data")
+
+    val resp = Publish.appendWithResponses(spark, batch, logDir)
+      .as[(String, Option[Long], String, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    // valid events acked with dense ids; invalid ones errored, not acked
+    assert(resp("ck-ok-1")._2 == "ack" && resp("ck-ok-2")._2 == "ack")
+    assert(Set(resp("ck-ok-1")._1, resp("ck-ok-2")._1) == Set(Some(1L), Some(2L)))
+    assert(resp("ck-big")._2 == "error" && resp("ck-big")._1.isEmpty)
+    assert(resp("ck-nokey")._2 == "error" && resp("ck-nokey")._1.isEmpty)
+    assert(resp("ck-big")._3.exists(_.contains("validation failed")))
+
+    // only the valid events reached the log (one bad event never fails or
+    // pollutes the batch)
+    val logged = spark.read.json(s"$logDir/events-2-n2.jsonl")
+    assert(logged.count() == 2)
+    assert(logged.select("sfId").as[String].collect().toSet == Set("a", "c"))
+  }
 }
