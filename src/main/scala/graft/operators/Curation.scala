@@ -285,6 +285,47 @@ object Curation {
     * broadcast of the tiny target table; shares divide through exact
     * decimal so the report is bit-deterministic cross-engine.
     */
+  /** Temperature-based mixture reweighting — the multilingual-corpus
+    * "temperature sampling" rule (XLM-R style): sample domain d with
+    * probability q_d ∝ p_d^(1/τ), where p_d is the domain's natural
+    * corpus share. τ = 1 keeps the natural mix, τ → ∞ approaches
+    * uniform, τ < 1 sharpens toward the head. Returns per-domain
+    * `(domain, n_docs, actual_share, sampled_share, weight)` with
+    * `weight = q_d / p_d`, the per-document resampling factor — the
+    * parametric complement of [[mixWeights]]' explicit target table.
+    *
+    * Same scale shape as [[mixWeights]]: one map-side-combinable count
+    * aggregate over the corpus, then broadcast scalar totals. Cross-engine
+    * determinism: shares divide through exact decimal rounded to 6, the
+    * double `pow` lands back in a 12-decimal DECIMAL before the
+    * normalizing sum (decimal addition is exact and order-free, so the
+    * partial-aggregation order can't wiggle a float sum), and the final
+    * divisions run on doubles derived from those exact decimals — an
+    * engine pair would have to disagree on `pow` by ~1e-13 to flip a
+    * rounded output digit.
+    */
+  def temperatureWeights(docs: DataFrame, domainCol: String,
+                         temperature: Double): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    val alpha = 1.0 / temperature
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val shares = docs.groupBy(domainCol).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .withColumn("actual_share",
+        round(col("n_docs").cast(org.apache.spark.sql.types.DecimalType(28, 12))
+          / col("n_total"), 6).cast("double"))
+      .withColumn("pa", round(pow(col("actual_share"), alpha), 12)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+    val z = shares.agg(sum("pa").as("z"))
+    shares.crossJoin(broadcast(z))
+      .select(col(domainCol), col("n_docs"), col("actual_share"),
+        round(col("pa").cast("double") / col("z").cast("double"), 6)
+          .as("sampled_share"),
+        when(col("actual_share") > 0,
+          round(col("pa").cast("double") / col("z").cast("double")
+            / col("actual_share"), 6)).otherwise(0.0).as("weight"))
+  }
+
   def mixWeights(docs: DataFrame, domainCol: String,
                  targets: Map[String, Double]): DataFrame = {
     val spark = docs.sparkSession

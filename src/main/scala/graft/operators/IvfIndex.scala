@@ -97,6 +97,47 @@ object IvfIndex {
 
   private def spark(df: DataFrame): SparkSession = df.sparkSession
 
+  /** BATCH exact-cosine top-k over each query's `nprobe` nearest inverted
+    * lists — the IVF complement of [[Similarity.indexTopKBatch]],
+    * completing the ANN matrix (brute/LSH/IVF × single/batch). Centroid
+    * ranking stays a DataFrame op (queries × broadcast of the k centroid
+    * rows, per-query window over k candidates), so the only driver-side
+    * list is the DISTINCT probed cids (bounded by k, never by queries or
+    * data) used as a literal partition filter on the lists scan — the
+    * same planning-time pruning contract as [[topK]]. An equi-join on
+    * `cid` then pairs each query with only its probed lists' vectors; a
+    * vector lives in exactly one list and a query's probe cids are
+    * distinct, so (qid, id) candidates are unique by construction and
+    * exact cosine + a per-query window finish without dedup.
+    */
+  def topKBatch(spark: SparkSession, indexDir: String, queries: DataFrame,
+                qidCol: String, qvecCol: String, k: Int, nprobe: Int = 4,
+                excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+    val cents = spark.read.parquet(centroidsDir(indexDir))
+    val wc = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid"))
+    // cached: read by the driver-side cid-list collect AND the candidate join
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine_similarity(col("qvec"), col("cvec")))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cid"))
+      .cache()
+    try {
+      val cidList = probes.select("cid").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
+      spark.read.parquet(listsDir(indexDir))
+        .filter(col("cid").isin(cidList.map(Integer.valueOf).toSeq: _*))
+        .join(probes, Seq("cid"))
+        .filter(if (excludeSelf) col("id") =!= col("qid") else lit(true))
+        .withColumn("cos", round(cosine_similarity(col("vec"), col("qvec")), 3))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("id"), col("cos"), col("rank"))
+    } finally probes.unpersist()
+  }
+
   /** Exact cosine top-k over the `nprobe` nearest inverted lists. */
   def topK(spark: SparkSession, indexDir: String, queryVec: Array[Float],
            k: Int, nprobe: Int = 4): DataFrame = {

@@ -343,6 +343,25 @@ object PipelineQueries {
 
     // ---- ANN: BATCH index probe (bucket-pruned scan; approximate by
     // design — recall vs the batch brute force asserted in SimilaritySpec) ----
+    // ---- ANN: BATCH probe of the IVF index (centroid ranking as a
+    // DataFrame op over the broadcast k centroids; driver collects only
+    // the distinct probed cids — bounded by k — for planning-time list
+    // pruning; approximate by design → recall asserted in SimilaritySpec,
+    // no cross-engine oracle) ----
+    ("ns_ann_batch_ivf_topk",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        // same catalog entry as ns_ann_ivf_topk: one physical index serves
+        // both the single-vector and the batch probe
+        val indexDir = IndexCatalog.ensure(s, "ann-ivf",
+          Seq(s"$d/embeddings.parquet"), "k=16,it=2")(dir =>
+          graft.operators.IvfIndex.build(embs, "vec_id", "embedding", dir))
+        graft.operators.IvfIndex.topKBatch(s, indexDir,
+          embs.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
+          .orderBy("qid", "rank")
+      },
+      None),
+
     ("ns_ann_batch_index_topk",
       (s: SparkSession, d: String) => {
         val embs = Tables.embeddings(s, d)
@@ -661,6 +680,29 @@ object PipelineQueries {
         "SELECT source, n_docs, actual_share, target_share, " +
         "CASE WHEN actual_share > 0 THEN round(target_share / actual_share, 6) " +
         "ELSE 0.0 END AS weight FROM m ORDER BY source")),
+
+    // ---- curation: TEMPERATURE mixture reweighting (q_d ∝ p_d^(1/τ),
+    // τ=2 — the multilingual temperature-sampling rule; pow lands in a
+    // 12-decimal DECIMAL before the exact normalizing sum, final
+    // divisions on doubles derived from those decimals) ----
+    ("ns_curate_temperature",
+      (s: SparkSession, d: String) =>
+        Curation.temperatureWeights(Tables.documents(s, d), "source",
+          temperature = 2.0)
+          .orderBy("source"),
+      Some("WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), " +
+        "t AS (SELECT sum(n_docs) AS n_total FROM c), " +
+        "p AS (SELECT source, n_docs, " +
+        "CAST(round(CAST(n_docs AS DECIMAL(28,12)) / t.n_total, 6) AS DOUBLE) AS actual_share " +
+        "FROM c, t), " +
+        "pa AS (SELECT source, n_docs, actual_share, " +
+        "CAST(round(power(actual_share, 0.5), 12) AS DECIMAL(28,12)) AS pa FROM p), " +
+        "z AS (SELECT sum(pa) AS z FROM pa) " +
+        "SELECT source, n_docs, actual_share, " +
+        "round(CAST(pa AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS sampled_share, " +
+        "CASE WHEN actual_share > 0 THEN " +
+        "round(CAST(pa AS DOUBLE) / CAST(z.z AS DOUBLE) / actual_share, 6) " +
+        "ELSE 0.0 END AS weight FROM pa, z ORDER BY source")),
 
     // ---- text analysis: char-level Shannon entropy (sorted-order sum) ----
     ("ns_text_entropy",

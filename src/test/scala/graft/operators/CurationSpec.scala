@@ -78,6 +78,30 @@ class CurationSpec extends SparkSpec {
       "candidate generation must be an equi-join, never a nested loop")
   }
 
+  test("temperatureWeights: tau=1 keeps the natural mix, tau>1 flattens toward uniform") {
+    val docs = (Seq.fill(80)("big") ++ Seq.fill(20)("small")).zipWithIndex
+      .map { case (d, i) => (i.toLong, d) }.toDF("doc_id", "source")
+    def byDomain(tau: Double) =
+      Curation.temperatureWeights(docs, "source", tau).collect()
+        .map(r => r.getString(0) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+
+    // tau = 1: sampled share == natural share, all weights 1
+    val t1 = byDomain(1.0)
+    assert(t1("big") === ((0.8, 0.8, 1.0)) && t1("small") === ((0.2, 0.2, 1.0)))
+
+    // tau = 2 (sqrt): the tail is upweighted, the head downweighted,
+    // shares still sum to 1
+    val t2 = byDomain(2.0)
+    assert(t2("small")._3 > 1.0 && t2("big")._3 < 1.0)
+    assert(math.abs(t2("big")._2 + t2("small")._2 - 1.0) < 1e-6)
+
+    // tau -> infinity approaches the uniform mix
+    val tFlat = byDomain(1000.0)
+    assert(math.abs(tFlat("big")._2 - 0.5) < 0.01 &&
+      math.abs(tFlat("small")._2 - 0.5) < 0.01)
+  }
+
   test("hashSplit is a total, deterministic, shuffle-free assignment") {
     val docs = (0L until 1000L).toDF("doc_id")
     val split = Curation.hashSplit(docs, "doc_id").cache()

@@ -141,6 +141,54 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 13, s"batch index recall too low: $recall/25")
   }
 
+  test("batch IVF probe: recall vs brute force, lists pruned to the probed cids") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val embs = Tables.embeddings(spark, sfDir)
+    val queries = embs.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopKBatch(embs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("ivf_batch").toString
+    IvfIndex.build(embs, "vec_id", "embedding", dir, k = 16, iterations = 2)
+    val probe = IvfIndex.topKBatch(spark, dir, queries, "vec_id", "embedding",
+      k = 5, nprobe = 4)
+    val got = probe
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recall = (0L until 5L).map(q => (brute(q) & got.getOrElse(q, Set.empty)).size).sum
+    assert(recall >= 13, s"batch IVF recall too low: $recall/25")
+
+    // the lists scan must be pruned to the union of probed cids — asserted
+    // on a single-query plan (its union is ≤ nprobe of 16 lists by
+    // construction; five spread queries could legitimately probe them all)
+    val one = IvfIndex.topKBatch(spark, dir,
+      embs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 5, nprobe = 4)
+    one.collect()
+    // AQE wraps materialized stages in leaf QueryStageExec nodes whose
+    // subplan lives in .plan, not .children — descend through them too
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case other =>
+        (other.collect {
+          case f: FileSourceScanExec => Seq(f)
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case q: QueryStageExec => scans(q.plan)
+        }).flatten
+    }
+    val listScan = scans(one.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/lists")))
+    val totalFiles = spark.read.parquet(s"$dir/lists").inputFiles.length
+    assert(listScan.nonEmpty)
+    val scanned = listScan.map(_.metrics("numFiles").value).max
+    assert(scanned > 0 && scanned < totalFiles,
+      s"lists scan read $scanned of $totalFiles files — no pruning")
+  }
+
   test("int8 quantization: 1 byte/dim payloads, high recall vs float ranking") {
     val embs = Tables.embeddings(spark, sfDir)
     val q = Similarity.quantize(embs, "vec_id", "embedding").cache()
