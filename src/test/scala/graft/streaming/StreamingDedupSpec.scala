@@ -86,6 +86,47 @@ class StreamingDedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/vecs").count() === 4)
   }
 
+  test("semantic streaming dedup: expectedCorpus sizes the index bands stream-lifetime") {
+    val log = Files.createTempDirectory("sc_log").toString
+    val idx = Files.createTempDirectory("sc_idx").toString + "/index"
+    val out = Files.createTempDirectory("sc_out").toString + "/corpus"
+    val ckpt = Files.createTempDirectory("sc_ckpt").toString
+
+    def axis(i: Int): Array[Float] =
+      Array.tabulate(8)(j => if (j == i) 1.0f else 0.0f)
+    def near(i: Int): Array[Float] =
+      Array.tabulate(8)(j =>
+        if (j == i) 0.99f else if (j == (i + 1) % 8) 0.14f else 0.0f)
+
+    val schema = Seq((0L, Array(0.0f))).toDF("vec_id", "embedding").schema
+    def runOnce(): Unit = {
+      val q = StreamingDedup.startSemanticDedup(spark,
+        spark.readStream.schema(schema).parquet(log),
+        "vec_id", "embedding", idx, out, ckpt, threshold = 0.9,
+        expectedCorpus = 50000) // -> planesForCorpus(50000) = 15, not 8
+      q.awaitTermination()
+    }
+
+    Seq((1L, axis(0))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(log)
+    runOnce()
+    Seq((2L, near(0)), (3L, axis(1))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(log)
+    runOnce()
+
+    // dedup semantics unchanged under the wider stream-lifetime bands
+    assert(spark.read.parquet(out).select("vec_id")
+      .as[Long].collect().toSet === Set(1L, 3L))
+    // and the stored keys really are 15-plane keys: 15 sign bits span
+    // [0, 2^15) — every key must fit, and the wider space must be in use
+    // (an 8-plane index would cap keys below 2^8 = 256)
+    val keys = spark.read.parquet(s"$idx/bands").select("key")
+      .as[Long].collect()
+    assert(keys.forall(k => k >= 0 && k < (1L << 15)))
+    assert(keys.exists(_ >= 256),
+      "expectedCorpus band width not applied: all keys fit an 8-plane space")
+  }
+
   test("near-dup streaming dedup: verified LSH matches rejected across and within batches") {
     val log = Files.createTempDirectory("nd_log").toString
     val idx = Files.createTempDirectory("nd_idx").toString + "/index"
