@@ -288,6 +288,41 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Fixed-size overlapping token chunks — the context-windowing step of
+    * an embedding/RAG pipeline (a document too long for the encoder is
+    * split into `chunkSize`-token windows at stride
+    * `chunkSize - overlap`, the overlap preserving cross-boundary
+    * context). Output one row per chunk: `(id, chunk_idx, n_tokens,
+    * chunk_text)`; a document shorter than `chunkSize` yields exactly one
+    * (short) chunk, and the final chunk may be short.
+    *
+    * Pure projection + explode over the token array — zero shuffle,
+    * streams at scan speed at any corpus size; downstream embedding jobs
+    * key on `(id, chunk_idx)`.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkSize: Int = 128, overlap: Int = 32): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need chunkSize > 0 and 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      // chunk count: 1 + ceil(max(0, n - chunkSize) / stride) — the first
+      // window always exists; each further stride adds one
+      .withColumn("__k", (lit(1) +
+        ceil(greatest(col("__n") - chunkSize, lit(0)).cast("double") / stride))
+        .cast("int"))
+      .select(col(idCol),
+        explode(sequence(lit(0), col("__k") - 1)).as("chunk_idx"),
+        col("__t"), col("__n"))
+      .select(col(idCol), col("chunk_idx"),
+        least(lit(chunkSize), col("__n") - col("chunk_idx") * stride)
+          .as("n_tokens"),
+        concat_ws(" ",
+          slice(col("__t"), col("chunk_idx") * stride + 1, lit(chunkSize)))
+          .as("chunk_text"))
+  }
+
   def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val s = lower(col(textCol))
     val n = length(s)

@@ -704,6 +704,25 @@ object PipelineQueries {
         "round(CAST(pa AS DOUBLE) / CAST(z.z AS DOUBLE) / actual_share, 6) " +
         "ELSE 0.0 END AS weight FROM pa, z ORDER BY source")),
 
+    // ---- text analysis: overlapping token chunks (RAG/embedding context
+    // windows: 32-token chunks at stride 24; zero-shuffle explode) ----
+    ("ns_text_chunks",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.chunk(Tables.documents(s, d), "doc_id", "text",
+          chunkSize = 32, overlap = 8)
+          .orderBy("doc_id", "chunk_idx"),
+      // per-row chunk counts need the LIST generate_series + unnest (the
+      // table-function form cannot take a lateral column bound)
+      Some("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents), " +
+        "k AS (SELECT doc_id, t, CAST(len(t) AS INTEGER) AS n, " +
+        "CAST(1 + ceil(greatest(len(t) - 32, 0) / 24.0) AS INTEGER) AS nc FROM toks), " +
+        "c AS (SELECT doc_id, t, n, unnest(generate_series(0, nc - 1)) AS i FROM k) " +
+        "SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx, " +
+        "CAST(least(32, n - i*24) AS INTEGER) AS n_tokens, " +
+        "array_to_string(t[i*24+1 : i*24+32], ' ') AS chunk_text " +
+        "FROM c ORDER BY doc_id, chunk_idx")),
+
     // ---- text analysis: char-level Shannon entropy (sorted-order sum) ----
     ("ns_text_entropy",
       (s: SparkSession, d: String) =>

@@ -107,6 +107,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) === ((0L, 0.0)) && out(5L)._1 === 0L)
   }
 
+  test("chunk: overlapping windows cover every token; short docs yield one chunk") {
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val docs = Seq((1L, doc), (2L, "tiny doc")).toDF("doc_id", "text")
+    // chunkSize 4, overlap 1 -> stride 3: chunks at 0,3,6 — the third
+    // window already reaches the last token, so no trailing window exists
+    val got = TextAnalysis.chunk(docs, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0, 4, "w1 w2 w3 w4"),
+      (1L, 1, 4, "w4 w5 w6 w7"),
+      (1L, 2, 4, "w7 w8 w9 w10")))
+    // a document shorter than the window is one (short) chunk
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, 2, "tiny doc")))
+    // consecutive chunks share exactly `overlap` tokens — context is
+    // preserved across every boundary
+    val texts = got.filter(_._1 == 1L).map(_._4.split(" ").toSeq).toSeq
+    texts.sliding(2).foreach { pair =>
+      assert(pair(0).takeRight(1) == pair(1).take(1), s"${pair(0)} / ${pair(1)}")
+    }
+  }
+
   test("charEntropy: uniform chars hit log2(k) bits, repeats score zero") {
     val docs = Seq(
       (1L, "aaaa"),   // one symbol: entropy 0
