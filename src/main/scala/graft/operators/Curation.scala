@@ -326,6 +326,41 @@ object Curation {
             / col("actual_share"), 6)).otherwise(0.0).as("weight"))
   }
 
+  /** Materialize a resampled corpus from per-domain sampling weights —
+    * the "apply" step completing [[mixWeights]]/[[temperatureWeights]]
+    * (which only COMPUTE weights): each document is emitted
+    * `floor(weight)` times plus one more with probability
+    * `frac(weight)`, so domain expectations hit the target mixture
+    * exactly (weight < 1 thins, weight > 1 upsamples by repetition, the
+    * standard epoch-repeat treatment of upweighted domains). Output is
+    * one row per emitted COPY: `(id, domain, copy)` with `copy` in
+    * [0, copies) so downstream shuffles can keep repeats apart.
+    *
+    * Deterministic and cross-engine exact: the Bernoulli draw is
+    * `pmod(md5_lower64(id), 10^6) < round(frac(weight)·10^6)` — pure
+    * integer arithmetic on the content-addressed hash (same family as
+    * [[hashBucket]]), no RNG, no float compare, so re-running the
+    * resample (or running it on another engine) yields byte-identical
+    * output. One broadcast join of the tiny weight table + one explode;
+    * zero shuffle over the corpus.
+    */
+  def applyMixture(docs: DataFrame, idCol: String, domainCol: String,
+                   weights: DataFrame, weightCol: String = "weight"): DataFrame = {
+    // integer micro-weight: w = 3.25 -> 3,250,000 -> 3 whole copies + a
+    // 25%-threshold draw; weights are 6-decimal by contract upstream
+    val wMicro = round(col(weightCol) * 1000000).cast("long")
+    val w = broadcast(weights.select(col(domainCol), wMicro.as("__w")))
+    val draw = pmod(md5_lower64(col(idCol).cast("string")), lit(1000000L))
+    docs.select(col(idCol), col(domainCol))
+      .join(w, Seq(domainCol))
+      .withColumn("__copies",
+        (col("__w") / 1000000L).cast("long") +
+          when(draw < pmod(col("__w"), lit(1000000L)), 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .select(col(idCol), col(domainCol),
+        explode(sequence(lit(0L), col("__copies") - 1)).as("copy"))
+  }
+
   def mixWeights(docs: DataFrame, domainCol: String,
                  targets: Map[String, Double]): DataFrame = {
     val spark = docs.sparkSession

@@ -704,6 +704,40 @@ object PipelineQueries {
         "round(CAST(pa AS DOUBLE) / CAST(z.z AS DOUBLE) / actual_share, 6) " +
         "ELSE 0.0 END AS weight FROM pa, z ORDER BY source")),
 
+    // ---- curation: APPLY the temperature mixture — materialize the
+    // resampled corpus (floor(w) copies + a deterministic integer-space
+    // Bernoulli for frac(w)); completes the compute-weights operators ----
+    ("ns_curate_apply_mixture",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        Curation.applyMixture(docs, "doc_id", "source",
+          Curation.temperatureWeights(docs, "source", temperature = 2.0))
+          .orderBy("doc_id", "copy")
+      },
+      Some("WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), " +
+        "t AS (SELECT sum(n_docs) AS n_total FROM c), " +
+        "p AS (SELECT source, " +
+        "CAST(round(CAST(n_docs AS DECIMAL(28,12)) / t.n_total, 6) AS DOUBLE) AS actual_share " +
+        "FROM c, t), " +
+        "pa AS (SELECT source, actual_share, " +
+        "CAST(round(power(actual_share, 0.5), 12) AS DECIMAL(28,12)) AS pa FROM p), " +
+        "z AS (SELECT sum(pa) AS z FROM pa), " +
+        "w AS (SELECT source, CAST(round(round(CASE WHEN actual_share > 0 THEN " +
+        "CAST(pa AS DOUBLE) / CAST(z.z AS DOUBLE) / actual_share ELSE 0.0 END, 6) " +
+        "* 1000000) AS BIGINT) AS wm FROM pa, z), " +
+        // md5_number_lower is UBIGINT; convert to the signed two's-complement
+        // long Spark's md5_lower64 yields before the positive modulo
+        "h AS (SELECT doc_id, source, md5_number_lower(CAST(doc_id AS VARCHAR)) AS u " +
+        "FROM documents), " +
+        "sg AS (SELECT doc_id, source, CAST(CASE WHEN u >= 9223372036854775808 " +
+        "THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS h64 FROM h), " +
+        "k AS (SELECT sg.doc_id, sg.source, (w.wm // 1000000) + " +
+        "CASE WHEN ((h64 % 1000000) + 1000000) % 1000000 < w.wm % 1000000 " +
+        "THEN 1 ELSE 0 END AS copies FROM sg JOIN w USING (source)) " +
+        "SELECT doc_id, source, CAST(i AS BIGINT) AS copy " +
+        "FROM (SELECT doc_id, source, unnest(generate_series(0, copies - 1)) AS i " +
+        "FROM k WHERE copies > 0) ORDER BY doc_id, copy")),
+
     // ---- text analysis: overlapping token chunks (RAG/embedding context
     // windows: 32-token chunks at stride 24; zero-shuffle explode) ----
     ("ns_text_chunks",

@@ -102,6 +102,32 @@ class CurationSpec extends SparkSpec {
       math.abs(tFlat("small")._2 - 0.5) < 0.01)
   }
 
+  test("applyMixture: floor/ceil copy counts, dense copy indexes, deterministic") {
+    val docs = (0L until 100L).map(i => (i, if (i < 80) "big" else "small"))
+      .toDF("doc_id", "source")
+    val w = Seq(("big", 0.5), ("small", 2.25)).toDF("source", "weight")
+    val out = Curation.applyMixture(docs, "doc_id", "source", w).cache()
+    try {
+      // per-doc copy counts land on floor(w) or ceil(w), indexes dense from 0
+      val byDoc = out.groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n"), max("copy").as("maxc")).collect()
+      byDoc.foreach { r =>
+        val (src, n, maxc) = (r.getString(1), r.getLong(2), r.getLong(3))
+        if (src == "big") assert(n == 1 && maxc == 0, r.toString)
+        else assert((n == 2 || n == 3) && maxc == n - 1, r.toString)
+      }
+      // weight 0.5 thins: some big docs dropped, some kept (hash-decided)
+      val bigKept = byDoc.count(_.getString(1) == "big")
+      assert(bigKept > 0 && bigKept < 80)
+      // weight 2.25 upsamples: 20 docs emit between 2x and 3x copies
+      val smallCopies = out.filter(col("source") === "small").count()
+      assert(smallCopies >= 40 && smallCopies <= 60)
+      // content-addressed, no RNG: a rerun is byte-identical
+      val again = Curation.applyMixture(docs, "doc_id", "source", w)
+      assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    } finally out.unpersist()
+  }
+
   test("hashSplit is a total, deterministic, shuffle-free assignment") {
     val docs = (0L until 1000L).toDF("doc_id")
     val split = Curation.hashSplit(docs, "doc_id").cache()
