@@ -102,6 +102,7 @@ object PipelineQueries {
     IndexCatalog.ensure(s, "ann-ivf", Seq(s"$d/embeddings.parquet"), "k=16,it=2")(
       dir => graft.operators.IvfIndex.build(embs, "vec_id", "embedding", dir))
     dupClusterTable(s, d)
+    semanticClusterTable(s, d)
   }
 
   /** The near-dup CLUSTER table for `d`'s documents, memoized through
@@ -120,6 +121,23 @@ object PipelineQueries {
       val docs = Tables.documents(s, d)
       Dedup.dupClusters(
         Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8), docs, "doc_id")
+        .write.parquet(staging)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** SEMANTIC cluster table: connected components over the
+    * embedding-cosine pair graph ([[Dedup.embeddingDupPairs]] at the 0.4
+    * boundary the embeddings fixture is built around) — same memoization
+    * contract as [[dupClusterTable]], keyed on the embeddings input.
+    */
+  def semanticClusterTable(s: SparkSession, d: String): DataFrame = {
+    val dir = IndexCatalog.ensure(s, "sem-clusters",
+      Seq(s"$d/embeddings.parquet"), "cos,t=0.4") { staging =>
+      val embs = Tables.embeddings(s, d)
+      Dedup.dupClusters(
+        Dedup.embeddingDupPairs(embs, "vec_id", "embedding", 0.4),
+        embs, "vec_id")
         .write.parquet(staging)
     }
     s.read.parquet(dir)
@@ -225,6 +243,24 @@ object PipelineQueries {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
         "WHERE " + dCos("a.embedding", "b.embedding") + " >= 0.4 " +
         "ORDER BY id_a, id_b")),
+
+    // ---- SEMANTIC near-dup clusters: CC over the embedding-cosine pair
+    // graph (the "which embeddings are the same content" end product,
+    // complementing the lexical ns_dedup_clusters); served from the
+    // memoized semanticClusterTable ----
+    ("ns_dedup_embedding_clusters",
+      (s: SparkSession, d: String) => semanticClusterTable(s, d).orderBy("id"),
+      Some("WITH dup AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE " + dCos("a.embedding", "b.embedding") + " >= 0.4), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM dup " +
+        "UNION ALL SELECT id_b, id_a FROM dup), " +
+        "closure AS (WITH RECURSIVE reach(id, r) AS (" +
+        "SELECT a, a FROM (SELECT DISTINCT a FROM edges) " +
+        "UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id) " +
+        "SELECT id, min(r) AS cluster FROM reach GROUP BY id) " +
+        "SELECT v.vec_id AS id, coalesce(c.cluster, v.vec_id) AS cluster " +
+        "FROM embeddings v LEFT JOIN closure c ON v.vec_id = c.id ORDER BY id")),
 
     // ---- ANN: brute-force cosine top-k (correctness baseline) ----
     ("ns_ann_brute_topk",
