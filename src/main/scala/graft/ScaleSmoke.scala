@@ -71,6 +71,14 @@ object ScaleSmoke {
     }
     println(s"SCALE   pairs=${pairs.count()} planted=$planted " +
       s"(recall ${if (pairs.count() >= planted) "OK" else "MISS"})")
+    // signature-agreement prefilter: the verify join ships 128 B
+    // signatures instead of ~KB shingle arrays (the spill-bound stage at
+    // 1 M rows); output must equal the exact path
+    val pairsQ = t("minhash_pairs_sigpre")(
+      Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8,
+        sigPrefilterMargin = Some(0.3)).count())
+    println(s"SCALE   sig-prefiltered pairs=$pairsQ " +
+      s"(${if (pairsQ == pairs.count()) "EQUAL to exact path" else "MISMATCH"})")
     val clusters = t("dup_clusters")(
       Dedup.dupClusters(pairs, docs, "doc_id")
         .filter(col("id") =!= col("cluster")).count())

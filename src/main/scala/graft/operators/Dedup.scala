@@ -114,25 +114,43 @@ object Dedup {
         transform(slice(sigCol, j * lit(r) + 1, lit(r)), v => v.cast("string"))), j))
   }
 
+  /** `sigPrefilterMargin` (opt-in, `Some(m)`): verify candidates in two
+    * stages — a signature-agreement prefilter at `threshold - m`, then
+    * exact Jaccard on the survivors. The fraction of agreeing signature
+    * slots is an unbiased estimator of Jaccard (each MinHash slot matches
+    * with probability J), so the candidate relation first ships
+    * `numHashes`-int payloads (~128 B vs the ~KB shingle arrays — the
+    * verify shuffle the 1 M-row harness measured spill-bound) and only
+    * survivors ship shingles; emitted pairs and their `jaccard` values
+    * still come from the exact set kernel, so the OUTPUT is unchanged as
+    * long as no true pair's estimate falls below `threshold - m`. The
+    * estimator's std is sqrt(J(1-J)/numHashes) ≈ 0.071 at J = 0.8 with 32
+    * hashes, so `m = 0.3` is a ~4σ guard band (per-pair miss ~1e-5) —
+    * empirical, not analytic, hence opt-in exactly like
+    * [[embeddingDupPairs]]' int8 prefilter: the oracle-gated queries run
+    * the exact path; the scale harness runs (and equality-checks) the
+    * prefiltered one.
+    */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, n: Int = 3,
-                      numHashes: Int = 32, bands: Int = 16)
+                      numHashes: Int = 32, bands: Int = 16,
+                      sigPrefilterMargin: Option[Double] = None)
                      (implicit scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // Cache the shingle sets: they are read three times (signature pass +
     // both sides of the verification join).
     val sh = scope.own(withShingles(docs, idCol, textCol, n))
 
-    // codegen'd one-pass MinHash signature (see MinHashKernel)
-    val sig = graft.functions.minhash_signature(col("sh"), numHashes)
-    val bandKeys = bandKeysOfSig(col("sig"), numHashes, bands)
+    // codegen'd one-pass MinHash signature (see MinHashKernel); the per-id
+    // signature relation is cached when the prefilter needs to join it
+    val sigs = scope.own(sh.select(col("id"),
+      graft.functions.minhash_signature(col("sh"), numHashes).as("sig")))
 
     // Skinny (id, band, bkey) relation for the bucket self-join — no array
-    // payloads cross the shuffle; cached so the expensive signature pass
-    // runs once, not once per join side.
-    val banded = scope.own(sh
-      .withColumn("sig", sig)
-      .select(col("id"), posexplode(bandKeys).as(Seq("band", "bkey"))))
+    // payloads cross the shuffle; cached so the signature pass runs once.
+    val banded = scope.own(sigs.select(col("id"),
+      posexplode(bandKeysOfSig(col("sig"), numHashes, bands))
+        .as(Seq("band", "bkey"))))
 
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -140,7 +158,21 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    candidates
+    val toVerify = sigPrefilterMargin match {
+      case None => candidates
+      case Some(m) =>
+        val agree = aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v)
+        candidates
+          .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+          .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+          .filter(agree.cast("double") / numHashes >= threshold - m)
+          .select(col("id_a"), col("id_b"))
+    }
+
+    toVerify
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))

@@ -14,6 +14,13 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == exact)
     assert(exact.nonEmpty, "test corpus should contain near-duplicates")
+
+    // the signature-agreement prefilter (cheap 128 B payloads before the
+    // shingle verify) must not change the emitted pair set
+    val pre = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8,
+        sigPrefilterMargin = Some(0.3))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pre == exact)
   }
 
   test("exact dedup groups: every doc appears exactly once across groups") {
