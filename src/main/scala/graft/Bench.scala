@@ -99,13 +99,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     canary() // JIT/codegen for the canary itself stays out of its baseline
-    val canaryBase = (1 to 5).map(_ => canary()).min
+    // ROLLING baseline: if startup itself lands inside a slow window, a
+    // min-of-5-at-startup baseline is inflated ~4× and the 3× gate would
+    // certify slow-window samples as clean for the whole run. So every
+    // canary observation tightens the baseline (min over the run), the gate
+    // uses the current rolling min, and — because a sample certified early
+    // under a loose gate may be bogus — ALL samples are re-classified
+    // against the FINAL baseline before reporting. `canary_drift` flags a
+    // run whose startup baseline was materially inflated.
+    val canaryStartup = (1 to 5).map(_ => canary()).min
+    var canaryBase = canaryStartup
 
     val skip = sys.env.getOrElse("SPARK_GRAFT_SKIP", "")
       .split(",").filter(_.nonEmpty).toSet
 
-    // One timed sample: (seconds, errored, canary-clean).
-    def sample(fn: (SparkSession, String) => DataFrame): (Double, Boolean, Boolean) = {
+    // One timed sample: (seconds, errored, canary-observation). The canary
+    // observation is kept with the sample so it can be re-classified against
+    // the final rolling baseline at report time.
+    def sample(fn: (SparkSession, String) => DataFrame): (Double, Boolean, Double) = {
       val t0 = System.nanoTime()
       val errored =
         try { fn(spark, sfDir).count(); false }
@@ -118,55 +129,74 @@ object Bench {
       // would burn a re-sample pass), while a genuine host slow window is
       // multi-second and inflates both.
       spark.catalog.clearCache()
-      val clean = math.min(canary(), canary()) <= CanaryFactor * canaryBase
-      (dt, errored, clean)
+      val cObs = math.min(canary(), canary())
+      canaryBase = math.min(canaryBase, cObs) // rolling min tightens the gate
+      (dt, errored, cObs)
     }
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => skip(q._1))
-    val best = scala.collection.mutable.Map[String, Double]()   // min CLEAN non-error time
-    val bestAny = scala.collection.mutable.Map[String, Double]() // min non-error time incl. suspect
-    val cleanSamples = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    // all non-error samples as (seconds, canaryObs) — classification happens
+    // against the rolling baseline during passes and the FINAL one at report
+    val samples = scala.collection.mutable.Map[String, List[(Double, Double)]]()
+      .withDefaultValue(Nil)
     val errors = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+
+    def cleanTimes(name: String): List[Double] =
+      samples(name).collect { case (t, c) if c <= CanaryFactor * canaryBase => t }
 
     // A query is settled once it has either (a) a clean sample under the
     // re-sample threshold, or (b) two clean samples (min-of-2, taken in
-    // SEPARATE passes — never back-to-back).
-    def settled(name: String): Boolean =
-      best.get(name).exists(t => t <= ResampleSec || cleanSamples(name) >= 2)
+    // SEPARATE passes — never back-to-back). Evaluated against the CURRENT
+    // rolling baseline, so a window discovered late un-settles its victims.
+    def settled(name: String): Boolean = {
+      val ts = cleanTimes(name)
+      ts.nonEmpty && (ts.min <= ResampleSec || ts.size >= 2)
+    }
 
     var pass = 0
     var pending = names
     while (pending.nonEmpty && pass < MaxPasses) {
       pending.foreach { case (name, fn) =>
-        val (t, errored, clean) = sample(fn)
+        val (t, errored, cObs) = sample(fn)
         if (errored) errors(name) += 1
-        else {
-          bestAny(name) = math.min(bestAny.getOrElse(name, Double.MaxValue), t)
-          if (clean) {
-            cleanSamples(name) += 1
-            best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
-          }
-        }
+        else samples(name) = (t, cObs) :: samples(name)
       }
       pass += 1
-      pending = pending.filterNot(q => settled(q._1))
+      pending = names.filterNot(q => settled(q._1))
       // an erroring query will never settle — stop burning passes on it
-      pending = pending.filterNot(q => errors(q._1) >= 2 && !bestAny.contains(q._1))
+      pending = pending.filterNot(q => errors(q._1) >= 2 && samples(q._1).isEmpty)
     }
 
+    // Final classification against the final (tightest) baseline.
+    val best = names.map(_._1).flatMap { n =>
+      val ts = cleanTimes(n); if (ts.nonEmpty) Some(n -> ts.min) else None
+    }.toMap
+    val bestAny = names.map(_._1).flatMap { n =>
+      val ts = samples(n).map(_._1); if (ts.nonEmpty) Some(n -> ts.min) else None
+    }.toMap
     val suspect = names.map(_._1).filter(n => !best.contains(n) && bestAny.contains(n))
     val failed = names.map(_._1).filter(n => !best.contains(n) && !bestAny.contains(n))
     val results = names.flatMap { case (name, _) =>
       best.get(name).orElse(bestAny.get(name)).map(name -> _)
     }
 
+    // 3-decimal seconds: ~40% shorter line (the full-precision doubles
+    // overflowed the driver's tail capture two rounds running), and ms
+    // precision is below this host's noise floor anyway.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     def jArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","policy":"min-of-2-separate-passes-canary-gated","canary_base_sec":$canaryBase,"passes":$pass,"skipped":${jArr(skip.toSeq.sorted)},"suspect":${jArr(suspect)},"failed":${jArr(failed)},"errors":$errJson}""")
+    val drift = canaryStartup > 1.5 * canaryBase
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","policy":"min-of-2-separate-passes-canary-gated-rolling","canary_base_sec":${fmt(canaryBase)},"canary_base_startup_sec":${fmt(canaryStartup)},"canary_drift":$drift,"passes":$pass,"skipped":${jArr(skip.toSeq.sorted)},"suspect":${jArr(suspect)},"failed":${jArr(failed)},"errors":$errJson}"""
+    // Belt and braces against capture truncation: the full line also lands
+    // in a committable file.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }

@@ -65,20 +65,21 @@ object ScaleSmoke {
 
     val exact = t("exact_groups")(
       Dedup.exactGroups(docs, "doc_id", "text").filter(col("n_docs") > 1).count())
+    // DEFAULT path = analytic signature-agreement prefilter ON
+    // (Dedup.sigMarginForMissBound): the verify join ships 128 B signatures
+    // instead of ~KB shingle arrays (the spill-bound stage at 1 M rows)
     val pairs = t("minhash_lsh_pairs") {
       val p = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8).cache()
       p.count(); p
     }
     println(s"SCALE   pairs=${pairs.count()} planted=$planted " +
       s"(recall ${if (pairs.count() >= planted) "OK" else "MISS"})")
-    // signature-agreement prefilter: the verify join ships 128 B
-    // signatures instead of ~KB shingle arrays (the spill-bound stage at
-    // 1 M rows); output must equal the exact path
-    val pairsQ = t("minhash_pairs_sigpre")(
+    // opt-out contrast: single-stage exact verify; output must be equal
+    val pairsX = t("minhash_pairs_exact")(
       Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8,
-        sigPrefilterMargin = Some(0.3)).count())
-    println(s"SCALE   sig-prefiltered pairs=$pairsQ " +
-      s"(${if (pairsQ == pairs.count()) "EQUAL to exact path" else "MISMATCH"})")
+        sigPrefilterMargin = Double.PositiveInfinity).count())
+    println(s"SCALE   exact-path pairs=$pairsX " +
+      s"(${if (pairsX == pairs.count()) "EQUAL to default path" else "MISMATCH"})")
     val clusters = t("dup_clusters")(
       Dedup.dupClusters(pairs, docs, "doc_id")
         .filter(col("id") =!= col("cluster")).count())
@@ -116,15 +117,17 @@ object ScaleSmoke {
     // themselves (Dedup.resolveLshParams) — this harness measures exactly
     // what a first-time caller gets, no tuning on the call site
     println(s"SCALE   auto planesPerBand=${Dedup.planesForCorpus(n.toLong)} for n=$n")
+    // DEFAULT path = int8 prefilter ON at this near-dup threshold
+    // (auto policy; verify reads precomputed norms either way)
     val semPairs = t("embedding_dup_pairs")(
       Dedup.embeddingDupPairs(embs, "vec_id", "embedding", 0.9).count())
     println(s"SCALE   semantic pairs=$semPairs planted=$planted " +
       s"(recall ${if (semPairs >= planted) "OK" else "MISS"})")
-    val semPairsQ = t("embedding_dup_pairs_i8pre")(
+    val semPairsX = t("embedding_pairs_exact")(
       Dedup.embeddingDupPairs(embs, "vec_id", "embedding", 0.9,
-        prefilterMargin = Some(0.1)).count())
-    println(s"SCALE   i8-prefiltered pairs=$semPairsQ " +
-      s"(${if (semPairsQ == semPairs) "EQUAL to exact path" else "MISMATCH"})")
+        prefilterMargin = Double.PositiveInfinity).count())
+    println(s"SCALE   exact-path pairs=$semPairsX " +
+      s"(${if (semPairsX == semPairs) "EQUAL to default path" else "MISMATCH"})")
     // eval ids ≡ 8 (mod 1000) are bases of a planted variant (ids ≡ 9 mod
     // 10), so each eval vector contaminates exactly its +1 neighbor:
     // expected flags = n/1000

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -72,6 +72,30 @@ case class CosineSimilarity(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.cosine($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** `l2_norm(array<float>) -> double` — the vector's Euclidean norm.
+  *
+  * Computed ONCE per vector at the sketch stage, it turns per-candidate
+  * cosine into `dot / (nrm_a · nrm_b)` — bit-identical to
+  * [[CosineSimilarity]] (the three accumulators of the fused kernel are
+  * independent, so splitting them changes no rounding) while the verify
+  * join evaluates one dot instead of dot + two norms per candidate pair.
+  */
+case class L2Norm(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expects array<float>, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l2_norm"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.norm2(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.norm2($c)")
+  override protected def withNewChildInternal(newChild: Expression): L2Norm =
+    copy(child = newChild)
 }
 
 /** `dot_product(array<float>, array<float>) -> double`. */

@@ -28,6 +28,9 @@ package object functions {
   /** Dot product of two float32 vectors (double result). */
   def dot_product(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
 
+  /** Euclidean norm of a float32 vector (double result). */
+  def l2_norm(vec: Column): Column = col(L2Norm(ex(vec)))
+
   /** Element-wise mean of equal-length vectors (native aggregate: one dense
     * buffer per group, map-side combinable — no posexplode shuffle). */
   def vector_avg(vec: Column): Column =

@@ -109,20 +109,23 @@ object Curation {
                                   threshold: Double,
                                   planesPerBand: Int = 0, bands: Int = 16,
                                   probeBits: Int = -1, probePlanes: Int = -1,
-                                  prefilterMargin: Option[Double] = None)
+                                  prefilterMargin: Double = -1.0)
                                  (implicit scope: graft.CacheScope =
                                     graft.CacheScope.unmanaged): DataFrame = {
-    import graft.functions.{cosine_i8, cosine_similarity, hyperplane_probes, i8_quantize}
+    import graft.functions.{cosine_i8, dot_product, hyperplane_probes, i8_quantize, l2_norm}
     // auto defaults, same policy as Dedup.embeddingDupPairs: corpus-sized
     // band width + narrow probing at near-dup thresholds, the tuned
     // measured-exact 8/2/6 at boundary thresholds (Dedup.resolveLshParams)
     val (r, pBits, pPlanes) = Dedup.resolveLshParams(
       threshold, embs.count(), planesPerBand, probeBits, probePlanes)
+    // nrm: per-vector norm computed once — verify is then dot + divide
+    // (bit-identical to the fused cosine kernel, see functions.L2Norm)
     val sk = scope.own(embs
       .select(col(idCol).as("id"), col(vecCol).as("v"), evalPred.as("is_eval"))
       .repartition(embs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("pk",
-        hyperplane_probes(col("v"), r, bands, pBits, pPlanes)))
+        hyperplane_probes(col("v"), r, bands, pBits, pPlanes))
+      .withColumn("nrm", l2_norm(col("v"))))
 
     def probeKeys(side: DataFrame, asId: String) = side
       .select(col("id").as(asId), posexplode(col("pk")).as(Seq("band", "keys")))
@@ -134,24 +137,33 @@ object Curation {
       .join(broadcast(probeKeys(eval, "eid")), Seq("band", "key"))
       .select(col("id"), col("eid")).distinct()
 
-    // optional int8 prefilter, same contract as Dedup.embeddingDupPairs:
-    // random collisions die on broadcast-joined 1-byte/dim payloads; the
-    // reported matches and max_cos still come from the exact float kernel
-    val toVerify = prefilterMargin match {
-      case None => candidates
-      case Some(m) =>
-        candidates
-          .join(corpus.select(col("id"), i8_quantize(col("v")).as("qv")), "id")
-          .join(broadcast(eval.select(col("id").as("eid"),
-            i8_quantize(col("v")).as("qe"))), "eid")
-          .filter(cosine_i8(col("qv"), col("qe")) >= threshold - m)
-          .select(col("id"), col("eid"))
-    }
+    // int8 prefilter, same AUTO contract as Dedup.embeddingDupPairs
+    // (sentinel -1: ON with the 0.1 margin at near-dup thresholds, exact
+    // below them): random collisions die on broadcast-joined 1-byte/dim
+    // payloads; the reported matches and max_cos still come from the
+    // exact float kernel
+    val margin =
+      if (prefilterMargin < 0)
+        (if (threshold >= Dedup.NearDupThreshold) Dedup.DefaultI8PrefilterMargin
+         else threshold)
+      else prefilterMargin
+    val toVerify =
+      if (threshold - margin <= 0) candidates
+      else candidates
+        .join(corpus.select(col("id"), i8_quantize(col("v")).as("qv")), "id")
+        .join(broadcast(eval.select(col("id").as("eid"),
+          i8_quantize(col("v")).as("qe"))), "eid")
+        .filter(cosine_i8(col("qv"), col("qe")) >= threshold - margin)
+        .select(col("id"), col("eid"))
 
+    val denom = col("nrm") * col("enrm")
     val verified = toVerify
-      .join(corpus.select(col("id"), col("v")), "id")
-      .join(broadcast(eval.select(col("id").as("eid"), col("v").as("ev"))), "eid")
-      .withColumn("cos", round(cosine_similarity(col("v"), col("ev")), 3))
+      .join(corpus.select(col("id"), col("v"), col("nrm")), "id")
+      .join(broadcast(eval.select(col("id").as("eid"), col("v").as("ev"),
+        col("nrm").as("enrm"))), "eid")
+      .withColumn("cos", round(
+        when(denom === 0.0, 0.0)
+          .otherwise(dot_product(col("v"), col("ev")) / denom), 3))
       .filter(col("cos") >= threshold)
       .groupBy("id")
       .agg(count(lit(1)).as("n_matches"), max(col("cos")).as("max_cos"))
@@ -296,34 +308,43 @@ object Curation {
     *
     * Same scale shape as [[mixWeights]]: one map-side-combinable count
     * aggregate over the corpus, then broadcast scalar totals. Cross-engine
-    * determinism: shares divide through exact decimal rounded to 6, the
+    * determinism: shares divide through exact decimal rounded to 12, the
     * double `pow` lands back in a 12-decimal DECIMAL before the
     * normalizing sum (decimal addition is exact and order-free, so the
     * partial-aggregation order can't wiggle a float sum), and the final
     * divisions run on doubles derived from those exact decimals — an
     * engine pair would have to disagree on `pow` by ~1e-13 to flip a
     * rounded output digit.
+    *
+    * Tail-domain correctness: `pa` and the weight denominator use the
+    * share at FULL 12-decimal precision; only the REPORTED `actual_share`
+    * column is rounded to 6. Rounding the share to 6 before `pow` would
+    * zero any domain below 5e-7 of the corpus (hit from ~2M docs up), and
+    * [[applyMixture]] would then silently DELETE it — the opposite of
+    * temperature sampling's upweighting of tail domains. At 12 decimals
+    * the cliff moves to a 2×10^12-doc corpus, beyond the 100 TB target.
     */
   def temperatureWeights(docs: DataFrame, domainCol: String,
                          temperature: Double): DataFrame = {
     require(temperature > 0, "temperature must be positive")
     val alpha = 1.0 / temperature
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
     val total = docs.agg(count(lit(1)).as("n_total"))
     val shares = docs.groupBy(domainCol).agg(count(lit(1)).as("n_docs"))
       .crossJoin(broadcast(total))
-      .withColumn("actual_share",
-        round(col("n_docs").cast(org.apache.spark.sql.types.DecimalType(28, 12))
-          / col("n_total"), 6).cast("double"))
-      .withColumn("pa", round(pow(col("actual_share"), alpha), 12)
-        .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+      .withColumn("__share12",
+        round(col("n_docs").cast(dec) / col("n_total"), 12).cast(dec))
+      .withColumn("actual_share", round(col("__share12"), 6).cast("double"))
+      .withColumn("pa",
+        round(pow(col("__share12").cast("double"), alpha), 12).cast(dec))
     val z = shares.agg(sum("pa").as("z"))
     shares.crossJoin(broadcast(z))
       .select(col(domainCol), col("n_docs"), col("actual_share"),
         round(col("pa").cast("double") / col("z").cast("double"), 6)
           .as("sampled_share"),
-        when(col("actual_share") > 0,
+        when(col("__share12") > 0,
           round(col("pa").cast("double") / col("z").cast("double")
-            / col("actual_share"), 6)).otherwise(0.0).as("weight"))
+            / col("__share12").cast("double"), 6)).otherwise(0.0).as("weight"))
   }
 
   /** Materialize a resampled corpus from per-domain sampling weights —

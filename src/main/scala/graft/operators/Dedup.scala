@@ -114,27 +114,50 @@ object Dedup {
         transform(slice(sigCol, j * lit(r) + 1, lit(r)), v => v.cast("string"))), j))
   }
 
-  /** `sigPrefilterMargin` (opt-in, `Some(m)`): verify candidates in two
-    * stages — a signature-agreement prefilter at `threshold - m`, then
-    * exact Jaccard on the survivors. The fraction of agreeing signature
-    * slots is an unbiased estimator of Jaccard (each MinHash slot matches
-    * with probability J), so the candidate relation first ships
-    * `numHashes`-int payloads (~128 B vs the ~KB shingle arrays — the
-    * verify shuffle the 1 M-row harness measured spill-bound) and only
-    * survivors ship shingles; emitted pairs and their `jaccard` values
-    * still come from the exact set kernel, so the OUTPUT is unchanged as
-    * long as no true pair's estimate falls below `threshold - m`. The
-    * estimator's std is sqrt(J(1-J)/numHashes) ≈ 0.071 at J = 0.8 with 32
-    * hashes, so `m = 0.3` is a ~4σ guard band (per-pair miss ~1e-5) —
-    * empirical, not analytic, hence opt-in exactly like
-    * [[embeddingDupPairs]]' int8 prefilter: the oracle-gated queries run
-    * the exact path; the scale harness runs (and equality-checks) the
-    * prefiltered one.
+  /** Per-pair miss bound the DEFAULT signature prefilter margin is derived
+    * from: at 1e-8, even 10^7 surviving candidate pairs expect ~0.1 missed
+    * true pairs — and the sf-oracle corpora (≤ thousands of pairs) are
+    * deterministic-safe by ~5 orders of magnitude.
+    */
+  val SigPrefilterMissBound = 1e-8
+
+  /** Analytic signature-prefilter margin. The fraction of agreeing MinHash
+    * slots is `Binomial(numHashes, J) / numHashes` — each slot of a pair at
+    * true Jaccard J matches independently with probability J — so Hoeffding
+    * gives `P(estimate ≤ J − m) ≤ exp(−2·m²·numHashes)`. Solving at a
+    * per-pair miss bound δ: `m = sqrt(ln(1/δ) / (2·numHashes))` — ≈ 0.537
+    * at the default 32 hashes and δ = 1e-8. Unlike the int8 embedding
+    * prefilter (whose quantization-drift bound is empirical, hence opt-in),
+    * this bound is analytic, which is why the prefilter is ON by default.
+    */
+  def sigMarginForMissBound(numHashes: Int,
+                            missBound: Double = SigPrefilterMissBound): Double = {
+    require(numHashes > 0 && missBound > 0 && missBound < 1)
+    math.sqrt(math.log(1.0 / missBound) / (2.0 * numHashes))
+  }
+
+  /** `sigPrefilterMargin`: verify candidates in two stages — a
+    * signature-agreement prefilter at `threshold - m`, then exact Jaccard
+    * on the survivors. The candidate relation first ships `numHashes`-int
+    * payloads (~128 B vs the ~KB shingle arrays — the verify shuffle the
+    * 1 M-row harness measured spill-bound) and only survivors ship
+    * shingles; emitted pairs and their `jaccard` values still come from
+    * the exact set kernel, so the OUTPUT is unchanged as long as no true
+    * pair's agree-fraction falls below `threshold - m` — and the margin is
+    * chosen so that event has probability ≤ [[SigPrefilterMissBound]] per
+    * pair ([[sigMarginForMissBound]], Hoeffding; measured at 1 M rows:
+    * 34.6 s exact → 24.8 s prefiltered, byte-equal output).
+    *
+    * DEFAULT ON (sentinel `-1` resolves to the analytic margin). Pass an
+    * explicit margin to tighten/loosen the cut, or any value ≥ `threshold`
+    * (e.g. `Double.PositiveInfinity`) to opt OUT — the cut is then ≤ 0,
+    * the prefilter join is skipped entirely, and the single-stage exact
+    * path runs.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, n: Int = 3,
                       numHashes: Int = 32, bands: Int = 16,
-                      sigPrefilterMargin: Option[Double] = None)
+                      sigPrefilterMargin: Double = -1.0)
                      (implicit scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // Cache the shingle sets: they are read three times (signature pass +
@@ -158,9 +181,14 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    val toVerify = sigPrefilterMargin match {
-      case None => candidates
-      case Some(m) =>
+    val margin =
+      if (sigPrefilterMargin < 0) sigMarginForMissBound(numHashes)
+      else sigPrefilterMargin
+    val cut = threshold - margin
+    // cut ≤ 0 passes every candidate — skip the signature join entirely
+    val toVerify =
+      if (cut <= 0) candidates
+      else {
         val agree = aggregate(
           zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
@@ -168,9 +196,9 @@ object Dedup {
         candidates
           .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
           .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-          .filter(agree.cast("double") / numHashes >= threshold - m)
+          .filter(agree.cast("double") / numHashes >= cut)
           .select(col("id_a"), col("id_b"))
-    }
+      }
 
     toVerify
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -397,27 +425,47 @@ object Dedup {
     (r, pb, pp)
   }
 
-  /** `prefilterMargin` (opt-in, `Some(m)`): verify candidates in two
-    * stages — an int8-quantized cosine prefilter at `threshold - m`, then
-    * exact float cosine on the survivors. The candidate relation then
-    * ships 1-byte-per-dim payloads (4× less verify shuffle) and most
-    * random band collisions die on the integer path; the emitted pairs and
-    * their `cos` values still come from the exact float kernel, so the
-    * OUTPUT is unchanged as long as quantization error stays below `m`.
-    * Cosine is scale-invariant under symmetric per-vector quantization and
-    * the measured drift over random 64-dim vectors is ≤ 0.06
-    * (KernelPropertySpec), so `m = 0.1` is conservative — but the bound is
-    * empirical, not analytic, hence opt-in: the oracle-gated queries run
-    * the exact path; the scale harness runs (and equality-checks) the
-    * prefiltered one.
+  /** Default int8-prefilter margin at near-dup thresholds: the measured
+    * quantization drift over random 64-dim vectors is ≤ 0.06
+    * (KernelPropertySpec), so 0.1 holds real guard band — but the bound is
+    * empirical, which is why the auto policy engages it only where the
+    * margin fits under the threshold comfortably (≥ [[NearDupThreshold]]).
+    */
+  val DefaultI8PrefilterMargin = 0.1
+
+  /** `prefilterMargin`: verify candidates in two stages — an int8-quantized
+    * cosine prefilter at `threshold - m`, then exact float cosine on the
+    * survivors. The candidate relation then ships 1-byte-per-dim payloads
+    * (4× less verify shuffle) and most random band collisions die on the
+    * integer path; the emitted pairs and their `cos` values still come
+    * from the exact float kernel, so the OUTPUT is unchanged as long as
+    * quantization error stays below `m`.
+    *
+    * AUTO by default (sentinel `-1`): at near-dup thresholds
+    * (≥ [[NearDupThreshold]]) the prefilter engages with
+    * [[DefaultI8PrefilterMargin]] — measured drift ≤ 0.06 sits well under
+    * the 0.1 margin, and at 1 M rows the prefilter is the difference
+    * between 529 s and 250 s with equal output; below the near-dup
+    * threshold the margin would eat most of the threshold itself (the
+    * drift bound is empirical, unlike the MinHash prefilter's Hoeffding
+    * bound), so the single-stage exact path runs — which keeps every
+    * boundary-threshold (0.4) oracle on the exact path. Pass an explicit
+    * margin to force the two-stage shape, or any value ≥ `threshold` to
+    * force exact.
+    *
+    * The verify stage reads PRECOMPUTED per-vector norms from the cached
+    * sketch relation: cosine over a candidate pair is then one dot product
+    * and a scalar divide (`dot / (nrm_a · nrm_b)`) — bit-identical to the
+    * fused cosine kernel (independent accumulators; see
+    * [[graft.functions.L2Norm]]) at a third of the per-candidate flops.
     */
   def embeddingDupPairs(embs: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, planesPerBand: Int = 0,
                         bands: Int = 16, probeBits: Int = -1,
                         probePlanes: Int = -1,
-                        prefilterMargin: Option[Double] = None)
+                        prefilterMargin: Double = -1.0)
                        (implicit scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    import graft.functions.{cosine_i8, cosine_similarity, hyperplane_probes, i8_quantize}
+    import graft.functions.{cosine_i8, dot_product, hyperplane_probes, i8_quantize, l2_norm}
     // auto defaults (see resolveLshParams): corpus-sized band width and
     // threshold-aware probe width at near-dup thresholds; the tuned
     // measured-exact 8/2/6 at boundary thresholds. The count is one cheap
@@ -426,11 +474,14 @@ object Dedup {
       resolveLshParams(threshold, embs.count(), planesPerBand, probeBits, probePlanes)
 
     // cached: read by the probe explode, the exact side, and the verify join.
-    // pk holds per-band [key, probe keys…] from ONE codegen'd kernel pass.
+    // pk holds per-band [key, probe keys…] from ONE codegen'd kernel pass;
+    // nrm is the vector's norm, computed once here instead of twice per
+    // verified candidate.
     val sk = scope.own(embs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(embs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("pk",
-        hyperplane_probes(col("v"), r, bands, pBits, pPlanes)))
+        hyperplane_probes(col("v"), r, bands, pBits, pPlanes))
+      .withColumn("nrm", l2_norm(col("v"))))
 
     // skinny (id, band, key) relations — no vector payloads cross the shuffle
     val exploded = sk.select(col("id"), posexplode(col("pk")).as(Seq("band", "keys")))
@@ -446,21 +497,31 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    val toVerify = prefilterMargin match {
-      case None => candidates
-      case Some(m) =>
+    val margin =
+      if (prefilterMargin < 0)
+        (if (threshold >= NearDupThreshold) DefaultI8PrefilterMargin
+         else threshold) // sentinel below near-dup: cut ≤ 0 → exact path
+      else prefilterMargin
+    val toVerify =
+      if (threshold - margin <= 0) candidates
+      else {
         val qv = scope.own(sk.select(col("id"), i8_quantize(col("v")).as("qv")))
         candidates
           .join(qv.select(col("id").as("id_a"), col("qv").as("q_a")), "id_a")
           .join(qv.select(col("id").as("id_b"), col("qv").as("q_b")), "id_b")
-          .filter(cosine_i8(col("q_a"), col("q_b")) >= threshold - m)
+          .filter(cosine_i8(col("q_a"), col("q_b")) >= threshold - margin)
           .select(col("id_a"), col("id_b"))
-    }
+      }
 
+    val denom = col("nrm_a") * col("nrm_b")
     toVerify
-      .join(sk.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(sk.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
-      .withColumn("cos", round(cosine_similarity(col("v_a"), col("v_b")), 3))
+      .join(sk.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("nrm_a")), "id_a")
+      .join(sk.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("nrm_b")), "id_b")
+      .withColumn("cos", round(
+        when(denom === 0.0, 0.0)
+          .otherwise(dot_product(col("v_a"), col("v_b")) / denom), 3))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

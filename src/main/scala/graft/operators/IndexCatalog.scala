@@ -21,16 +21,23 @@ import org.apache.spark.sql.SparkSession
   * simply a different (absent) catalog entry, and the old one ages out with
   * the cache root.
   *
-  * Build protocol (crash- and race-safe, same discipline as
-  * [[graft.streaming.CdcIngest]]'s staged bucket swap):
-  *  1. build into `root/.staging-<uuid>` (dot-prefixed: Spark/Hadoop
-  *     listings ignore it);
-  *  2. atomically rename to the final location;
-  *  3. if the rename fails because a concurrent builder won the race, drop
-  *     the staging dir and serve the winner's — both were built from
+  * Build protocol — MANIFEST-POINTER COMMIT (crash- and race-safe on
+  * object stores, where directory rename is a non-atomic copy+delete loop
+  * that a crash can leave half-copied):
+  *  1. build into a uniquely-named data directory
+  *     `root/<kind>-<key>/d-<uuid>` — never renamed, never visible to a
+  *     reader on its own;
+  *  2. commit by writing the tiny manifest
+  *     `root/<kind>-<key>/entry.json` (naming the data directory) LAST —
+  *     staged as a dot-file and renamed into place: a one-block file, so
+  *     even where file rename is a copy it materializes as a single PUT,
+  *     and a reader observes the old manifest, the new manifest, or none;
+  *  3. readers resolve ONLY through the manifest: no manifest, no entry.
+  *     A crash at any earlier point leaves an orphan `d-<uuid>` that
+  *     nothing references (GC'd by [[prune]]), never a half-visible index;
+  *  4. if the manifest rename loses a cross-JVM race, the loser deletes
+  *     its own data dir and serves the winner's — both were built from
   *     identical inputs, so the artifacts are interchangeable.
-  * A crashed build leaves only an ignored staging dir, never a half-visible
-  * index.
   */
 object IndexCatalog {
 
@@ -71,13 +78,41 @@ object IndexCatalog {
     }.mkString(";")
   }
 
+  private val ManifestName = "entry.json"
+
+  /** The committed data directory of an entry, resolved through its
+    * manifest — `None` when no manifest exists OR the manifest is
+    * unreadable/unparseable (a torn write is treated as "no entry", never
+    * as a partial one).
+    */
+  private def committedDataDir(fs: org.apache.hadoop.fs.FileSystem,
+                               entryDir: Path): Option[Path] = {
+    val manifest = new Path(entryDir, ManifestName)
+    try {
+      if (!fs.exists(manifest)) None
+      else {
+        val in = fs.open(manifest)
+        val body =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        Option(node.get("data")).map(d => new Path(entryDir, d.asText()))
+          .filter(fs.exists(_))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Return the directory of a ready index for (kind, inputs, params),
-    * building it via `build(stagingDir)` only if absent. Thread-safe within
-    * the JVM and race-safe across JVMs (rename-arbitrated).
+    * building it via `build(dataDir)` only if absent. Thread-safe within
+    * the JVM and race-safe across JVMs (manifest-arbitrated; see the
+    * commit protocol in the class doc). The returned path is the DATA
+    * directory (`…/<kind>-<key>/d-<uuid>`), resolved through the entry's
+    * manifest.
     */
   def ensure(spark: SparkSession, kind: String, inputs: Seq[String],
              params: String)(build: String => Unit): String = {
-    val identity = params + " " + fingerprint(spark, inputs)
+    // layout tag in the identity: pre-manifest caches never alias new keys
+    val identity = "layout=manifest-v2 " + params + " " + fingerprint(spark, inputs)
     // md5 of the identity string: collision-safe enough for a cache key and
     // stable across JVMs (unlike hashCode, which is unspecified)
     val key = kind + "-" + java.security.MessageDigest.getInstance("MD5")
@@ -87,23 +122,48 @@ object IndexCatalog {
     val rootStr = root(spark)
     resolved.computeIfAbsent(rootStr + "/" + key, _ => {
       val conf = spark.sessionState.newHadoopConf()
-      val rootDir = new Path(rootStr)
-      val fs = rootDir.getFileSystem(conf)
-      val finalDir = new Path(rootDir, key)
-      if (!fs.exists(finalDir)) {
-        val staging = new Path(rootDir, s".staging-${java.util.UUID.randomUUID()}")
-        build(staging.toString)
-        fs.mkdirs(rootDir) // no-op if present; rename needs the parent
-        if (!fs.rename(staging, finalDir)) {
-          // lost the race (or a previous build completed between the exists
-          // check and now): the winner's artifact is equivalent — use it
-          fs.delete(staging, true)
-          if (!fs.exists(finalDir))
-            throw new IllegalStateException(
-              s"IndexCatalog: rename to $finalDir failed and no index exists")
-        }
+      val entryDir = new Path(new Path(rootStr), key)
+      val fs = entryDir.getFileSystem(conf)
+      committedDataDir(fs, entryDir) match {
+        case Some(d) => d.toString
+        case None =>
+          val uuid = java.util.UUID.randomUUID().toString
+          val dataDir = new Path(entryDir, s"d-$uuid")
+          build(dataDir.toString)
+          fs.mkdirs(entryDir) // no-op if the build already created it
+          // commit: stage the manifest as a dot-file, rename into place —
+          // written LAST, so no crash before this line can expose the entry
+          val tmp = new Path(entryDir, s".entry-$uuid.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(
+            s"""{"data":"d-$uuid","kind":"$kind","key":"$key"}"""
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          val manifest = new Path(entryDir, ManifestName)
+          if (fs.rename(tmp, manifest)) dataDir.toString
+          else committedDataDir(fs, entryDir) match {
+            case Some(winner) =>
+              // lost the commit race: the winner's artifact was built from
+              // identical inputs — serve it, drop ours (nothing can have
+              // resolved our uncommitted data dir)
+              fs.delete(tmp, true)
+              fs.delete(dataDir, true)
+              winner.toString
+            case None =>
+              // manifest exists but is torn debris (crashed overwrite):
+              // replace it with ours, once
+              fs.delete(manifest, false)
+              if (fs.rename(tmp, manifest)) dataDir.toString
+              else {
+                fs.delete(tmp, true)
+                fs.delete(dataDir, true)
+                committedDataDir(fs, entryDir).map(_.toString).getOrElse(
+                  throw new IllegalStateException(
+                    s"IndexCatalog: manifest commit to $manifest failed " +
+                      "and no committed entry exists"))
+              }
+          }
       }
-      finalDir.toString
     })
   }
 
@@ -128,7 +188,9 @@ object IndexCatalog {
     val conf = spark.sessionState.newHadoopConf()
     val rootDir = new Path(rootStr)
     val fs = rootDir.getFileSystem(conf)
-    val keep = new Path(dir).getName
+    // `dir` is the DATA dir (…/<kind>-<key>/d-<uuid>); the catalog entry to
+    // keep is its parent
+    val keep = new Path(dir).getParent.getName
     if (fs.exists(rootDir)) {
       fs.listStatus(rootDir)
         .filter(st => st.isDirectory &&
@@ -142,9 +204,10 @@ object IndexCatalog {
     dir
   }
 
-  /** Garbage-collect the cache root: delete entries (and crashed builds'
-    * staging wreckage) whose directory modification time is older than
-    * `olderThanMs`. Superseded entries — inputs changed, so nothing
+  /** Garbage-collect the cache root: delete entries whose directory
+    * modification time is older than `olderThanMs`. Crashed builds' orphan
+    * data dirs (uncommitted `d-<uuid>` — no manifest references them) live
+    * INSIDE their entry dir and age out with it. Superseded entries — inputs changed, so nothing
     * resolves to them anymore — age out here; an entry still in use is
     * simply rebuilt on next ensure() if pruned too aggressively, so the
     * worst case of a bad TTL is one redundant build, never wrong results.

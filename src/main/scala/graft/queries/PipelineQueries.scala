@@ -729,15 +729,16 @@ object PipelineQueries {
       Some("WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), " +
         "t AS (SELECT sum(n_docs) AS n_total FROM c), " +
         "p AS (SELECT source, n_docs, " +
-        "CAST(round(CAST(n_docs AS DECIMAL(28,12)) / t.n_total, 6) AS DOUBLE) AS actual_share " +
+        "CAST(round(CAST(n_docs AS DECIMAL(28,12)) / t.n_total, 12) AS DECIMAL(28,12)) AS share12 " +
         "FROM c, t), " +
-        "pa AS (SELECT source, n_docs, actual_share, " +
-        "CAST(round(power(actual_share, 0.5), 12) AS DECIMAL(28,12)) AS pa FROM p), " +
+        "pa AS (SELECT source, n_docs, share12, " +
+        "CAST(round(share12, 6) AS DOUBLE) AS actual_share, " +
+        "CAST(round(power(CAST(share12 AS DOUBLE), 0.5), 12) AS DECIMAL(28,12)) AS pa FROM p), " +
         "z AS (SELECT sum(pa) AS z FROM pa) " +
         "SELECT source, n_docs, actual_share, " +
         "round(CAST(pa AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS sampled_share, " +
-        "CASE WHEN actual_share > 0 THEN " +
-        "round(CAST(pa AS DOUBLE) / CAST(z.z AS DOUBLE) / actual_share, 6) " +
+        "CASE WHEN share12 > 0 THEN " +
+        "round(CAST(pa AS DOUBLE) / CAST(z.z AS DOUBLE) / CAST(share12 AS DOUBLE), 6) " +
         "ELSE 0.0 END AS weight FROM pa, z ORDER BY source")),
 
     // ---- curation: APPLY the temperature mixture — materialize the
@@ -753,13 +754,13 @@ object PipelineQueries {
       Some("WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), " +
         "t AS (SELECT sum(n_docs) AS n_total FROM c), " +
         "p AS (SELECT source, " +
-        "CAST(round(CAST(n_docs AS DECIMAL(28,12)) / t.n_total, 6) AS DOUBLE) AS actual_share " +
+        "CAST(round(CAST(n_docs AS DECIMAL(28,12)) / t.n_total, 12) AS DECIMAL(28,12)) AS share12 " +
         "FROM c, t), " +
-        "pa AS (SELECT source, actual_share, " +
-        "CAST(round(power(actual_share, 0.5), 12) AS DECIMAL(28,12)) AS pa FROM p), " +
+        "pa AS (SELECT source, share12, " +
+        "CAST(round(power(CAST(share12 AS DOUBLE), 0.5), 12) AS DECIMAL(28,12)) AS pa FROM p), " +
         "z AS (SELECT sum(pa) AS z FROM pa), " +
-        "w AS (SELECT source, CAST(round(round(CASE WHEN actual_share > 0 THEN " +
-        "CAST(pa AS DOUBLE) / CAST(z.z AS DOUBLE) / actual_share ELSE 0.0 END, 6) " +
+        "w AS (SELECT source, CAST(round(round(CASE WHEN share12 > 0 THEN " +
+        "CAST(pa AS DOUBLE) / CAST(z.z AS DOUBLE) / CAST(share12 AS DOUBLE) ELSE 0.0 END, 6) " +
         "* 1000000) AS BIGINT) AS wm FROM pa, z), " +
         // md5_number_lower is UBIGINT; convert to the signed two's-complement
         // long Spark's md5_lower64 yields before the positive modulo

@@ -101,12 +101,19 @@ object Auth {
   private def base64url(bytes: Array[Byte]): String =
     Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
 
-  /** RS256 JWT assertion exactly as `auth.js:98-112` constructs it. */
+  /** RS256 JWT assertion exactly as `auth.js:98-112` constructs it. The
+    * claims are serialized by Jackson (insertion-ordered map), not string
+    * interpolation, so a clientId/username/loginUrl containing `"` or `\`
+    * yields valid JSON instead of a malformed assertion.
+    */
   private[sources] def jwtAssertion(mode: JwtBearer, nowEpochSeconds: Long): String = {
     val header = base64url("""{"alg":"RS256"}""".getBytes(UTF_8))
-    val claimsJson =
-      s"""{"iss":"${mode.clientId}","sub":"${mode.username}",""" +
-        s""""aud":"${mode.loginUrl}","exp":${nowEpochSeconds + mode.expSeconds}}"""
+    val claimsMap = new java.util.LinkedHashMap[String, Any]()
+    claimsMap.put("iss", mode.clientId)
+    claimsMap.put("sub", mode.username)
+    claimsMap.put("aud", mode.loginUrl)
+    claimsMap.put("exp", nowEpochSeconds + mode.expSeconds)
+    val claimsJson = mapper.writeValueAsString(claimsMap)
     val claims = base64url(claimsJson.getBytes(UTF_8))
     val unsigned = s"$header.$claims"
     val sig = Signature.getInstance("SHA256withRSA")

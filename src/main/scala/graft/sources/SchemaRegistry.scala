@@ -7,6 +7,14 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{avro_decode, avro_encode}
 
+/** Thrown by a `fetch` implementation to signal that a schema id is
+  * GENUINELY unknown to the registry (the RPC's NOT_FOUND), as opposed to a
+  * transient failure. Only this exception routes events to the dead-letter
+  * path; any other fetch error is retried and then fails the batch.
+  */
+final class SchemaNotFoundException(val schemaId: String)
+  extends RuntimeException(s"schema not found: $schemaId")
+
 /** Schema-by-ID registry + per-event Avro decode dispatch — the Spark
   * rendering of the reference's `GetSchema` cache and per-event decoder
   * selection (`client.js:68-71,758-764,896-969`).
@@ -18,23 +26,48 @@ import graft.functions.{avro_decode, avro_encode}
   * schema, not per event, so a batch with S schemas costs S codegen'd
   * column scans (S is tiny in practice: schemas change rarely).
   */
-class SchemaRegistry(fetch: String => String) {
+class SchemaRegistry(fetch: String => String,
+                     fetchRetries: Int = 3,
+                     retryBackoffMs: Long = 50) {
   private val cache = TrieMap.empty[String, String]
 
-  /** Memoized schema lookup (S4). */
-  def schemaJson(schemaId: String): String = cache.getOrElseUpdate(schemaId, fetch(schemaId))
+  /** Memoized schema lookup (S4). A transient fetch failure (network blip,
+    * registry restart) is retried `fetchRetries` times with exponential
+    * backoff and RETHROWN on exhaustion — failing the micro-batch so
+    * Structured Streaming replays it, exactly like the reference where a
+    * `GetSchema` RPC failure fails the call and the subscription retries.
+    * Only a typed [[SchemaNotFoundException]] — the fetch saying "this id
+    * genuinely does not exist" — propagates immediately without retry; that
+    * is the one case [[resolvable]] maps to the dead-letter path.
+    */
+  def schemaJson(schemaId: String): String = cache.getOrElseUpdate(schemaId, {
+    var attempt = 0
+    var result: String = null
+    while (result == null) {
+      try result = fetch(schemaId)
+      catch {
+        case nf: SchemaNotFoundException => throw nf
+        case scala.util.control.NonFatal(e) if attempt < fetchRetries =>
+          attempt += 1
+          Thread.sleep(retryBackoffMs << (attempt - 1))
+      }
+    }
+    result
+  })
 
   def knownIds: Set[String] = cache.keySet.toSet
 
-  /** Whether `id` resolves (cached, or fetchable without throwing) — the
-    * ingest's dispatch predicate: events whose id doesn't resolve go to
-    * the dead-letter path instead of failing the batch (S10), mirroring
-    * the reference's per-event parse-failure handling.
+  /** Whether `id` resolves — the ingest's dispatch predicate: only ids the
+    * registry POSITIVELY reports unknown ([[SchemaNotFoundException]]) go to
+    * the dead-letter path (S10). A transient fetch failure is retried by
+    * [[schemaJson]] and, on exhaustion, propagates out of this method so the
+    * micro-batch fails and is retried — valid events must never be silently
+    * diverted to dead-letter because the registry had a blip.
     */
   def resolvable(id: String): Boolean =
     cache.contains(id) ||
       (try { schemaJson(id); true }
-       catch { case scala.util.control.NonFatal(_) => false })
+       catch { case _: SchemaNotFoundException => false })
 
   /** Decode `payloadCol` (binary Avro) against the schema named by
     * `schemaIdCol`, producing `decoded` struct columns per schema id.

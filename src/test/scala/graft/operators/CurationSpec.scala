@@ -61,9 +61,10 @@ class CurationSpec extends SparkSpec {
       "fixture must actually contain contamination for the test to bite")
 
     // the int8-prefiltered variant reports identically (exact float kernel
-    // behind a conservative quantized cut — see Dedup.embeddingDupPairs)
+    // behind a conservative quantized cut — see Dedup.embeddingDupPairs; at
+    // this boundary threshold AUTO runs exact, so force the two-stage shape)
     val pre = Curation.semanticContaminationReport(embs, "vec_id", "embedding",
-      col("vec_id") % 50 === 0, threshold = 0.4, prefilterMargin = Some(0.1))
+      col("vec_id") % 50 === 0, threshold = 0.4, prefilterMargin = 0.1)
     assert(pre.exceptAll(want).isEmpty && want.exceptAll(pre).isEmpty)
   }
 
@@ -100,6 +101,20 @@ class CurationSpec extends SparkSpec {
     val tFlat = byDomain(1000.0)
     assert(math.abs(tFlat("big")._2 - 0.5) < 0.01 &&
       math.abs(tFlat("small")._2 - 0.5) < 0.01)
+  }
+
+  test("temperatureWeights: a tail domain below 5e-7 share is upweighted, not zeroed") {
+    // regression: rounding the share to 6 decimals BEFORE pow zeroed any
+    // domain with share < 5e-7 (weight 0 -> applyMixture deletes it — the
+    // opposite of temperature sampling). 1 tail doc in 2,000,001 = 5e-7.
+    val docs = spark.range(0, 2000001)
+      .selectExpr("id AS doc_id",
+        "CASE WHEN id = 0 THEN 'tail' ELSE 'head' END AS source")
+    val w = Curation.temperatureWeights(docs, "source", temperature = 2.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(w("tail") > 1.0,
+      s"tail domain must be upweighted under tau=2, got ${w("tail")}")
+    assert(w("head") < 1.01 && w("head") > 0.0)
   }
 
   test("applyMixture: floor/ceil copy counts, dense copy indexes, deterministic") {

@@ -10,17 +10,29 @@ class DedupSpec extends SparkSpec {
     val docs = Tables.documents(spark, sfDir)
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // DEFAULT path: analytic signature-agreement prefilter ON
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == exact)
     assert(exact.nonEmpty, "test corpus should contain near-duplicates")
 
-    // the signature-agreement prefilter (cheap 128 B payloads before the
-    // shingle verify) must not change the emitted pair set
-    val pre = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8,
-        sigPrefilterMargin = Some(0.3))
+    // single-stage exact opt-out (margin >= threshold skips the signature
+    // join) must not change the emitted pair set
+    val noPre = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8,
+        sigPrefilterMargin = Double.PositiveInfinity)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pre == exact)
+    assert(noPre == exact)
+
+    // a TIGHTER explicit margin than the analytic default still verifies
+    // exactly on this corpus (planted pairs agree far above threshold - m)
+    val tight = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8,
+        sigPrefilterMargin = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight == exact)
+
+    // the analytic margin itself: Hoeffding at the default miss bound
+    assert(math.abs(Dedup.sigMarginForMissBound(32) -
+      math.sqrt(math.log(1e8) / 64.0)) < 1e-12)
   }
 
   test("exact dedup groups: every doc appears exactly once across groups") {
@@ -113,9 +125,10 @@ class DedupSpec extends SparkSpec {
     // int8-prefiltered verify emits the identical pair set with the
     // identical exact-float cos values — even at this boundary threshold
     // (0.4, margin 0.1: drift would have to exceed the measured 0.06 bound
-    // by 2/3 more to kill a true pair)
+    // by 2/3 more to kill a true pair). At 0.4 the AUTO policy runs exact,
+    // so the two-stage shape is forced with an explicit margin here.
     val prefiltered = Dedup.embeddingDupPairs(embs, "vec_id", "embedding", 0.4,
-      prefilterMargin = Some(0.1))
+      prefilterMargin = 0.1)
     assert(toSet(prefiltered) == e)
   }
 

@@ -3,6 +3,8 @@ package graft.operators
 import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.AtomicInteger
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -143,7 +145,7 @@ class IndexCatalogSpec extends SparkSpec {
     }
   }
 
-  test("crashed build leaves no visible entry; a retry builds cleanly") {
+  test("crashed build leaves no committed entry; a retry builds cleanly") {
     withRoot { root =>
       val in = writeInput(Seq((1L, "a")))
       intercept[RuntimeException] {
@@ -153,14 +155,50 @@ class IndexCatalogSpec extends SparkSpec {
         }
       }
       IndexCatalog.invalidateMemo() // the failed computeIfAbsent left no memo
-      // only dot-prefixed staging wreckage may exist — no final entry
-      val visible = new java.io.File(root).listFiles()
-        .filterNot(_.getName.startsWith("."))
-      assert(visible.isEmpty)
+      // orphan data dirs may exist, but no manifest anywhere — the entry is
+      // uncommitted and unreadable
+      val manifests = Files.walk(Paths.get(root)).iterator().asScala
+        .filter(_.getFileName.toString == "entry.json").toList
+      assert(manifests.isEmpty, s"crash must not commit a manifest: $manifests")
       val d = IndexCatalog.ensure(spark, "t", Seq(in), "p=1") { dir =>
         spark.read.parquet(in).write.parquet(dir + "/data")
       }
       assert(spark.read.parquet(d + "/data").count() == 1)
+    }
+  }
+
+  test("non-atomic 'rename' crash (partial data copy) is never served") {
+    withRoot { root =>
+      val in = writeInput(Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      // Simulate an object store where a directory "rename" is a copy loop
+      // that died mid-copy: a data dir holding PART of the build (one stray
+      // file, no parquet footer) with NO manifest — exactly the wreckage a
+      // rename-commit protocol serves as a half-index and the
+      // manifest-pointer commit must ignore.
+      intercept[RuntimeException] {
+        IndexCatalog.ensure(spark, "t", Seq(in), "p=1") { dir =>
+          Files.createDirectories(Paths.get(dir))
+          Files.write(Paths.get(dir, "part-00000.parquet"), Array[Byte](1, 2))
+          throw new RuntimeException("copy died mid-flight")
+        }
+      }
+      IndexCatalog.invalidateMemo()
+      val orphans = Files.walk(Paths.get(root)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("d-")).toList
+      assert(orphans.nonEmpty, "the partial copy should be on disk as an orphan")
+
+      // the retry must produce a COMPLETE entry in a FRESH data dir, with
+      // the manifest (written last) pointing at it — never at the orphan
+      val served = IndexCatalog.ensure(spark, "t", Seq(in), "p=1") { dir =>
+        spark.read.parquet(in).write.parquet(dir + "/data")
+      }
+      assert(!orphans.map(_.toString).contains(served),
+        "a partial data dir must never be served")
+      assert(spark.read.parquet(served + "/data").count() == 3)
+      val manifest = Paths.get(served).getParent.resolve("entry.json")
+      assert(Files.exists(manifest))
+      assert(new String(Files.readAllBytes(manifest), "UTF-8")
+        .contains(Paths.get(served).getFileName.toString))
     }
   }
 
@@ -174,10 +212,11 @@ class IndexCatalogSpec extends SparkSpec {
         }
       val old = ensure("p=1")
       Files.createDirectories(Paths.get(root, ".staging-dead")) // crash debris
-      // age both below the cutoff
+      // age both below the cutoff — prune reasons about top-level ENTRY
+      // dirs, so the aged dir is the data dir's parent
       val past = java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() - 100000)
-      Files.setLastModifiedTime(Paths.get(old), past)
+      Files.setLastModifiedTime(Paths.get(old).getParent, past)
       Files.setLastModifiedTime(Paths.get(root, ".staging-dead"), past)
       val fresh = ensure("p=2")
       assert(IndexCatalog.prune(spark, olderThanMs = 50000) == 2)

@@ -57,6 +57,30 @@ class SchemaRegistrySpec extends SparkSpec {
     assert(fetches == 2, "one fetch per schema id (memoized)")
   }
 
+  test("transient fetch failures retry; only typed not-found dead-letters") {
+    // a registry blip must NOT be indistinguishable from an unknown id —
+    // transient errors retry with backoff and, on exhaustion, PROPAGATE
+    // (failing the micro-batch so streaming replays it); only the typed
+    // SchemaNotFoundException maps resolvable -> false (dead-letter path)
+    var attempts = 0
+    val flaky = new SchemaRegistry(id => {
+      attempts += 1
+      if (id == "gone") throw new SchemaNotFoundException(id)
+      if (attempts < 3) sys.error("connection reset") // 2 transient failures
+      accountSchema
+    }, fetchRetries = 3, retryBackoffMs = 1)
+    assert(flaky.resolvable("acct"), "resolves after transient retries")
+    assert(attempts == 3, "two transient failures then success")
+
+    attempts = 0
+    assert(!flaky.resolvable("gone"), "typed not-found -> dead-letter path")
+    assert(attempts == 1, "not-found is NOT retried")
+
+    val dead = new SchemaRegistry(_ => sys.error("registry down"),
+      fetchRetries = 2, retryBackoffMs = 1)
+    intercept[RuntimeException](dead.resolvable("any"))
+  }
+
   test("append-only schema evolution: v1 events surface null for v2 fields") {
     // the reference's topic-evolution case (setup.md:402): a field is added
     // to the topic's schema; already-published v1 events must decode into

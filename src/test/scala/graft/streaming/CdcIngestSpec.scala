@@ -207,7 +207,7 @@ class CdcIngestSpec extends SparkSpec {
     val registry = new graft.sources.SchemaRegistry({
       case "acct" => acctSchema
       case "cont" => contSchema
-      case other => sys.error(s"GetSchema: no schema $other")
+      case other => throw new graft.sources.SchemaNotFoundException(other)
     })
 
     // publish a mixed batch: per-event schemaId + headers in the envelope,
