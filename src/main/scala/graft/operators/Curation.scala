@@ -107,24 +107,25 @@ object Curation {
   def semanticContaminationReport(embs: DataFrame, idCol: String,
                                   vecCol: String, evalPred: Column,
                                   threshold: Double,
-                                  planesPerBand: Int = 0, bands: Int = 16,
+                                  planesPerBand: Int = 0, bands: Int = 0,
                                   probeBits: Int = -1, probePlanes: Int = -1,
                                   prefilterMargin: Double = -1.0)
                                  (implicit scope: graft.CacheScope =
                                     graft.CacheScope.unmanaged): DataFrame = {
     import graft.functions.{cosine_i8, dot_product, hyperplane_probes, i8_quantize, l2_norm}
     // auto defaults, same policy as Dedup.embeddingDupPairs: corpus-sized
-    // band width + narrow probing at near-dup thresholds, the tuned
-    // measured-exact 8/2/6 at boundary thresholds (Dedup.resolveLshParams)
-    val (r, pBits, pPlanes) = Dedup.resolveLshParams(
-      threshold, embs.count(), planesPerBand, probeBits, probePlanes)
+    // band width, recall-holding band count, and narrow probing at
+    // near-dup thresholds; the tuned measured-exact 8/16/2/6 at boundary
+    // thresholds (Dedup.resolveLshParams)
+    val (r, nBands, pBits, pPlanes) = Dedup.resolveLshParams(
+      threshold, embs.count(), planesPerBand, bands, probeBits, probePlanes)
     // nrm: per-vector norm computed once — verify is then dot + divide
     // (bit-identical to the fused cosine kernel, see functions.L2Norm)
     val sk = scope.own(embs
       .select(col(idCol).as("id"), col(vecCol).as("v"), evalPred.as("is_eval"))
       .repartition(embs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("pk",
-        hyperplane_probes(col("v"), r, bands, pBits, pPlanes))
+        hyperplane_probes(col("v"), r, nBands, pBits, pPlanes))
       .withColumn("nrm", l2_norm(col("v"))))
 
     def probeKeys(side: DataFrame, asId: String) = side
@@ -393,13 +394,21 @@ object Curation {
     val total = docs.agg(count(lit(1)).as("n_total"))
     val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("n_docs"))
       .crossJoin(broadcast(total))
+    // weight divides the FULL 12-decimal share (rounding the share to 6
+    // first would zero any domain below 5e-7 of the corpus — a targeted
+    // tail domain would then be silently DELETED by applyMixture instead
+    // of upweighted, see temperatureWeights for the same rule); only the
+    // REPORTED actual_share column is rounded to 6
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
     counts.join(broadcast(t), Seq(domainCol), "left")
+      .withColumn("__share12",
+        round(col("n_docs").cast(dec) / col("n_total"), 12).cast(dec))
       .select(col(domainCol), col("n_docs"),
-        round(col("n_docs").cast(org.apache.spark.sql.types.DecimalType(28, 12))
-          / col("n_total"), 6).cast("double").as("actual_share"),
-        coalesce(col("target_share"), lit(0.0)).as("target_share"))
-      .withColumn("weight",
-        when(col("actual_share") > 0,
-          round(col("target_share") / col("actual_share"), 6)).otherwise(0.0))
+        round(col("__share12"), 6).cast("double").as("actual_share"),
+        coalesce(col("target_share"), lit(0.0)).as("target_share"),
+        when(col("__share12") > 0,
+          round(coalesce(col("target_share"), lit(0.0))
+            / col("__share12").cast("double"), 6))
+          .otherwise(0.0).as("weight"))
   }
 }

@@ -395,14 +395,77 @@ object Dedup {
     */
   val NearDupThreshold = 0.8
 
+  /** Per-band catch probability for a pair at cosine `c` under `r` planes:
+    * exact band match `(1-θ/π)^r`, plus — when 1-bit probing is on — the
+    * single-flip term `r·p·(1-p)^(r-1)` at probe coverage 0.8 (a sign
+    * flip happens where a projection crosses 0, so query-directed probing
+    * of the lowest-|margin| planes catches most single flips). The 0.8
+    * is calibrated AT THE GUARANTEE POINT (`threshold +
+    * [[AutoBandRecallGap]]`), where ScaleSmoke's recall stage measures
+    * the model accurate (0.9988 vs 0.9991 predicted at cos 0.90, n=50k);
+    * deeper in the gap flips happen at larger margins and coverage decays
+    * (~0.65 measured at cos 0.82), so in-gap predictions run mildly
+    * optimistic — fine, because [[bandsForRecall]] only ever evaluates
+    * this AT the guarantee point.
+    */
+  private[graft] def bandCatchProb(c: Double, r: Int, probeBits: Int,
+                                   probePlanes: Int): Double = {
+    val p = math.acos(math.max(-1.0, math.min(1.0, c))) / math.Pi
+    val exact = math.pow(1 - p, r)
+    if (probeBits < 1 || probePlanes < 1) exact
+    else exact + 0.8 * r * p * math.pow(1 - p, r - 1)
+  }
+
+  /** The auto band-count recall contract: a pair at
+    * `cos ≥ threshold + AutoBandRecallGap` is missed with probability
+    * ≤ [[AutoBandMissTarget]] under [[bandCatchProb]]'s conservative
+    * model. Pairs INSIDE the gap `[threshold, threshold+0.1)` get
+    * best-effort recall that decays toward the threshold — the honest
+    * price of corpus-sized bands; covering the gap exactly at large n
+    * costs n^ρ bands (ρ ≈ 0.33 at 0.8), which no default should impose.
+    * Callers needing exact near-threshold coverage pin `planesPerBand=8,
+    * probeBits=2, probePlanes=6` (the measured-exact boundary config) and
+    * pay its quadratic candidate growth, or raise `bands` explicitly.
+    */
+  val AutoBandRecallGap = 0.1
+  val AutoBandMissTarget = 1e-3
+  /** Cap on auto bands: past it (very large n at threshold 0.8) the
+    * guarantee point's miss bound relaxes gracefully rather than the key
+    * volume exploding; near-identity pairs (cos ≥ 0.95) stay safe far
+    * beyond the cap.
+    */
+  val MaxAutoBands = 64
+
+  /** Bands needed so a pair at the guarantee point (`threshold +
+    * AutoBandRecallGap`) is missed with probability ≤ AutoBandMissTarget:
+    * `b = ln(1/miss) / -ln(1 - q)` with q from [[bandCatchProb]].
+    * Floored at the tuned 16, capped at [[MaxAutoBands]].
+    */
+  private[graft] def bandsForRecall(threshold: Double, r: Int, probeBits: Int,
+                                    probePlanes: Int): Int = {
+    val q = bandCatchProb(math.min(threshold + AutoBandRecallGap, 0.999),
+      r, probeBits, probePlanes)
+    val b = math.ceil(math.log(1.0 / AutoBandMissTarget) / -math.log1p(-q)).toInt
+    math.min(MaxAutoBands, math.max(16, b))
+  }
+
   /** Resolve the auto LSH parameters (sentinels: `planesPerBand = 0`,
-    * `probeBits = -1`, `probePlanes = -1`) into concrete values:
+    * `bands = 0`, `probeBits = -1`, `probePlanes = -1`) into concrete
+    * values:
     *
     *  - band width: caller's, else [[planesForCorpus]] of the (lazily
     *    counted) corpus at near-dup thresholds — the occupancy law that is
     *    the difference between <2 s and 73 s at a mere 20 k vectors — and
     *    the tuned floor of 8 at boundary thresholds, where wider bands
     *    would trade recall for speed (see [[planesForCorpus]]).
+    *  - band count: caller's, else [[bandsForRecall]] at near-dup
+    *    thresholds — wider bands lower each band's catch probability for
+    *    pairs NEAR the threshold (corpus sizing alone would silently
+    *    trade near-threshold recall for speed as n grows: at n = 1 M,
+    *    r = 19, a cos-0.82 pair would be missed ~24% of the time by 16
+    *    bands), so the count grows with the width to hold the
+    *    [[AutoBandRecallGap]] contract; the tuned 16 at boundary
+    *    thresholds, whose recall the probing config carries.
     *  - probe width: threshold-aware. At near-dup thresholds flips are
     *    rare (θ/π ≤ 0.205) and concentrated on low-|margin| planes, so
     *    1 bit over ≤4 planes (5 keys/band) suffices; at boundary
@@ -411,8 +474,9 @@ object Dedup {
     *    so a narrow-band caller never trips the invariant opaquely.
     */
   private[graft] def resolveLshParams(threshold: Double, n: => Long,
-                                      planesPerBand: Int, probeBits: Int,
-                                      probePlanes: Int): (Int, Int, Int) = {
+                                      planesPerBand: Int, bands: Int,
+                                      probeBits: Int,
+                                      probePlanes: Int): (Int, Int, Int, Int) = {
     val nearDup = threshold >= NearDupThreshold
     val r = if (planesPerBand > 0) planesPerBand
             else if (nearDup) planesForCorpus(n)
@@ -420,9 +484,12 @@ object Dedup {
     val pb = if (probeBits >= 0) probeBits else if (nearDup) 1 else 2
     val pp = if (probePlanes > 0) math.min(probePlanes, r)
              else math.min(if (nearDup) 4 else 6, r)
+    val b = if (bands > 0) bands
+            else if (nearDup) bandsForRecall(threshold, r, pb, pp)
+            else 16
     require(pb <= pp && pp <= r,
       s"probeBits ($pb) <= probePlanes ($pp) <= planesPerBand ($r)")
-    (r, pb, pp)
+    (r, b, pb, pp)
   }
 
   /** Default int8-prefilter margin at near-dup thresholds: the measured
@@ -461,17 +528,19 @@ object Dedup {
     */
   def embeddingDupPairs(embs: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, planesPerBand: Int = 0,
-                        bands: Int = 16, probeBits: Int = -1,
+                        bands: Int = 0, probeBits: Int = -1,
                         probePlanes: Int = -1,
                         prefilterMargin: Double = -1.0)
                        (implicit scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     import graft.functions.{cosine_i8, dot_product, hyperplane_probes, i8_quantize, l2_norm}
-    // auto defaults (see resolveLshParams): corpus-sized band width and
-    // threshold-aware probe width at near-dup thresholds; the tuned
-    // measured-exact 8/2/6 at boundary thresholds. The count is one cheap
-    // metadata-level agg, evaluated only when the band width needs it.
-    val (r, pBits, pPlanes) =
-      resolveLshParams(threshold, embs.count(), planesPerBand, probeBits, probePlanes)
+    // auto defaults (see resolveLshParams): corpus-sized band width,
+    // recall-holding band count, and threshold-aware probe width at
+    // near-dup thresholds; the tuned measured-exact 8/16/2/6 at boundary
+    // thresholds. The count is one cheap metadata-level agg, evaluated
+    // only when the band width needs it.
+    val (r, nBands, pBits, pPlanes) =
+      resolveLshParams(threshold, embs.count(), planesPerBand, bands,
+        probeBits, probePlanes)
 
     // cached: read by the probe explode, the exact side, and the verify join.
     // pk holds per-band [key, probe keys…] from ONE codegen'd kernel pass;
@@ -480,7 +549,7 @@ object Dedup {
     val sk = scope.own(embs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(embs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("pk",
-        hyperplane_probes(col("v"), r, bands, pBits, pPlanes))
+        hyperplane_probes(col("v"), r, nBands, pBits, pPlanes))
       .withColumn("nrm", l2_norm(col("v"))))
 
     // skinny (id, band, key) relations — no vector payloads cross the shuffle

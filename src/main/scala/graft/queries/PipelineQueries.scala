@@ -711,10 +711,11 @@ object PipelineQueries {
         "CASE WHEN CAST(substring(c.source, 4) AS INTEGER) % 2 = 0 THEN 0.1 ELSE 0.0 END " +
         "AS target_share FROM c), " +
         "m AS (SELECT source, n_docs, " +
-        "CAST(round(CAST(n_docs AS DECIMAL(28,12)) / n_total, 6) AS DOUBLE) AS actual_share, " +
+        "round(CAST(n_docs AS DECIMAL(28,12)) / n_total, 12) AS share12, " +
         "CAST(target_share AS DOUBLE) AS target_share FROM t) " +
-        "SELECT source, n_docs, actual_share, target_share, " +
-        "CASE WHEN actual_share > 0 THEN round(target_share / actual_share, 6) " +
+        "SELECT source, n_docs, " +
+        "CAST(round(share12, 6) AS DOUBLE) AS actual_share, target_share, " +
+        "CASE WHEN share12 > 0 THEN round(target_share / CAST(share12 AS DOUBLE), 6) " +
         "ELSE 0.0 END AS weight FROM m ORDER BY source")),
 
     // ---- curation: TEMPERATURE mixture reweighting (q_d ∝ p_d^(1/τ),

@@ -212,7 +212,25 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
     assert(w("a") == ((60L, 0.5, 0.25, 0.5)))   // over-represented: downsample
-    assert(w("b") == ((40L, 0.333333, 0.75, 2.250002)))  // upsample
+    // 2.25 exactly: the weight divides the 12-decimal share (1/3), not
+    // the 6-decimal reported 0.333333 (which would give 2.250002)
+    assert(w("b") == ((40L, 0.333333, 0.75, 2.25)))      // upsample
     assert(w("c")._4 == 0.0)                    // not in targets: dropped
+  }
+
+  test("mixWeights: a targeted tail domain below 5e-7 share is upweighted, not zeroed") {
+    // same regression class as temperatureWeights: the weight must divide
+    // the 12-decimal share, not the 6-decimal REPORTED one, else a domain
+    // the caller explicitly targeted is silently deleted by applyMixture.
+    val docs = spark.range(0, 3000001)
+      .selectExpr("id AS doc_id",
+        "CASE WHEN id = 0 THEN 'tail' ELSE 'head' END AS source")
+    val w = Curation.mixWeights(docs, "source", Map("tail" -> 0.1, "head" -> 0.9))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(4))).toMap
+    assert(w("tail")._1 == 0.0, "reported share still rounds to 6 decimals")
+    assert(w("tail")._2 > 100000.0,
+      s"tail weight must come from the unrounded share, got ${w("tail")._2}")
+    assert(w("head")._2 > 0.0 && w("head")._2 < 1.0)
   }
 }

@@ -144,21 +144,51 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("resolveLshParams: corpus-sized narrow probing at near-dup thresholds, tuned 8/2/6 at boundary") {
+  test("resolveLshParams: corpus-sized narrow probing at near-dup thresholds, tuned 8/16/2/6 at boundary") {
     // boundary threshold: the measured-exact small-band/wide-probe regime,
     // REGARDLESS of corpus size (wider bands lose boundary recall) — this
     // is what keeps the 0.4-threshold sf oracles byte-identical
-    assert(Dedup.resolveLshParams(0.4, 2000L, 0, -1, -1) === ((8, 2, 6)))
-    assert(Dedup.resolveLshParams(0.4, 10000000L, 0, -1, -1) === ((8, 2, 6)))
-    // near-dup threshold: corpus-sized bands + 1-bit/4-plane probing
-    assert(Dedup.resolveLshParams(0.9, 20000L, 0, -1, -1) === ((14, 1, 4)))
-    assert(Dedup.resolveLshParams(0.9, 500L, 0, -1, -1) === ((8, 1, 4)))
+    assert(Dedup.resolveLshParams(0.4, 2000L, 0, 0, -1, -1) === ((8, 16, 2, 6)))
+    assert(Dedup.resolveLshParams(0.4, 10000000L, 0, 0, -1, -1) === ((8, 16, 2, 6)))
+    // near-dup threshold: corpus-sized bands + 1-bit/4-plane probing; the
+    // auto band count holds the AutoBandRecallGap contract (floor 16 while
+    // the per-band catch probability at the guarantee point stays high)
+    assert(Dedup.resolveLshParams(0.9, 20000L, 0, 0, -1, -1) === ((14, 16, 1, 4)))
+    assert(Dedup.resolveLshParams(0.9, 500L, 0, 0, -1, -1) === ((8, 16, 1, 4)))
     // explicit values pin; explicit probePlanes clamps to the band width
-    assert(Dedup.resolveLshParams(0.9, 20000L, 8, 2, 6) === ((8, 2, 6)))
-    assert(Dedup.resolveLshParams(0.9, 500L, 3, 1, 6) === ((3, 1, 3)))
-    // the corpus count must not be forced when the width is explicit
-    assert(Dedup.resolveLshParams(0.9, sys.error("must stay lazy"), 8, 2, 6)
-      === ((8, 2, 6)))
+    assert(Dedup.resolveLshParams(0.9, 20000L, 8, 16, 2, 6) === ((8, 16, 2, 6)))
+    assert(Dedup.resolveLshParams(0.9, 500L, 3, 16, 1, 6) === ((3, 16, 1, 3)))
+    // the corpus count must not be forced when the width is explicit —
+    // including for the auto band count, which depends only on the width
+    assert(Dedup.resolveLshParams(0.9, sys.error("must stay lazy"), 8, 16, 2, 6)
+      === ((8, 16, 2, 6)))
+    assert(Dedup.resolveLshParams(0.9, sys.error("must stay lazy"), 8, 0, 2, 6)
+      === ((8, 16, 2, 6)))
+  }
+
+  test("bandsForRecall grows the band count with the band width to hold the recall contract") {
+    // the ADVICE scenario: threshold 0.8 at n = 1 M -> r = 19. 16 bands
+    // would miss a guarantee-point (cos 0.9) pair ~3.7% of the time; the
+    // auto count (34) brings that under the 1e-3 target and cuts the
+    // best-effort cos-0.82 miss from ~28% to ~6.5%.
+    assert(Dedup.planesForCorpus(1000000L) === 19)
+    assert(Dedup.resolveLshParams(0.8, 1000000L, 0, 0, -1, -1) === ((19, 34, 1, 4)))
+    // monotone in width: wider bands need more of them
+    assert(Dedup.bandsForRecall(0.8, 14, 1, 4) === 18)
+    assert(Dedup.bandsForRecall(0.8, 22, 1, 4) === 50)
+    // capped: the guarantee relaxes gracefully instead of key-volume blowup
+    assert(Dedup.bandsForRecall(0.8, 24, 1, 4) === Dedup.MaxAutoBands)
+    // at high thresholds the per-band catch probability is high enough
+    // that the tuned floor of 16 already satisfies the contract
+    assert(Dedup.bandsForRecall(0.9, 14, 1, 4) === 16)
+    assert(Dedup.bandsForRecall(0.9, 22, 1, 4) === 16)
+    // the analytic model: exact band match plus the conservative
+    // single-flip probe term, monotone decreasing in r, increasing in c
+    val q1 = Dedup.bandCatchProb(0.9, 14, 1, 4)
+    val q2 = Dedup.bandCatchProb(0.9, 19, 1, 4)
+    val q3 = Dedup.bandCatchProb(0.95, 19, 1, 4)
+    assert(q1 > q2 && q3 > q2)
+    assert(Dedup.bandCatchProb(0.9, 14, 0, 0) < q1) // probing adds recall
   }
 
   test("dupClusters: chains collapse to min-id components, singletons self-label") {
