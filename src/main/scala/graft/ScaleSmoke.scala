@@ -212,14 +212,15 @@ object ScaleSmoke {
     println(f"SCALE   recall@0.90 (guarantee point)=$recGuar%.4f " +
       f"model>=${predicted(0.90)}%.4f over $cohort pairs " +
       s"(${if (recGuar >= 0.995) "OK" else "MISS"})")
-    // the in-gap model is mildly optimistic: the 0.8 probe-coverage
-    // constant is calibrated at the guarantee point; deeper in the gap
-    // flips happen at larger margins, where query-directed probing covers
-    // them less often (measured effective coverage ~0.65 at cos 0.82) —
-    // hence the 0.05 slack here, vs the hard assert above
+    // the in-gap model is mildly optimistic: the 0.6 probe-coverage
+    // constant is calibrated (conservatively) at the guarantee point;
+    // deeper in the gap flips happen at larger margins, where
+    // query-directed probing covers them less often (measured effective
+    // coverage ~0.5 at cos 0.82) — hence the 0.07 slack here, vs the
+    // hard assert above
     println(f"SCALE   recall@0.82 (best-effort gap)=$recGap%.4f " +
       f"model=${predicted(0.82)}%.4f over $cohort pairs " +
-      s"(${if (recGap >= predicted(0.82) - 0.05) "OK" else "BELOW MODEL"})")
+      s"(${if (recGap >= predicted(0.82) - 0.07) "OK" else "BELOW MODEL"})")
     rembs.unpersist()
     }
 

@@ -397,23 +397,27 @@ object Dedup {
 
   /** Per-band catch probability for a pair at cosine `c` under `r` planes:
     * exact band match `(1-θ/π)^r`, plus — when 1-bit probing is on — the
-    * single-flip term `r·p·(1-p)^(r-1)` at probe coverage 0.8 (a sign
+    * single-flip term `r·p·(1-p)^(r-1)` at probe coverage 0.6 (a sign
     * flip happens where a projection crosses 0, so query-directed probing
-    * of the lowest-|margin| planes catches most single flips). The 0.8
-    * is calibrated AT THE GUARANTEE POINT (`threshold +
-    * [[AutoBandRecallGap]]`), where ScaleSmoke's recall stage measures
-    * the model accurate (0.9988 vs 0.9991 predicted at cos 0.90, n=50k);
-    * deeper in the gap flips happen at larger margins and coverage decays
-    * (~0.65 measured at cos 0.82), so in-gap predictions run mildly
-    * optimistic — fine, because [[bandsForRecall]] only ever evaluates
-    * this AT the guarantee point.
+    * of the lowest-|margin| planes catches most single flips). The 0.6
+    * is CONSERVATIVE at the guarantee point (`threshold +
+    * [[AutoBandRecallGap]]`, the only place [[bandsForRecall]] evaluates
+    * this): ScaleSmoke's recall stage measured effective coverage
+    * 0.68 at r = 17 (cos 0.90, n = 200 k) and 0.63 at r = 19 (cos 0.90,
+    * n = 1 M) — coverage decays as r grows because ≤4 probed planes cover
+    * a shrinking fraction of flip mass — so 0.6 keeps the sized band
+    * count honest through the corpus range the auto policy targets.
+    * Deeper in the gap flips happen at larger margins and effective
+    * coverage decays further (~0.5 measured at cos 0.82), so IN-GAP
+    * predictions still run mildly optimistic; that only affects the
+    * best-effort reporting, never the sizing.
     */
   private[graft] def bandCatchProb(c: Double, r: Int, probeBits: Int,
                                    probePlanes: Int): Double = {
     val p = math.acos(math.max(-1.0, math.min(1.0, c))) / math.Pi
     val exact = math.pow(1 - p, r)
     if (probeBits < 1 || probePlanes < 1) exact
-    else exact + 0.8 * r * p * math.pow(1 - p, r - 1)
+    else exact + 0.6 * r * p * math.pow(1 - p, r - 1)
   }
 
   /** The auto band-count recall contract: a pair at

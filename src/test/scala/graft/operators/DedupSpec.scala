@@ -168,14 +168,15 @@ class DedupSpec extends SparkSpec {
 
   test("bandsForRecall grows the band count with the band width to hold the recall contract") {
     // the ADVICE scenario: threshold 0.8 at n = 1 M -> r = 19. 16 bands
-    // would miss a guarantee-point (cos 0.9) pair ~3.7% of the time; the
-    // auto count (34) brings that under the 1e-3 target and cuts the
-    // best-effort cos-0.82 miss from ~28% to ~6.5%.
+    // would miss a guarantee-point (cos 0.9) pair ~6% of the time; the
+    // auto count (42, sized with the measured-conservative 0.6 probe
+    // coverage) brings that under the 1e-3 target — ScaleSmoke's 1 M
+    // recall stage measured miss 7e-4 at this exact configuration.
     assert(Dedup.planesForCorpus(1000000L) === 19)
-    assert(Dedup.resolveLshParams(0.8, 1000000L, 0, 0, -1, -1) === ((19, 34, 1, 4)))
+    assert(Dedup.resolveLshParams(0.8, 1000000L, 0, 0, -1, -1) === ((19, 42, 1, 4)))
     // monotone in width: wider bands need more of them
-    assert(Dedup.bandsForRecall(0.8, 14, 1, 4) === 18)
-    assert(Dedup.bandsForRecall(0.8, 22, 1, 4) === 50)
+    assert(Dedup.bandsForRecall(0.8, 14, 1, 4) === 22)
+    assert(Dedup.bandsForRecall(0.8, 22, 1, 4) === 62)
     // capped: the guarantee relaxes gracefully instead of key-volume blowup
     assert(Dedup.bandsForRecall(0.8, 24, 1, 4) === Dedup.MaxAutoBands)
     // at high thresholds the per-band catch probability is high enough
