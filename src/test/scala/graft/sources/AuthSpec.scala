@@ -119,6 +119,20 @@ class AuthSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("JWT claims with quotes/backslashes serialize to valid JSON") {
+    val kp = { val g = KeyPairGenerator.getInstance("RSA"); g.initialize(2048); g.generateKeyPair() }
+    val (cid, user, aud) = ("ci\"d\\", "us\"er\\@x", "https://x/\"login\"\\path")
+    val assertion = Auth.jwtAssertion(
+      Auth.JwtBearer(aud, cid, user, kp.getPrivate),
+      nowEpochSeconds = 1700000000L)
+    val Array(_, c, _) = assertion.split("\\.")
+    val claims = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(Base64.getUrlDecoder.decode(c), UTF_8))
+    assert(claims.get("iss").asText() == cid)
+    assert(claims.get("sub").asText() == user)
+    assert(claims.get("aud").asText() == aud)
+  }
+
   test("non-200 token response fails loud with status + body (auth.js:128-134)") {
     val (server, url, _) = startOAuthServer(_ => Some("invalid_client"))
     try {
