@@ -92,4 +92,14 @@ package object functions {
   /** Avro encode of a struct column for publish (P2). */
   def avro_encode(record: Column, schemaJson: String): Column =
     col(AvroEncode(ex(record), schemaJson))
+
+  /** Bloom filter over a column of 64-bit hashes (map-side-combinable
+    * native aggregate; `binary` result). */
+  def bloom_agg(hash: Column, expectedItems: Long, fpp: Double = 0.01): Column =
+    col(BloomAgg(ex(hash), expectedItems, fpp).toAggregateExpression())
+
+  /** Membership probe against a serialized Bloom filter (memoized per-task
+    * deserialization; codegen'd). */
+  def bloom_might_contain(filter: Column, hash: Column): Column =
+    col(BloomMightContain(ex(filter), ex(hash)))
 }

@@ -77,6 +77,56 @@ object Curation {
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /** [[contaminationReport]] for an eval side TOO BIG TO BROADCAST: same
+    * output, different candidate plan. The broadcast variant ships the
+    * distinct eval shingles as a hash relation — fine for benchmark-sized
+    * eval sets, a non-starter when "eval" is another corpus slice (cross-
+    * split leakage checks at 100 TB, where the shingle relation is tens of
+    * GB). Here the eval side is condensed to a Bloom filter over shingle
+    * hashes (~1.2 bytes/item at the default 1% fpp — map-side-combinable
+    * [[graft.functions.BloomAgg]], one bit-array per partition crosses the
+    * shuffle), the train side is prefiltered by a codegen'd
+    * `bloom_might_contain` probe BEFORE its explode output ever shuffles,
+    * and only the surviving ~(overlap + fpp) fraction reaches the exact
+    * shuffled join that the overlap counts come from. False positives cost
+    * shuffle bytes, never correctness: the emitted report is bit-identical
+    * to [[contaminationReport]] (same oracle).
+    *
+    * `expectedEvalShingles` sizes the filter; the default 0 derives a
+    * conservative estimate from the RAW (pre-distinct) eval shingle count —
+    * one cheap count job, no extra shuffle, overestimate only (raw ≥
+    * distinct), which can only LOWER the realized fpp.
+    */
+  def contaminationReportScalable(docs: DataFrame, idCol: String,
+                                  textCol: String, evalPred: Column,
+                                  n: Int = 3, minOverlap: Int = 5,
+                                  fpp: Double = 0.01,
+                                  expectedEvalShingles: Long = 0L): DataFrame = {
+    import graft.functions.{bloom_agg, bloom_might_contain, word_shingles}
+    val sh = docs.select(col(idCol).as("id"), evalPred.as("is_eval"),
+      explode(word_shingles(col(textCol), n)).as("s"))
+    val evalShingles = sh.filter(col("is_eval")).select("s")
+    val expected =
+      if (expectedEvalShingles > 0) expectedEvalShingles
+      else evalShingles.count()
+    // one row, a few MB of bit array: broadcast to every train partition
+    val filterRow = evalShingles
+      .agg(bloom_agg(xxhash64(col("s")), expected, fpp).as("bf"))
+    val survivors = sh.filter(!col("is_eval"))
+      .crossJoin(broadcast(filterRow))
+      .filter(bloom_might_contain(col("bf"), xxhash64(col("s"))))
+      .select(col("id"), col("s"))
+    // exact verify: SHUFFLED join (no broadcast hint — the eval relation is
+    // assumed too big for one), fed only by bloom survivors
+    val overlap = survivors.join(evalShingles.distinct(), "s")
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+    docs.filter(!evalPred).select(col(idCol).as("id"))
+      .join(overlap, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
   /** SEMANTIC benchmark decontamination: flag every corpus embedding whose
     * cosine similarity to ANY evaluation-set embedding reaches `threshold`
     * — the embedding-space complement of [[contaminationReport]]'s lexical

@@ -553,6 +553,25 @@ object PipelineQueries {
         "FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id " +
         "WHERE d.doc_id % 10 <> 0 ORDER BY id")),
 
+    // ---- curation: decontamination via the BLOOM-PREFILTERED plan — the
+    // eval-too-big-to-broadcast path (filter built by the native bloom_agg,
+    // train side probe-prefiltered before its shuffle, exact join on the
+    // survivors). Same report, same oracle, as ns_curate_decontaminate:
+    // false positives only admit rows into the exact join. ----
+    ("ns_curate_decon_bloom",
+      (s: SparkSession, d: String) =>
+        Curation.contaminationReportScalable(Tables.documents(s, d), "doc_id",
+          "text", col("doc_id") % 10 === 0, n = 3, minOverlap = 5)
+          .orderBy("id"),
+      Some(shingleBaseCte +
+        ", ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0), " +
+        "ov AS (SELECT sh.doc_id, count(*) AS n_overlap FROM sh JOIN ev USING (s) " +
+        "WHERE sh.doc_id % 10 <> 0 GROUP BY sh.doc_id) " +
+        "SELECT d.doc_id AS id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap, " +
+        "coalesce(ov.n_overlap, 0) >= 5 AS contaminated " +
+        "FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id " +
+        "WHERE d.doc_id % 10 <> 0 ORDER BY id")),
+
     // ---- curation: SEMANTIC decontamination (embedding-cosine vs an eval
     // subset; catches paraphrased leakage the shingle overlap misses). The
     // LSH candidates are exact-verified, so the report equals the all-pairs

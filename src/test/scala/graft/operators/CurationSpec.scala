@@ -34,6 +34,32 @@ class CurationSpec extends SparkSpec {
       s"shingle-overlap join must be broadcast, got:\n$plan")
   }
 
+  test("contaminationReportScalable equals the broadcast variant (bloom prefilter is output-invisible)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Curation.contaminationReport(docs, "doc_id", "text",
+      col("doc_id") % 10 === 0, n = 3, minOverlap = 5)
+      .orderBy("id").collect().toSeq
+    val scalable = Curation.contaminationReportScalable(docs, "doc_id", "text",
+      col("doc_id") % 10 === 0, n = 3, minOverlap = 5)
+      .orderBy("id").collect().toSeq
+    assert(scalable === exact)
+  }
+
+  test("contaminationReportScalable probes the bloom filter before the exact join") {
+    val plan = Curation.contaminationReportScalable(corpus, "doc_id", "text",
+      col("doc_id") % 10 === 0).queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"),
+      s"train side must be bloom-prefiltered, got:\n$plan")
+  }
+
+  test("contaminationReportScalable with an empty eval set reports all-clean") {
+    val rep = Curation.contaminationReportScalable(corpus, "doc_id", "text",
+      lit(false), n = 3, minOverlap = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rep.keySet === Set(0L, 5L, 6L, 7L))
+    assert(rep.values.forall(_ == ((0L, false))))
+  }
+
   test("semanticContaminationReport equals the brute-force cross join") {
     val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val got = Curation.semanticContaminationReport(embs, "vec_id", "embedding",
