@@ -102,4 +102,17 @@ package object functions {
     * deserialization; codegen'd). */
   def bloom_might_contain(filter: Column, hash: Column): Column =
     col(BloomMightContain(ex(filter), ex(hash)))
+
+  /** Mergeable KLL quantile sketch of a double column (`binary` result —
+    * storable and re-mergeable, unlike approx_percentile). */
+  def kll_agg(c: Column, k: Int = 200): Column =
+    col(KllAgg(ex(c), k).toAggregateExpression())
+
+  /** Re-merge stored KLL sketches into one (shard profiles → corpus). */
+  def kll_merge_agg(sketch: Column, k: Int = 200): Column =
+    col(KllMergeAgg(ex(sketch), k).toAggregateExpression())
+
+  /** Extract quantiles at `ranks` from a serialized KLL sketch column. */
+  def kll_quantiles(sketch: Column, ranks: Seq[Double]): Column =
+    col(KllQuantiles(ex(sketch), ranks))
 }

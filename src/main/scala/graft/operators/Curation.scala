@@ -127,6 +127,65 @@ object Curation {
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /** Adaptive per-domain quality floor: keep a document iff its quality
+    * score clears its OWN domain's `floorQuantile` percentile — the
+    * curation policy that a single global threshold gets wrong (a fixed
+    * floor guts low-scoring-but-valuable domains like code or forums and
+    * keeps the worst of high-scoring ones). Exact interpolated percentile
+    * per domain (one shuffle to rank, one skinny threshold relation joined
+    * back); scores and thresholds are rounded identically on both engines,
+    * so keep/drop decisions are bit-deterministic against the oracle.
+    *
+    * Returns one row per doc: `(id, domain, quality_score,
+    * domain_threshold, keep)`. For corpora where even per-domain exact
+    * ranking is too heavy (millions of domains × billions of docs), see
+    * [[adaptiveQualityFloorSketch]].
+    */
+  def adaptiveQualityFloor(docs: DataFrame, idCol: String, textCol: String,
+                           domainCol: String,
+                           floorQuantile: Double = 0.2): DataFrame = {
+    val qual = TextAnalysis.quality(docs, idCol, textCol)
+      .select(col(idCol).as("id"), col("quality_score"))
+    val scored = docs.select(col(idCol).as("id"), col(domainCol).as("domain"))
+      .join(qual, "id")
+    val thresholds = scored.groupBy("domain")
+      .agg(round(percentile(col("quality_score"), lit(floorQuantile)), 6)
+        .as("domain_threshold"))
+    scored.join(thresholds, "domain")
+      .select(col("id"), col("domain"), col("quality_score"),
+        col("domain_threshold"),
+        (col("quality_score") >= col("domain_threshold")).as("keep"))
+  }
+
+  /** [[adaptiveQualityFloor]] at profile scale: per-domain thresholds come
+    * from a mergeable KLL sketch ([[graft.functions.KllAgg]], one
+    * streaming pass, a few KB per domain) instead of an exact rank — and
+    * because the sketch is a binary column, shard profiles can be stored
+    * and re-merged later ([[graft.functions.KllMergeAgg]]) without
+    * re-reading the corpus. KLL bounds RANK error (≲1.65% at k=200), so
+    * the realized keep-fraction per domain lands within that of the target
+    * quantile — asserted against the exact operator in CurationSpec.
+    */
+  def adaptiveQualityFloorSketch(docs: DataFrame, idCol: String,
+                                 textCol: String, domainCol: String,
+                                 floorQuantile: Double = 0.2,
+                                 k: Int = 200): DataFrame = {
+    import graft.functions.{kll_agg, kll_quantiles}
+    val qual = TextAnalysis.quality(docs, idCol, textCol)
+      .select(col(idCol).as("id"), col("quality_score"))
+    val scored = docs.select(col(idCol).as("id"), col(domainCol).as("domain"))
+      .join(qual, "id")
+    val thresholds = scored.groupBy("domain")
+      .agg(kll_agg(col("quality_score"), k).as("sk"))
+      .select(col("domain"),
+        element_at(kll_quantiles(col("sk"), Seq(floorQuantile)), 1)
+          .as("domain_threshold"))
+    scored.join(thresholds, "domain")
+      .select(col("id"), col("domain"), col("quality_score"),
+        col("domain_threshold"),
+        (col("quality_score") >= col("domain_threshold")).as("keep"))
+  }
+
   /** SEMANTIC benchmark decontamination: flag every corpus embedding whose
     * cosine similarity to ANY evaluation-set embedding reaches `threshold`
     * — the embedding-space complement of [[contaminationReport]]'s lexical

@@ -572,6 +572,46 @@ object PipelineQueries {
         "FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id " +
         "WHERE d.doc_id % 10 <> 0 ORDER BY id")),
 
+    // ---- curation: adaptive per-domain quality floor (keep iff a doc
+    // clears its own domain's 20th-percentile quality). Exact interpolated
+    // percentile on both engines (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`, identical p·(n−1) convention), computed over the
+    // engine-agreed ROUNDED score and itself rounded, so keep decisions
+    // are bit-deterministic. ----
+    ("ns_curate_quality_floor",
+      (s: SparkSession, d: String) =>
+        Curation.adaptiveQualityFloor(Tables.documents(s, d), "doc_id",
+          "text", "source", floorQuantile = 0.2)
+          .orderBy("id"),
+      Some("WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks " +
+        "FROM documents), " +
+        "m AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens, " +
+        "CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(toks) AS sr, " +
+        "CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS pr " +
+        "FROM t), " +
+        "q AS (SELECT doc_id, round(least(1.0, n_tokens / 100.0) * 0.5 + " +
+        "(1.0 - pr) * 0.3 + sr * 0.2, 4) AS quality_score FROM m), " +
+        "j AS (SELECT d.doc_id AS id, d.source AS domain, q.quality_score " +
+        "FROM q JOIN documents d USING (doc_id)), " +
+        "th AS (SELECT domain, round(quantile_cont(quality_score, 0.2), 6) AS domain_threshold " +
+        "FROM j GROUP BY domain) " +
+        "SELECT j.id, j.domain, j.quality_score, th.domain_threshold, " +
+        "j.quality_score >= th.domain_threshold AS keep " +
+        "FROM j JOIN th USING (domain) ORDER BY id")),
+
+    // ---- curation: the same floor from MERGEABLE KLL sketches — the
+    // profile-scale path (and the storable/re-mergeable shard-profile
+    // shape). Rank error ≲1.65% at k=200 means thresholds are exact order
+    // statistics of a near-correct rank: no value-level oracle by design;
+    // CurationSpec asserts per-domain keep-fraction against the exact
+    // operator. ----
+    ("ns_curate_quality_floor_kll",
+      (s: SparkSession, d: String) =>
+        Curation.adaptiveQualityFloorSketch(Tables.documents(s, d), "doc_id",
+          "text", "source", floorQuantile = 0.2)
+          .orderBy("id"),
+      None),
+
     // ---- curation: SEMANTIC decontamination (embedding-cosine vs an eval
     // subset; catches paraphrased leakage the shingle overlap misses). The
     // LSH candidates are exact-verified, so the report equals the all-pairs

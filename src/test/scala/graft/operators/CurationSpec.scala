@@ -60,6 +60,39 @@ class CurationSpec extends SparkSpec {
     assert(rep.values.forall(_ == ((0L, false))))
   }
 
+  test("adaptiveQualityFloor keeps ~(1-q) of every domain; sketch variant tracks it within rank error") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Curation.adaptiveQualityFloor(docs, "doc_id", "text", "source",
+      floorQuantile = 0.2)
+    val byDomain = exact.groupBy("domain")
+      .agg(count(lit(1)).as("n"), count(when(col("keep"), 1)).as("kept"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    byDomain.foreach { case (dom, (n, kept)) =>
+      val frac = kept.toDouble / n
+      // exact 20th-percentile floor keeps ~80%; ties on rounded scores can
+      // push the kept side up, never below the quantile's rank
+      assert(frac >= 0.78 && frac <= 0.95,
+        s"domain $dom kept $kept/$n ($frac) under a 0.2 floor")
+    }
+    // the sketch path must agree with the exact path on per-domain keep
+    // fraction within KLL rank error (~1.65% at k=200, slack to 0.04)
+    val sketch = Curation.adaptiveQualityFloorSketch(docs, "doc_id", "text",
+      "source", floorQuantile = 0.2)
+    val sketchByDomain = sketch.groupBy("domain")
+      .agg(count(lit(1)).as("n"), count(when(col("keep"), 1)).as("kept"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    byDomain.foreach { case (dom, (n, kept)) =>
+      val (ns, ks) = sketchByDomain(dom)
+      assert(ns === n)
+      // rank error ~1.65% at k=200, PLUS quantile-convention granularity at
+      // tiny domains: the sketch returns an order statistic where the exact
+      // path interpolates between two — ±2 docs of slack at small n
+      val tol = math.max(0.04, 2.5 / n)
+      assert(math.abs(ks.toDouble / ns - kept.toDouble / n) <= tol,
+        s"domain $dom: sketch kept $ks/$ns vs exact $kept/$n (tol $tol)")
+    }
+  }
+
   test("semanticContaminationReport equals the brute-force cross join") {
     val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val got = Curation.semanticContaminationReport(embs, "vec_id", "embedding",
