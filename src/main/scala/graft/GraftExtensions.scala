@@ -26,6 +26,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal int, got $other")
   }
+  private def litLong(e: Expression, fn: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal bigint, got $other")
+  }
+  private def litDouble(e: Expression, fn: String): Double = e match {
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: Double, _) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal double, got $other")
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     def add(name: String)(builder: Seq[Expression] => Expression): Unit =
@@ -49,5 +63,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     add("i8_quantize")(es => Int8Quantize(es.head))
     add("i8_scale")(es => Int8Scale(es.head))
     add("cosine_i8")(es => Int8Cosine(es(0), es(1)))
+    add("simhash128")(es => SimHash128(es.head))
+    add("l2_norm")(es => L2Norm(es.head))
+    add("media_header")(es => MediaHeader(es.head))
+    // bloom_agg(hash [, expectedItems [, fpp]])
+    add("bloom_agg")(es => BloomAgg(es.head,
+      if (es.length > 1) litLong(es(1), "bloom_agg") else 1000000L,
+      if (es.length > 2) litDouble(es(2), "bloom_agg") else 0.01))
+    add("bloom_might_contain")(es => BloomMightContain(es(0), es(1)))
+    // kll_agg(value [, k])
+    add("kll_agg")(es => KllAgg(es.head,
+      if (es.length > 1) litInt(es(1), "kll_agg") else 200))
+    add("kll_merge_agg")(es => KllMergeAgg(es.head,
+      if (es.length > 1) litInt(es(1), "kll_merge_agg") else 200))
+    // kll_quantiles(sketch, rank [, rank ...])
+    add("kll_quantiles")(es => KllQuantiles(es.head,
+      es.tail.map(litDouble(_, "kll_quantiles"))))
   }
 }

@@ -80,19 +80,31 @@ object ScaleSmoke {
       Dedup.exactGroups(docs, "doc_id", "text").filter(col("n_docs") > 1).count())
     // DEFAULT path = analytic signature-agreement prefilter ON
     // (Dedup.sigMarginForMissBound): the verify join ships 128 B signatures
-    // instead of ~KB shingle arrays (the spill-bound stage at 1 M rows)
+    // instead of ~KB shingle arrays (the spill-bound stage at 1 M rows).
+    // Each contrast path runs in its OWN CacheScope, closed before the
+    // other is timed: the two invocations share identical shingle/
+    // signature/band logical plans, so with session-lifetime caches the
+    // second path would read the first's materialized intermediates and
+    // the "contrast" would measure cold-vs-warm, not plan-vs-plan (this
+    // exact confound produced the phantom 5.7x prefilter slowdown in the
+    // first 5 M run — and round 6's mirror-image prefilter win).
+    val scopeDefault = graft.CacheScope()
     val pairs = t("minhash_lsh_pairs") {
-      val p = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8).cache()
+      val p = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8)(scopeDefault)
+        .cache()
       p.count(); p
     }
     println(s"SCALE   pairs=${pairs.count()} planted=$planted " +
       s"(recall ${if (pairs.count() >= planted) "OK" else "MISS"})")
+    scopeDefault.close()
     // opt-out contrast: single-stage exact verify; output must be equal
+    val scopeExact = graft.CacheScope()
     val pairsX = t("minhash_pairs_exact")(
       Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8,
-        sigPrefilterMargin = Double.PositiveInfinity).count())
+        sigPrefilterMargin = Double.PositiveInfinity)(scopeExact).count())
     println(s"SCALE   exact-path pairs=$pairsX " +
       s"(${if (pairsX == pairs.count()) "EQUAL to default path" else "MISMATCH"})")
+    scopeExact.close()
     val clusters = t("dup_clusters")(
       Dedup.dupClusters(pairs, docs, "doc_id")
         .filter(col("id") =!= col("cluster")).count())
@@ -134,23 +146,33 @@ object ScaleSmoke {
     // what a first-time caller gets, no tuning on the call site
     println(s"SCALE   auto planesPerBand=${Dedup.planesForCorpus(n.toLong)} for n=$n")
     // DEFAULT path = int8 prefilter ON at this near-dup threshold
-    // (auto policy; verify reads precomputed norms either way)
+    // (auto policy; verify reads precomputed norms either way). Own
+    // CacheScope per path, closed between timings — same cold-vs-warm
+    // confound as the minhash contrast above: both paths share the sketch
+    // relation's logical plan.
+    val scopeSemDefault = graft.CacheScope()
     val semPairs = t("embedding_dup_pairs")(
-      Dedup.embeddingDupPairs(embs, "vec_id", "embedding", 0.9).count())
+      Dedup.embeddingDupPairs(embs, "vec_id", "embedding", 0.9)(scopeSemDefault)
+        .count())
     println(s"SCALE   semantic pairs=$semPairs planted=$planted " +
       s"(recall ${if (semPairs >= planted) "OK" else "MISS"})")
+    scopeSemDefault.close()
+    val scopeSemExact = graft.CacheScope()
     val semPairsX = t("embedding_pairs_exact")(
       Dedup.embeddingDupPairs(embs, "vec_id", "embedding", 0.9,
-        prefilterMargin = Double.PositiveInfinity).count())
+        prefilterMargin = Double.PositiveInfinity)(scopeSemExact).count())
     println(s"SCALE   exact-path pairs=$semPairsX " +
       s"(${if (semPairsX == semPairs) "EQUAL to default path" else "MISMATCH"})")
+    scopeSemExact.close()
     // eval ids ≡ 8 (mod 1000) are bases of a planted variant (ids ≡ 9 mod
     // 10), so each eval vector contaminates exactly its +1 neighbor:
     // expected flags = n/1000
+    val scopeDecon = graft.CacheScope()
     val decon = t("semantic_decon")(
       Curation.semanticContaminationReport(embs, "vec_id", "embedding",
-        col("vec_id") % 1000 === 8, threshold = 0.9)
+        col("vec_id") % 1000 === 8, threshold = 0.9)(scopeDecon)
         .filter(col("contaminated")).count())
+    scopeDecon.close()
     println(s"SCALE   contaminated=$decon expected=${n / 1000} " +
       s"(${if (decon == n / 1000) "OK" else "MISS"})")
     embs.unpersist()
@@ -200,12 +222,14 @@ object ScaleSmoke {
       1.0 - math.pow(1.0 - Dedup.bandCatchProb(c, r, 1, 4), b)
     println(s"SCALE   auto r=$r bands=$b at threshold=$threshold n=$n")
 
+    val scopeRecall = graft.CacheScope()
     val found = t("recall_dup_pairs")(
-      Dedup.embeddingDupPairs(rembs, "vec_id", "embedding", threshold)
+      Dedup.embeddingDupPairs(rembs, "vec_id", "embedding", threshold)(scopeRecall)
         .filter(col("id_b") - col("id_a") === 1 && col("id_b") % 10 === 9)
         .select(col("id_b"), (col("id_b") % 20 === 9).as("gap"))
         .groupBy("gap").count()
         .collect().map(row => row.getBoolean(0) -> row.getLong(1)).toMap)
+    scopeRecall.close()
     val cohort = n / 20L
     val recGuar = found.getOrElse(false, 0L).toDouble / cohort
     val recGap = found.getOrElse(true, 0L).toDouble / cohort

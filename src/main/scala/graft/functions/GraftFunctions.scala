@@ -20,6 +20,20 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal int argument, got $other")
   }
+  private def long(e: Expression, fn: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal bigint argument, got $other")
+  }
+  private def dbl(e: Expression, fn: String): Double = e match {
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: Double, _) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal double argument, got $other")
+  }
 
   /** Register every engine function in the session's function registry. */
   def register(spark: SparkSession): Unit = {
@@ -46,5 +60,20 @@ object GraftFunctions {
     add("i8_quantize")(es => Int8Quantize(es.head))
     add("i8_scale")(es => Int8Scale(es.head))
     add("cosine_i8")(es => Int8Cosine(es(0), es(1)))
+    add("l2_norm")(es => L2Norm(es.head))
+    add("media_header")(es => MediaHeader(es.head))
+    // bloom_agg(hash [, expectedItems [, fpp]])
+    add("bloom_agg")(es => BloomAgg(es.head,
+      if (es.length > 1) long(es(1), "bloom_agg") else 1000000L,
+      if (es.length > 2) dbl(es(2), "bloom_agg") else 0.01))
+    add("bloom_might_contain")(es => BloomMightContain(es(0), es(1)))
+    // kll_agg(value [, k])
+    add("kll_agg")(es => KllAgg(es.head,
+      if (es.length > 1) int(es(1), "kll_agg") else 200))
+    add("kll_merge_agg")(es => KllMergeAgg(es.head,
+      if (es.length > 1) int(es(1), "kll_merge_agg") else 200))
+    // kll_quantiles(sketch, rank [, rank ...])
+    add("kll_quantiles")(es => KllQuantiles(es.head,
+      es.tail.map(dbl(_, "kll_quantiles"))))
   }
 }

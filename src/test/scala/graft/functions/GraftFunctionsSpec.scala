@@ -32,6 +32,20 @@ class GraftFunctionsSpec extends SparkSpec {
     new graft.GraftExtensions().apply(ext) // builders validated in SQL test above
   }
 
+  test("SQL surface: sketch aggregates (bloom, kll) run in spark.sql") {
+    GraftFunctions.register(spark)
+    spark.range(1000).createOrReplaceTempView("sketch_in")
+    val row = spark.sql(
+      """WITH bf AS (SELECT bloom_agg(xxhash64(id), 1000, 0.01) AS f FROM sketch_in),
+        |     kl AS (SELECT kll_agg(cast(id AS double)) AS sk FROM sketch_in)
+        |SELECT (SELECT count(*) FROM sketch_in, bf
+        |         WHERE bloom_might_contain(bf.f, xxhash64(id))) AS hits,
+        |       (SELECT kll_quantiles(sk, 0.5)[0] FROM kl) AS median
+        |""".stripMargin).collect()(0)
+    assert(row.getAs[Long]("hits") == 1000L)
+    assert(math.abs(row.getAs[Double]("median") - 500.0) < 50)
+  }
+
   test("expand_bitmap with literal args constant-folds at plan time") {
     GraftFunctions.register(spark)
     val df = spark.sql(
