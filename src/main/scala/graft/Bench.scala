@@ -84,9 +84,13 @@ object Bench {
     // materialize the ANN index-catalog entries for the target SF: an index
     // is built once per dataset version (IndexCatalog) and amortized over
     // every query — the timed region measures the production shape, the
-    // bucket-pruned probe, not a rebuild the catalog exists to avoid
-    try queries.PipelineQueries.warmIndexes(spark, sfDir)
-    catch { case _: Throwable => () }
+    // bucket-pruned probe, not a rebuild the catalog exists to avoid.
+    // SPARK_GRAFT_NO_INDEX_WARM=1 skips this (bisection aid: isolates
+    // warmup-vs-suite interactions; catalog-probing queries then pay their
+    // own builds)
+    if (!sys.env.get("SPARK_GRAFT_NO_INDEX_WARM").contains("1"))
+      try queries.PipelineQueries.warmIndexes(spark, sfDir)
+      catch { case _: Throwable => () }
     spark.catalog.clearCache()
 
     // Canary: fixed CPU-bound work across all cores — a faithful proxy for
@@ -124,6 +128,13 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // outside the timer: caches one query leaves behind must not squeeze
       // executor storage for the next; the canary then certifies the window.
+      // (Round-7 bisection note: the heaviest shuffle entry,
+      // ns_dedup_ngram_jaccard, reads ~1.5 s isolated but 2.1-2.5 s
+      // mid-suite; skipping warmIndexes and forcing System.gc() here were
+      // both tried and neither recovers the isolated number, so the
+      // overhead is suite-context state the canary rightly ignores —
+      // recorded in SURVEY, not "fixed" with a GC that costs the suite
+      // ~4 s of pauses without helping.)
       // Min-of-2 canary runs: a single run right after a heavy query can be
       // slowed by that query's own GC/cleanup tail (a false positive that
       // would burn a re-sample pass), while a genuine host slow window is
