@@ -115,4 +115,9 @@ package object functions {
   /** Extract quantiles at `ranks` from a serialized KLL sketch column. */
   def kll_quantiles(sketch: Column, ranks: Seq[Double]): Column =
     col(KllQuantiles(ex(sketch), ranks))
+
+  /** Asymmetric-distance score of a PQ code word against a query lookup
+    * table (m byte lookups per vector — the PQ scan kernel). */
+  def pq_adc_score(codes: Column, lut: Column): Column =
+    col(PqAdcScore(ex(codes), ex(lut)))
 }

@@ -318,6 +318,26 @@ object PipelineQueries {
       },
       None),
 
+    // ---- ANN: product-quantization index — 8 one-byte codes per vector
+    // (32x scan reduction vs float32), ADC byte-scan + exact rerank of the
+    // top 4k (the standard two-stage PQ shape). Deterministic build;
+    // recall vs brute force asserted in PqIndexSpec — approximate by
+    // design. ----
+    ("ns_ann_pq_topk",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        val indexDir = IndexCatalog.ensure(s, "ann-pq",
+          Seq(s"$d/embeddings.parquet"), "m=8,ksub=256,it=8")(dir =>
+          graft.operators.PqIndex.build(embs, "vec_id", "embedding", dir,
+            m = 8, ksub = 256))
+        val qv = embs.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        graft.operators.PqIndex.topK(s, indexDir, qv, k = 11,
+            rerankFrom = Some((embs, "vec_id", "embedding")))
+          .filter(col("id") =!= 0)
+      },
+      None),
+
     // ---- ANN: COLD index builds, timed every invocation (deterministic
     // dir, wiped first). The probe queries above amortize builds through
     // IndexCatalog by design — these entries exist so BENCH still observes
