@@ -120,6 +120,28 @@ object ScaleSmoke {
     val sh128 = t("simhash_pairs_128")(
       Dedup.simhash128Pairs(docs, "doc_id", "text").count())
     println(s"SCALE   simhash pairs 64-bit=$sh64 128-bit=$sh128")
+
+    // ---- decontamination at the bloom path's target regime: eval = the
+    // variant BASES (id % 10 == 8), so every planted variant (id % 10 == 9)
+    // shares 55 of its 58 shingles with an eval doc -> expected flags =
+    // n/10. The eval shingle relation is ~n/10·58 distinct trigrams (5.8 M
+    // at 1 M docs — far beyond broadcast comfort); the bloom filter
+    // condenses it to a few MB. The broadcast variant runs as the contrast
+    // — at this eval size it must ship the full distinct-shingle hash
+    // relation to every task. Both must flag exactly the planted set.
+    val evalPred = col("doc_id") % 10 === 8
+    val deconBloom = t("decon_bloom")(
+      Curation.contaminationReportScalable(docs, "doc_id", "text",
+        evalPred, n = 3, minOverlap = 5)
+        .filter(col("contaminated")).count())
+    println(s"SCALE   bloom-decon flagged=$deconBloom expected=$planted " +
+      s"(${if (deconBloom == planted) "OK" else "MISS"})")
+    val deconBcast = t("decon_broadcast")(
+      Curation.contaminationReport(docs, "doc_id", "text",
+        evalPred, n = 3, minOverlap = 5)
+        .filter(col("contaminated")).count())
+    println(s"SCALE   broadcast-decon flagged=$deconBcast " +
+      s"(${if (deconBcast == deconBloom) "EQUAL to bloom path" else "MISMATCH"})")
     docs.unpersist()
     }
 
