@@ -79,5 +79,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // kll_quantiles(sketch, rank [, rank ...])
     add("kll_quantiles")(es => KllQuantiles(es.head,
       es.tail.map(litDouble(_, "kll_quantiles"))))
+    add("pq_adc_score")(es => PqAdcScore(es(0), es(1)))
+    // pq_encode(vec, flat_books, m, ksub)
+    add("pq_encode")(es => PqEncode(es(0), es(1),
+      litInt(es(2), "pq_encode"), litInt(es(3), "pq_encode")))
   }
 }

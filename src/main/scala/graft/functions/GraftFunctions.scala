@@ -75,5 +75,9 @@ object GraftFunctions {
     // kll_quantiles(sketch, rank [, rank ...])
     add("kll_quantiles")(es => KllQuantiles(es.head,
       es.tail.map(dbl(_, "kll_quantiles"))))
+    add("pq_adc_score")(es => PqAdcScore(es(0), es(1)))
+    // pq_encode(vec, flat_books, m, ksub)
+    add("pq_encode")(es => PqEncode(es(0), es(1),
+      int(es(2), "pq_encode"), int(es(3), "pq_encode")))
   }
 }

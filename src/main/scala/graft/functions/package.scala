@@ -120,4 +120,9 @@ package object functions {
     * table (m byte lookups per vector — the PQ scan kernel). */
   def pq_adc_score(codes: Column, lut: Column): Column =
     col(PqAdcScore(ex(codes), ex(lut)))
+
+  /** Nearest-centroid PQ code assignment in one map pass (the PQ
+    * train/encode kernel — no subvector×codebook join). */
+  def pq_encode(vec: Column, flatBooks: Column, m: Int, ksub: Int): Column =
+    col(PqEncode(ex(vec), ex(flatBooks), m, ksub))
 }

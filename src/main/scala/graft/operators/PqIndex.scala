@@ -1,10 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosine_similarity, dot_product, l2_norm, pq_adc_score}
+import graft.functions.{cosine_similarity, l2_norm, pq_adc_score, pq_encode}
 
 /** Product-quantization ANN index: each unit-normalized vector becomes `m`
   * one-byte codebook assignments (8 B at m=8 vs 256 B float32 for 64 dims
@@ -15,13 +14,13 @@ import graft.functions.{cosine_similarity, dot_product, l2_norm, pq_adc_score}
   * index exceeds cluster memory.
   *
   * Training is m INDEPENDENT per-subspace k-means runs expressed as ONE
-  * DataFrame Lloyd loop: subvectors carry their subspace index `j`, the
-  * codebook relation is keyed `(j, cid)`, assignment broadcasts all
-  * `m·ksub` codebook rows (tiny) and refinement is a single
-  * map-side-combinable `vector_avg` grouped by `(j, cid)` — the per-
-  * iteration shuffle is one N·m-row aggregate regardless of m. Seeds are
-  * deterministic (smallest `xxhash64(id)` per subspace), so builds are
-  * reproducible byte-for-byte.
+  * DataFrame Lloyd loop over a bounded deterministic sample: assignment
+  * is the map-only [[graft.functions.PqEncode]] kernel (flat codebook as
+  * a geometry-bounded literal — no subvector×codebook join), refinement
+  * is a single map-side-combinable `vector_avg` grouped by `(j, cid)` —
+  * the per-iteration shuffle is one sample·m-row aggregate regardless of
+  * ksub. Seeds are deterministic (smallest `xxhash64(id)` vectors), so
+  * builds are reproducible byte-for-byte.
   *
   * Because vectors are normalized at build time, the ADC score
   * `Σ_j q_j · c_{j,code_j}` approximates cosine directly; [[topK]]
@@ -39,99 +38,84 @@ object PqIndex {
   private def codesDir(indexDir: String) = s"$indexDir/codes"
   private def codebooksDir(indexDir: String) = s"$indexDir/codebooks"
 
-  /** Unit-normalize, split into m subvectors: `(id, j, sub)`. */
-  private def subvectors(vecs: DataFrame, m: Int, dsub: Int): DataFrame =
-    vecs
-      .withColumn("nrm", l2_norm(col("vec")))
-      .filter(col("nrm") > 0.0)
-      .withColumn("u", transform(col("vec"), v => (v / col("nrm")).cast("float")))
-      .select(col("id"), explode(transform(sequence(lit(0), lit(m - 1)),
-        j => struct(j.cast("int").as("j"),
-          slice(col("u"), j * dsub + 1, lit(dsub)).as("sub")))).as("s"))
-      .select(col("id"), col("s.j").as("j"), col("s.sub").as("sub"))
-
-  /** Assign every subvector to its min-L2 codebook entry of ITS subspace:
-    * `‖s−c‖² = ‖s‖² − 2·s·c + ‖c‖²`, with both norms precomputed.
-    */
-  private def assign(subs: DataFrame, codebooks: DataFrame): DataFrame = {
-    val cb = codebooks
-      .withColumn("cn2", pow(l2_norm(col("cvec")), 2))
-    subs
-      .withColumn("sn2", pow(l2_norm(col("sub")), 2))
-      .join(broadcast(cb), Seq("j"))
-      .withColumn("dist",
-        col("sn2") - lit(2.0) * dot_product(col("sub"), col("cvec")) + col("cn2"))
-      .groupBy("id", "j")
-      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"),
-        first(col("sub")).as("sub"))
-  }
-
   /** Train codebooks and write the code table. `m` subspaces, `ksub`
-    * centroids each (≤ 256 — codes are bytes), `iterations` Lloyd rounds.
+    * centroids each (≤ 256 — codes are bytes), `iterations` Lloyd rounds
+    * over a deterministic sample of at most `trainRows` vectors (codebooks
+    * need a representative sample, not the corpus; the full relation is
+    * touched once more for the final encode — standard PQ practice).
+    *
+    * Every stage is shuffle-light by construction: assignment is the
+    * map-only [[graft.functions.PqEncode]] kernel (the flat codebook rides
+    * along as an m·ksub·dsub-float literal, geometry-bounded); refinement
+    * is one N·m-row map-side-combinable `vector_avg` aggregate whose
+    * m·ksub result rows round-trip the driver — which also truncates plan
+    * lineage, so iteration i never re-plans iterations 0..i-1.
     */
   def build(embs: DataFrame, idCol: String, vecCol: String, indexDir: String,
-            m: Int = 8, ksub: Int = 256, iterations: Int = 8): Unit = {
+            m: Int = 8, ksub: Int = 256, iterations: Int = 8,
+            trainRows: Int = 200000): Unit = {
     require(ksub <= 256, s"ksub must fit a byte, got $ksub")
     val spark = embs.sparkSession
     val dim = embs.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
 
-    val vecs = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val subs = subvectors(vecs, m, dsub).cache()
+    val unit = embs
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", l2_norm(col("vec")))
+      .filter(col("nrm") > 0.0)
+      .select(col("id"),
+        transform(col("vec"), v => (v / col("nrm")).cast("float")).as("u"))
+    // deterministic training sample: the trainRows smallest xxhash64(id)
+    // vectors (a top-k, not a global sort)
+    val train = unit.withColumn("h", xxhash64(col("id")))
+      .orderBy("h", "id").limit(trainRows).cache()
     try {
-      import spark.implicits._
-      // The codebook relation is m·ksub rows (geometry-bounded, never
-      // data-bounded), so each Lloyd iteration round-trips it through the
-      // driver: that truncates the otherwise-compounding plan lineage —
-      // iteration i's broadcast is a fresh tiny local relation, not a
-      // i-deep join tree over the full subvector table.
-      def toDf(rows: Array[(Int, Int, Seq[Float])]) =
-        spark.createDataset(rows.toSeq).toDF("j", "cid", "cvec")
-      def collectBooks(df: DataFrame): Array[(Int, Int, Seq[Float])] =
-        df.select(col("j"), col("cid"), col("cvec")).collect()
-          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
-          .sortBy(t => (t._1, t._2))
-
-      // deterministic per-subspace seeds: the ksub smallest xxhash64(id)
-      // subvectors of each subspace
-      val ws = Window.partitionBy("j").orderBy("h", "id")
-      var books = collectBooks(subs
-        .withColumn("h", xxhash64(col("id")))
-        .withColumn("r", row_number().over(ws))
-        .filter(col("r") <= ksub)
-        .select(col("j"), (col("r") - 1).cast("int").as("cid"),
-          col("sub").as("cvec")))
+      // seeds = the ksub smallest-hash training vectors, sliced per
+      // subspace (collect is ksub·dim floats — geometry-bounded; the
+      // re-sort matters: a bare limit on the cached sample picks
+      // arbitrary rows)
+      val seeds = train.orderBy("h", "id").limit(ksub)
+        .select("u").collect().map(_.getSeq[Float](0))
+      val k2 = seeds.length min ksub
+      var flat = new Array[Float](m * k2 * dsub)
+      for (c <- 0 until k2; j <- 0 until m; i <- 0 until dsub)
+        flat((j * k2 + c) * dsub + i) = seeds(c)(j * dsub + i)
 
       (0 until iterations).foreach { _ =>
-        // assign() carries the subvector through, so refinement is one
-        // aggregate — no re-join against the subvector relation
-        val means = collectBooks(assign(subs, toDf(books))
+        val means = train
+          .select(posexplode(
+            pq_encode(col("u"), typedlit(flat.toSeq), m, k2))
+            .as(Seq("j", "cid")), col("u"))
+          .select(col("j"), col("cid").cast("int").bitwiseAND(255).as("cid"),
+            slice(col("u"), col("j") * dsub + 1, lit(dsub)).as("sub"))
           .groupBy("j", "cid")
-          .agg(graft.functions.vector_avg(col("sub")).as("cvec")))
+          .agg(graft.functions.vector_avg(col("sub")).as("cvec"))
+          .collect()
         // empty cells keep their previous centroid
-        val got = means.map(t => (t._1, t._2) -> t._3).toMap
-        books = books.map { case (j, cid, old) =>
-          (j, cid, got.getOrElse((j, cid), old))
+        val next = flat.clone()
+        means.foreach { r =>
+          val off = (r.getInt(0) * k2 + r.getInt(1)) * dsub
+          val cv = r.getSeq[Float](2)
+          var i = 0
+          while (i < dsub) { next(off + i) = cv(i); i += 1 }
         }
+        flat = next
       }
-      toDf(books).coalesce(1).write.mode("overwrite")
-        .parquet(codebooksDir(indexDir))
 
-      // encode against the WRITTEN codebooks (one authoritative version);
-      // cids above 127 store as their two's-complement byte — the ADC
-      // kernel reads codes unsigned (`& 0xFF`), the standard PQ layout
-      val finalBooks = spark.read.parquet(codebooksDir(indexDir))
-      assign(subs, finalBooks)
-        .groupBy("id")
-        .agg(array_sort(collect_list(struct(col("j"), col("cid")))).as("jc"))
-        .select(col("id"),
-          transform(col("jc"), e => {
-            val c = e.getField("cid")
-            when(c > 127, c - 256).otherwise(c).cast("byte")
-          }).as("codes"))
+      import spark.implicits._
+      val bookRows = for (j <- 0 until m; c <- 0 until k2) yield
+        (j, c, (0 until dsub).map(i => flat((j * k2 + c) * dsub + i)))
+      spark.createDataset(bookRows).toDF("j", "cid", "cvec")
+        .coalesce(1).write.mode("overwrite").parquet(codebooksDir(indexDir))
+
+      // final encode: ONE map pass over the full relation; cids above 127
+      // store as their two's-complement byte — the ADC kernel reads codes
+      // unsigned (`& 0xFF`), the standard PQ layout
+      unit.select(col("id"),
+          pq_encode(col("u"), typedlit(flat.toSeq), m, k2).as("codes"))
         .write.mode("overwrite").parquet(codesDir(indexDir))
-    } finally subs.unpersist()
+    } finally train.unpersist()
   }
 
   /** ADC top-k: normalize the query, build the m·ksub lookup table

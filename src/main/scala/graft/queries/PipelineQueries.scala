@@ -101,6 +101,9 @@ object PipelineQueries {
       dir => Similarity.buildIndex(embs, "vec_id", "embedding", dir, numPlanes = 6))
     IndexCatalog.ensure(s, "ann-ivf", Seq(s"$d/embeddings.parquet"), "k=16,it=2")(
       dir => graft.operators.IvfIndex.build(embs, "vec_id", "embedding", dir))
+    IndexCatalog.ensure(s, "ann-pq", Seq(s"$d/embeddings.parquet"),
+      "m=8,ksub=256,it=8")(
+      dir => graft.operators.PqIndex.build(embs, "vec_id", "embedding", dir))
     dupClusterTable(s, d)
     semanticClusterTable(s, d)
   }
@@ -320,9 +323,9 @@ object PipelineQueries {
 
     // ---- ANN: product-quantization index — 8 one-byte codes per vector
     // (32x scan reduction vs float32), ADC byte-scan + exact rerank of the
-    // top 4k (the standard two-stage PQ shape). Deterministic build;
-    // recall vs brute force asserted in PqIndexSpec — approximate by
-    // design. ----
+    // top rerankFactor*k (the standard two-stage PQ shape). Deterministic
+    // build; recall vs brute force asserted in PqIndexSpec — approximate
+    // by design. ----
     ("ns_ann_pq_topk",
       (s: SparkSession, d: String) => {
         val embs = Tables.embeddings(s, d)
@@ -366,6 +369,21 @@ object PipelineQueries {
           "embedding", root.toString)
         s.read.parquet(s"$root/lists").groupBy("cid")
           .agg(count(lit(1)).as("n_vecs")).orderBy("cid")
+      },
+      None),
+
+    ("ns_ann_pq_build",
+      (s: SparkSession, d: String) => {
+        val root = new org.apache.hadoop.fs.Path(
+          s"${System.getProperty("java.io.tmpdir")}/graft_pq_build_${math.abs(d.hashCode)}")
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(root, true)
+        graft.operators.PqIndex.build(Tables.embeddings(s, d), "vec_id",
+          "embedding", root.toString)
+        s.read.parquet(s"$root/codes")
+          .select(posexplode(col("codes")).as(Seq("j", "cid")))
+          .groupBy("j").agg(countDistinct("cid").as("n_used"))
+          .orderBy("j")
       },
       None),
 

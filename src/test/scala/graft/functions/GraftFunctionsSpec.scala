@@ -46,6 +46,30 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("median") - 500.0) < 50)
   }
 
+  test("SQL surface: pq_encode + pq_adc_score round-trip") {
+    GraftFunctions.register(spark)
+    // 2 subspaces × 2 centroids × dsub=2: books laid out
+    // [(j*ksub+cid)*dsub + i]; vector (1,0, 0,1) must pick cid 0 in both
+    // subspaces, and its ADC score against a LUT must sum the two slots.
+    val row = spark.sql(
+      """SELECT
+        |  pq_encode(array(cast(1.0 as float), cast(0.0 as float),
+        |                  cast(0.0 as float), cast(1.0 as float)),
+        |            array(cast(1.0 as float), cast(0.0 as float),
+        |                  cast(0.0 as float), cast(1.0 as float),
+        |                  cast(1.0 as float), cast(0.0 as float),
+        |                  cast(0.0 as float), cast(1.0 as float)),
+        |            2, 2) AS codes,
+        |  pq_adc_score(array(cast(0 as tinyint), cast(1 as tinyint)),
+        |    array(cast(0.5 as float), cast(0.25 as float),
+        |          cast(0.125 as float), cast(0.0625 as float))) AS score
+        |""".stripMargin).collect()(0)
+    assert(row.getSeq[Byte](0) == Seq(0.toByte, 1.toByte),
+      s"subspace 0 -> centroid 0 (1,0), subspace 1 -> centroid 1 (0,1); " +
+        s"got ${row.getSeq[Byte](0)}")
+    assert(math.abs(row.getAs[Double]("score") - (0.5 + 0.0625)) < 1e-9)
+  }
+
   test("expand_bitmap with literal args constant-folds at plan time") {
     GraftFunctions.register(spark)
     val df = spark.sql(
