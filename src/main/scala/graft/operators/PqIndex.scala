@@ -66,9 +66,27 @@ object PqIndex {
       .filter(col("nrm") > 0.0)
       .select(col("id"),
         transform(col("vec"), v => (v / col("nrm")).cast("float")).as("u"))
+    val (flat, k2) = trainFlat(unit, m, ksub, iterations, trainRows, dsub)
+    writeBooks(spark, flat, m, k2, dsub, codebooksDir(indexDir))
+
+    // final encode: ONE map pass over the full relation; cids above 127
+    // store as their two's-complement byte — the ADC kernel reads codes
+    // unsigned (`& 0xFF`), the standard PQ layout
+    unit.select(col("id"),
+        pq_encode(col("u"), typedlit(flat.toSeq), m, k2).as("codes"))
+      .write.mode("overwrite").parquet(codesDir(indexDir))
+  }
+
+  /** Lloyd-train the flat codebook array (layout `[(j·k2 + cid)·dsub + i]`)
+    * over the `u` column of `idU` — shared by the flat-PQ build and the
+    * IVF-PQ residual build. Returns (flat, k2) where k2 ≤ ksub is the
+    * effective centroid count (fewer when the corpus is smaller than ksub).
+    */
+  private[operators] def trainFlat(idU: DataFrame, m: Int, ksub: Int,
+      iterations: Int, trainRows: Int, dsub: Int): (Array[Float], Int) = {
     // deterministic training sample: the trainRows smallest xxhash64(id)
     // vectors (a top-k, not a global sort)
-    val train = unit.withColumn("h", xxhash64(col("id")))
+    val train = idU.withColumn("h", xxhash64(col("id")))
       .orderBy("h", "id").limit(trainRows).cache()
     try {
       // seeds = the ksub smallest-hash training vectors, sliced per
@@ -102,20 +120,39 @@ object PqIndex {
         }
         flat = next
       }
-
-      import spark.implicits._
-      val bookRows = for (j <- 0 until m; c <- 0 until k2) yield
-        (j, c, (0 until dsub).map(i => flat((j * k2 + c) * dsub + i)))
-      spark.createDataset(bookRows).toDF("j", "cid", "cvec")
-        .coalesce(1).write.mode("overwrite").parquet(codebooksDir(indexDir))
-
-      // final encode: ONE map pass over the full relation; cids above 127
-      // store as their two's-complement byte — the ADC kernel reads codes
-      // unsigned (`& 0xFF`), the standard PQ layout
-      unit.select(col("id"),
-          pq_encode(col("u"), typedlit(flat.toSeq), m, k2).as("codes"))
-        .write.mode("overwrite").parquet(codesDir(indexDir))
+      (flat, k2)
     } finally train.unpersist()
+  }
+
+  /** Write the flat codebook as the `(j, cid, cvec)` side table. */
+  private[operators] def writeBooks(spark: SparkSession, flat: Array[Float],
+      m: Int, k2: Int, dsub: Int, dir: String): Unit = {
+    import spark.implicits._
+    val bookRows = for (j <- 0 until m; c <- 0 until k2) yield
+      (j, c, (0 until dsub).map(i => flat((j * k2 + c) * dsub + i)))
+    spark.createDataset(bookRows).toDF("j", "cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Build the query's ADC lookup table from a `(j, cid, cvec)` codebook
+    * relation collected driver-side (m·ksub rows — geometry-bounded).
+    * Returns (lut, m, ksub).
+    */
+  private[operators] def lutFor(books: Array[org.apache.spark.sql.Row],
+      q: Array[Float]): (Array[Float], Int, Int) = {
+    val m = books.map(_.getInt(0)).max + 1
+    val ksub = books.map(_.getInt(1)).max + 1
+    val dsub = q.length / m
+    val lut = new Array[Float](m * ksub)
+    books.foreach { r =>
+      val j = r.getInt(0); val cid = r.getInt(1)
+      val c = r.getSeq[Float](2)
+      var dot = 0.0
+      var i = 0
+      while (i < dsub) { dot += q(j * dsub + i) * c(i); i += 1 }
+      lut(j * ksub + cid) = dot.toFloat
+    }
+    (lut, m, ksub)
   }
 
   /** ADC top-k: normalize the query, build the m·ksub lookup table
@@ -131,20 +168,8 @@ object PqIndex {
     require(qn > 0, "zero query vector")
     val q = queryVec.map(v => (v / qn).toFloat)
 
-    val books = spark.read.parquet(codebooksDir(indexDir))
-      .select("j", "cid", "cvec").collect()
-    val m = books.map(_.getInt(0)).max + 1
-    val ksub = books.map(_.getInt(1)).max + 1
-    val dsub = q.length / m
-    val lut = new Array[Float](m * ksub)
-    books.foreach { r =>
-      val j = r.getInt(0); val cid = r.getInt(1)
-      val c = r.getSeq[Float](2)
-      var dot = 0.0
-      var i = 0
-      while (i < dsub) { dot += q(j * dsub + i) * c(i); i += 1 }
-      lut(j * ksub + cid) = dot.toFloat
-    }
+    val (lut, _, _) = lutFor(spark.read.parquet(codebooksDir(indexDir))
+      .select("j", "cid", "cvec").collect(), q)
 
     val adc = spark.read.parquet(codesDir(indexDir))
       .withColumn("score", round(pq_adc_score(col("codes"), typedlit(lut.toSeq)), 4))

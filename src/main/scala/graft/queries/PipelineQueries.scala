@@ -104,6 +104,9 @@ object PipelineQueries {
     IndexCatalog.ensure(s, "ann-pq", Seq(s"$d/embeddings.parquet"),
       "m=8,ksub=256,it=8")(
       dir => graft.operators.PqIndex.build(embs, "vec_id", "embedding", dir))
+    IndexCatalog.ensure(s, "ann-ivfpq", Seq(s"$d/embeddings.parquet"),
+      "k=16,m=8,ksub=256")(
+      dir => graft.operators.IvfPqIndex.build(embs, "vec_id", "embedding", dir))
     dupClusterTable(s, d)
     semanticClusterTable(s, d)
   }
@@ -369,6 +372,25 @@ object PipelineQueries {
           "embedding", root.toString)
         s.read.parquet(s"$root/lists").groupBy("cid")
           .agg(count(lit(1)).as("n_vecs")).orderBy("cid")
+      },
+      None),
+
+    // ---- ANN: IVF-PQ — coarse list pruning AND 32x-compressed in-list
+    // scan (residual PQ codes; one global LUT since cos(q,u) = q·c + q·r
+    // on unit vectors), exact rerank. The at-scale composition of the two
+    // index families above; approximate by design, recall + pruning
+    // asserted in IvfPqIndexSpec. ----
+    ("ns_ann_ivfpq_topk",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        val indexDir = IndexCatalog.ensure(s, "ann-ivfpq",
+          Seq(s"$d/embeddings.parquet"), "k=16,m=8,ksub=256")(dir =>
+          graft.operators.IvfPqIndex.build(embs, "vec_id", "embedding", dir))
+        val qv = embs.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        graft.operators.IvfPqIndex.topK(s, indexDir, qv, k = 11, nprobe = 4,
+            rerankFrom = Some((embs, "vec_id", "embedding")))
+          .filter(col("id") =!= 0)
       },
       None),
 
