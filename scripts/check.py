@@ -86,12 +86,18 @@ def main():
     if "--skip-verify" not in FLAGS:
         run_verify()
     oracles = json.loads(Path(OUT_DIR, "oracle_sql.json").read_text())
+    err_path = Path(OUT_DIR, "errors.json")
+    engine_errors = json.loads(err_path.read_text()) if err_path.exists() else {}
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     names = ONLY or sorted(oracles)
     failed = 0
     for name in names:
+        if name in engine_errors:
+            print(f"FAIL {name} — ENGINE ERROR: {engine_errors[name]}")
+            failed += 1
+            continue
         err = compare(name, oracles[name], con)
         status = "OK " if err is None else "FAIL"
         print(f"{status} {name}" + (f" — {err}" if err else ""))
@@ -105,6 +111,10 @@ def main():
             except Exception as e:
                 print(f"FAIL {d.name} (rows-only): {e}")
                 failed += 1
+    for name, msg in engine_errors.items():
+        if name not in oracles:  # rows-only query that never produced output
+            print(f"FAIL {name} (rows-only) — ENGINE ERROR: {msg}")
+            failed += 1
     print(f"\n{len(names) - failed}/{len(names)} oracle queries pass")
     sys.exit(1 if failed else 0)
 
