@@ -42,7 +42,7 @@ object Multimodal {
     * DataFrame. Pure projection: scales with scan throughput.
     */
   def withMeta(df: DataFrame, contentCol: String, frames: Int = 5): DataFrame =
-    df.select(df.columns.map(col) ++ headerMeta(col(contentCol)) :+
+    df.select(df.columns.toIndexedSeq.map(col) ++ headerMeta(col(contentCol)) :+
       frameOffsets(col(contentCol), frames).as("frame_offsets"): _*)
 
   /** Frame extraction: slice `frames` equal byte ranges out of the payload

@@ -129,7 +129,7 @@ object Similarity {
       val bucketList = probes.select("bucket").distinct()
         .collect().map(_.getLong(0)).sorted
       val candidates = spark.read.parquet(indexDir)
-        .filter(col("bucket").isin(bucketList: _*)) // literal: partition-pruned
+        .filter(col("bucket").isin(bucketList.toIndexedSeq: _*)) // literal: partition-pruned
         .join(probes, Seq("bucket"))
         .filter(if (excludeSelf) col("id") =!= col("qid") else lit(true))
         // no dedup needed: a vector lives in exactly ONE bucket partition

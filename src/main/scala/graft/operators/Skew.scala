@@ -31,7 +31,7 @@ object Skew {
                  joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
     val saltedFact = fact.withColumn("__salt",
-      saltOf(fact.columns.map(col), salts))
+      saltOf(fact.columns.toIndexedSeq.map(col), salts))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
     saltedFact.join(saltedDim, Seq(key, "__salt"), joinType)

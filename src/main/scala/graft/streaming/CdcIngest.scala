@@ -184,7 +184,7 @@ object CdcIngest {
                 // eventParseError.js:7-55 parity: replayId/topic already ride
                 // along as batch columns; add the cause + raw event + time.
                 .withColumn("cause", lit(s"validation failed: ${valid.toString}"))
-                .withColumn("raw_event", to_json(struct(batch.columns.map(col): _*)))
+                .withColumn("raw_event", to_json(struct(batch.columns.toIndexedSeq.map(col): _*)))
                 .withColumn("dead_letter_at", current_timestamp())
                 .write.mode("append").parquet(targetDir + "_dead_letter")
             }
@@ -239,7 +239,7 @@ object CdcIngest {
     def deadLetter(rows: DataFrame, cause: Column): Unit =
       Retry.withBackoff() {
         rows.withColumn("cause", cause)
-          .withColumn("raw_event", to_json(struct(rows.columns.map(col): _*)))
+          .withColumn("raw_event", to_json(struct(rows.columns.toIndexedSeq.map(col): _*)))
           .withColumn("dead_letter_at", current_timestamp())
           .write.mode("append").parquet(targetDir + "_dead_letter")
       }

@@ -57,7 +57,7 @@ object Compaction {
       //    contract is "duplicates, never loss".
       val staging = new Path(bucketDir.getParent,
         s".compact_${bucketDir.getName}")
-      spark.read.parquet(oldFiles.map(_.toString): _*)
+      spark.read.parquet(oldFiles.toIndexedSeq.map(_.toString): _*)
         .coalesce(1)
         .write.mode("overwrite").parquet(staging.toString)
       val part = fs.listStatus(staging)

@@ -31,9 +31,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * O(#queries) — this is control-plane, not data-plane.
   */
 class LivenessMonitor extends StreamingQueryListener {
-
-  final case class Heartbeat(atMillis: Long, batchId: Long, inputRows: Long,
-                             latestReplayId: Option[Long])
+  import LivenessMonitor.Heartbeat
 
   private val beats = TrieMap.empty[String, Heartbeat]
   private val mapper = new ObjectMapper()
@@ -96,6 +94,14 @@ class LivenessMonitor extends StreamingQueryListener {
     }
     dead
   }
+}
+
+object LivenessMonitor {
+  /** One keepalive receipt. Companion-scoped (not an inner class) so the
+    * pattern-matchable type carries no outer-instance reference.
+    */
+  final case class Heartbeat(atMillis: Long, batchId: Long, inputRows: Long,
+                             latestReplayId: Option[Long])
 }
 
 object Liveness {

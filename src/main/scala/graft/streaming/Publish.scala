@@ -42,7 +42,7 @@ object Publish {
     val base = Bootstrap.captureOffset(logDir)
     // deterministic publish order within the batch: caller's sort columns
     // first, then a total tiebreak on all columns via a single window.
-    val w = Window.orderBy(batch.columns.map(col): _*)
+    val w = Window.orderBy(batch.columns.toIndexedSeq.map(col): _*)
     // cache: the id-assignment pass is read twice (count + file write), and
     // the count also derives `last` so the batch lineage runs exactly once.
     val withIds = batch.withColumn("replayId", row_number().over(w) + base)
@@ -73,7 +73,7 @@ object Publish {
                      correlationKeyCol: String = "correlationKey"): DataFrame = {
     import spark.implicits._
     val base = Bootstrap.captureOffset(logDir)
-    val w = Window.orderBy(batch.columns.map(col): _*)
+    val w = Window.orderBy(batch.columns.toIndexedSeq.map(col): _*)
     val withIds = batch.withColumn("replayId", row_number().over(w) + base).cache()
     try {
       val acks = withIds.select(col(correlationKeyCol), col("replayId"))

@@ -45,7 +45,7 @@ object StreamingDedup {
     val withFp = batch.withColumn("__fp", md5(TextOps.normalized(col(textCol))))
     val folded = withFp
       .groupBy("__fp")
-      .agg(min_by(struct(batch.columns.map(col): _*), col(idCol)).as("doc"))
+      .agg(min_by(struct(batch.columns.toIndexedSeq.map(col): _*), col(idCol)).as("doc"))
       .select(col("__fp"), col("doc.*"))
       .withColumn("__bucket", CdcIngest.bucketOf(col("__fp"), numBuckets))
       .cache()

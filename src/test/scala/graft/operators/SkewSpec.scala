@@ -22,7 +22,7 @@ class SkewSpec extends SparkSpec {
 
     // the hot key's fact rows really are spread across several salt values
     val spread = fact.withColumn("__salt",
-        Skew.saltOf(fact.columns.map(col), 8))
+        Skew.saltOf(fact.columns.toIndexedSeq.map(col), 8))
       .filter(col("key") === "HOT")
       .select("__salt").distinct().count()
     assert(spread >= 6, s"hot key landed on only $spread of 8 salts")

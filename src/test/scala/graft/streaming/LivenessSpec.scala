@@ -8,7 +8,7 @@ class LivenessSpec extends SparkSpec {
   import spark.implicits._
 
   private def awaitBeat(m: LivenessMonitor, name: String,
-                        pred: LivenessMonitor#Heartbeat => Boolean): Unit = {
+                        pred: LivenessMonitor.Heartbeat => Boolean): Unit = {
     val deadline = System.currentTimeMillis() + 20000
     while (System.currentTimeMillis() < deadline &&
       !m.heartbeat(name).exists(pred)) Thread.sleep(50)
@@ -65,8 +65,8 @@ class LivenessSpec extends SparkSpec {
   test("silent queries are flagged dead and restarted exactly once per sweep") {
     val m = new LivenessMonitor
     val now = System.currentTimeMillis()
-    m.record("fresh", m.Heartbeat(now, 3L, 10L, Some(42L)))
-    m.record("stale", m.Heartbeat(now - 60000, 1L, 5L, Some(7L)))
+    m.record("fresh", LivenessMonitor.Heartbeat(now, 3L, 10L, Some(42L)))
+    m.record("stale", LivenessMonitor.Heartbeat(now - 60000, 1L, 5L, Some(7L)))
 
     assert(m.deadQueries(now, timeoutMillis = 30000) === Seq("stale"))
 
