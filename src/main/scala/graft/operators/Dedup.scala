@@ -88,6 +88,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric n-gram containment pairs: C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)|.
+    * Jaccard misses subset duplication — a short document quoted whole
+    * inside a long one scores |a|/|b| ≈ 0 Jaccard but containment 1.0 —
+    * so quote/boilerplate-inclusion dedup filters on the overlap
+    * coefficient `inter / min(|a|,|b|)` (= the larger containment
+    * direction) instead. Emits both directions for pairs whose overlap
+    * coefficient meets `threshold`.
+    *
+    * Identical plan shape (and scale posture) to [[ngramJaccardPairs]]:
+    * same inverted shingle index, same DF cap on degenerate shingles, one
+    * keyed self-join, per-pair aggregation with both set sizes riding the
+    * grouping keys.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, n: Int = 3,
+                       maxShingleDF: Long = 100000L)
+                      (implicit scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val ex = scope.own(shingleIndex(docs, idCol, textCol, n, maxShingleDF))
+    ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("c_a_in_b", col("inter").cast("double") / col("n_a"))
+      .withColumn("c_b_in_a", col("inter").cast("double") / col("n_b"))
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("c_a_in_b"), col("c_b_in_a"))
+  }
+
   /** MinHash + LSH near-dup pairs, exact-verified.
     *
     * shingle → per-doc MinHash signature (k hashes, computed in ONE pass per

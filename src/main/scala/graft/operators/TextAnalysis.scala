@@ -193,6 +193,55 @@ object TextAnalysis {
             col("n_tokens"), 4)).as("dup_token_frac"))
   }
 
+  /** Duplicated-span REMOVAL — the transform counterpart of
+    * [[duplicatedSpanStats]]: emit each document with every token that sits
+    * under a ≥2-occurrence k-gram span stripped (the masking rule of Lee et
+    * al. 2022 applied as a curation rewrite; the stats operator only
+    * measures the coverage this one removes). Returns
+    * `(doc_id, n_tokens, kept_tokens, clean_text)` for every input doc —
+    * fully-duplicated docs survive as empty strings so downstream length
+    * filters, not silent row loss, decide their fate.
+    *
+    * Plan shape at 100 TB, on top of the stats operator's: duplicated span
+    * STARTS explode into their k covered positions (fan-out k× on dup spans
+    * only, output-sized), distinct, then one anti-join removes covered
+    * tokens and a per-doc sort-rebuild (`array_sort` on (pos, token)
+    * structs — deterministic, no collect_list ordering hazard) re-joins the
+    * survivors. All shuffles keyed on doc id or fingerprint; nothing
+    * quadratic, nothing driver-side.
+    */
+  def stripDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 5): DataFrame = {
+    require(k >= 2, "a 1-token span is just a token count")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("t"))
+      .select(col("id"), col("t"), size(col("t")).cast("long").as("n_tokens"))
+    val wn = Window.partitionBy("id").orderBy("pos")
+    val gram = concat_ws(" ",
+      col("w") +: (1 until k).map(j => lead(col("w"), j).over(wn)): _*)
+    val tok = toks
+      .select(col("id"), col("n_tokens"), posexplode(col("t")).as(Seq("pos", "w")))
+    val spans = tok
+      .withColumn("fp", md5(gram))
+      .filter(col("pos") <= col("n_tokens") - k)
+      .select(col("id"), col("pos"), col("fp"))
+    val dupFp = spans.groupBy("fp").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("fp")
+    val covered = spans.join(dupFp, "fp")
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + k - 1)).as("pos"))
+      .distinct()
+    val kept = tok.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("clean_text"))
+    toks.select(col("id"), col("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Corpus-fitted bigram language-model score per document — the
     * perplexity-style quality filter of web-corpus pipelines (CCNet /
     * Gopher): fit add-k-smoothed bigram statistics on the corpus itself,

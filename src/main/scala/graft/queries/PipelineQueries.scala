@@ -166,6 +166,21 @@ object PipelineQueries {
           .orderBy("id_a", "id_b"),
       Some(jaccardPairsSql)),
 
+    // ---- asymmetric containment pairs (overlap coefficient >= 0.9):
+    // subset-duplication detector Jaccard is blind to ----
+    ("ns_dedup_containment",
+      (s: SparkSession, d: String) =>
+        Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text", 0.9)
+          .orderBy("id_a", "id_b"),
+      Some(shingleCte +
+        "SELECT id_a, id_b, " +
+        "CAST(inter AS DOUBLE)/s1.n AS c_a_in_b, " +
+        "CAST(inter AS DOUBLE)/s2.n AS c_b_in_a " +
+        "FROM pairs JOIN sizes s1 ON id_a = s1.doc_id " +
+        "JOIN sizes s2 ON id_b = s2.doc_id " +
+        "WHERE greatest(CAST(inter AS DOUBLE)/s1.n, CAST(inter AS DOUBLE)/s2.n) >= 0.9 " +
+        "ORDER BY id_a, id_b")),
+
     // ---- MinHash + LSH near-dup pairs (exact-verified; scale path) ----
     ("ns_dedup_minhash_lsh",
       (s: SparkSession, d: String) =>
@@ -962,6 +977,36 @@ object PipelineQueries {
         "round(CAST(coalesce(c.covered, 0) AS DOUBLE) / b.n, 4) END AS dup_token_frac " +
         "FROM (SELECT doc_id, len(t) AS n FROM toks) b " +
         "LEFT JOIN cov c ON b.doc_id = c.doc_id ORDER BY b.doc_id")),
+
+    // ---- duplicated-span REMOVAL: the rewrite counterpart of dup_spans —
+    // strip every token under a >=2-occurrence 5-gram span, keep all docs
+    // (fully-duplicated ones become empty strings) ----
+    ("ns_text_strip_dup_spans",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.stripDuplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+          k = 5).orderBy("doc_id"),
+      Some("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents), " +
+        "tok AS (SELECT doc_id, len(t) AS n, unnest(t) AS w, " +
+        "generate_subscripts(t, 1) - 1 AS pos FROM toks), " + // 0-based like posexplode
+        "kg AS (SELECT doc_id, pos, md5(concat_ws(' ', w, " +
+        "lead(w, 1) OVER win, lead(w, 2) OVER win, lead(w, 3) OVER win, " +
+        "lead(w, 4) OVER win)) AS fp FROM tok " +
+        "WINDOW win AS (PARTITION BY doc_id ORDER BY pos) " +
+        "QUALIFY pos <= n - 5), " +
+        "dup AS (SELECT fp FROM kg GROUP BY fp HAVING count(*) >= 2), " +
+        "cov AS (SELECT DISTINCT doc_id, pos FROM (" +
+        "SELECT kg.doc_id, unnest(generate_series(kg.pos, kg.pos + 4)) AS pos " +
+        "FROM kg JOIN dup ON kg.fp = dup.fp)), " +
+        "kept AS (SELECT tok.doc_id, count(*) AS kept_tokens, " +
+        "string_agg(tok.w, ' ' ORDER BY tok.pos) AS clean_text FROM tok " +
+        "ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos " +
+        "GROUP BY tok.doc_id) " +
+        "SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens, " +
+        "coalesce(k.clean_text, '') AS clean_text " +
+        "FROM (SELECT doc_id, len(t) AS n FROM toks) b " +
+        "LEFT JOIN kept k ON b.doc_id = k.doc_id ORDER BY b.doc_id")),
 
     // ---- text analysis: corpus-fitted bigram LM score (perplexity-style
     // quality filter; position-ordered summation for cross-engine float

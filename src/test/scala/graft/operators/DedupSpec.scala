@@ -215,6 +215,28 @@ class DedupSpec extends SparkSpec {
     assert(got.values.toSet === Set(1L) && got.size == 65)
   }
 
+  test("containmentPairs catches subset duplication Jaccard misses") {
+    import spark.implicits._
+    // doc 2 = doc 1 quoted whole inside 4x unrelated padding: containment
+    // of 1 in 2 is 1.0 but Jaccard ~ |1|/|2| ~ 0.2
+    val small = (1 to 10).map(i => s"w$i").mkString(" ")
+    val pad = (1 to 40).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, small),
+      (2L, s"$pad $small"),
+      (3L, "z1 z2 z3 z4 z5")                  // unrelated: no pair
+    ).toDF("doc_id", "text")
+
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(cont.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L)))
+    assert(cont.head._3 == 1.0, "all of doc 1's shingles appear in doc 2")
+    assert(cont.head._4 < 0.9, "doc 2 is mostly not doc 1")
+
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+    assert(jac.isEmpty, "Jaccard at 0.8 must NOT flag the subset pair")
+  }
+
   test("dupClusters fails loud (not wrong) when maxIters is too small") {
     import spark.implicits._
     // a 3-chain needs 2 min-label rounds; maxIters = 1 must throw, never

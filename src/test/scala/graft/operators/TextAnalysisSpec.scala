@@ -67,6 +67,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) === ((15L, 11L, 11L, 1.0)))
   }
 
+  test("stripDuplicatedSpans removes exactly the covered tokens and keeps all docs") {
+    val docs = Seq(
+      (1L, "a b c d e f"),                     // shares "a b c d e" with doc 2
+      (2L, "x a b c d e y"),
+      (3L, "u v w"),                           // shorter than k: untouched
+      (4L, "p q r s t p q r s t p q r s t")    // fully covered: empty output
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.stripDuplicatedSpans(docs, "doc_id", "text", k = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) === ((6L, 1L, "f")))        // [0,5) stripped
+    assert(out(2L) === ((7L, 2L, "x y")))      // [1,6) stripped
+    assert(out(3L) === ((3L, 3L, "u v w")))
+    assert(out(4L) === ((15L, 0L, "")))
+
+    // consistency with the stats operator: kept = n_tokens - covered
+    val stats = TextAnalysis.duplicatedSpanStats(docs, "doc_id", "text", k = 5)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("dup_token_frac") * col("n_tokens")).cast("long").as("covered"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(2))).toMap
+    for ((id, (_, kept, _)) <- out) assert(stats(id) == kept, s"doc $id")
+  }
+
   test("bm25TopK: multi-term match outranks single-term; absent terms score 0") {
     val docs = Seq(
       (1L, "join join other"),
