@@ -110,6 +110,26 @@ object ScaleSmoke {
         .filter(col("id") =!= col("cluster")).count())
     println(s"SCALE   non-singleton members=$clusters")
 
+    // containment at 0.9: each planted variant shares 55 of its 58
+    // trigram shingles with its base (overlap coefficient 55/58 ≈ 0.948,
+    // symmetric sizes), so the exact inverted-index containment join must
+    // find the planted pairs and nothing else (random 50 k-vocab docs
+    // share no trigram run of consequence).
+    val contain = t("containment_pairs")(
+      Dedup.containmentPairs(docs, "doc_id", "text", 0.9).count())
+    println(s"SCALE   containment pairs=$contain planted=$planted " +
+      s"(${if (contain == planted) "OK" else "MISS"})")
+
+    // span-strip: a base/variant pair duplicates every 5-gram not touching
+    // the swapped position 30, so EXACTLY the 2·planted docs in pairs lose
+    // tokens and the other 8/10 of the corpus is untouched.
+    val stripped = t("strip_dup_spans")(
+      graft.operators.TextAnalysis
+        .stripDuplicatedSpans(docs, "doc_id", "text", k = 5)
+        .filter(col("kept_tokens") < col("n_tokens")).count())
+    println(s"SCALE   span-stripped docs=$stripped expected=${2 * planted} " +
+      s"(${if (stripped == 2 * planted) "OK" else "MISS"})")
+
     // 64- vs 128-bit SimHash banding: the 64-bit bands' 2^16 keys go
     // linear-occupancy past n ~ millions; the 128-bit bands (2^32 keys)
     // must stay near-linear here. (No planted recall check: a 1-of-60

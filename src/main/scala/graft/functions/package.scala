@@ -98,10 +98,19 @@ package object functions {
   def bloom_agg(hash: Column, expectedItems: Long, fpp: Double = 0.01): Column =
     col(BloomAgg(ex(hash), expectedItems, fpp).toAggregateExpression())
 
-  /** Membership probe against a serialized Bloom filter (memoized per-task
-    * deserialization; codegen'd). */
+  /** Membership probe against a serialized Bloom filter COLUMN (codegen'd;
+    * per-row byte-array copy is inherent to the column form — prefer
+    * [[bloom_broadcast_probe]] for large probe sides). */
   def bloom_might_contain(filter: Column, hash: Column): Column =
     col(BloomMightContain(ex(filter), ex(hash)))
+
+  /** Membership probe against a torrent-broadcast serialized Bloom filter:
+    * zero per-row filter traffic, one deserialization per task — the
+    * Spark-runtime-filter shape for probing billions of rows. */
+  def bloom_broadcast_probe(
+      filter: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      hash: Column): Column =
+    col(BloomBroadcastProbe(filter, ex(hash)))
 
   /** Mergeable KLL quantile sketch of a double column (`binary` result —
     * storable and re-mergeable, unlike approx_percentile). */

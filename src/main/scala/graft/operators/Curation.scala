@@ -85,12 +85,19 @@ object Curation {
     * GB). Here the eval side is condensed to a Bloom filter over shingle
     * hashes (~1.2 bytes/item at the default 1% fpp — map-side-combinable
     * [[graft.functions.BloomAgg]], one bit-array per partition crosses the
-    * shuffle), the train side is prefiltered by a codegen'd
-    * `bloom_might_contain` probe BEFORE its explode output ever shuffles,
-    * and only the surviving ~(overlap + fpp) fraction reaches the exact
-    * shuffled join that the overlap counts come from. False positives cost
-    * shuffle bytes, never correctness: the emitted report is bit-identical
-    * to [[contaminationReport]] (same oracle).
+    * shuffle). The aggregated filter — ONE bounded row, the same planning-
+    * state regime as the PQ codebooks — is pulled to the driver and
+    * TORRENT-BROADCAST, and the train side is prefiltered by the codegen'd
+    * [[graft.functions.BloomBroadcastProbe]] BEFORE its explode output ever
+    * shuffles; only the surviving ~(overlap + fpp) fraction reaches the
+    * exact shuffled join the overlap counts come from. (An earlier shape
+    * shipped the filter as a broadcast one-row COLUMN and cross-joined it
+    * in; `UnsafeRow.getBinary` copies the whole bit array on every probe
+    * row, which turned a 350 KB filter × 2.6 M probes into ~905 GB of
+    * memcpy — measured 125 s where the broadcast-handle probe is
+    * sub-second. Filter bytes never belong in a per-row column.)
+    * False positives cost shuffle bytes, never correctness: the emitted
+    * report is bit-identical to [[contaminationReport]] (same oracle).
     *
     * `expectedEvalShingles` sizes the filter; the default 0 derives a
     * conservative estimate from the RAW (pre-distinct) eval shingle count —
@@ -102,19 +109,21 @@ object Curation {
                                   n: Int = 3, minOverlap: Int = 5,
                                   fpp: Double = 0.01,
                                   expectedEvalShingles: Long = 0L): DataFrame = {
-    import graft.functions.{bloom_agg, bloom_might_contain, word_shingles}
+    import graft.functions.{bloom_agg, bloom_broadcast_probe, word_shingles}
     val sh = docs.select(col(idCol).as("id"), evalPred.as("is_eval"),
       explode(word_shingles(col(textCol), n)).as("s"))
     val evalShingles = sh.filter(col("is_eval")).select("s")
     val expected =
       if (expectedEvalShingles > 0) expectedEvalShingles
       else evalShingles.count()
-    // one row, a few MB of bit array: broadcast to every train partition
-    val filterRow = evalShingles
+    // distributed build; ONE bounded row (the bit array) pulled to the
+    // driver and torrent-broadcast — never a per-row filter column
+    val filterBytes = evalShingles
       .agg(bloom_agg(xxhash64(col("s")), expected, fpp).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val bcast = docs.sparkSession.sparkContext.broadcast(filterBytes)
     val survivors = sh.filter(!col("is_eval"))
-      .crossJoin(broadcast(filterRow))
-      .filter(bloom_might_contain(col("bf"), xxhash64(col("s"))))
+      .filter(bloom_broadcast_probe(bcast, xxhash64(col("s"))))
       .select(col("id"), col("s"))
     // exact verify: SHUFFLED join (no broadcast hint — the eval relation is
     // assumed too big for one), fed only by bloom survivors

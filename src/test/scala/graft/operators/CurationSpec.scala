@@ -48,8 +48,12 @@ class CurationSpec extends SparkSpec {
   test("contaminationReportScalable probes the bloom filter before the exact join") {
     val plan = Curation.contaminationReportScalable(corpus, "doc_id", "text",
       col("doc_id") % 10 === 0).queryExecution.executedPlan.toString
-    assert(plan.contains("bloom_might_contain"),
-      s"train side must be bloom-prefiltered, got:\n$plan")
+    assert(plan.contains("bloom_broadcast_probe"),
+      s"train side must be bloom-prefiltered via the broadcast-handle probe " +
+        s"(no per-row filter column), got:\n$plan")
+    assert(!plan.contains("bloom_might_contain"),
+      "the column-form probe must not appear on this path (per-row " +
+        "getBinary copies the whole filter)")
   }
 
   test("contaminationReportScalable with an empty eval set reports all-clean") {
