@@ -104,6 +104,37 @@ object Similarity {
       .select(col("qid"), col(idCol).as("id"), col("cos"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * top-k most-similar corpus vectors whose LABEL DIFFERS from the
+    * anchor's — "hard" because they sit close in embedding space yet carry
+    * a negative label, exactly the negatives a contrastive loss learns
+    * most from. Emits the cosine as the margin signal for loss weighting /
+    * curriculum ordering.
+    *
+    * Scale shape = [[bruteForceTopKBatch]] with a label disqualifier:
+    * anchors are a training batch or sampled slice — small by nature, so
+    * broadcast; the corpus scan scores map-side (codegen'd cosine kernel,
+    * no shuffle) and the only shuffle is the per-anchor top-k window over
+    * candidate rows. For corpora where even one scored scan per batch is
+    * too hot, feed `embs` from an IVF/LSH candidate set first — the
+    * operator only assumes (id, vec, label).
+    */
+  def hardNegatives(embs: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, anchors: DataFrame, qidCol: String,
+                    qvecCol: String, qlabelCol: String, k: Int): DataFrame = {
+    val q = anchors.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+      col(qlabelCol).as("qlabel"))
+    val scored = embs.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("qid") && col(labelCol) =!= col("qlabel"))
+      .withColumn("cos", round(cosine_similarity(col(vecCol), col("qvec")), 3))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol).as("id"), col(labelCol).as("neg_label"),
+        col("cos"), col("rank"))
+  }
+
   /** BATCH probe of the materialized index: every query's multi-probe
     * bucket list is computed as columns (one codegen'd pass over the query
     * table), the union of probe buckets — bounded by Q·probes, collected

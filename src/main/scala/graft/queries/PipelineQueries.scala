@@ -452,6 +452,27 @@ object PipelineQueries {
         "ORDER BY cos DESC, id) AS INTEGER) AS rank FROM scored) " +
         "SELECT qid, id, cos, rank FROM r WHERE rank <= 3 ORDER BY qid, rank")),
 
+    // ---- hard-negative mining: per anchor, top-k nearest DIFFERENT-label
+    // vectors (contrastive-training negatives; cosine = margin signal) ----
+    ("ns_ann_hard_negatives",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        Similarity.hardNegatives(embs, "vec_id", "embedding", "label",
+          embs.filter(col("vec_id") < 10), "vec_id", "embedding", "label", k = 3)
+          .orderBy("qid", "rank")
+      },
+      Some("WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel " +
+        "FROM embeddings WHERE vec_id < 10), " +
+        "scored AS (SELECT q.qid, e.vec_id AS id, e.label AS neg_label, " +
+        "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+        "CAST(q.qvec AS DOUBLE[])), 3) AS cos " +
+        "FROM embeddings e CROSS JOIN q " +
+        "WHERE e.vec_id <> q.qid AND e.label <> q.qlabel), " +
+        "r AS (SELECT qid, id, neg_label, cos, CAST(row_number() OVER (" +
+        "PARTITION BY qid ORDER BY cos DESC, id) AS INTEGER) AS rank FROM scored) " +
+        "SELECT qid, id, neg_label, cos, rank FROM r WHERE rank <= 3 " +
+        "ORDER BY qid, rank")),
+
     // ---- ANN: BATCH index probe (bucket-pruned scan; approximate by
     // design — recall vs the batch brute force asserted in SimilaritySpec) ----
     // ---- ANN: BATCH probe of the IVF index (centroid ranking as a

@@ -23,6 +23,29 @@ class SimilaritySpec extends SparkSpec {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("hardNegatives excludes the anchor's label and ranks by cosine") {
+    import org.apache.spark.sql.functions.col
+    val embs = Tables.embeddings(spark, sfDir)
+    val anchors = embs.filter(col("vec_id") < 5)
+    val out = Similarity.hardNegatives(embs, "vec_id", "embedding", "label",
+      anchors, "vec_id", "embedding", "label", k = 4).collect()
+    val anchorLabels = anchors.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.nonEmpty && out.length <= 5 * 4)
+    for (r <- out) {
+      val (qid, id, negLabel) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(id != qid, "self must be excluded")
+      assert(negLabel != anchorLabels(qid), s"anchor $qid mined its own label")
+    }
+    // per-anchor ranks are 1..k and cosine is non-increasing in rank
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(4))
+      assert(sorted.map(_.getInt(4)).toSeq == (1 to sorted.length))
+      val cs = sorted.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("LSH top-k recall vs brute force is reasonable") {
     val brute = Similarity.bruteForceTopK(
       Tables.embeddings(spark, sfDir), "vec_id", "embedding", 0, 10)
