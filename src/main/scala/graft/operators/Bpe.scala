@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed byte-pair-encoding (BPE) tokenizer training + encoding —
+  * the vocabulary-induction step of a training-data pipeline (Sennrich et
+  * al. 2016 subword units; the tokenizer family behind GPT/Llama-style
+  * vocabularies).
+  *
+  * Scale split (what is corpus-sized vs vocab-sized):
+  *   - [[wordCounts]] is the ONLY corpus-scale pass: explode whitespace
+  *     words, one keyed shuffle to `(word, cnt)`. At 100 TB this is the
+  *     classic word-count; everything after runs on the distinct-word
+  *     table, which is orders of magnitude smaller than the corpus.
+  *   - The merge loop touches only the vocab table. Each merge needs a
+  *     global argmax over adjacent-pair counts — inherently iterative
+  *     (merge k changes the pair statistics merge k+1 sees). Two
+  *     executions, chosen by [[BpeConfig.driverLocalMaxVocab]]:
+  *     a) vocab fits comfortably on the driver (the common case even for
+  *        web-scale corpora — real tokenizer trainers are single-node over
+  *        word counts): collect `(word, cnt)` ONCE — bounded planning
+  *        state, like the k-means codebooks — and run the loop locally,
+  *        zero jobs per merge;
+  *     b) vocab too big to collect: per merge, one distributed
+  *        pair-count aggregation (`explode` of the zipped symbol pairs,
+  *        vocab-sized shuffle) + a 1-row `limit(1).collect()` argmax, then
+  *        a map-only left-to-right fold rewrite of the symbol arrays,
+  *        `localCheckpoint` to keep the iterative lineage flat (same
+  *        pattern as the connected-components loop in [[Dedup]]).
+  *     The spec asserts both paths produce the identical merge sequence.
+  *   - [[encode]] never re-derives merges per document: the learned vocab
+  *     IS the dictionary, so encoding = explode words, join the broadcast
+  *     `word -> tokens` mapping, reassemble in word order. Corpus-sized
+  *     work is one explode + one broadcast join + one doc-keyed shuffle.
+  *
+  * Determinism: ties in pair counts break on (left, right) string order,
+  * so the merge sequence is a pure function of the word counts.
+  */
+object Bpe {
+
+  /** End-of-word marker appended to each word's symbol sequence, so merges
+    * never cross word boundaries and word-final units stay distinct.
+    */
+  val EndMark = "</w>"
+
+  final case class BpeConfig(
+      numMerges: Int = 20,
+      /** Stop early when the best pair's corpus frequency drops below this. */
+      minPairFreq: Long = 2L,
+      /** Collect-and-loop locally when the vocab has at most this many
+        * words; above it, run the distributed per-merge aggregation.
+        */
+      driverLocalMaxVocab: Long = 1000000L)
+
+  /** One learned merge: rank is 0-based application order. */
+  final case class Merge(rank: Int, left: String, right: String,
+                         merged: String, pairCount: Long)
+
+  /** `(word, cnt)` over whitespace-lowercased tokens — the one corpus-scale
+    * pass (single keyed shuffle, map-side partial aggregation).
+    */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Initial symbol sequence of a word: characters + [[EndMark]]. */
+  private def initialSyms(word: Column): Column =
+    concat(filter(split(word, ""), s => length(s) > 0), array(lit(EndMark)))
+
+  /** Adjacent symbol pairs of a sequence as `struct(l, r)`. */
+  private def adjacentPairs(syms: Column): Column = {
+    val n = size(syms)
+    zip_with(
+      slice(syms, lit(1), greatest(n - 1, lit(0))),
+      slice(syms, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => struct(a.as("l"), b.as("r")))
+  }
+
+  /** Left-to-right greedy rewrite of one merge over a symbol sequence —
+    * the exact BPE replace (non-overlapping, restarting after each hit:
+    * "aaaa" under (a,a) becomes ["aa","aa"]). A codegen'd fold; zero is
+    * `slice(syms, 1, 0)` to inherit the array<string> type.
+    */
+  private def applyMerge(syms: Column, l: String, r: String, m: String): Column =
+    aggregate(syms, slice(syms, 1, 0), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Serial reference merge loop over in-memory word counts. Also the
+    * driver-local fast path: for vocabularies that fit on the driver
+    * (bounded planning state), per-merge Spark jobs would be pure
+    * overhead. Kept package-visible so the spec can pin the distributed
+    * path against it.
+    */
+  private[graft] def learnLocal(counts: Seq[(String, Long)],
+                                cfg: BpeConfig): Seq[Merge] = {
+    var vocab: Seq[(Array[String], Long)] = counts.map { case (w, c) =>
+      (w.split("").filter(_.nonEmpty) :+ EndMark, c)
+    }
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < cfg.numMerges && !done) {
+      val pairCounts = collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+        pairCounts.updateWith((syms(i), syms(i + 1)))(p => Some(p.getOrElse(0L) + c))
+      val best = pairCounts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+      best match {
+        case Some(((l, r), c)) if c >= cfg.minPairFreq =>
+          val m = l + r
+          vocab = vocab.map { case (syms, cnt) =>
+            val out = collection.mutable.ArrayBuffer.empty[String]
+            for (s <- syms) {
+              if (out.nonEmpty && out.last == l && s == r) out(out.length - 1) = m
+              else out += s
+            }
+            (out.toArray, cnt)
+          }
+          merges += Merge(rank, l, r, m, c)
+          rank += 1
+        case _ => done = true
+      }
+    }
+    merges.result()
+  }
+
+  /** Distributed merge loop: per merge, one vocab-sized pair-count
+    * aggregation + a single-row argmax collect, then a map-only rewrite.
+    */
+  private[graft] def learnDistributed(words: DataFrame,
+                                      cfg: BpeConfig): (Seq[Merge], DataFrame) = {
+    var vocab = words
+      .select(col("word"), col("cnt"), initialSyms(col("word")).as("syms"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < cfg.numMerges && !done) {
+      val best = vocab
+        .select(explode(adjacentPairs(col("syms"))).as("p"), col("cnt"))
+        .groupBy(col("p.l"), col("p.r")).agg(sum("cnt").as("pc"))
+        .orderBy(desc("pc"), asc("l"), asc("r"))
+        .limit(1).collect()
+      best.headOption match {
+        case Some(row) if row.getAs[Long]("pc") >= cfg.minPairFreq =>
+          val (l, r, pc) = (row.getAs[String]("l"), row.getAs[String]("r"),
+            row.getAs[Long]("pc"))
+          val m = l + r
+          vocab = vocab
+            .withColumn("syms", applyMerge(col("syms"), l, r, m))
+            .localCheckpoint(true)
+          merges += Merge(rank, l, r, m, pc)
+          rank += 1
+        case _ => done = true
+      }
+    }
+    (merges.result(), vocab)
+  }
+
+  /** Learn `cfg.numMerges` merges from the corpus. Returns the ranked
+    * merge table `(rank, left, right, merged, pair_count)` and the final
+    * per-word tokenization `(word, cnt, syms)` — the encode dictionary.
+    */
+  def learn(docs: DataFrame, textCol: String,
+            cfg: BpeConfig = BpeConfig()): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    val words = wordCounts(docs, textCol)
+    // cnt both caps the collect decision and is the loop's weight column.
+    val nWords = words.count()
+    val (merges, vocab) =
+      if (nWords <= cfg.driverLocalMaxVocab) {
+        val counts = words.collect()
+          .map(r => r.getAs[String]("word") -> r.getAs[Long]("cnt")).toSeq
+        val ms = learnLocal(counts, cfg)
+        // Re-derive the dictionary distributedly by replaying the (tiny,
+        // broadcastable) merge list — keeps `vocab` a DataFrame either way.
+        var v = words.select(col("word"), col("cnt"),
+          initialSyms(col("word")).as("syms"))
+        for (m <- ms) v = v.withColumn("syms",
+          applyMerge(col("syms"), m.left, m.right, m.merged))
+        (ms, v)
+      } else learnDistributed(words, cfg)
+    val mergeRows = merges.map(m =>
+      Row(m.rank, m.left, m.right, m.merged, m.pairCount))
+    val mergeSchema = StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("left", StringType, nullable = false),
+      StructField("right", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    val mergesDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(mergeRows, 1), mergeSchema)
+    (mergesDf, vocab)
+  }
+
+  /** Tokenize the corpus with a learned dictionary: explode words in
+    * position, broadcast-join `word -> syms`, reassemble per document in
+    * word order. Unseen words fall back to their initial character
+    * sequence. Output: `(id, n_bpe_tokens, bpe_text)` where `bpe_text` is
+    * the space-joined token stream (deterministic, hashable).
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             vocab: DataFrame): DataFrame = {
+    val dict = vocab.select(col("word"), col("syms").as("dict_syms"))
+    docs
+      .select(col(idCol), posexplode(TextOps.tokens(col(textCol)))
+        .as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(dict), Seq("word"), "left")
+      .withColumn("toks",
+        coalesce(col("dict_syms"), initialSyms(col("word"))))
+      .groupBy(col(idCol))
+      .agg(flatten(array_sort(collect_list(struct(col("pos"), col("toks"))))
+        .getField("toks")).as("all_toks"))
+      .select(col(idCol), size(col("all_toks")).as("n_bpe_tokens"),
+        concat_ws(" ", col("all_toks")).as("bpe_text"))
+  }
+}

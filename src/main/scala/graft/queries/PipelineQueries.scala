@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Curation, Dedup, IndexCatalog, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Curation, Dedup, IndexCatalog, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (SURVEY §2.9 north-star): dedup,
   * similarity search, text analysis, multimodal plumbing — each wired as a
@@ -538,6 +538,27 @@ object PipelineQueries {
         "round(sr, 4) AS stopword_ratio, round(pr, 4) AS punct_ratio, " +
         "round(least(1.0, n_tokens / 100.0) * 0.5 + (1.0 - pr) * 0.3 + sr * 0.2, 4) " +
         "AS quality_score FROM m ORDER BY doc_id")),
+
+    // ---- BPE tokenizer training: ranked merge table learned from the
+    // corpus word counts (iterative argmax — not SQL-expressible, so
+    // rows-only here; BpeSpec pins the distributed loop to a serial
+    // reference implementation exactly) ----
+    ("ns_text_bpe_vocab",
+      (s: SparkSession, d: String) =>
+        Bpe.learn(Tables.documents(s, d), "text",
+          Bpe.BpeConfig(numMerges = 20))._1.orderBy("rank"),
+      None),
+
+    // ---- BPE encode: tokenize the corpus with the learned dictionary
+    // (broadcast word->tokens join; serial-encode-equality in BpeSpec) ----
+    ("ns_text_bpe_encode",
+      (s: SparkSession, d: String) => {
+        val vocab = Bpe.learn(Tables.documents(s, d), "text",
+          Bpe.BpeConfig(numMerges = 20))._2
+        Bpe.encode(Tables.documents(s, d), "doc_id", "text", vocab)
+          .orderBy("doc_id")
+      },
+      None),
 
     // ---- text analysis: token counting (whitespace + BPE-ish regex) ----
     ("ns_text_tokens",

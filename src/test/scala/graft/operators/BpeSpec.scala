@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+
+import org.apache.spark.sql.functions.col
+
+class BpeSpec extends SparkSpec {
+  import Bpe.{BpeConfig, Merge}
+
+  private def docsDf = Tables.documents(spark, sfDir)
+
+  test("serial reference: greedy left-to-right merge, deterministic ties") {
+    // "aaaa"x3 + "ab"x2: best pair (a,a) count 3*3=9 -> "aaaa"=[aa,aa,</w>]
+    val ms = Bpe.learnLocal(
+      Seq("aaaa" -> 3L, "ab" -> 2L), BpeConfig(numMerges = 2))
+    assert(ms.head == Merge(0, "a", "a", "aa", 9L))
+    // next round: (aa,aa) 3, (aa,</w>) 3, (a,b) 2, (b,</w>) 2 — count tie
+    // between (aa,aa) and (aa,</w>) breaks on right string: "</w>" < "aa"
+    assert(ms(1) == Merge(1, "aa", "</w>", "aa</w>", 3L))
+  }
+
+  test("serial reference stops below minPairFreq") {
+    val ms = Bpe.learnLocal(Seq("ab" -> 1L, "cd" -> 1L),
+      BpeConfig(numMerges = 10, minPairFreq = 2L))
+    assert(ms.isEmpty)
+  }
+
+  test("distributed merge loop matches the serial reference exactly") {
+    val words = Bpe.wordCounts(docsDf, "text")
+    val counts = words.collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("cnt")).toSeq
+    val cfg = BpeConfig(numMerges = 12)
+    val serial = Bpe.learnLocal(counts, cfg)
+    val (dist, vocabDf) = Bpe.learnDistributed(words, cfg)
+    assert(serial.nonEmpty && dist == serial)
+    // the distributed dictionary's symbols reproduce the serial rewrite
+    val serialVocab = {
+      var v = counts.map { case (w, c) =>
+        w -> (w.split("").filter(_.nonEmpty) :+ Bpe.EndMark).toSeq
+      }.toMap
+      for (m <- serial) v = v.map { case (w, syms) =>
+        val out = collection.mutable.ArrayBuffer.empty[String]
+        for (s <- syms) {
+          if (out.nonEmpty && out.last == m.left && s == m.right)
+            out(out.length - 1) = m.merged
+          else out += s
+        }
+        w -> out.toSeq
+      }
+      v
+    }
+    val distVocab = vocabDf.collect()
+      .map(r => r.getAs[String]("word") -> r.getSeq[String](2)).toMap
+    assert(distVocab == serialVocab)
+  }
+
+  test("learn() driver-local path equals the distributed path end-to-end") {
+    val cfg = BpeConfig(numMerges = 8)
+    val (mLocal, vLocal) = Bpe.learn(docsDf, "text", cfg)
+    val (mDist, vDist) = Bpe.learn(docsDf, "text",
+      cfg.copy(driverLocalMaxVocab = 0L))
+    assert(mLocal.collect().toSeq == mDist.collect().toSeq)
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => r.getAs[String]("word") -> r.getSeq[String](2)).toMap
+    assert(key(vLocal) == key(vDist))
+  }
+
+  test("encode reassembles word order and matches a serial encode") {
+    val cfg = BpeConfig(numMerges = 10)
+    val (_, vocab) = Bpe.learn(docsDf, "text", cfg)
+    val enc = Bpe.encode(docsDf, "doc_id", "text", vocab).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    val dict = vocab.collect()
+      .map(r => r.getAs[String]("word") -> r.getSeq[String](2)).toMap
+    val docs = docsDf.select("doc_id", "text").collect()
+    assert(enc.size == docs.length)
+    for (r <- docs.take(50)) {
+      val toks = r.getString(1).toLowerCase.trim.split("\\s+")
+        .filter(_.nonEmpty).toSeq
+        .flatMap(w => dict.getOrElse(w,
+          (w.split("").filter(_.nonEmpty) :+ Bpe.EndMark).toSeq))
+      val (n, t) = enc(r.getLong(0))
+      assert(n == toks.length && t == toks.mkString(" "),
+        s"doc ${r.getLong(0)} encode mismatch")
+    }
+  }
+
+  test("encode falls back to character symbols for unseen words") {
+    import spark.implicits._
+    val vocab = Bpe.learn(docsDf, "text", BpeConfig(numMerges = 5))._2
+    val out = Bpe.encode(
+      Seq((1L, "zzqx")).toDF("doc_id", "text"), "doc_id", "text", vocab)
+      .collect().head
+    assert(out.getString(2) == s"z z q x ${Bpe.EndMark}")
+  }
+
+  test("merge sequence is stable across reruns") {
+    val cfg = BpeConfig(numMerges = 6)
+    val a = Bpe.learn(docsDf, "text", cfg)._1.collect().toSeq
+    val b = Bpe.learn(docsDf, "text", cfg)._1.collect().toSeq
+    assert(a == b && a.length == 6)
+  }
+}
