@@ -336,8 +336,21 @@ object Curation {
     * slicing only changes parallelism, never shard assignment.
     */
   def packTokenShards(docs: DataFrame, idCol: String, tokenCol: String,
-                      tokensPerShard: Long, partitions: Int = 0): DataFrame = {
-    val spark = docs.sparkSession
+                      tokensPerShard: Long, partitions: Int = 0): DataFrame =
+    withHashOrderPrefix(docs.select(col(idCol), col(tokenCol)), idCol,
+      col(tokenCol), partitions)
+      .select(col(idCol), col("__n").as("n_tokens"),
+        (col("__pre") / tokensPerShard).cast("long").cast("int").as("shard"))
+
+  /** The two-phase distributed exclusive prefix sum over `weight` in
+    * md5-hash total order (see [[packTokenShards]]'s scaladoc for the
+    * phase-by-phase shape). Adds to `df`: `__h` (the hash), `__n`
+    * (`weight` as long), `__pre` (GLOBAL exclusive running sum of `__n`
+    * in `(__h, idCol)` order). Output is independent of `partitions`.
+    */
+  private[operators] def withHashOrderPrefix(df: DataFrame, idCol: String,
+      weight: Column, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
     val p = if (partitions > 0) partitions
             else spark.sessionState.conf.numShufflePartitions
     // order-aligned slice: h ∈ [Long.Min, Long.Max] uniform → [0, p)
@@ -345,16 +358,17 @@ object Curation {
     val slice = floor((h.cast("double") / lit(2.0 * Long.MaxValue) + lit(0.5)) *
       lit(p.toDouble)).cast("int")
 
-    val sliced = docs
-      .select(col(idCol), col(tokenCol).cast("long").as("n_tokens"),
-        h.as("__h"), least(slice, lit(p - 1)).as("__slice"))
+    val sliced = df
+      .withColumn("__n", weight.cast("long"))
+      .withColumn("__h", h)
+      .withColumn("__slice", least(slice, lit(p - 1)))
 
-    val bases = sliced.groupBy("__slice").agg(sum("n_tokens").as("t"))
+    val bases = sliced.groupBy("__slice").agg(sum("__n").as("t"))
       .collect().sortBy(_.getInt(0))
     val offsets = bases.scanLeft((-1, 0L)) {
       case ((_, acc), r) => (r.getInt(0), acc + r.getLong(1))
     }
-    // base offset of slice s = total tokens of all slices BEFORE s
+    // base offset of slice s = total weight of all slices BEFORE s
     val baseOf = bases.map(_.getInt(0)).zip(offsets.dropRight(1).map(_._2)).toMap
     val baseDf = spark.createDataFrame(
       baseOf.toSeq.map { case (s, b) => (s, b) }.sortBy(_._1))
@@ -364,10 +378,72 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, -1)
     sliced
       .join(broadcast(baseDf), Seq("__slice"))
-      .withColumn("__pre", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col(idCol), col("n_tokens"),
-        ((col("__base") + col("__pre")) / tokensPerShard)
-          .cast("long").cast("int").as("shard"))
+      .withColumn("__pre",
+        col("__base") + coalesce(sum(col("__n")).over(w), lit(0L)))
+      .drop("__slice", "__base")
+  }
+
+  /** Fixed-length training-example packing: carve the corpus token stream
+    * — documents concatenated in deterministic md5-hash order — into
+    * examples of exactly `seqLen` tokens (the pretraining batch
+    * transform; the final example may be short). Emits per example the
+    * token stream, the in-example positions where a document BEGINS
+    * (`doc_starts`, the attention-reset boundaries; a document merely
+    * continuing into an example is not a reset), and the count of such
+    * starts.
+    *
+    * Scale shape: the naive formulation explodes one row per TOKEN and
+    * shuffles the whole corpus token-granular. Instead each document is
+    * cut into at most ⌈n/seqLen⌉+1 contiguous SLICES (one per example
+    * boundary it crosses) with a codegen'd `sequence`/`transform` over
+    * its [[withHashOrderPrefix]] offset — so the example_id shuffle moves
+    * O(docs + tokens/seqLen) array-payload rows, not O(tokens) rows, and
+    * reassembly is a per-example sort of a handful of slices. example_id
+    * is monotone in the hash order, so a range-partitioned write of the
+    * output preserves shard locality.
+    */
+  def packSequences(docs: DataFrame, idCol: String, toksCol: String,
+                    seqLen: Int, partitions: Int = 0): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val L = lit(seqLen.toLong)
+    val pre = withHashOrderPrefix(
+      docs.select(col(idCol), col(toksCol))
+        .filter(size(col(toksCol)) > 0),
+      idCol, size(col(toksCol)), partitions)
+    // tokens in the first slice = up to the next example boundary
+    val firstCut = least(L - col("__pre") % L, col("__n"))
+    // slice count: 1 + ceil((n - firstCut) / L); doubles are exact here
+    // (token counts are far below 2^52)
+    val m = lit(1L) +
+      floor((col("__n") - firstCut + L - 1).cast("double") / L.cast("double"))
+        .cast("long")
+    val slices = pre
+      .withColumn("__first", firstCut)
+      .withColumn("__m", m)
+      .select(col("__pre"), col(toksCol).as("__toks"), col("__first"),
+        explode(sequence(lit(0L), col("__m") - 1)).as("__j"))
+      .select(
+        ((col("__pre") / L).cast("long") + col("__j")).as("example_id"),
+        when(col("__j") === 0, col("__pre") % L).otherwise(lit(0L))
+          .cast("int").as("start_epos"),
+        (col("__j") === 0).as("is_doc_start"),
+        slice(col("__toks"),
+          when(col("__j") === 0, lit(1L))
+            .otherwise(col("__first") + (col("__j") - 1) * L + 1).cast("int"),
+          when(col("__j") === 0, col("__first")).otherwise(L).cast("int"))
+          .as("toks"))
+    slices
+      .groupBy("example_id")
+      .agg(array_sort(collect_list(
+        struct(col("start_epos"), col("toks"), col("is_doc_start")))).as("a"))
+      .select(col("example_id"),
+        size(flatten(col("a.toks"))).as("n_tokens"),
+        concat_ws(" ", flatten(col("a.toks"))).as("example_text"),
+        concat_ws(",", transform(
+          filter(col("a"), s => s.getField("is_doc_start")),
+          s => s.getField("start_epos").cast("string"))).as("doc_starts"),
+        size(filter(col("a"), s => s.getField("is_doc_start")))
+          .as("n_docs_started"))
   }
 
   /** Stratified deterministic sample: at most `perStratum` documents per

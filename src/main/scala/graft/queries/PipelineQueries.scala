@@ -862,6 +862,37 @@ object PipelineQueries {
         "SELECT doc_id, n_tokens, CAST(pre // 20000 AS INTEGER) AS shard " +
         "FROM o ORDER BY doc_id")),
 
+    // ---- curation: fixed-length sequence packing (pretraining examples:
+    // the corpus token stream in md5-hash doc order carved into 64-token
+    // examples, with attention-reset doc boundaries) ----
+    ("ns_curate_pack_sequences",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.operators.TextOps.tokens(col("text")).as("toks"))
+        Curation.packSequences(docs, "doc_id", "toks", seqLen = 64)
+          .orderBy("example_id")
+      },
+      Some("WITH h AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS toks, " +
+        "md5_number_lower(CAST(doc_id AS VARCHAR)) AS u FROM documents), " +
+        "s AS (SELECT doc_id, toks, CAST(CASE WHEN u >= 9223372036854775808 " +
+        "THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS h64 FROM h " +
+        "WHERE len(toks) > 0), " +
+        "o AS (SELECT doc_id, toks, coalesce(sum(len(toks)) OVER " +
+        "(ORDER BY h64, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre " +
+        "FROM s), " +
+        "e AS (SELECT doc_id, pre, unnest(toks) AS tok, " +
+        "generate_subscripts(toks, 1) - 1 AS pos FROM o), " +
+        "g AS (SELECT tok, pos, CAST((pre + pos) // 64 AS BIGINT) AS example_id, " +
+        "CAST((pre + pos) % 64 AS INTEGER) AS epos FROM e) " +
+        "SELECT example_id, CAST(count(*) AS INTEGER) AS n_tokens, " +
+        "string_agg(tok, ' ' ORDER BY epos) AS example_text, " +
+        "coalesce(string_agg(CASE WHEN pos = 0 THEN CAST(epos AS VARCHAR) END, " +
+        "',' ORDER BY epos), '') AS doc_starts, " +
+        "CAST(count(*) FILTER (WHERE pos = 0) AS INTEGER) AS n_docs_started " +
+        "FROM g GROUP BY example_id ORDER BY example_id")),
+
     // ---- curation: per-domain document cap (no domain dominates) ----
     ("ns_curate_domain_cap",
       (s: SparkSession, d: String) =>

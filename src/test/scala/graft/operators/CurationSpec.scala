@@ -245,6 +245,65 @@ class CurationSpec extends SparkSpec {
     assert(sizes.map(_._2).sum === (0L until 200L).map(i => 10L + i % 7).sum)
   }
 
+  test("packSequences: lossless re-chunking with correct boundaries") {
+    val seqLen = 8
+    val docs = (0L until 60L)
+      .map(i => (i, (0L until (1L + i % 13)).map(t => s"w${i}_$t").toArray))
+      .toDF("doc_id", "toks")
+    val out = Curation.packSequences(docs, "doc_id", "toks", seqLen)
+      .orderBy("example_id")
+      .as[(Long, Int, String, String, Int)].collect()
+
+    // serial reference: concatenate docs in md5-hash order, carve at seqLen
+    val hashed = docs.select(col("doc_id"),
+      graft.functions.md5_lower64(col("doc_id").cast("string")).as("h"))
+      .as[(Long, Long)].collect().sortBy { case (id, h) => (h, id) }
+    val ordered = hashed.map(_._1)
+    val byId = (0L until 60L)
+      .map(i => i -> (0L until (1L + i % 13)).map(t => s"w${i}_$t")).toMap
+    val stream = ordered.flatMap(id => byId(id).zipWithIndex.map {
+      case (tok, p) => (tok, p == 0)
+    })
+    val expected = stream.zipWithIndex.groupBy(_._2 / seqLen).toSeq.sortBy(_._1)
+      .map { case (ex, toks) =>
+        val starts = toks.collect { case ((_, true), g) => g % seqLen }
+        (ex.toLong, toks.length, toks.map(_._1._1).mkString(" "),
+          starts.mkString(","), starts.length)
+      }
+    assert(out.toSeq == expected)
+    // every example full except possibly the last
+    assert(out.dropRight(1).forall(_._2 == seqLen) && out.last._2 <= seqLen)
+  }
+
+  test("packSequences is partition-invariant and drops empty docs") {
+    val docs = (0L until 40L)
+      .map(i => (i, if (i % 5 == 0) Array.empty[String]
+                    else Array.fill((i % 4).toInt + 1)(s"t$i")))
+      .toDF("doc_id", "toks")
+    val a = Curation.packSequences(docs, "doc_id", "toks", 16, partitions = 2)
+    val b = Curation.packSequences(docs, "doc_id", "toks", 16, partitions = 9)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val totalToks = a.agg(sum("n_tokens")).as[Long].collect().head
+    val expectedToks = (0L until 40L)
+      .filter(_ % 5 != 0).map(i => (i % 4) + 1).sum
+    assert(totalToks == expectedToks, "empty docs contribute nothing")
+    val totalStarts = a.agg(sum("n_docs_started")).as[Long].collect().head
+    assert(totalStarts == (0L until 40L).count(_ % 5 != 0))
+  }
+
+  test("packSequences: a doc spanning many examples yields one start") {
+    val docs = Seq(
+      (1L, (0 until 50).map(t => s"a$t").toArray),
+      (2L, (0 until 3).map(t => s"b$t").toArray)).toDF("doc_id", "toks")
+    val out = Curation.packSequences(docs, "doc_id", "toks", 8)
+      .orderBy("example_id")
+      .as[(Long, Int, String, String, Int)].collect()
+    assert(out.map(_._5).sum == 2, "exactly two doc starts corpus-wide")
+    assert(out.map(_._2).sum == 53)
+    // the long doc's interior examples carry no boundary at all
+    assert(out.count(_._4.isEmpty) >= 4)
+  }
+
   test("stratifiedSample caps every stratum and is deterministic") {
     val docs = (0L until 300L).map(i => (i, s"lang${i % 3}")).toDF("doc_id", "lang")
     val s1 = Curation.stratifiedSample(docs, "doc_id", "lang", perStratum = 7)
