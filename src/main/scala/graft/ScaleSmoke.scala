@@ -28,6 +28,9 @@ import graft.operators.{Curation, Dedup}
   * plant), `recall` (near-THRESHOLD planted pairs at exact cos 0.82 and
   * 0.90 under threshold 0.8 — validates the [[Dedup.bandsForRecall]]
   * contract where the ADVICE flagged it, not just near-identity recall),
+  * `pipeline` (round-9 ops: sequence packing conservation at context
+  * length 2048, BPE distributed-vs-serial merge equality over a 50 k
+  * vocab, encode conservation, full-corpus hard-negative mining),
   * or `all`. Prints per-stage seconds + result sanity (planted-pair
   * recall must be 100% for lexical/semantic; the recall stage asserts
   * the guarantee-point contract and REPORTS the best-effort in-gap
@@ -37,7 +40,7 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 200000
     val stages = if (args.length > 1) args(1) else "all"
-    require(Set("all", "lexical", "semantic", "recall")(stages),
+    require(Set("all", "lexical", "semantic", "recall", "pipeline")(stages),
       s"unknown stage set '$stages'")
     def on(s: String) = stages == "all" || stages == s
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -288,6 +291,93 @@ object ScaleSmoke {
       f"model=${predicted(0.82)}%.4f over $cohort pairs " +
       s"(${if (recGap >= predicted(0.82) - 0.07) "OK" else "BELOW MODEL"})")
     rembs.unpersist()
+    }
+
+    if (on("pipeline")) {
+    // ---- round-9 training-pipeline operators at scale: sequence packing
+    // (token-stream conservation at a realistic context length), BPE
+    // distributed-vs-local merge equality over a 50 k-word vocab, encode
+    // conservation against the dictionary, and hard-negative mining over
+    // the full corpus. Corpus = the lexical generator without variants
+    // (every doc exactly 60 tokens, so invariants are exact). ----
+    import graft.operators.{Bpe, TextOps}
+    val docs = spark.range(n.toLong).toDF("doc_id")
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), lit(59)), i =>
+          concat(lit("w"), pmod(xxhash64(col("doc_id"), i), lit(50000L))))))
+      .repartition(spark.sparkContext.defaultParallelism.toInt)
+      .cache()
+    t("pipe_docs_materialize")(docs.count())
+    val totalToks = 60L * n
+
+    val seqLen = 2048
+    val packed = t("pack_sequences") {
+      val p = Curation.packSequences(
+        docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+        "doc_id", "toks", seqLen).cache()
+      p.count(); p
+    }
+    val nEx = packed.count()
+    val expEx = (totalToks + seqLen - 1) / seqLen
+    val Row2 = packed.agg(sum("n_tokens"), max("n_tokens"), sum("n_docs_started"))
+      .collect().head
+    val (sumT, maxT, starts) =
+      (Row2.getLong(0), Row2.getInt(1), Row2.getLong(2))
+    println(s"SCALE   examples=$nEx expected=$expEx sum_tokens=$sumT " +
+      s"(${if (nEx == expEx && sumT == totalToks && maxT == seqLen &&
+               starts == n) "OK" else "MISS"})")
+    packed.unpersist()
+
+    // BPE: distributed merge loop over the ~50 k-word vocab table must
+    // equal the serial loop on the collected counts, merge for merge.
+    val words = t("bpe_word_counts") {
+      val w = Bpe.wordCounts(docs, "text").cache(); w.count(); w
+    }
+    val cfg = Bpe.BpeConfig(numMerges = 10)
+    val serial = Bpe.learnLocal(
+      words.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq, cfg)
+    val (dist, vocabDf) = t("bpe_learn_distributed")(
+      Bpe.learnDistributed(words, cfg))
+    println(s"SCALE   bpe merges=${dist.length} " +
+      s"(${if (dist == serial) "EQUAL to serial reference" else "MISMATCH"})")
+
+    // encode conservation: corpus-side token total == dictionary-side
+    // sum(cnt · |syms|) — two independent computations of the same number
+    val encoded = t("bpe_encode") {
+      val e = Bpe.encode(docs, "doc_id", "text", vocabDf).cache()
+      e.count(); e
+    }
+    val corpusSide = encoded.agg(sum("n_bpe_tokens")).collect().head.getLong(0)
+    val dictSide = vocabDf.select(sum(col("cnt") * size(col("syms"))))
+      .collect().head.getLong(0)
+    println(s"SCALE   bpe tokens corpus-side=$corpusSide dict-side=$dictSide " +
+      s"(${if (corpusSide == dictSide) "OK" else "MISS"})")
+    encoded.unpersist(); words.unpersist()
+    docs.unpersist()
+
+    // hard negatives: 64-anchor batch against the full corpus (labels =
+    // id % 4); every anchor must mine k rows, none sharing its label
+    val embs = spark.range(n.toLong).toDF("vec_id")
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(63)), i =>
+          (pmod(xxhash64(col("vec_id"), i), lit(1000L)).cast("float") / 500.0f
+            - 1.0f).cast("float")))
+      .withColumn("label", (col("vec_id") % 4).cast("int"))
+      .repartition(spark.sparkContext.defaultParallelism.toInt)
+      .cache()
+    t("hn_embs_materialize")(embs.count())
+    val k = 8
+    val hn = t("hard_negatives") {
+      val h = graft.operators.Similarity.hardNegatives(
+        embs, "vec_id", "embedding", "label",
+        embs.filter(col("vec_id") < 64), "vec_id", "embedding", "label", k)
+        .cache()
+      h.count(); h
+    }
+    val bad = hn.filter(col("neg_label") === col("qid") % 4).count()
+    println(s"SCALE   hard-neg rows=${hn.count()} expected=${64 * k} " +
+      s"same-label=$bad (${if (hn.count() == 64L * k && bad == 0) "OK" else "MISS"})")
+    hn.unpersist(); embs.unpersist()
     }
 
     spark.stop()
