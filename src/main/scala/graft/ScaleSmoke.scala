@@ -352,6 +352,14 @@ object ScaleSmoke {
       .collect().head.getLong(0)
     println(s"SCALE   bpe tokens corpus-side=$corpusSide dict-side=$dictSide " +
       s"(${if (corpusSide == dictSide) "OK" else "MISS"})")
+    // contrast: the posexplode + join + reassemble formulation (the
+    // uncollectable-vocab path) over the same corpus — must agree on the
+    // token total; the delta is what the zero-shuffle dict pass saves
+    val joinSide = t("bpe_encode_join_contrast")(
+      Bpe.encode(docs, "doc_id", "text", vocabDf, broadcastMaxVocab = 0L)
+        .agg(sum("n_bpe_tokens")).collect().head.getLong(0))
+    println(s"SCALE   join-path tokens=$joinSide " +
+      s"(${if (joinSide == corpusSide) "EQUAL to dict path" else "MISMATCH"})")
     encoded.unpersist(); words.unpersist()
     docs.unpersist()
 

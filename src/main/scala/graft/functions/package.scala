@@ -117,6 +117,14 @@ package object functions {
   def kll_agg(c: Column, k: Int = 200): Column =
     col(KllAgg(ex(c), k).toAggregateExpression())
 
+  /** Map-side subword encoding of a token array through a torrent-broadcast
+    * `word -> tokens` dictionary (zero-shuffle tokenization; unseen words
+    * fall back to characters + `fallbackMark`). */
+  def bpe_dict_encode(
+      dict: org.apache.spark.broadcast.Broadcast[Array[(String, Array[String])]],
+      fallbackMark: String, tokens: Column): Column =
+    col(BpeDictEncode(dict, fallbackMark, ex(tokens)))
+
   /** Re-merge stored KLL sketches into one (shard profiles → corpus). */
   def kll_merge_agg(sketch: Column, k: Int = 200): Column =
     col(KllMergeAgg(ex(sketch), k).toAggregateExpression())

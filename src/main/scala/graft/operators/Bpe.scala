@@ -198,26 +198,48 @@ object Bpe {
     (mergesDf, vocab)
   }
 
-  /** Tokenize the corpus with a learned dictionary: explode words in
-    * position, broadcast-join `word -> syms`, reassemble per document in
-    * word order. Unseen words fall back to their initial character
-    * sequence. Output: `(id, n_bpe_tokens, bpe_text)` where `bpe_text` is
-    * the space-joined token stream (deterministic, hashable).
+  /** Tokenize the corpus with a learned dictionary. Two executions, chosen
+    * by `broadcastMaxVocab` (the spec asserts byte-equal output):
+    *   - dictionary collectible (the common case — it's the distinct-word
+    *     table): one torrent broadcast + the codegen'd
+    *     [[graft.functions.BpeDictEncode]] map pass. ZERO shuffle — the
+    *     document row never explodes, so encoding streams at scan speed.
+    *   - dictionary too big to broadcast: `posexplode` words in position,
+    *     shuffle-join `word -> syms`, reassemble per document in word
+    *     order (token-granular shuffle — the price of an uncollectable
+    *     vocabulary).
+    * Unseen words fall back to their initial character sequence either
+    * way. Output: `(id, n_bpe_tokens, bpe_text)` where `bpe_text` is the
+    * space-joined token stream (deterministic, hashable).
     */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-             vocab: DataFrame): DataFrame = {
+             vocab: DataFrame, broadcastMaxVocab: Long = 1000000L): DataFrame = {
     val dict = vocab.select(col("word"), col("syms").as("dict_syms"))
-    docs
-      .select(col(idCol), posexplode(TextOps.tokens(col(textCol)))
-        .as(Seq("pos", "word")))
-      .filter(length(col("word")) > 0)
-      .join(broadcast(dict), Seq("word"), "left")
-      .withColumn("toks",
-        coalesce(col("dict_syms"), initialSyms(col("word"))))
-      .groupBy(col(idCol))
-      .agg(flatten(array_sort(collect_list(struct(col("pos"), col("toks"))))
-        .getField("toks")).as("all_toks"))
-      .select(col(idCol), size(col("all_toks")).as("n_bpe_tokens"),
-        concat_ws(" ", col("all_toks")).as("bpe_text"))
+    if (vocab.count() <= broadcastMaxVocab) {
+      val entries = dict.collect().map(r =>
+        r.getAs[String]("word") -> r.getSeq[String](1).toArray)
+      val bc = docs.sparkSession.sparkContext.broadcast(entries)
+      docs.select(col(idCol),
+        graft.functions.bpe_dict_encode(bc, EndMark,
+          filter(TextOps.tokens(col(textCol)), w => length(w) > 0))
+          .as("all_toks"))
+        // parity with the join path, whose explode drops token-less docs
+        .filter(size(col("all_toks")) > 0)
+        .select(col(idCol), size(col("all_toks")).as("n_bpe_tokens"),
+          concat_ws(" ", col("all_toks")).as("bpe_text"))
+    } else {
+      docs
+        .select(col(idCol), posexplode(TextOps.tokens(col(textCol)))
+          .as(Seq("pos", "word")))
+        .filter(length(col("word")) > 0)
+        .join(dict, Seq("word"), "left")
+        .withColumn("toks",
+          coalesce(col("dict_syms"), initialSyms(col("word"))))
+        .groupBy(col(idCol))
+        .agg(flatten(array_sort(collect_list(struct(col("pos"), col("toks"))))
+          .getField("toks")).as("all_toks"))
+        .select(col(idCol), size(col("all_toks")).as("n_bpe_tokens"),
+          concat_ws(" ", col("all_toks")).as("bpe_text"))
+    }
   }
 }

@@ -85,6 +85,20 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("encode broadcast-dict and join paths are byte-equal") {
+    import spark.implicits._
+    val vocab = Bpe.learn(docsDf, "text", BpeConfig(numMerges = 10))._2
+    val docs = docsDf.select("doc_id", "text")
+      .union(Seq((90001L, ""), (90002L, "   "), (90003L, "zzqx unseen"))
+        .toDF("doc_id", "text"))
+    val fast = Bpe.encode(docs, "doc_id", "text", vocab)
+    val join = Bpe.encode(docs, "doc_id", "text", vocab, broadcastMaxVocab = 0L)
+    assert(fast.exceptAll(join).isEmpty && join.exceptAll(fast).isEmpty)
+    // token-less docs are dropped by both paths
+    assert(fast.filter(col("doc_id") >= 90001L && col("doc_id") <= 90002L).isEmpty)
+    assert(fast.filter(col("doc_id") === 90003L).count() == 1)
+  }
+
   test("encode falls back to character symbols for unseen words") {
     import spark.implicits._
     val vocab = Bpe.learn(docsDf, "text", BpeConfig(numMerges = 5))._2
