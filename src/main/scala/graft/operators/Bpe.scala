@@ -215,8 +215,14 @@ object Bpe {
   def encode(docs: DataFrame, idCol: String, textCol: String,
              vocab: DataFrame, broadcastMaxVocab: Long = 1000000L): DataFrame = {
     val dict = vocab.select(col("word"), col("syms").as("dict_syms"))
-    if (vocab.count() <= broadcastMaxVocab) {
-      val entries = dict.collect().map(r =>
+    // one probe job: collecting max+1 rows both sizes the vocab and, when
+    // it fits, IS the dictionary collect (no separate count pass)
+    val probe = dict
+      .limit(if (broadcastMaxVocab >= Int.MaxValue - 1) Int.MaxValue
+             else (broadcastMaxVocab + 1).toInt)
+      .collect()
+    if (probe.length <= broadcastMaxVocab) {
+      val entries = probe.map(r =>
         r.getAs[String]("word") -> r.getSeq[String](1).toArray)
       val bc = docs.sparkSession.sparkContext.broadcast(entries)
       docs.select(col(idCol),
