@@ -405,11 +405,27 @@ object Curation {
   def packSequences(docs: DataFrame, idCol: String, toksCol: String,
                     seqLen: Int, partitions: Int = 0): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    val L = lit(seqLen.toLong)
     val pre = withHashOrderPrefix(
       docs.select(col(idCol), col(toksCol))
         .filter(size(col(toksCol)) > 0),
       idCol, size(col(toksCol)), partitions)
+      .withColumn("__starts", array(lit(0)))
+    packFromPrefix(pre, toksCol, seqLen)
+  }
+
+  /** The carve stage of [[packSequences]], reusable over ANY prefix
+    * assignment (the streaming packer feeds arrival-order offsets and a
+    * carry row through it). `pre` rows need: `toksCol` (non-empty token
+    * array), `__pre` (the row's global token offset), `__n`
+    * (`size(toksCol)` as long), and `__starts` — the 0-based positions
+    * WITHIN the row's token array where a document begins (`[0]` for a
+    * whole doc; a carry row lists the starts it accumulated). Each row is
+    * cut into ≤⌈n/L⌉+1 contiguous slices, each landing in one example;
+    * starts travel with their slice and surface as in-example positions.
+    */
+  private[graft] def packFromPrefix(pre: DataFrame, toksCol: String,
+                                    seqLen: Int): DataFrame = {
+    val L = lit(seqLen.toLong)
     // tokens in the first slice = up to the next example boundary
     val firstCut = least(L - col("__pre") % L, col("__n"))
     // slice count: 1 + ceil((n - firstCut) / L); doubles are exact here
@@ -421,29 +437,34 @@ object Curation {
       .withColumn("__first", firstCut)
       .withColumn("__m", m)
       .select(col("__pre"), col(toksCol).as("__toks"), col("__first"),
-        explode(sequence(lit(0L), col("__m") - 1)).as("__j"))
+        col("__starts"), explode(sequence(lit(0L), col("__m") - 1)).as("__j"))
+      .withColumn("__cut0", // 0-based first token of this slice in the row
+        when(col("__j") === 0, lit(0L))
+          .otherwise(col("__first") + (col("__j") - 1) * L))
+      .withColumn("__len",
+        when(col("__j") === 0, col("__first")).otherwise(L))
+      .withColumn("__epos0", // in-example position of the slice's first token
+        when(col("__j") === 0, col("__pre") % L).otherwise(lit(0L)))
       .select(
         ((col("__pre") / L).cast("long") + col("__j")).as("example_id"),
-        when(col("__j") === 0, col("__pre") % L).otherwise(lit(0L))
-          .cast("int").as("start_epos"),
-        (col("__j") === 0).as("is_doc_start"),
-        slice(col("__toks"),
-          when(col("__j") === 0, lit(1L))
-            .otherwise(col("__first") + (col("__j") - 1) * L + 1).cast("int"),
-          when(col("__j") === 0, col("__first")).otherwise(L).cast("int"))
-          .as("toks"))
+        col("__epos0").cast("int").as("start_epos"),
+        slice(col("__toks"), (col("__cut0") + 1).cast("int"),
+          col("__len").cast("int")).as("toks"),
+        transform(
+          filter(col("__starts"), s =>
+            s >= col("__cut0") && s < col("__cut0") + col("__len")),
+          s => (s - col("__cut0") + col("__epos0")).cast("int"))
+          .as("starts"))
     slices
       .groupBy("example_id")
       .agg(array_sort(collect_list(
-        struct(col("start_epos"), col("toks"), col("is_doc_start")))).as("a"))
+        struct(col("start_epos"), col("toks"), col("starts")))).as("a"))
       .select(col("example_id"),
         size(flatten(col("a.toks"))).as("n_tokens"),
         concat_ws(" ", flatten(col("a.toks"))).as("example_text"),
-        concat_ws(",", transform(
-          filter(col("a"), s => s.getField("is_doc_start")),
-          s => s.getField("start_epos").cast("string"))).as("doc_starts"),
-        size(filter(col("a"), s => s.getField("is_doc_start")))
-          .as("n_docs_started"))
+        concat_ws(",", transform(flatten(col("a.starts")),
+          s => s.cast("string"))).as("doc_starts"),
+        size(flatten(col("a.starts"))).as("n_docs_started"))
   }
 
   /** Stratified deterministic sample: at most `perStratum` documents per

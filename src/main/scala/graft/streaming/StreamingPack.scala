@@ -1,0 +1,162 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.Curation
+
+/** Streaming fixed-length sequence packing: the continuous-ingest rendering
+  * of [[graft.operators.Curation.packSequences]]. Documents arrive as a
+  * stream; each micro-batch's tokens extend the corpus token stream IN
+  * ARRIVAL ORDER (deterministic `idCol` order within a batch), full
+  * `seqLen` examples are appended to the training corpus as they complete,
+  * and the one incomplete tail example CARRIES across batches as
+  * operator state.
+  *
+  * State is a single logical row — `(total tokens consumed, the ≤ seqLen-1
+  * carried tokens, their in-carry doc-start positions)` — versioned by
+  * micro-batch id in an append-only parquet log: batch b reads the newest
+  * state with id < b, so a redelivered batch recomputes FROM THE SAME
+  * STATE and appends byte-identical rows (the output append itself has the
+  * same at-least-once window every foreachBatch sink has — see
+  * [[StreamingDedup]]'s contract).
+  *
+  * The per-batch plan reuses the batch operator's carve stage
+  * ([[Curation.packFromPrefix]]): the carry enters as one synthetic row at
+  * the last example boundary, batch docs follow at their arrival-order
+  * offsets, so emitted examples are exactly what the batch operator would
+  * produce on the concatenated stream. The within-batch prefix sum is a
+  * single-partition window — micro-batches are admission-bounded
+  * (`maxEventsPerBatch`), so batch size, not corpus size, caps it.
+  */
+object StreamingPack {
+
+  /** `(totalTokens, carryToks, carryStarts)` after a given batch. */
+  private val StateSchema = StructType(Seq(
+    StructField("batch_id", LongType, nullable = false),
+    StructField("total_tokens", LongType, nullable = false),
+    StructField("carry_toks", ArrayType(StringType, containsNull = false)),
+    StructField("carry_starts", ArrayType(IntegerType, containsNull = false))))
+
+  private[streaming] final case class PackState(
+      totalTokens: Long, carryToks: Seq[String], carryStarts: Seq[Int])
+
+  private def readState(spark: SparkSession, stateDir: String,
+                        beforeBatch: Long): PackState = {
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(stateDir))) return PackState(0L, Nil, Nil)
+    val rows = spark.read.schema(StateSchema).parquet(stateDir)
+      .filter(col("batch_id") < beforeBatch)
+      .orderBy(desc("batch_id")).limit(1).collect()
+    rows.headOption.map { r =>
+      PackState(r.getLong(1), r.getSeq[String](2), r.getSeq[Int](3))
+    }.getOrElse(PackState(0L, Nil, Nil))
+  }
+
+  /** One micro-batch: pack `batch` (docs with a token-array column) onto
+    * the carried stream, append completed examples to `outDir`, append the
+    * post-batch state to `stateDir`.
+    */
+  def packBatch(spark: SparkSession, batch: DataFrame, idCol: String,
+                toksCol: String, seqLen: Int, stateDir: String,
+                outDir: String, batchId: Long): Unit = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val st = readState(spark, stateDir, batchId)
+    val carryLen = st.carryToks.length
+
+    val docs = batch
+      .select(col(idCol).cast("long").as("__id"), col(toksCol).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    // arrival-order (id-ordered) prefix within the batch; single-partition
+    // window — bounded by the micro-batch, not the corpus
+    val bpre = coalesce(
+      sum(size(col("__toks")).cast("long"))
+        .over(Window.orderBy("__id").rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val docRows = docs.select(col("__toks"),
+      (lit(st.totalTokens) + bpre).as("__pre"),
+      size(col("__toks")).cast("long").as("__n"),
+      array(lit(0)).as("__starts"))
+
+    // the carry re-enters at the last example boundary it left off at
+    val base = st.totalTokens - carryLen
+    val carryRows =
+      if (carryLen == 0) docRows.limit(0)
+      else spark.createDataFrame(
+        java.util.List.of(Row(st.carryToks, base, carryLen.toLong, st.carryStarts)),
+        StructType(Seq(
+          StructField("__toks", ArrayType(StringType, containsNull = false)),
+          StructField("__pre", LongType, nullable = false),
+          StructField("__n", LongType, nullable = false),
+          StructField("__starts", ArrayType(IntegerType, containsNull = false)))))
+
+    val packed = Curation.packFromPrefix(
+      carryRows.unionByName(docRows), "__toks", seqLen).cache()
+    try {
+      val full = packed.filter(col("n_tokens") === seqLen)
+      if (!full.isEmpty) full.write.mode("append").parquet(outDir)
+
+      val tail = packed.filter(col("n_tokens") < seqLen)
+        .select(split(col("example_text"), " ").as("toks"),
+          when(col("doc_starts") === "", array().cast("array<int>"))
+            .otherwise(transform(split(col("doc_starts"), ","),
+              s => s.cast("int"))).as("starts"))
+        .collect()
+      val (nToks, nStarts) = tail.headOption
+        .map(r => (r.getSeq[String](0), r.getSeq[Int](1)))
+        .getOrElse((Nil, Nil))
+      val total = st.totalTokens +
+        docs.agg(coalesce(sum(size(col("__toks"))), lit(0L)))
+          .collect().head.getLong(0)
+      spark.createDataFrame(
+        java.util.List.of(Row(batchId, total, nToks, nStarts)), StateSchema)
+        .write.mode("append").parquet(stateDir)
+    } finally packed.unpersist()
+  }
+
+  /** Start the checkpointed streaming packer over a document stream with a
+    * token-array column.
+    */
+  def start(spark: SparkSession, stream: DataFrame, idCol: String,
+            toksCol: String, seqLen: Int, stateDir: String, outDir: String,
+            checkpointDir: String, availableNow: Boolean = true): StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Retry.withBackoff() {
+          packBatch(spark, batch, idCol, toksCol, seqLen, stateDir, outDir, batchId)
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** Emit the carried partial example (if any) as a final short example —
+    * end-of-corpus flush. Returns the number of examples written (0 or 1).
+    */
+  def flush(spark: SparkSession, stateDir: String, outDir: String,
+            seqLen: Int): Int = {
+    val st = readState(spark, stateDir, Long.MaxValue)
+    if (st.carryToks.isEmpty) 0
+    else {
+      val exampleId = (st.totalTokens - st.carryToks.length) / seqLen
+      spark.createDataFrame(
+        java.util.List.of(Row(exampleId, st.carryToks.length,
+          st.carryToks.mkString(" "), st.carryStarts.mkString(","),
+          st.carryStarts.length)),
+        StructType(Seq(
+          StructField("example_id", LongType, nullable = false),
+          StructField("n_tokens", IntegerType, nullable = false),
+          StructField("example_text", StringType, nullable = false),
+          StructField("doc_starts", StringType, nullable = false),
+          StructField("n_docs_started", IntegerType, nullable = false))))
+        .write.mode("append").parquet(outDir)
+      1
+    }
+  }
+}

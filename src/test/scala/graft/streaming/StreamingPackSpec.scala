@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamingPackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val L = 8
+
+  /** Serial reference: carve the delivery-order token stream at L. */
+  private def reference(docs: Seq[(Long, Seq[String])]) = {
+    val stream = docs.flatMap { case (_, toks) =>
+      toks.zipWithIndex.map { case (t, p) => (t, p == 0) }
+    }
+    stream.zipWithIndex.groupBy(_._2 / L).toSeq.sortBy(_._1).map {
+      case (ex, toks) =>
+        val starts = toks.collect { case ((_, true), g) => g % L }
+        (ex.toLong, toks.length, toks.map(_._1._1).mkString(" "),
+          starts.mkString(","), starts.length)
+    }
+  }
+
+  private def doc(id: Long, n: Int): (Long, Seq[String]) =
+    id -> (0 until n).map(t => s"d${id}_$t")
+
+  test("packs across micro-batches exactly like the serial stream") {
+    val log = Files.createTempDirectory("sp_log").toString
+    val state = Files.createTempDirectory("sp_state").toString + "/state"
+    val out = Files.createTempDirectory("sp_out").toString + "/examples"
+    val ckpt = Files.createTempDirectory("sp_ckpt").toString
+    val schema = Seq((0L, Seq(""))).toDF("doc_id", "toks").schema
+
+    def runOnce(): Unit = {
+      val q = StreamingPack.start(spark,
+        spark.readStream.schema(schema).parquet(log),
+        "doc_id", "toks", L, state, out, ckpt)
+      q.awaitTermination()
+    }
+
+    // batch 1: 3+5 tokens -> exactly one full example, empty carry;
+    // batch 2: 20-token doc spans examples 1..3 and carries 4 tokens;
+    // batch 3: 2+3 tokens -> still carrying (9 % 8 = 1 into example 4)
+    val b1 = Seq(doc(1, 3), doc(2, 5))
+    val b2 = Seq(doc(3, 20))
+    val b3 = Seq(doc(4, 2), doc(5, 3))
+    for (b <- Seq(b1, b2, b3)) {
+      b.toDF("doc_id", "toks").write.mode("append").parquet(log)
+      runOnce()
+    }
+
+    val expectedAll = reference(b1 ++ b2 ++ b3)
+    val expectedFull = expectedAll.filter(_._2 == L)
+    val got = spark.read.parquet(out)
+      .orderBy("example_id")
+      .as[(Long, Int, String, String, Int)].collect().toSeq
+    assert(got == expectedFull, s"\ngot      $got\nexpected $expectedFull")
+
+    // flush emits the partial tail; together they are the whole stream
+    assert(StreamingPack.flush(spark, state, out, L) == 1)
+    val all = spark.read.parquet(out).orderBy("example_id")
+      .as[(Long, Int, String, String, Int)].collect().toSeq
+    assert(all == expectedAll)
+    // token conservation
+    val totalIn = (b1 ++ b2 ++ b3).map(_._2.length).sum
+    assert(all.map(_._2).sum == totalIn)
+  }
+
+  test("redelivered batch recomputes from the same state (byte-equal)") {
+    val state = Files.createTempDirectory("sp2_state").toString + "/state"
+    val out = Files.createTempDirectory("sp2_out").toString + "/examples"
+
+    val b1 = Seq(doc(1, 11)).toDF("doc_id", "toks")
+    StreamingPack.packBatch(spark, b1, "doc_id", "toks", L, state, out, 0L)
+    val afterFirst = spark.read.parquet(out)
+      .as[(Long, Int, String, String, Int)].collect().toSeq.sorted
+
+    // redelivery of batch 0: reads state BEFORE batch 0 -> same rows again
+    StreamingPack.packBatch(spark, b1, "doc_id", "toks", L, state, out, 0L)
+    val afterRedeliver = spark.read.parquet(out)
+      .as[(Long, Int, String, String, Int)].collect().toSeq.sorted
+    assert(afterRedeliver == (afterFirst ++ afterFirst).sorted,
+      "redelivery must append byte-identical rows, not drift state")
+
+    // the NEXT batch still sees exactly one post-batch-0 state
+    StreamingPack.packBatch(spark,
+      Seq(doc(2, 5)).toDF("doc_id", "toks"), "doc_id", "toks", L,
+      state, out, 1L)
+    val ex1 = spark.read.parquet(out).filter(col("example_id") === 1L)
+      .dropDuplicates().as[(Long, Int, String, String, Int)].collect()
+    // tokens 8..15 of the stream: 3 tail tokens of doc 1 + all of doc 2
+    assert(ex1.length == 1 && ex1.head._2 == L && ex1.head._5 == 1)
+  }
+
+  test("empty and token-less batches leave the stream unchanged") {
+    val state = Files.createTempDirectory("sp3_state").toString + "/state"
+    val out = Files.createTempDirectory("sp3_out").toString + "/examples"
+    StreamingPack.packBatch(spark,
+      Seq(doc(1, 5)).toDF("doc_id", "toks"), "doc_id", "toks", L,
+      state, out, 0L)
+    StreamingPack.packBatch(spark,
+      Seq((9L, Seq.empty[String])).toDF("doc_id", "toks"), "doc_id", "toks", L,
+      state, out, 1L)
+    StreamingPack.packBatch(spark,
+      Seq(doc(2, 4)).toDF("doc_id", "toks"), "doc_id", "toks", L,
+      state, out, 2L)
+    assert(StreamingPack.flush(spark, state, out, L) == 1)
+    val all = spark.read.parquet(out).orderBy("example_id")
+      .as[(Long, Int, String, String, Int)].collect().toSeq
+    assert(all == reference(Seq(doc(1, 5), doc(2, 4))))
+  }
+}
