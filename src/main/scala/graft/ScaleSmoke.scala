@@ -335,7 +335,7 @@ object ScaleSmoke {
     }
     val cfg = Bpe.BpeConfig(numMerges = 10)
     val serial = Bpe.learnLocal(
-      words.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq, cfg)
+      words.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq, cfg)._1
     val (dist, vocabDf) = t("bpe_learn_distributed")(
       Bpe.learnDistributed(words, cfg))
     println(s"SCALE   bpe merges=${dist.length} " +

@@ -125,6 +125,14 @@ package object functions {
       fallbackMark: String, tokens: Column): Column =
     col(BpeDictEncode(dict, fallbackMark, ex(tokens)))
 
+  /** Map-side subword-ID encoding: token array → flattened int-id stream
+    * through broadcast `word -> ids` + `symbol -> id` dictionaries. */
+  def bpe_dict_encode_ids(
+      dict: org.apache.spark.broadcast.Broadcast[Array[(String, Array[Int])]],
+      symIds: org.apache.spark.broadcast.Broadcast[Array[(String, Int)]],
+      fallbackMark: String, unkId: Int, tokens: Column): Column =
+    col(BpeDictEncodeIds(dict, symIds, fallbackMark, unkId, ex(tokens)))
+
   /** Re-merge stored KLL sketches into one (shard profiles → corpus). */
   def kll_merge_agg(sketch: Column, k: Int = 200): Column =
     col(KllMergeAgg(ex(sketch), k).toAggregateExpression())

@@ -81,11 +81,13 @@ object Bpe {
 
   /** Left-to-right greedy rewrite of one merge over a symbol sequence —
     * the exact BPE replace (non-overlapping, restarting after each hit:
-    * "aaaa" under (a,a) becomes ["aa","aa"]). A codegen'd fold; zero is
-    * `slice(syms, 1, 0)` to inherit the array<string> type.
+    * "aaaa" under (a,a) becomes ["aa","aa"]). A codegen'd fold. The zero
+    * MUST be a literal, not an expression over `syms`: a child-referencing
+    * zero re-evaluates the child per nesting level, turning a chain of k
+    * stacked merges into 2^k child evaluations.
     */
   private def applyMerge(syms: Column, l: String, r: String, m: String): Column =
-    aggregate(syms, slice(syms, 1, 0), (acc, x) =>
+    aggregate(syms, typedlit(Array.empty[String]), (acc, x) =>
       when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
         .otherwise(concat(acc, array(x))))
@@ -93,40 +95,42 @@ object Bpe {
   /** Serial reference merge loop over in-memory word counts. Also the
     * driver-local fast path: for vocabularies that fit on the driver
     * (bounded planning state), per-merge Spark jobs would be pure
-    * overhead. Kept package-visible so the spec can pin the distributed
-    * path against it.
+    * overhead. Returns the merges AND the final per-word symbol arrays
+    * (so [[learn]]'s local path never replays the merge chain as stacked
+    * expressions). Kept package-visible so the spec can pin the
+    * distributed path against it.
     */
   private[graft] def learnLocal(counts: Seq[(String, Long)],
-                                cfg: BpeConfig): Seq[Merge] = {
-    var vocab: Seq[(Array[String], Long)] = counts.map { case (w, c) =>
-      (w.split("").filter(_.nonEmpty) :+ EndMark, c)
+      cfg: BpeConfig): (Seq[Merge], Seq[(String, Long, Seq[String])]) = {
+    var vocab: Seq[(String, Array[String], Long)] = counts.map { case (w, c) =>
+      (w, w.split("").filter(_.nonEmpty) :+ EndMark, c)
     }
     val merges = Seq.newBuilder[Merge]
     var rank = 0
     var done = false
     while (rank < cfg.numMerges && !done) {
       val pairCounts = collection.mutable.Map.empty[(String, String), Long]
-      for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+      for ((_, syms, c) <- vocab; i <- 0 until syms.length - 1)
         pairCounts.updateWith((syms(i), syms(i + 1)))(p => Some(p.getOrElse(0L) + c))
       val best = pairCounts.toSeq
         .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
       best match {
         case Some(((l, r), c)) if c >= cfg.minPairFreq =>
           val m = l + r
-          vocab = vocab.map { case (syms, cnt) =>
+          vocab = vocab.map { case (w, syms, cnt) =>
             val out = collection.mutable.ArrayBuffer.empty[String]
             for (s <- syms) {
               if (out.nonEmpty && out.last == l && s == r) out(out.length - 1) = m
               else out += s
             }
-            (out.toArray, cnt)
+            (w, out.toArray, cnt)
           }
           merges += Merge(rank, l, r, m, c)
           rank += 1
         case _ => done = true
       }
     }
-    merges.result()
+    (merges.result(), vocab.map { case (w, syms, c) => (w, c, syms.toSeq) })
   }
 
   /** Distributed merge loop: per merge, one vocab-sized pair-count
@@ -176,13 +180,19 @@ object Bpe {
       if (nWords <= cfg.driverLocalMaxVocab) {
         val counts = words.collect()
           .map(r => r.getAs[String]("word") -> r.getAs[Long]("cnt")).toSeq
-        val ms = learnLocal(counts, cfg)
-        // Re-derive the dictionary distributedly by replaying the (tiny,
-        // broadcastable) merge list — keeps `vocab` a DataFrame either way.
-        var v = words.select(col("word"), col("cnt"),
-          initialSyms(col("word")).as("syms"))
-        for (m <- ms) v = v.withColumn("syms",
-          applyMerge(col("syms"), m.left, m.right, m.merged))
+        val (ms, localVocab) = learnLocal(counts, cfg)
+        // the dictionary was computed in the local loop — materialize it
+        // as a DataFrame directly (never replay the merge list as stacked
+        // array-fold expressions: k chained interpreted HOFs per row)
+        val vocabSchema = StructType(Seq(
+          StructField("word", StringType, nullable = false),
+          StructField("cnt", LongType, nullable = false),
+          StructField("syms", ArrayType(StringType, containsNull = false))))
+        val v = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            localVocab.map { case (w, c, syms) => Row(w, c, syms) },
+            math.max(1, spark.sparkContext.defaultParallelism / 4)),
+          vocabSchema)
         (ms, v)
       } else learnDistributed(words, cfg)
     val mergeRows = merges.map(m =>
@@ -196,6 +206,51 @@ object Bpe {
     val mergesDf = spark.createDataFrame(
       spark.sparkContext.parallelize(mergeRows, 1), mergeSchema)
     (mergesDf, vocab)
+  }
+
+  /** The symbol vocabulary of a learned dictionary: every distinct subword
+    * with its corpus frequency (Σ word-cnt over occurrences) and a DENSE
+    * deterministic id — rank by (frequency desc, symbol asc), 0-based, the
+    * standard frequency-sorted tokenizer id assignment. The symbol count
+    * is bounded by |initial characters| + numMerges, so the rank window is
+    * over a provably tiny relation regardless of corpus size.
+    */
+  def symbolVocab(vocab: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("freq"), asc("token"))
+    vocab.select(explode(col("syms")).as("token"), col("cnt"))
+      .groupBy("token").agg(sum("cnt").as("freq"))
+      .withColumn("id", (row_number().over(w) - 1).cast("int"))
+      .select("token", "id", "freq")
+  }
+
+  /** Tokenize the corpus straight to the flattened subword-ID stream (the
+    * model-input artifact): `(id, n_bpe_tokens, ids)` with `ids` an
+    * `array<int>` under [[symbolVocab]]'s dense frequency-sorted
+    * assignment. Map-only like the string [[encode]] fast path — the
+    * `word -> ids` dictionary and the symbol table ride one broadcast
+    * each; unseen words fall back per character, unknown characters emit
+    * `unkId` (-1). The dictionary must be collectible (it is the
+    * distinct-word table; for uncollectable vocabularies compose
+    * [[encode]]'s join path with a `symbolVocab` join instead).
+    */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+                vocab: DataFrame, unkId: Int = -1): DataFrame = {
+    val symEntries = symbolVocab(vocab).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Int]("id"))
+    val symOf = symEntries.toMap
+    val dictEntries = vocab.select(col("word"), col("syms")).collect()
+      .map(r => r.getAs[String]("word") ->
+        r.getSeq[String](1).map(s => symOf.getOrElse(s, unkId)).toArray)
+    val sc = docs.sparkSession.sparkContext
+    val bcDict = sc.broadcast(dictEntries)
+    val bcSyms = sc.broadcast(symEntries)
+    docs.select(col(idCol),
+      graft.functions.bpe_dict_encode_ids(bcDict, bcSyms, EndMark, unkId,
+        filter(TextOps.tokens(col(textCol)), w => length(w) > 0))
+        .as("ids"))
+      .filter(size(col("ids")) > 0)
+      .select(col(idCol), size(col("ids")).as("n_bpe_tokens"), col("ids"))
   }
 
   /** Tokenize the corpus with a learned dictionary. Two executions, chosen

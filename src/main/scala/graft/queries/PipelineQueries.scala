@@ -560,6 +560,28 @@ object PipelineQueries {
       },
       None),
 
+    // ---- BPE symbol vocabulary: dense frequency-sorted token ids (the
+    // tokenizer's id assignment; rows-only — derived from the learned
+    // dictionary; density/order/determinism asserted in BpeSpec) ----
+    ("ns_text_bpe_symbols",
+      (s: SparkSession, d: String) =>
+        Bpe.symbolVocab(Bpe.learn(Tables.documents(s, d), "text",
+          Bpe.BpeConfig(numMerges = 20))._2).orderBy("id"),
+      None),
+
+    // ---- BPE encode to ids: the model-input artifact — flattened
+    // subword-id stream per document, map-only via the broadcast
+    // dictionaries (id-decode equality with the string encode asserted
+    // in BpeSpec) ----
+    ("ns_text_bpe_encode_ids",
+      (s: SparkSession, d: String) => {
+        val vocab = Bpe.learn(Tables.documents(s, d), "text",
+          Bpe.BpeConfig(numMerges = 20))._2
+        Bpe.encodeIds(Tables.documents(s, d), "doc_id", "text", vocab)
+          .orderBy("doc_id")
+      },
+      None),
+
     // ---- text analysis: token counting (whitespace + BPE-ish regex) ----
     ("ns_text_tokens",
       (s: SparkSession, d: String) =>

@@ -12,7 +12,7 @@ class BpeSpec extends SparkSpec {
   test("serial reference: greedy left-to-right merge, deterministic ties") {
     // "aaaa"x3 + "ab"x2: best pair (a,a) count 3*3=9 -> "aaaa"=[aa,aa,</w>]
     val ms = Bpe.learnLocal(
-      Seq("aaaa" -> 3L, "ab" -> 2L), BpeConfig(numMerges = 2))
+      Seq("aaaa" -> 3L, "ab" -> 2L), BpeConfig(numMerges = 2))._1
     assert(ms.head == Merge(0, "a", "a", "aa", 9L))
     // next round: (aa,aa) 3, (aa,</w>) 3, (a,b) 2, (b,</w>) 2 — count tie
     // between (aa,aa) and (aa,</w>) breaks on right string: "</w>" < "aa"
@@ -21,7 +21,7 @@ class BpeSpec extends SparkSpec {
 
   test("serial reference stops below minPairFreq") {
     val ms = Bpe.learnLocal(Seq("ab" -> 1L, "cd" -> 1L),
-      BpeConfig(numMerges = 10, minPairFreq = 2L))
+      BpeConfig(numMerges = 10, minPairFreq = 2L))._1
     assert(ms.isEmpty)
   }
 
@@ -30,7 +30,7 @@ class BpeSpec extends SparkSpec {
     val counts = words.collect()
       .map(r => r.getAs[String]("word") -> r.getAs[Long]("cnt")).toSeq
     val cfg = BpeConfig(numMerges = 12)
-    val serial = Bpe.learnLocal(counts, cfg)
+    val serial = Bpe.learnLocal(counts, cfg)._1
     val (dist, vocabDf) = Bpe.learnDistributed(words, cfg)
     assert(serial.nonEmpty && dist == serial)
     // the distributed dictionary's symbols reproduce the serial rewrite
@@ -99,6 +99,24 @@ class BpeSpec extends SparkSpec {
     assert(fast.filter(col("doc_id") === 90003L).count() == 1)
   }
 
+  test("dict-path encode plans with zero shuffle exchanges") {
+    val vocab = Bpe.learn(docsDf, "text", BpeConfig(numMerges = 5))._2
+    val enc = Bpe.encode(docsDf, "doc_id", "text", vocab)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffles(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case other => other.collect {
+        case _: ShuffleExchangeLike => 1
+        case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      }.sum
+    }
+    assert(shuffles(enc.queryExecution.executedPlan) == 0,
+      "dict-path tokenization must stay a map-only scan pipeline:\n" +
+        enc.queryExecution.executedPlan.toString)
+  }
+
   test("encode falls back to character symbols for unseen words") {
     import spark.implicits._
     val vocab = Bpe.learn(docsDf, "text", BpeConfig(numMerges = 5))._2
@@ -106,6 +124,49 @@ class BpeSpec extends SparkSpec {
       Seq((1L, "zzqx")).toDF("doc_id", "text"), "doc_id", "text", vocab)
       .collect().head
     assert(out.getString(2) == s"z z q x ${Bpe.EndMark}")
+  }
+
+  test("symbolVocab ids are dense, frequency-sorted, deterministic") {
+    val vocab = Bpe.learn(docsDf, "text", BpeConfig(numMerges = 10))._2
+    val sv = Bpe.symbolVocab(vocab).orderBy("id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(sv.map(_._2).toSeq == sv.indices.toSeq, "ids must be dense from 0")
+    val freqs = sv.map(_._3)
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    // tie-break: equal-frequency symbols ordered by symbol string
+    sv.groupBy(_._3).values.filter(_.length > 1).foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._1).toSeq == sorted.map(_._1).sorted.toSeq)
+    }
+  }
+
+  test("encodeIds decodes back to the string encoding exactly") {
+    val vocab = Bpe.learn(docsDf, "text", BpeConfig(numMerges = 10))._2
+    val idOf = Bpe.symbolVocab(vocab).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val tokOf = idOf.map(_.swap)
+    val strs = Bpe.encode(docsDf, "doc_id", "text", vocab).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val ids = Bpe.encodeIds(docsDf, "doc_id", "text", vocab).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+    assert(ids.map(_._1).toSet == strs.keySet)
+    for ((id, n, seq) <- ids) {
+      assert(n == seq.length)
+      assert(seq.map(tokOf).mkString(" ") == strs(id),
+        s"doc $id id-decode mismatch")
+    }
+  }
+
+  test("encodeIds falls back per character and emits unk for unknowns") {
+    import spark.implicits._
+    val vocab = Bpe.learn(docsDf, "text", BpeConfig(numMerges = 5))._2
+    val idOf = Bpe.symbolVocab(vocab).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    // "a" is a known character here; "¤" cannot be (corpus is ascii words)
+    val out = Bpe.encodeIds(
+      Seq((1L, "a¤")).toDF("doc_id", "text"), "doc_id", "text", vocab)
+      .collect().head.getSeq[Int](2)
+    assert(out == Seq(idOf("a"), -1, idOf(Bpe.EndMark)))
   }
 
   test("merge sequence is stable across reruns") {
