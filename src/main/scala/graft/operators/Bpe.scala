@@ -58,6 +58,17 @@ object Bpe {
   final case class Merge(rank: Int, left: String, right: String,
                          merged: String, pairCount: Long)
 
+  /** Lexicographic order on UTF-8 BYTES — Spark's UTF8String collation.
+    * Java String compareTo orders UTF-16 code units instead, and the two
+    * DISAGREE when comparing a supplementary character against a BMP char
+    * in [U+E000, U+FFFF]; the local and distributed merge loops must
+    * tie-break identically, so both use this order.
+    */
+  private[graft] val utf8Order: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** `(word, cnt)` over whitespace-lowercased tokens — the one corpus-scale
     * pass (single keyed shuffle, map-side partial aggregation).
     */
@@ -113,7 +124,8 @@ object Bpe {
       for ((_, syms, c) <- vocab; i <- 0 until syms.length - 1)
         pairCounts.updateWith((syms(i), syms(i + 1)))(p => Some(p.getOrElse(0L) + c))
       val best = pairCounts.toSeq
-        .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+        .sortBy { case ((l, r), c) => (-c, l, r) }(
+          Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order)).headOption
       best match {
         case Some(((l, r), c)) if c >= cfg.minPairFreq =>
           val m = l + r
@@ -173,12 +185,18 @@ object Bpe {
   def learn(docs: DataFrame, textCol: String,
             cfg: BpeConfig = BpeConfig()): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
-    val words = wordCounts(docs, textCol)
-    // cnt both caps the collect decision and is the loop's weight column.
-    val nWords = words.count()
+    // cache the (vocab-sized) word counts so the corpus-scale explode +
+    // aggregate runs ONCE; the limit(max+1) probe both sizes the vocab
+    // and, when it fits, already is the counts collect (same pattern as
+    // encode's dictionary probe)
+    val words = wordCounts(docs, textCol).cache()
+    val probe = words
+      .limit(if (cfg.driverLocalMaxVocab >= Int.MaxValue - 1) Int.MaxValue
+             else (cfg.driverLocalMaxVocab + 1).toInt)
+      .collect()
     val (merges, vocab) =
-      if (nWords <= cfg.driverLocalMaxVocab) {
-        val counts = words.collect()
+      if (probe.length <= cfg.driverLocalMaxVocab) {
+        val counts = probe
           .map(r => r.getAs[String]("word") -> r.getAs[Long]("cnt")).toSeq
         val (ms, localVocab) = learnLocal(counts, cfg)
         // the dictionary was computed in the local loop — materialize it
@@ -195,6 +213,9 @@ object Bpe {
           vocabSchema)
         (ms, v)
       } else learnDistributed(words, cfg)
+    // safe to release: the local path materialized its own DataFrame and
+    // the distributed loop localCheckpoints `words` eagerly up front
+    words.unpersist()
     val mergeRows = merges.map(m =>
       Row(m.rank, m.left, m.right, m.merged, m.pairCount))
     val mergeSchema = StructType(Seq(

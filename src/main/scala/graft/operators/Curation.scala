@@ -410,7 +410,7 @@ object Curation {
         .filter(size(col(toksCol)) > 0),
       idCol, size(col(toksCol)), partitions)
       .withColumn("__starts", array(lit(0)))
-    packFromPrefix(pre, toksCol, seqLen)
+    packFromPrefix(pre, toksCol, seqLen).drop("__toks_arr", "__starts_arr")
   }
 
   /** The carve stage of [[packSequences]], reusable over ANY prefix
@@ -464,7 +464,12 @@ object Curation {
         concat_ws(" ", flatten(col("a.toks"))).as("example_text"),
         concat_ws(",", transform(flatten(col("a.starts")),
           s => s.cast("string"))).as("doc_starts"),
-        size(flatten(col("a.starts"))).as("n_docs_started"))
+        size(flatten(col("a.starts"))).as("n_docs_started"),
+        // array forms, for callers that must round-trip tokens losslessly
+        // (the streaming packer's carry: tokens may contain spaces, so
+        // re-splitting example_text is NOT an inverse of concat_ws)
+        flatten(col("a.toks")).as("__toks_arr"),
+        flatten(col("a.starts")).as("__starts_arr"))
   }
 
   /** Stratified deterministic sample: at most `perStratum` documents per

@@ -92,16 +92,27 @@ object Similarity {
     */
   def bruteForceTopKBatch(embs: DataFrame, idCol: String, vecCol: String,
                           queries: DataFrame, qidCol: String, qvecCol: String,
-                          k: Int, excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+                          k: Int, excludeSelf: Boolean = true): DataFrame =
+    batchScoredTopK(embs, idCol, vecCol,
+      queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec")),
+      if (excludeSelf) col(idCol) =!= col("qid") else lit(true), k, Nil)
+
+  /** Shared core of the batch scorers: broadcast the query table, score
+    * the corpus map-side (codegen'd cosine), keep rows passing `keep`,
+    * rank per query. The ONE shuffle is the per-query top-k window.
+    */
+  private def batchScoredTopK(embs: DataFrame, idCol: String, vecCol: String,
+                              q: DataFrame, keep: Column, k: Int,
+                              extraOut: Seq[Column]): DataFrame = {
     val scored = embs.crossJoin(broadcast(q))
-      .filter(if (excludeSelf) col(idCol) =!= col("qid") else lit(true))
+      .filter(keep)
       .withColumn("cos", round(cosine_similarity(col(vecCol), col("qvec")), 3))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("qid"), col(idCol).as("id"), col("cos"), col("rank"))
+      .select(Seq(col("qid"), col(idCol).as("id")) ++ extraOut ++
+        Seq(col("cos"), col("rank")): _*)
   }
 
   /** Hard-negative mining for contrastive training: for each anchor, the
@@ -118,22 +129,22 @@ object Similarity {
     * candidate rows. For corpora where even one scored scan per batch is
     * too hot, feed `embs` from an IVF/LSH candidate set first — the
     * operator only assumes (id, vec, label).
+    *
+    * Null labels are EXCLUDED on both sides (an anchor or candidate with
+    * no label cannot participate in a label-differs contract) — a non-
+    * null-safe inequality would instead silently drop every candidate of
+    * a null-labeled anchor.
     */
   def hardNegatives(embs: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, anchors: DataFrame, qidCol: String,
-                    qvecCol: String, qlabelCol: String, k: Int): DataFrame = {
-    val q = anchors.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
-      col(qlabelCol).as("qlabel"))
-    val scored = embs.crossJoin(broadcast(q))
-      .filter(col(idCol) =!= col("qid") && col(labelCol) =!= col("qlabel"))
-      .withColumn("cos", round(cosine_similarity(col(vecCol), col("qvec")), 3))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col(idCol).as("id"), col(labelCol).as("neg_label"),
-        col("cos"), col("rank"))
-  }
+                    qvecCol: String, qlabelCol: String, k: Int): DataFrame =
+    batchScoredTopK(
+      embs.filter(col(labelCol).isNotNull), idCol, vecCol,
+      anchors.filter(col(qlabelCol).isNotNull)
+        .select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+          col(qlabelCol).as("qlabel")),
+      col(idCol) =!= col("qid") && col(labelCol) =!= col("qlabel"), k,
+      Seq(col(labelCol).as("neg_label")))
 
   /** BATCH probe of the materialized index: every query's multi-probe
     * bucket list is computed as columns (one codegen'd pass over the query

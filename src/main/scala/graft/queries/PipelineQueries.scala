@@ -112,16 +112,6 @@ object PipelineQueries {
     semanticClusterTable(s, d)
   }
 
-  /** The near-dup CLUSTER table for `d`'s documents, memoized through
-    * [[IndexCatalog]] — clusters are the most-reused dedup artifact in a
-    * real pipeline (every keep/drop policy consumes them), and the
-    * pairs→connected-components run that produces them is the single most
-    * expensive recompute in this suite, so it is content-addressed like
-    * the ANN indexes: built ONCE per (input fingerprint, pair parameters),
-    * then every consumer (`ns_dedup_clusters`, `ns_curate_keep_best`, a
-    * user's own curation query) is a parquet scan of `(id, cluster)`.
-    * Input drift rebuilds by construction (the fingerprint changes).
-    */
   /** The learned BPE model for `d`'s documents (merge table + word
     * dictionary), memoized through [[IndexCatalog]] — trained ONCE per
     * dataset version, read warm by every tokenizer query (same contract
@@ -140,6 +130,16 @@ object PipelineQueries {
     (s.read.parquet(s"$dir/merges"), s.read.parquet(s"$dir/vocab"))
   }
 
+  /** The near-dup CLUSTER table for `d`'s documents, memoized through
+    * [[IndexCatalog]] — clusters are the most-reused dedup artifact in a
+    * real pipeline (every keep/drop policy consumes them), and the
+    * pairs→connected-components run that produces them is the single most
+    * expensive recompute in this suite, so it is content-addressed like
+    * the ANN indexes: built ONCE per (input fingerprint, pair parameters),
+    * then every consumer (`ns_dedup_clusters`, `ns_curate_keep_best`, a
+    * user's own curation query) is a parquet scan of `(id, cluster)`.
+    * Input drift rebuilds by construction (the fingerprint changes).
+    */
   def dupClusterTable(s: SparkSession, d: String): DataFrame = {
     val dir = IndexCatalog.ensure(s, "dup-clusters",
       Seq(s"$d/documents.parquet"), "minhash,t=0.8,n=3,h=32,b=16") { staging =>

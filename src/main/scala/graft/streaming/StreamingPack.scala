@@ -71,9 +71,10 @@ object StreamingPack {
     val carryLen = st.carryToks.length
 
     val docs = batch
-      .select(col(idCol).cast("long").as("__id"), col(toksCol).as("__toks"))
+      .select(col(idCol).as("__id"), col(toksCol).as("__toks"))
       .filter(size(col("__toks")) > 0)
-    // arrival-order (id-ordered) prefix within the batch; single-partition
+    // arrival-order prefix within the batch, ordered by the ORIGINAL id
+    // column (no lossy cast — string ids order fine); single-partition
     // window — bounded by the micro-batch, not the corpus
     val bpre = coalesce(
       sum(size(col("__toks")).cast("long"))
@@ -100,13 +101,14 @@ object StreamingPack {
       carryRows.unionByName(docRows), "__toks", seqLen).cache()
     try {
       val full = packed.filter(col("n_tokens") === seqLen)
+        .drop("__toks_arr", "__starts_arr")
       if (!full.isEmpty) full.write.mode("append").parquet(outDir)
 
+      // carry the ARRAY forms: tokens are arbitrary caller strings, so
+      // re-splitting the space-joined example_text would desync the carry
+      // whenever a token itself contains whitespace
       val tail = packed.filter(col("n_tokens") < seqLen)
-        .select(split(col("example_text"), " ").as("toks"),
-          when(col("doc_starts") === "", array().cast("array<int>"))
-            .otherwise(transform(split(col("doc_starts"), ","),
-              s => s.cast("int"))).as("starts"))
+        .select(col("__toks_arr").as("toks"), col("__starts_arr").as("starts"))
         .collect()
       val (nToks, nStarts) = tail.headOption
         .map(r => (r.getSeq[String](0), r.getSeq[Int](1)))

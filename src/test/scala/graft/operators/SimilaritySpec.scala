@@ -46,6 +46,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives excludes null-labeled rows instead of silently dropping anchors") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val embs = Tables.embeddings(spark, sfDir)
+      .withColumn("label",
+        when(col("vec_id") % 7 === 0, lit(null)).otherwise(col("label")))
+    val anchors = embs.filter(col("vec_id") < 5)
+    val out = Similarity.hardNegatives(embs, "vec_id", "embedding", "label",
+      anchors, "vec_id", "embedding", "label", k = 3).collect()
+    // null-labeled anchors (vec_id 0) yield nothing; the rest still mine
+    assert(!out.exists(_.getLong(0) % 7 == 0))
+    assert(out.map(_.getLong(0)).distinct.length == 4)
+    // and no null-labeled candidate is ever emitted
+    assert(out.forall(r => !r.isNullAt(2) && r.getLong(1) % 7 != 0))
+  }
+
   test("LSH top-k recall vs brute force is reasonable") {
     val brute = Similarity.bruteForceTopK(
       Tables.embeddings(spark, sfDir), "vec_id", "embedding", 0, 10)

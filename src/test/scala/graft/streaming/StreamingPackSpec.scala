@@ -95,6 +95,28 @@ class StreamingPackSpec extends SparkSpec {
     assert(ex1.length == 1 && ex1.head._2 == L && ex1.head._5 == 1)
   }
 
+  test("carry round-trips tokens containing whitespace and string doc ids") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("sp4_state").toString + "/state"
+    val out = Files.createTempDirectory("sp4_out").toString + "/examples"
+    // 5 multi-word tokens force a carry that a split(example_text) would
+    // inflate; string ids exercise non-numeric arrival ordering
+    val b1 = Seq(("docA", Seq("new york", "city", "of london", "x", "y")))
+      .toDF("doc_id", "toks")
+    val b2 = Seq(("docB", Seq("p", "q", "r", "s", "t", "u"))).toDF("doc_id", "toks")
+    StreamingPack.packBatch(spark, b1, "doc_id", "toks", L, state, out, 0L)
+    StreamingPack.packBatch(spark, b2, "doc_id", "toks", L, state, out, 1L)
+    assert(StreamingPack.flush(spark, state, out, L) == 1)
+    val all = spark.read.parquet(out).orderBy("example_id")
+      .as[(Long, Int, String, String, Int)].collect().toSeq
+    // 11 tokens -> one full example of 8 + a 3-token tail; boundaries at
+    // stream positions 0 (docA) and 5 (docB)
+    assert(all.map(_._2).sum == 11)
+    assert(all == Seq(
+      (0L, 8, "new york city of london x y p q r", "0,5", 2),
+      (1L, 3, "s t u", "", 0)))
+  }
+
   test("empty and token-less batches leave the stream unchanged") {
     val state = Files.createTempDirectory("sp3_state").toString + "/state"
     val out = Files.createTempDirectory("sp3_out").toString + "/examples"
