@@ -413,18 +413,15 @@ object Curation {
     packFromPrefix(pre, toksCol, seqLen).drop("__toks_arr", "__starts_arr")
   }
 
-  /** The carve stage of [[packSequences]], reusable over ANY prefix
-    * assignment (the streaming packer feeds arrival-order offsets and a
-    * carry row through it). `pre` rows need: `toksCol` (non-empty token
-    * array), `__pre` (the row's global token offset), `__n`
-    * (`size(toksCol)` as long), and `__starts` — the 0-based positions
-    * WITHIN the row's token array where a document begins (`[0]` for a
-    * whole doc; a carry row lists the starts it accumulated). Each row is
-    * cut into ≤⌈n/L⌉+1 contiguous slices, each landing in one example;
-    * starts travel with their slice and surface as in-example positions.
+  /** Cut each prefix-positioned row into its per-example slices — the
+    * type-agnostic core shared by the text ([[packFromPrefix]]) and id
+    * ([[packSequencesIds]]) packers. Output per slice: `example_id`,
+    * `start_epos` (in-example position of the slice's first token),
+    * `toks` (the slice of the row's token array, element type preserved),
+    * `starts` (in-example doc-start positions that fall in this slice).
     */
-  private[graft] def packFromPrefix(pre: DataFrame, toksCol: String,
-                                    seqLen: Int): DataFrame = {
+  private def sliceByExamples(pre: DataFrame, toksCol: String,
+                              seqLen: Int): DataFrame = {
     val L = lit(seqLen.toLong)
     // tokens in the first slice = up to the next example boundary
     val firstCut = least(L - col("__pre") % L, col("__n"))
@@ -433,7 +430,7 @@ object Curation {
     val m = lit(1L) +
       floor((col("__n") - firstCut + L - 1).cast("double") / L.cast("double"))
         .cast("long")
-    val slices = pre
+    pre
       .withColumn("__first", firstCut)
       .withColumn("__m", m)
       .select(col("__pre"), col(toksCol).as("__toks"), col("__first"),
@@ -455,7 +452,21 @@ object Curation {
             s >= col("__cut0") && s < col("__cut0") + col("__len")),
           s => (s - col("__cut0") + col("__epos0")).cast("int"))
           .as("starts"))
-    slices
+  }
+
+  /** The carve stage of [[packSequences]], reusable over ANY prefix
+    * assignment (the streaming packer feeds arrival-order offsets and a
+    * carry row through it). `pre` rows need: `toksCol` (non-empty token
+    * array), `__pre` (the row's global token offset), `__n`
+    * (`size(toksCol)` as long), and `__starts` — the 0-based positions
+    * WITHIN the row's token array where a document begins (`[0]` for a
+    * whole doc; a carry row lists the starts it accumulated). Each row is
+    * cut into ≤⌈n/L⌉+1 contiguous slices, each landing in one example;
+    * starts travel with their slice and surface as in-example positions.
+    */
+  private[graft] def packFromPrefix(pre: DataFrame, toksCol: String,
+                                    seqLen: Int): DataFrame =
+    sliceByExamples(pre, toksCol, seqLen)
       .groupBy("example_id")
       .agg(array_sort(collect_list(
         struct(col("start_epos"), col("toks"), col("starts")))).as("a"))
@@ -470,6 +481,32 @@ object Curation {
         // re-splitting example_text is NOT an inverse of concat_ws)
         flatten(col("a.toks")).as("__toks_arr"),
         flatten(col("a.starts")).as("__starts_arr"))
+
+  /** [[packSequences]] over an ID-ENCODED corpus: pack `idsCol`
+    * (`array<int>`, e.g. [[Bpe.encodeIds]] output) into exact-`seqLen`
+    * examples of token IDS — the literal pretraining tensor input. Same
+    * hash order, carve stage, and boundary semantics as the text packer
+    * (the spec asserts example boundaries are IDENTICAL for a corpus and
+    * its id-encoding); `doc_starts` stays an `array<int>` here (the
+    * attention-reset index vector, ML-ready) rather than a display string.
+    */
+  def packSequencesIds(docs: DataFrame, idCol: String, idsCol: String,
+                       seqLen: Int, partitions: Int = 0): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val pre = withHashOrderPrefix(
+      docs.select(col(idCol), col(idsCol))
+        .filter(size(col(idsCol)) > 0),
+      idCol, size(col(idsCol)), partitions)
+      .withColumn("__starts", array(lit(0)))
+    sliceByExamples(pre, idsCol, seqLen)
+      .groupBy("example_id")
+      .agg(array_sort(collect_list(
+        struct(col("start_epos"), col("toks"), col("starts")))).as("a"))
+      .select(col("example_id"),
+        size(flatten(col("a.toks"))).as("n_tokens"),
+        flatten(col("a.toks")).as("ids"),
+        flatten(col("a.starts")).as("doc_starts"),
+        size(flatten(col("a.starts"))).as("n_docs_started"))
   }
 
   /** Stratified deterministic sample: at most `perStratum` documents per

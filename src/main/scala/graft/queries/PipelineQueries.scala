@@ -925,6 +925,20 @@ object PipelineQueries {
         "CAST(count(*) FILTER (WHERE pos = 0) AS INTEGER) AS n_docs_started " +
         "FROM g GROUP BY example_id ORDER BY example_id")),
 
+    // ---- curation: id-sequence packing — the end-to-end pretraining
+    // artifact (corpus -> learned BPE ids -> fixed-length id examples
+    // with attention-reset boundaries; rows-only: the id stage derives
+    // from the learned dictionary; boundary identity with the oracled
+    // text packer is asserted in CurationSpec) ----
+    ("ns_curate_pack_sequence_ids",
+      (s: SparkSession, d: String) => {
+        val ids = Bpe.encodeIds(Tables.documents(s, d), "doc_id", "text",
+          bpeModel(s, d)._2)
+        Curation.packSequencesIds(ids, "doc_id", "ids", seqLen = 64)
+          .orderBy("example_id")
+      },
+      None),
+
     // ---- curation: per-domain document cap (no domain dominates) ----
     ("ns_curate_domain_cap",
       (s: SparkSession, d: String) =>

@@ -304,6 +304,29 @@ class CurationSpec extends SparkSpec {
     assert(out.count(_._4.isEmpty) >= 4)
   }
 
+  test("packSequencesIds mirrors the text packer's boundaries exactly") {
+    val seqLen = 8
+    val toksDocs = (0L until 40L)
+      .map(i => (i, (0L until (1L + i % 11)).map(t => s"w${i}_$t").toArray))
+    val dict = toksDocs.flatMap(_._2).distinct.sorted.zipWithIndex.toMap
+    val docs = toksDocs
+      .map { case (i, ts) => (i, ts, ts.map(dict)) }
+      .toDF("doc_id", "toks", "ids")
+    val text = Curation.packSequences(docs, "doc_id", "toks", seqLen)
+      .orderBy("example_id")
+      .as[(Long, Int, String, String, Int)].collect()
+    val ids = Curation.packSequencesIds(docs, "doc_id", "ids", seqLen)
+      .orderBy("example_id")
+      .as[(Long, Int, Seq[Int], Seq[Int], Int)].collect()
+    assert(text.length == ids.length)
+    val inv = dict.map(_.swap)
+    text.zip(ids).foreach { case ((ex, n, t, starts, ns), (exI, nI, idSeq, startsI, nsI)) =>
+      assert(ex == exI && n == nI && ns == nsI)
+      assert(startsI.mkString(",") == starts, "boundaries must be identical")
+      assert(idSeq.map(inv).mkString(" ") == t, "ids must decode to the text stream")
+    }
+  }
+
   test("stratifiedSample caps every stratum and is deterministic") {
     val docs = (0L until 300L).map(i => (i, s"lang${i % 3}")).toDF("doc_id", "lang")
     val s1 = Curation.stratifiedSample(docs, "doc_id", "lang", perStratum = 7)
