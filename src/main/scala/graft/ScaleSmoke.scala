@@ -360,7 +360,27 @@ object ScaleSmoke {
         .agg(sum("n_bpe_tokens")).collect().head.getLong(0))
     println(s"SCALE   join-path tokens=$joinSide " +
       s"(${if (joinSide == corpusSide) "EQUAL to dict path" else "MISMATCH"})")
-    encoded.unpersist(); words.unpersist()
+    encoded.unpersist()
+
+    // the full corpus -> tensor chain: id-encode with the learned
+    // dictionary, pack the id stream at context length 2048; every
+    // subword id must land in exactly one example
+    val encIds = t("bpe_encode_ids") {
+      val e = Bpe.encodeIds(docs, "doc_id", "text", vocabDf).cache()
+      e.count(); e
+    }
+    val packedIds = t("pack_sequence_ids") {
+      val p = Curation.packSequencesIds(encIds, "doc_id", "ids", 2048).cache()
+      p.count(); p
+    }
+    val rowI = packedIds.agg(count(lit(1)), sum("n_tokens"), sum("n_docs_started"))
+      .collect().head
+    val (nExI, sumI, startsI) = (rowI.getLong(0), rowI.getLong(1), rowI.getLong(2))
+    val expExI = (corpusSide + 2048 - 1) / 2048
+    println(s"SCALE   id-examples=$nExI expected=$expExI sum_ids=$sumI " +
+      s"of $corpusSide doc_starts=$startsI " +
+      s"(${if (nExI == expExI && sumI == corpusSide && startsI == n) "OK" else "MISS"})")
+    packedIds.unpersist(); encIds.unpersist(); words.unpersist()
     docs.unpersist()
 
     // hard negatives: 64-anchor batch against the full corpus (labels =
