@@ -498,6 +498,16 @@ object Curation {
         .filter(size(col(idsCol)) > 0),
       idCol, size(col(idsCol)), partitions)
       .withColumn("__starts", array(lit(0)))
+    packIdsFromPrefix(pre, idsCol, seqLen)
+  }
+
+  /** Id-form carve + reassembly over ANY prefix assignment — the ids twin
+    * of [[packFromPrefix]] (the streaming ids packer feeds arrival-order
+    * offsets and a carry row through it; `ids` and `doc_starts` are
+    * arrays, so the carry round-trips losslessly without hidden columns).
+    */
+  private[graft] def packIdsFromPrefix(pre: DataFrame, idsCol: String,
+                                       seqLen: Int): DataFrame =
     sliceByExamples(pre, idsCol, seqLen)
       .groupBy("example_id")
       .agg(array_sort(collect_list(
@@ -507,7 +517,6 @@ object Curation {
         flatten(col("a.toks")).as("ids"),
         flatten(col("a.starts")).as("doc_starts"),
         size(flatten(col("a.starts"))).as("n_docs_started"))
-  }
 
   /** Stratified deterministic sample: at most `perStratum` documents per
     * stratum, chosen by md5-hash order (a content-addressed uniform draw).

@@ -138,6 +138,123 @@ object StreamingPack {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  // ------------------------------------------------------------------
+  // Id-form twin: pack an ID-ENCODED document stream (array<int>, e.g.
+  // Bpe.encodeIds output) into fixed-length id examples — the streaming
+  // rendering of Curation.packSequencesIds. Same carry/versioned-state
+  // contract as the text packer; ids and doc_starts are arrays end to
+  // end, so the carry round-trips without any string rebuild.
+  // ------------------------------------------------------------------
+
+  private val IdStateSchema = StructType(Seq(
+    StructField("batch_id", LongType, nullable = false),
+    StructField("total_tokens", LongType, nullable = false),
+    StructField("carry_ids", ArrayType(IntegerType, containsNull = false)),
+    StructField("carry_starts", ArrayType(IntegerType, containsNull = false))))
+
+  private def readIdState(spark: SparkSession, stateDir: String,
+                          beforeBatch: Long): (Long, Seq[Int], Seq[Int]) = {
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(stateDir))) return (0L, Nil, Nil)
+    val rows = spark.read.schema(IdStateSchema).parquet(stateDir)
+      .filter(col("batch_id") < beforeBatch)
+      .orderBy(desc("batch_id")).limit(1).collect()
+    rows.headOption
+      .map(r => (r.getLong(1), r.getSeq[Int](2), r.getSeq[Int](3)))
+      .getOrElse((0L, Nil, Nil))
+  }
+
+  /** One micro-batch of id-sequence packing (see [[packBatch]]). */
+  def packIdsBatch(spark: SparkSession, batch: DataFrame, idCol: String,
+                   idsCol: String, seqLen: Int, stateDir: String,
+                   outDir: String, batchId: Long): Unit = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val (totalTokens, carryIds, carryStarts) =
+      readIdState(spark, stateDir, batchId)
+    val carryLen = carryIds.length
+
+    val docs = batch
+      .select(col(idCol).as("__id"), col(idsCol).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    val bpre = coalesce(
+      sum(size(col("__toks")).cast("long"))
+        .over(Window.orderBy("__id").rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val docRows = docs.select(col("__toks"),
+      (lit(totalTokens) + bpre).as("__pre"),
+      size(col("__toks")).cast("long").as("__n"),
+      array(lit(0)).as("__starts"))
+
+    val base = totalTokens - carryLen
+    val carryRows =
+      if (carryLen == 0) docRows.limit(0)
+      else spark.createDataFrame(
+        java.util.List.of(Row(carryIds, base, carryLen.toLong, carryStarts)),
+        StructType(Seq(
+          StructField("__toks", ArrayType(IntegerType, containsNull = false)),
+          StructField("__pre", LongType, nullable = false),
+          StructField("__n", LongType, nullable = false),
+          StructField("__starts", ArrayType(IntegerType, containsNull = false)))))
+
+    val packed = Curation.packIdsFromPrefix(
+      carryRows.unionByName(docRows), "__toks", seqLen).cache()
+    try {
+      val full = packed.filter(col("n_tokens") === seqLen)
+      if (!full.isEmpty) full.write.mode("append").parquet(outDir)
+
+      val tail = packed.filter(col("n_tokens") < seqLen)
+        .select(col("ids"), col("doc_starts")).collect()
+      val (nIds, nStarts) = tail.headOption
+        .map(r => (r.getSeq[Int](0), r.getSeq[Int](1)))
+        .getOrElse((Nil, Nil))
+      val total = totalTokens +
+        docs.agg(coalesce(sum(size(col("__toks"))), lit(0L)))
+          .collect().head.getLong(0)
+      spark.createDataFrame(
+        java.util.List.of(Row(batchId, total, nIds, nStarts)), IdStateSchema)
+        .write.mode("append").parquet(stateDir)
+    } finally packed.unpersist()
+  }
+
+  /** Start the checkpointed streaming id packer. */
+  def startIds(spark: SparkSession, stream: DataFrame, idCol: String,
+               idsCol: String, seqLen: Int, stateDir: String, outDir: String,
+               checkpointDir: String,
+               availableNow: Boolean = true): StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Retry.withBackoff() {
+          packIdsBatch(spark, batch, idCol, idsCol, seqLen, stateDir, outDir,
+            batchId)
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** Emit the carried partial id example (if any). Returns 0 or 1. */
+  def flushIds(spark: SparkSession, stateDir: String, outDir: String,
+               seqLen: Int): Int = {
+    val (totalTokens, carryIds, carryStarts) =
+      readIdState(spark, stateDir, Long.MaxValue)
+    if (carryIds.isEmpty) 0
+    else {
+      val exampleId = (totalTokens - carryIds.length) / seqLen
+      spark.createDataFrame(
+        java.util.List.of(Row(exampleId, carryIds.length, carryIds,
+          carryStarts, carryStarts.length)),
+        StructType(Seq(
+          StructField("example_id", LongType, nullable = false),
+          StructField("n_tokens", IntegerType, nullable = false),
+          StructField("ids", ArrayType(IntegerType, containsNull = false)),
+          StructField("doc_starts", ArrayType(IntegerType, containsNull = false)),
+          StructField("n_docs_started", IntegerType, nullable = false))))
+        .write.mode("append").parquet(outDir)
+      1
+    }
+  }
+
   /** Emit the carried partial example (if any) as a final short example —
     * end-of-corpus flush. Returns the number of examples written (0 or 1).
     */

@@ -117,6 +117,42 @@ class StreamingPackSpec extends SparkSpec {
       (1L, 3, "s t u", "", 0)))
   }
 
+  test("id packer mirrors the text packer across batches, carry included") {
+    import spark.implicits._
+    val stateT = Files.createTempDirectory("sp5_st").toString + "/state"
+    val outT = Files.createTempDirectory("sp5_ot").toString + "/examples"
+    val stateI = Files.createTempDirectory("sp5_si").toString + "/state"
+    val outI = Files.createTempDirectory("sp5_oi").toString + "/examples"
+    // same stream, text and id forms (id = token's ordinal in a fixed dict)
+    val raw = Seq(
+      Seq(doc(1, 3), doc(2, 9)),   // batch 0: spans + carries
+      Seq(doc(3, 7)),              // batch 1
+      Seq(doc(4, 2), doc(5, 4)))   // batch 2
+    val dict = raw.flatten.flatMap(_._2).distinct.sorted.zipWithIndex.toMap
+    raw.zipWithIndex.foreach { case (b, i) =>
+      StreamingPack.packBatch(spark,
+        b.toDF("doc_id", "toks"), "doc_id", "toks", L, stateT, outT, i.toLong)
+      StreamingPack.packIdsBatch(spark,
+        b.map { case (id, ts) => (id, ts.map(dict)) }.toDF("doc_id", "ids"),
+        "doc_id", "ids", L, stateI, outI, i.toLong)
+    }
+    assert(StreamingPack.flush(spark, stateT, outT, L) == 1)
+    assert(StreamingPack.flushIds(spark, stateI, outI, L) == 1)
+    val text = spark.read.parquet(outT).orderBy("example_id")
+      .as[(Long, Int, String, String, Int)].collect()
+    val ids = spark.read.parquet(outI).orderBy("example_id")
+      .as[(Long, Int, Seq[Int], Seq[Int], Int)].collect()
+    val inv = dict.map(_.swap)
+    assert(text.length == ids.length)
+    text.zip(ids).foreach { case ((ex, n, t, st, ns), (exI, nI, idSeq, stI, nsI)) =>
+      assert(ex == exI && n == nI && ns == nsI)
+      assert(stI.mkString(",") == st)
+      assert(idSeq.map(inv).mkString(" ") == t)
+    }
+    // and the stream total is conserved
+    assert(ids.map(_._2).sum == raw.flatten.map(_._2.length).sum)
+  }
+
   test("empty and token-less batches leave the stream unchanged") {
     val state = Files.createTempDirectory("sp3_state").toString + "/state"
     val out = Files.createTempDirectory("sp3_out").toString + "/examples"
