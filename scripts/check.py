@@ -91,7 +91,7 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-    names = ONLY or sorted(oracles)
+    names = [n for n in ONLY if n in oracles] if ONLY else sorted(oracles)
     failed = 0
     for name in names:
         if name in engine_errors:
@@ -102,9 +102,13 @@ def main():
         status = "OK " if err is None else "FAIL"
         print(f"{status} {name}" + (f" — {err}" if err else ""))
         failed += err is not None
-    # rows-only queries (no oracle): just check output exists and has rows
+    # rows-only queries (no oracle): just check output exists and has rows.
+    # Skip names in engine_errors (reported once below, not twice from a
+    # stale output dir) and respect an ONLY selection.
     for d in sorted(Path(OUT_DIR).iterdir()):
-        if d.is_dir() and d.name not in oracles:
+        if (d.is_dir() and d.name not in oracles
+                and d.name not in engine_errors
+                and (not ONLY or d.name in ONLY)):
             try:
                 n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
                 print(f"ROWS {d.name}: {n}")
@@ -112,7 +116,8 @@ def main():
                 print(f"FAIL {d.name} (rows-only): {e}")
                 failed += 1
     for name, msg in engine_errors.items():
-        if name not in oracles:  # rows-only query that never produced output
+        if name not in oracles and (not ONLY or name in ONLY):
+            # rows-only query that never produced output
             print(f"FAIL {name} (rows-only) — ENGINE ERROR: {msg}")
             failed += 1
     print(f"\n{len(names) - failed}/{len(names)} oracle queries pass")

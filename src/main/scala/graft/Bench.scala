@@ -93,6 +93,24 @@ object Bench {
       catch { case _: Throwable => () }
     spark.catalog.clearCache()
 
+    // Plan audit: a plan regression should FAIL the bench line, not just
+    // slow it. Every declared query's STATIC plan (AQE off — the adaptive
+    // planner can rescue a bad static plan on one data shape and not
+    // another) is checked against PlanAudit's invariants; offenders land
+    // in "plan_violations" (expected: {}).
+    val planViolations: Seq[(String, Seq[String])] = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val out = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        try {
+          val v = PlanAudit.violations(fn(spark, sfDir).queryExecution.executedPlan)
+          if (v.nonEmpty) Some(name -> v) else None
+        } catch { case _: Throwable => None }
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.catalog.clearCache()
+      out
+    }
+
     // Canary: fixed CPU-bound work across all cores — a faithful proxy for
     // the slow-window symptom ("every task ~4× slower"). Baseline = min of
     // several runs so one inflated startup run can't loosen the gate.
@@ -202,7 +220,9 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val drift = canaryStartup > 1.5 * canaryBase
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","policy":"min-of-2-separate-passes-canary-gated-rolling","canary_base_sec":${fmt(canaryBase)},"canary_base_startup_sec":${fmt(canaryStartup)},"canary_drift":$drift,"passes":$pass,"skipped":${jArr(skip.toSeq.sorted)},"suspect":${jArr(suspect)},"failed":${jArr(failed)},"errors":$errJson}"""
+    val pvJson = planViolations
+      .map { case (k, vs) => "\"" + k + "\":" + jArr(vs) }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","policy":"min-of-2-separate-passes-canary-gated-rolling","canary_base_sec":${fmt(canaryBase)},"canary_base_startup_sec":${fmt(canaryStartup)},"canary_drift":$drift,"passes":$pass,"skipped":${jArr(skip.toSeq.sorted)},"suspect":${jArr(suspect)},"failed":${jArr(failed)},"errors":$errJson,"plan_violations":$pvJson}"""
     // Belt and braces against capture truncation: the full line also lands
     // in a committable file.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

@@ -31,7 +31,11 @@ import graft.operators.{Curation, Dedup}
   * `pipeline` (round-9 ops: sequence packing conservation at context
   * length 2048, BPE distributed-vs-serial merge equality over a 50 k
   * vocab, encode conservation, full-corpus hard-negative mining),
-  * or `all`. Prints per-stage seconds + result sanity (planted-pair
+  * or `all`. `streaming` (round-10): the STREAMING packers (text + id
+  * forms) over the same corpus in `maxEventsPerBatch`-sized micro-batches
+  * through their versioned-state carry — per-batch cost and end-to-end
+  * tokens/s, with exact conservation against the batch packer's
+  * invariants. Prints per-stage seconds + result sanity (planted-pair
   * recall must be 100% for lexical/semantic; the recall stage asserts
   * the guarantee-point contract and REPORTS the best-effort in-gap
   * number against the analytic model's prediction).
@@ -40,8 +44,8 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 200000
     val stages = if (args.length > 1) args(1) else "all"
-    require(Set("all", "lexical", "semantic", "recall", "pipeline")(stages),
-      s"unknown stage set '$stages'")
+    require(Set("all", "lexical", "semantic", "recall", "pipeline",
+      "streaming")(stages), s"unknown stage set '$stages'")
     def on(s: String) = stages == "all" || stages == s
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -406,6 +410,76 @@ object ScaleSmoke {
     println(s"SCALE   hard-neg rows=${hn.count()} expected=${64 * k} " +
       s"same-label=$bad (${if (hn.count() == 64L * k && bad == 0) "OK" else "MISS"})")
     hn.unpersist(); embs.unpersist()
+    }
+
+    if (on("streaming")) {
+    // ---- streaming packers at production admission: the batch packer's
+    // corpus->tensor invariants are pinned above; here the STREAMING twins
+    // (text + id) pack the same deterministic corpus in micro-batches of
+    // `maxEventsPerBatch = 100 k` docs — the driver loop below is exactly
+    // what foreachBatch drives in production, minus the stream plumbing —
+    // through the versioned-state carry, including its auto-compaction.
+    // Measures: per-batch seconds (the within-batch single-partition
+    // prefix window is the knowingly serial piece; this is its number at
+    // production admission) and end-to-end tokens/s; asserts exact token
+    // conservation and example-count/boundary identity with the batch
+    // packer's math. ----
+    import graft.streaming.StreamingPack
+    val batchSize = 100000
+    val nBatches = (n + batchSize - 1) / batchSize
+    val seqLen = 2048
+    val totalToks = 60L * n
+    val docs = spark.range(n.toLong).toDF("doc_id")
+      .withColumn("toks",
+        transform(sequence(lit(0), lit(59)), i =>
+          concat(lit("w"), pmod(xxhash64(col("doc_id"), i), lit(50000L)))))
+      .withColumn("ids",
+        transform(sequence(lit(0), lit(59)), i =>
+          pmod(xxhash64(col("doc_id"), i), lit(30000L)).cast("int")))
+      .repartition(spark.sparkContext.defaultParallelism.toInt)
+      .cache()
+    t("stream_docs_materialize")(docs.count())
+    val base = java.nio.file.Files.createTempDirectory("scale_stream").toString
+
+    def drive(tag: String, run: (org.apache.spark.sql.DataFrame, Long) => Unit): Double = {
+      val t0 = System.nanoTime()
+      (0 until nBatches).foreach { b =>
+        val batch = docs.filter(col("doc_id") >= b.toLong * batchSize &&
+          col("doc_id") < (b + 1).toLong * batchSize)
+        val tb = System.nanoTime()
+        run(batch, b.toLong)
+        println(f"SCALE   ${tag}_batch$b%-14s ${(System.nanoTime() - tb) / 1e9}%8.2f s")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val textSec = drive("stream_text", (b, id) =>
+      StreamingPack.packBatch(spark, b, "doc_id", "toks", seqLen,
+        s"$base/st", s"$base/ot", id))
+    StreamingPack.flush(spark, s"$base/st", s"$base/ot", seqLen)
+    val rT = spark.read.parquet(s"$base/ot")
+      .agg(count(lit(1)), sum("n_tokens"), sum("n_docs_started")).collect().head
+    val expEx = (totalToks + seqLen - 1) / seqLen
+    println(f"SCALE   stream_text_total       $textSec%8.2f s  " +
+      f"${totalToks / textSec / 1e6}%.1f M tokens/s")
+    println(s"SCALE   text examples=${rT.getLong(0)} expected=$expEx " +
+      s"sum_tokens=${rT.getLong(1)} doc_starts=${rT.getLong(2)} " +
+      s"(${if (rT.getLong(0) == expEx && rT.getLong(1) == totalToks &&
+               rT.getLong(2) == n) "OK" else "MISS"})")
+
+    val idSec = drive("stream_ids", (b, id) =>
+      StreamingPack.packIdsBatch(spark, b, "doc_id", "ids", seqLen,
+        s"$base/si", s"$base/oi", id))
+    StreamingPack.flushIds(spark, s"$base/si", s"$base/oi", seqLen)
+    val rI = spark.read.parquet(s"$base/oi")
+      .agg(count(lit(1)), sum("n_tokens"), sum("n_docs_started")).collect().head
+    println(f"SCALE   stream_ids_total        $idSec%8.2f s  " +
+      f"${totalToks / idSec / 1e6}%.1f M tokens/s")
+    println(s"SCALE   id examples=${rI.getLong(0)} expected=$expEx " +
+      s"sum_tokens=${rI.getLong(1)} doc_starts=${rI.getLong(2)} " +
+      s"(${if (rI.getLong(0) == expEx && rI.getLong(1) == totalToks &&
+               rI.getLong(2) == n) "OK" else "MISS"})")
+    docs.unpersist()
     }
 
     spark.stop()

@@ -120,7 +120,7 @@ case class BloomMightContain(left: Expression, right: Expression)
   // flows through a given plan, so a cheap fingerprint distinguishing
   // "same filter as last row" is all that's needed to skip re-parsing
   @transient private var cachedKey: Long = -1L
-  @transient private var cachedLen: Int = -1
+  @transient private var cachedBytes: Array[Byte] = _
   @transient private var cachedFilter: BloomFilter = _
 
   private def fingerprint(bytes: Array[Byte]): Long = {
@@ -142,10 +142,15 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   def mightContain(bytes: Array[Byte], v: Long): Boolean = {
     val key = fingerprint(bytes)
-    if (cachedFilter == null || key != cachedKey || bytes.length != cachedLen) {
+    // fingerprint match is only a hint: two same-config filters share the
+    // serialization header and, at low fill, zero bit-words — confirm with
+    // a full byte compare (costs no more than the getBinary copy already
+    // paid) so a colliding filter can never be silently reused
+    if (cachedFilter == null || key != cachedKey ||
+        !java.util.Arrays.equals(bytes, cachedBytes)) {
       cachedFilter = BloomKernels.deserialize(bytes)
       cachedKey = key
-      cachedLen = bytes.length
+      cachedBytes = bytes.clone()
     }
     cachedFilter.mightContainLong(v)
   }

@@ -89,6 +89,42 @@ object PipelineQueries {
   private def dCos(a: String, b: String) =
     s"round(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])), 3)"
 
+  /** The query vector for `vec_id == qid`, collected driver-side (one row). */
+  private def queryVec(embs: DataFrame, qid: Long): Array[Float] =
+    embs.filter(col("vec_id") === qid)
+      .select("embedding").head().getSeq[Float](0).toArray
+
+  /** Overlap of a single-query index probe against the brute-force top-k:
+    * one row `(qid, n_overlap, k)`. Used by the `ns_ann_*_recall` audits,
+    * whose probes are exhaustive — so a lossless index yields
+    * `n_overlap == k` independent of the data (the oracle constant).
+    */
+  private def overlapAudit(probe: DataFrame, probeIdCol: String,
+                           brute: DataFrame, qid: Long, k: Int): DataFrame =
+    probe.select(col(probeIdCol).as("id"))
+      .join(brute.select(col("vec_id").as("id")), "id")
+      .agg(count(lit(1)).cast("int").as("n_overlap"))
+      .select(lit(qid).as("qid"), col("n_overlap"), lit(k).cast("int").as("k"))
+
+  /** Batch form of [[overlapAudit]]: per query id, the overlap of the
+    * index probe's `(qid, id)` pairs against the batch brute force's.
+    */
+  private def overlapAuditBatch(probe: DataFrame, brute: DataFrame,
+                                k: Int): DataFrame =
+    probe.select("qid", "id")
+      .join(brute.select("qid", "id"), Seq("qid", "id"))
+      .groupBy("qid").agg(count(lit(1)).cast("int").as("n_overlap"))
+      .select(col("qid"), col("n_overlap"), lit(k).cast("int").as("k"))
+      .orderBy("qid")
+
+  private def auditOracleSingle(k: Int): String =
+    s"SELECT CAST(0 AS BIGINT) AS qid, CAST($k AS INTEGER) AS n_overlap, " +
+      s"CAST($k AS INTEGER) AS k"
+
+  private def auditOracleBatch(k: Int): String =
+    s"SELECT vec_id AS qid, CAST($k AS INTEGER) AS n_overlap, " +
+      s"CAST($k AS INTEGER) AS k FROM embeddings WHERE vec_id < 10 ORDER BY qid"
+
   /** Materialize the ANN index-catalog entries for `d` if absent (the same
     * entries the `ns_ann_*_index`/`ivf` queries resolve). An index build is
     * a ONE-TIME cost per dataset version by design — callers that benchmark
@@ -528,6 +564,130 @@ object PipelineQueries {
       },
       None),
 
+    // ---- ANN RECALL AUDITS: the driver-hashable twin of the rows-only
+    // index probes. Each audit probes the SAME catalog index EXHAUSTIVELY
+    // (maxHamming = numPlanes / nprobe = nlist / rerank window >= corpus),
+    // which provably reproduces exact brute-force top-k — so the overlap
+    // join against the brute baseline is (qid, k, k) by construction, a
+    // DATA-INDEPENDENT constant DuckDB can state as the oracle. Green here
+    // proves the index storage + pruning + probe plumbing is lossless
+    // (partition layout drops no vector, kernels match the brute path);
+    // recall at the production approximate settings stays asserted in
+    // SimilaritySpec/PqIndexSpec/IvfPqIndexSpec. ----
+    ("ns_ann_lsh_recall",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        overlapAudit(
+          Similarity.lshTopK(embs, "vec_id", "embedding", queryId = 0,
+            k = 10, numPlanes = 8, maxHamming = 8), "vec_id",
+          Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0, 10),
+          qid = 0, k = 10)
+      },
+      Some(auditOracleSingle(10))),
+
+    ("ns_ann_index_recall",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        val indexDir = IndexCatalog.ensure(s, "ann-lsh",
+          Seq(s"$d/embeddings.parquet"), "planes=6")(dir =>
+          Similarity.buildIndex(embs, "vec_id", "embedding", dir, numPlanes = 6))
+        val qv = queryVec(embs, 0)
+        overlapAudit(
+          // k+1 with the query point included (cos 1.0 ranks first), then
+          // dropped — mirrors ns_ann_index_topk
+          Similarity.indexTopK(s, indexDir, qv, k = 11, numPlanes = 6,
+            maxHamming = 6).filter(col("id") =!= 0), "id",
+          Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0, 10),
+          qid = 0, k = 10)
+      },
+      Some(auditOracleSingle(10))),
+
+    ("ns_ann_ivf_recall",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        val indexDir = IndexCatalog.ensure(s, "ann-ivf",
+          Seq(s"$d/embeddings.parquet"), "k=16,it=2")(dir =>
+          graft.operators.IvfIndex.build(embs, "vec_id", "embedding", dir))
+        val qv = queryVec(embs, 0)
+        overlapAudit(
+          graft.operators.IvfIndex.topK(s, indexDir, qv, k = 11, nprobe = 16)
+            .filter(col("id") =!= 0), "id",
+          Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0, 10),
+          qid = 0, k = 10)
+      },
+      Some(auditOracleSingle(10))),
+
+    ("ns_ann_pq_recall",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        val indexDir = IndexCatalog.ensure(s, "ann-pq",
+          Seq(s"$d/embeddings.parquet"), "m=8,ksub=256,it=8")(dir =>
+          graft.operators.PqIndex.build(embs, "vec_id", "embedding", dir,
+            m = 8, ksub = 256))
+        val qv = queryVec(embs, 0)
+        // rerank window >= corpus: the ADC pre-ranking cannot drop a true
+        // neighbor, so the exact rerank IS brute force
+        val rf = (embs.count() / 11 + 1).toInt
+        overlapAudit(
+          graft.operators.PqIndex.topK(s, indexDir, qv, k = 11,
+              rerankFrom = Some((embs, "vec_id", "embedding")),
+              rerankFactor = rf)
+            .filter(col("id") =!= 0), "id",
+          Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0, 10),
+          qid = 0, k = 10)
+      },
+      Some(auditOracleSingle(10))),
+
+    ("ns_ann_ivfpq_recall",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        val indexDir = IndexCatalog.ensure(s, "ann-ivfpq",
+          Seq(s"$d/embeddings.parquet"), "k=16,m=8,ksub=256")(dir =>
+          graft.operators.IvfPqIndex.build(embs, "vec_id", "embedding", dir))
+        val qv = queryVec(embs, 0)
+        val rf = (embs.count() / 11 + 1).toInt
+        overlapAudit(
+          graft.operators.IvfPqIndex.topK(s, indexDir, qv, k = 11,
+              nprobe = 16, rerankFrom = Some((embs, "vec_id", "embedding")),
+              rerankFactor = rf)
+            .filter(col("id") =!= 0), "id",
+          Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0, 10),
+          qid = 0, k = 10)
+      },
+      Some(auditOracleSingle(10))),
+
+    ("ns_ann_batch_index_recall",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        val indexDir = IndexCatalog.ensure(s, "ann-lsh",
+          Seq(s"$d/embeddings.parquet"), "planes=6")(dir =>
+          Similarity.buildIndex(embs, "vec_id", "embedding", dir, numPlanes = 6))
+        overlapAuditBatch(
+          Similarity.indexTopKBatch(s, indexDir,
+            embs.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 3, numPlanes = 6, maxHamming = 6),
+          Similarity.bruteForceTopKBatch(embs, "vec_id", "embedding",
+            embs.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3),
+          k = 3)
+      },
+      Some(auditOracleBatch(3))),
+
+    ("ns_ann_batch_ivf_recall",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        val indexDir = IndexCatalog.ensure(s, "ann-ivf",
+          Seq(s"$d/embeddings.parquet"), "k=16,it=2")(dir =>
+          graft.operators.IvfIndex.build(embs, "vec_id", "embedding", dir))
+        overlapAuditBatch(
+          graft.operators.IvfIndex.topKBatch(s, indexDir,
+            embs.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 3, nprobe = 16),
+          Similarity.bruteForceTopKBatch(embs, "vec_id", "embedding",
+            embs.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3),
+          k = 3)
+      },
+      Some(auditOracleBatch(3))),
+
     // ---- text analysis: language-ID heuristic ----
     ("ns_text_langid",
       (s: SparkSession, d: String) =>
@@ -585,11 +745,18 @@ object PipelineQueries {
     // ---- BPE encode to ids: the model-input artifact — flattened
     // subword-id stream per document, map-only via the broadcast
     // dictionaries (id-decode equality with the string encode asserted
-    // in BpeSpec) ----
+    // in BpeSpec). The declared projection joins the id array to a CSV
+    // string so the driver's harness can sort/hash the rows (arrays are
+    // not pandas-sortable); API consumers get the array form from
+    // [[Bpe.encodeIds]] directly. ----
     ("ns_text_bpe_encode_ids",
       (s: SparkSession, d: String) =>
         Bpe.encodeIds(Tables.documents(s, d), "doc_id", "text",
-          bpeModel(s, d)._2).orderBy("doc_id"),
+          bpeModel(s, d)._2)
+          .select(col("doc_id"), col("n_bpe_tokens"),
+            concat_ws(",", transform(col("ids"), _.cast("string")))
+              .as("ids_csv"))
+          .orderBy("doc_id"),
       None),
 
     // ---- text analysis: token counting (whitespace + BPE-ish regex) ----
@@ -930,14 +1097,87 @@ object PipelineQueries {
     // with attention-reset boundaries; rows-only: the id stage derives
     // from the learned dictionary; boundary identity with the oracled
     // text packer is asserted in CurationSpec) ----
+    // (declared projection joins the id / doc-start arrays to CSV strings
+    // so the driver's harness can sort/hash the rows; the operator API
+    // keeps returning arrays)
     ("ns_curate_pack_sequence_ids",
       (s: SparkSession, d: String) => {
         val ids = Bpe.encodeIds(Tables.documents(s, d), "doc_id", "text",
           bpeModel(s, d)._2)
         Curation.packSequencesIds(ids, "doc_id", "ids", seqLen = 64)
+          .select(col("example_id"), col("n_tokens"),
+            concat_ws(",", transform(col("ids"), _.cast("string")))
+              .as("ids_csv"),
+            concat_ws(",", transform(col("doc_starts"), _.cast("string")))
+              .as("doc_starts"),
+            col("n_docs_started"))
           .orderBy("example_id")
       },
       None),
+
+    // ---- curation: id-sequence packing under a DETERMINISTIC vocabulary —
+    // the carve stage gets a full cross-engine hash oracle. Whitespace
+    // tokens are densely numbered by (corpus freq desc, token asc) — the
+    // same id-assignment rule as [[Bpe.symbolVocab]] but over a vocabulary
+    // DuckDB can reproduce — then the id stream is packed by the SAME
+    // [[Curation.packSequencesIds]] the learned-BPE chain uses. Green here
+    // proves the id carve/reassembly exactly; the BPE twin above keeps its
+    // spec-pinned coverage of the learned stage. ----
+    ("ns_curate_pack_sequence_ids_ws",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.operators.TextOps.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+        // dense ids by (freq desc, token asc): the vocab is the distinct-
+        // token table (Zipf-bounded), so the global ranking window is a
+        // single bounded partition — same shape as Bpe.symbolVocab
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(desc("freq"), asc("token"))
+        val vocab = docs.select(explode(col("toks")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("freq"))
+          .select(col("token"),
+            (row_number().over(w) - 1).cast("int").as("id"))
+        // encode in token order: posexplode -> vocab join (AQE picks
+        // broadcast when the vocab is small) -> per-doc reassembly
+        val ids = docs
+          .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
+          .join(vocab, "token")
+          .groupBy("doc_id")
+          .agg(array_sort(collect_list(struct(col("pos"), col("id")))).as("a"))
+          .select(col("doc_id"), col("a.id").as("ids"))
+        Curation.packSequencesIds(ids, "doc_id", "ids", seqLen = 64)
+          .select(col("example_id"), col("n_tokens"),
+            concat_ws(",", transform(col("ids"), _.cast("string")))
+              .as("ids_csv"),
+            concat_ws(",", transform(col("doc_starts"), _.cast("string")))
+              .as("doc_starts"),
+            col("n_docs_started"))
+          .orderBy("example_id")
+      },
+      Some("WITH t AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), " +
+        "h AS (SELECT doc_id, toks, md5_number_lower(CAST(doc_id AS VARCHAR)) AS u " +
+        "FROM t WHERE len(toks) > 0), " +
+        "s AS (SELECT doc_id, toks, CAST(CASE WHEN u >= 9223372036854775808 " +
+        "THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS h64 FROM h), " +
+        "o AS (SELECT doc_id, toks, coalesce(sum(len(toks)) OVER " +
+        "(ORDER BY h64, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre " +
+        "FROM s), " +
+        "e AS (SELECT doc_id, pre, unnest(toks) AS token, " +
+        "generate_subscripts(toks, 1) - 1 AS pos FROM o), " +
+        "v AS (SELECT token, count(*) AS freq FROM e GROUP BY 1), " +
+        "vid AS (SELECT token, CAST(row_number() OVER " +
+        "(ORDER BY freq DESC, token) - 1 AS INTEGER) AS id FROM v), " +
+        "g AS (SELECT e.pos, vid.id, CAST((e.pre + e.pos) // 64 AS BIGINT) AS example_id, " +
+        "CAST((e.pre + e.pos) % 64 AS INTEGER) AS epos " +
+        "FROM e JOIN vid USING (token)) " +
+        "SELECT example_id, CAST(count(*) AS INTEGER) AS n_tokens, " +
+        "string_agg(CAST(id AS VARCHAR), ',' ORDER BY epos) AS ids_csv, " +
+        "coalesce(string_agg(CASE WHEN pos = 0 THEN CAST(epos AS VARCHAR) END, " +
+        "',' ORDER BY epos), '') AS doc_starts, " +
+        "CAST(count(*) FILTER (WHERE pos = 0) AS INTEGER) AS n_docs_started " +
+        "FROM g GROUP BY example_id ORDER BY example_id")),
 
     // ---- curation: per-domain document cap (no domain dominates) ----
     ("ns_curate_domain_cap",

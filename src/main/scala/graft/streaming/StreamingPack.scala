@@ -59,6 +59,60 @@ object StreamingPack {
     }.getOrElse(PackState(0L, Nil, Nil))
   }
 
+  /** Compact the versioned state log down to its newest `keep` rows.
+    * Without this, the append-only log grows one parquet file per
+    * micro-batch forever and every `readState` re-lists and scans the
+    * whole directory — O(#batches) per batch, quadratic over a stream's
+    * lifetime.
+    *
+    * `keep = 2` (the default) is the exact redelivery window: Structured
+    * Streaming redelivers at most the LAST uncommitted batch, and a
+    * redelivered batch `b` needs the newest state with `batch_id < b` —
+    * the second-newest row (the newest row is `b`'s own failed-attempt
+    * append). Crash-safe by the same ordering [[Compaction]] uses: the
+    * kept rows are re-appended as one new file FIRST, superseded files are
+    * deleted only after — a reader between the two steps sees duplicate
+    * `batch_id` rows, which the `orderBy desc limit 1` read already
+    * tolerates (tied rows are byte-identical).
+    *
+    * Schema-agnostic (reads whatever the log holds), so one routine serves
+    * the text and id logs. Returns the number of files removed.
+    */
+  def compactStateLog(spark: SparkSession, stateDir: String,
+                      keep: Int = 2): Int = {
+    require(keep > 0, s"keep must be positive, got $keep")
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val oldFiles = fs.listStatus(root).toSeq
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    if (oldFiles.length <= keep) return 0
+    val src = spark.read.parquet(stateDir)
+      .orderBy(desc("batch_id")).limit(keep)
+    // collect the <= keep tiny rows: the rewrite must not hold a read
+    // lineage on the very files it is about to delete
+    val rows = src.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), src.schema)
+      .coalesce(1).write.mode("append").parquet(stateDir)
+    oldFiles.foreach(f => fs.delete(f.getPath, false))
+    oldFiles.length
+  }
+
+  /** Auto-compaction hook: compact once the log exceeds `maxFiles` parts.
+    * One `listStatus` per call — the same directory listing `readState`'s
+    * parquet scan already pays, so the steady-state overhead is a bounded
+    * ≤ `maxFiles`-row scan per batch instead of an ever-growing one.
+    */
+  private def maybeCompact(spark: SparkSession, stateDir: String,
+                           maxFiles: Int = 16): Unit = {
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root) &&
+        fs.listStatus(root).count(f =>
+          f.isFile && f.getPath.getName.startsWith("part-")) > maxFiles)
+      compactStateLog(spark, stateDir)
+  }
+
   /** One micro-batch: pack `batch` (docs with a token-array column) onto
     * the carried stream, append completed examples to `outDir`, append the
     * post-batch state to `stateDir`.
@@ -119,6 +173,7 @@ object StreamingPack {
       spark.createDataFrame(
         java.util.List.of(Row(batchId, total, nToks, nStarts)), StateSchema)
         .write.mode("append").parquet(stateDir)
+      maybeCompact(spark, stateDir)
     } finally packed.unpersist()
   }
 
@@ -214,6 +269,7 @@ object StreamingPack {
       spark.createDataFrame(
         java.util.List.of(Row(batchId, total, nIds, nStarts)), IdStateSchema)
         .write.mode("append").parquet(stateDir)
+      maybeCompact(spark, stateDir)
     } finally packed.unpersist()
   }
 

@@ -153,6 +153,71 @@ class StreamingPackSpec extends SparkSpec {
     assert(ids.map(_._2).sum == raw.flatten.map(_._2.length).sum)
   }
 
+  test("state log auto-compacts to a bounded file count without changing results") {
+    val state = Files.createTempDirectory("sp6_state").toString + "/state"
+    val out = Files.createTempDirectory("sp6_out").toString + "/examples"
+    val batches = (0 until 20).map(i => doc(i.toLong, 3))
+    batches.zipWithIndex.foreach { case (d, i) =>
+      StreamingPack.packBatch(spark,
+        Seq(d).toDF("doc_id", "toks"), "doc_id", "toks", L, state, out,
+        i.toLong)
+    }
+    def partFiles() = {
+      val root = new org.apache.hadoop.fs.Path(state)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(root)
+        .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    }
+    // the auto-hook fires past 16 part files: 20 appends must NOT leave
+    // 20 files behind (growth is bounded by the threshold, not the
+    // batch count)
+    assert(partFiles() <= 17, s"state log grew unbounded: ${partFiles()} files")
+    assert(partFiles() < 20)
+    // and the packed stream is still exactly the serial reference
+    assert(StreamingPack.flush(spark, state, out, L) == 1)
+    val all = spark.read.parquet(out).orderBy("example_id")
+      .as[(Long, Int, String, String, Int)].collect().toSeq
+    assert(all == reference(batches))
+  }
+
+  test("compacted id-state log resumes identically under redelivery") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("sp7_state").toString + "/state"
+    val out = Files.createTempDirectory("sp7_out").toString + "/examples"
+    val mk = (id: Long, n: Int) => (id, (0 until n).map(t => (id * 100 + t).toInt))
+    val b0 = Seq(mk(1, 5)); val b1 = Seq(mk(2, 6)); val b2 = Seq(mk(3, 4))
+    StreamingPack.packIdsBatch(spark, b0.toDF("doc_id", "ids"), "doc_id",
+      "ids", L, state, out, 0L)
+    StreamingPack.packIdsBatch(spark, b1.toDF("doc_id", "ids"), "doc_id",
+      "ids", L, state, out, 1L)
+    StreamingPack.packIdsBatch(spark, b2.toDF("doc_id", "ids"), "doc_id",
+      "ids", L, state, out, 2L)
+    val before = spark.read.parquet(out)
+      .as[(Long, Int, Seq[Int], Seq[Int], Int)].collect().toSeq.sortBy(_._1)
+
+    assert(StreamingPack.compactStateLog(spark, state) == 3)
+    // keep=2 covers the redelivery window: batch 2 redelivered after the
+    // compaction reads batch 1's state and appends byte-identical rows
+    StreamingPack.packIdsBatch(spark, b2.toDF("doc_id", "ids"), "doc_id",
+      "ids", L, state, out, 2L)
+    val after = spark.read.parquet(out)
+      .as[(Long, Int, Seq[Int], Seq[Int], Int)].collect().toSeq.sortBy(_._1)
+    // every pre-compaction row still appears, and the only additions are
+    // byte-identical duplicates of existing rows
+    assert(after.toSet == before.toSet,
+      "redelivery after compaction must only duplicate existing rows")
+    assert(after.length >= before.length)
+    // a FRESH batch then continues the stream correctly (10 tokens keeps
+    // the stream total off the example boundary so a carry remains to
+    // flush: 5+6+4+10 = 25 = 3*8 + 1)
+    StreamingPack.packIdsBatch(spark, Seq(mk(4, 10)).toDF("doc_id", "ids"),
+      "doc_id", "ids", L, state, out, 3L)
+    assert(StreamingPack.flushIds(spark, state, out, L) == 1)
+    val total = spark.read.parquet(out).dropDuplicates()
+      .as[(Long, Int, Seq[Int], Seq[Int], Int)].collect().map(_._2).sum
+    assert(total == 5 + 6 + 4 + 10)
+  }
+
   test("empty and token-less batches leave the stream unchanged") {
     val state = Files.createTempDirectory("sp3_state").toString + "/state"
     val out = Files.createTempDirectory("sp3_out").toString + "/examples"
