@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bpe, Curation, Dedup, IndexCatalog, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Curation, Dedup, IndexCatalog, SemDedup, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (SURVEY §2.9 north-star): dedup,
   * similarity search, text analysis, multimodal plumbing — each wired as a
@@ -337,6 +337,51 @@ object PipelineQueries {
         "SELECT id, min(r) AS cluster FROM reach GROUP BY id) " +
         "SELECT v.vec_id AS id, coalesce(c.cluster, v.vec_id) AS cluster " +
         "FROM embeddings v LEFT JOIN closure c ON v.vec_id = c.id ORDER BY id")),
+
+    // ---- SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup —
+    // assign every vector to its max-cosine centroid, find near-dup pairs
+    // ONLY within clusters (the bounded-quadratic trick), CC the pair
+    // graph, keep the min id per group. FIXED centroids (vec_id < 8) make
+    // every stage SQL-expressible, so the whole policy hash-matches
+    // DuckDB; the learned-centroid twin below exercises the memoized
+    // k-means path (rows-only — Lloyd is iterative — with the
+    // fixed-vs-learned pipeline identity asserted in SemDedupSpec). ----
+    ("ns_dedup_semdedup",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        val cents = embs.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("cid"),
+            col("embedding").as("cvec"))
+        SemDedup.report(embs, "vec_id", "embedding", cents, eps = 0.4)
+          .orderBy("id")
+      },
+      Some("WITH cent AS (SELECT CAST(vec_id AS INTEGER) AS cid, " +
+        "embedding AS cvec FROM embeddings WHERE vec_id < 8), " +
+        "a AS (SELECT e.vec_id AS id, c.cid, " +
+        dCos("e.embedding", "c.cvec") + " AS cos " +
+        "FROM embeddings e CROSS JOIN cent c), " +
+        "asg AS (SELECT id, cid FROM a QUALIFY " +
+        "row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) = 1), " +
+        "av AS (SELECT asg.id, asg.cid, e.embedding FROM asg " +
+        "JOIN embeddings e ON asg.id = e.vec_id), " +
+        "p AS (SELECT x.id AS id_a, y.id AS id_b FROM av x " +
+        "JOIN av y ON x.cid = y.cid AND x.id < y.id " +
+        "WHERE " + dCos("x.embedding", "y.embedding") + " >= 0.4), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM p " +
+        "UNION ALL SELECT id_b, id_a FROM p), " +
+        "closure AS (WITH RECURSIVE reach(id, r) AS (" +
+        "SELECT a, a FROM (SELECT DISTINCT a FROM edges) " +
+        "UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id) " +
+        "SELECT id, min(r) AS grp FROM reach GROUP BY id) " +
+        "SELECT av.id, av.cid, coalesce(c.grp, av.id) = av.id AS keep " +
+        "FROM av LEFT JOIN closure c ON c.id = av.id ORDER BY av.id")),
+
+    ("ns_dedup_semdedup_kmeans",
+      (s: SparkSession, d: String) =>
+        SemDedup.reportKMeans(Tables.embeddings(s, d), "vec_id", "embedding",
+          Seq(s"$d/embeddings.parquet"), k = 8, iterations = 2, eps = 0.4)
+          .orderBy("id"),
+      None),
 
     // ---- ANN: brute-force cosine top-k (correctness baseline) ----
     ("ns_ann_brute_topk",

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float])*) =
+    rows.toDF("id", "v")
+
+  private def cents(rows: (Int, Seq[Float])*) =
+    rows.toDF("cid", "cvec")
+
+  test("assign picks the max-cosine centroid, ties to the smaller cid") {
+    val e = emb(
+      0L -> Seq(1f, 0f),
+      1L -> Seq(0f, 1f),
+      2L -> Seq(0.6f, 0.8f)) // cos vs (1,0)=0.6, vs (0,1)=0.8 -> cid 1
+    // cid 2 duplicates cid 0's centroid: an exact tie for vector 0, which
+    // must resolve to the SMALLER cid
+    val c = cents(0 -> Seq(1f, 0f), 1 -> Seq(0f, 1f), 2 -> Seq(1f, 0f))
+    val got = SemDedup.assign(e, "id", "v", c)
+      .orderBy("id").as[(Long, Int)].collect.toSeq
+    assert(got === Seq((0L, 0), (1L, 1), (2L, 1)))
+  }
+
+  test("pairs compare only within clusters — a cross-cluster near-dup is not a pair") {
+    // v10/v11 have cos ≈ 0.992 (a near-dup by any eps) but straddle the
+    // centroid decision boundary; v20/v21 are near-dups inside cluster 1
+    val e = emb(
+      10L -> Seq(0.74f, 0.67f), // -> cid 0
+      11L -> Seq(0.67f, 0.74f), // -> cid 1
+      20L -> Seq(0.02f, 0.99f), // -> cid 1
+      21L -> Seq(0.03f, 0.99f)) // -> cid 1
+    val c = cents(0 -> Seq(1f, 0f), 1 -> Seq(0f, 1f))
+    val asg = SemDedup.assign(e, "id", "v", c)
+    val p = SemDedup.pairs(e, "id", "v", asg, eps = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect.toSet
+    assert(!p.contains((10L, 11L)),
+      "cross-cluster pair must be excluded by construction")
+    assert(p.contains((20L, 21L)) || p.contains((11L, 20L)) ||
+      p.contains((11L, 21L)), "within-cluster near-dups must surface")
+  }
+
+  test("report keeps exactly the min id per near-dup group, singletons keep themselves") {
+    // cluster 0: ids 3,5,9 mutually near-identical (one group, keep 3);
+    // id 7 in cluster 0 but orthogonal-ish (singleton, keeps itself);
+    // cluster 1: ids 2,4 near-identical (keep 2)
+    val e = emb(
+      3L -> Seq(1f, 0.01f, 0f),
+      5L -> Seq(1f, 0.02f, 0f),
+      9L -> Seq(1f, 0.00f, 0f),
+      7L -> Seq(0.8f, 0.6f, 0f), // cid 0 (cos 0.8 vs 0.6) but far from the dups
+      2L -> Seq(0f, 1f, 0.01f),
+      4L -> Seq(0f, 1f, 0.02f))
+    val c = cents(0 -> Seq(1f, 0f, 0f), 1 -> Seq(0f, 1f, 0f))
+    val got = SemDedup.report(e, "id", "v", c, eps = 0.95)
+      .orderBy("id").as[(Long, Int, Boolean)].collect.toSeq
+    assert(got === Seq(
+      (2L, 1, true), (3L, 0, true), (4L, 1, false), (5L, 0, false),
+      (7L, 0, true), (9L, 0, false)))
+  }
+
+  test("pairs == the exact all-pairs operator restricted to same-cluster pairs (sf0.001)") {
+    val embs = graft.Tables.embeddings(spark, sfDir)
+    val c = embs.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+    val asg = SemDedup.assign(embs, "vec_id", "embedding", c)
+    val got = SemDedup.pairs(embs, "vec_id", "embedding", asg, eps = 0.4)
+      .select("id_a", "id_b", "cos")
+      .as[(Long, Long, Double)].collect.toSet
+    val sameCluster = asg.select(col("id").as("id_a"), col("cid").as("ca"))
+      .join(asg.select(col("id").as("id_b"), col("cid").as("cb")),
+        col("ca") === col("cb"))
+    val want = Dedup.embeddingDupPairsExact(embs, "vec_id", "embedding", 0.4)
+      .join(sameCluster, Seq("id_a", "id_b"))
+      .select("id_a", "id_b", "cos")
+      .as[(Long, Long, Double)].collect.toSet
+    assert(got === want)
+    assert(got.nonEmpty, "sf0.001 embeddings must contain within-cluster near-dups")
+  }
+
+  test("reportKMeans: learned centroids run the same policy, memoized and consistent") {
+    val root = java.nio.file.Files.createTempDirectory("semdedup_cat").toString
+    spark.conf.set("spark.graft.index.root", root)
+    IndexCatalog.invalidateMemo()
+    try {
+      val embs = graft.Tables.embeddings(spark, sfDir)
+      def run() = SemDedup.reportKMeans(embs, "vec_id", "embedding",
+        Seq(s"$sfDir/embeddings.parquet"), k = 8, iterations = 2, eps = 0.4)
+      val r1 = run().orderBy("id").as[(Long, Int, Boolean)].collect.toSeq
+      assert(r1.length === embs.count())
+      assert(r1.exists(!_._3), "the corpus's near-dups must drop someone")
+      // keep flags re-derive from the pair graph: keep iff the id IS its
+      // group's min-id CC label (the policy, recomputed independently)
+      val rep = run()
+      val asgPairs = SemDedup.pairs(embs, "vec_id", "embedding",
+        rep.select("id", "cid"), eps = 0.4)
+      val labels = Dedup.dupClusters(asgPairs.select("id_a", "id_b"),
+        embs.select(col("vec_id").as("id")), "id")
+      val mismatch = rep.join(labels, "id")
+        .filter(col("keep") =!= (col("cluster") === col("id")))
+      assert(mismatch.isEmpty,
+        "keep must equal (id == min-id label of its near-dup group)")
+      // second run resolves from the catalog: byte-identical output
+      val r2 = run().orderBy("id").as[(Long, Int, Boolean)].collect.toSeq
+      assert(r1 === r2)
+    } finally {
+      spark.conf.unset("spark.graft.index.root")
+      IndexCatalog.invalidateMemo()
+    }
+  }
+}
