@@ -649,6 +649,103 @@ object Curation {
         explode(sequence(lit(0L), col("__copies") - 1)).as("copy"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): score
+    * every raw document by how much more likely its hashed n-gram features
+    * are under a small TARGET corpus than under the raw corpus itself —
+    * `Σ_f ln(p̂_target(f) / p̂_raw(f))` over the document's unigram and
+    * bigram features, hashed into `buckets` counts (the paper's
+    * hashed-n-gram bag-of-words model, add-k smoothed). High scores mean
+    * "looks like the target domain"; resampling by these weights is the
+    * data-selection step that beats heuristic quality filters in the
+    * paper.
+    *
+    * Scale shape: the two feature-distribution models are ONE hash
+    * aggregate each over the exploded feature stream (map-side
+    * combinable); the per-bucket log-ratio table is ≤ `buckets` rows and
+    * BROADCASTS back onto the feature stream (no shuffle to score a
+    * feature); the only corpus-sized shuffle is the per-document sum.
+    * Raw-corpus bucket counts double as the model denominators, so the
+    * corpus is tokenized exactly once per side.
+    *
+    * Cross-engine determinism (the DuckDB-oracle conventions): features
+    * hash with `md5_lower64` (== DuckDB `md5_number_lower`); each bucket's
+    * ln ratio is rounded to 6 decimals; the per-document sum folds in
+    * feature-position order (unigrams in token order, then bigrams in
+    * token order — one concatenated array, so the position IS the order)
+    * and rounds to 4.
+    */
+  def dsirLogRatios(raw: DataFrame, idCol: String, textCol: String,
+                    target: DataFrame, targetTextCol: String,
+                    buckets: Int = 8192,
+                    smoothK: Double = 0.5): DataFrame = {
+    // unigrams ++ bigrams as ONE ordered array; fpos indexes the
+    // concatenation, pinning the cross-engine summation order
+    def features(df: DataFrame, id: Column, text: Column): DataFrame = {
+      val t = TextOps.tokens(text)
+      val bi = zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      df.select(id.as("id"), posexplode(concat(t, bi)).as(Seq("fpos", "feat")))
+        .withColumn("b", pmod(md5_lower64(col("feat")), lit(buckets.toLong)))
+    }
+    val rawF = features(raw, col(idCol), col(textCol))
+    val tgtF = features(target, lit(0L), col(targetTextCol))
+
+    val rawCounts = rawF.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgtCounts = tgtF.groupBy("b").agg(count(lit(1)).as("ct"))
+    val rawTot = rawF.agg(count(lit(1)).cast("double").as("tr"))
+    val tgtTot = tgtF.agg(count(lit(1)).cast("double").as("tt"))
+
+    // ≤ `buckets` rows: only raw-occupied buckets matter (a document's
+    // features all exist in the raw corpus by definition)
+    val lnr = rawCounts.join(tgtCounts, Seq("b"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("b"), round(log(
+        ((coalesce(col("ct"), lit(0L)) + smoothK)
+          / (col("tt") + lit(smoothK) * buckets))
+          / ((col("cr") + smoothK) / (col("tr") + lit(smoothK) * buckets))),
+        6).as("lnr"))
+
+    val scored = rawF.join(broadcast(lnr), "b")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_features"),
+        round(aggregate(
+          transform(array_sort(collect_list(struct(col("fpos"), col("lnr")))),
+            s => s.getField("lnr")),
+          lit(0.0), (acc, x) => acc + x), 4).as("dsir_logratio"))
+
+    raw.select(col(idCol).as("doc_id"))
+      .join(scored.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        coalesce(col("dsir_logratio"), lit(0.0)).as("dsir_logratio"))
+  }
+
+  /** DSIR selection: the paper's Gumbel-top-m resample over the importance
+    * weights. Sampling without replacement with probability ∝ exp(w) is
+    * exactly "take the m largest w + g where g is standard Gumbel noise"
+    * (the Gumbel-max trick); the noise here is DETERMINISTIC —
+    * `g = -ln(-ln(u))` with `u` a content-addressed uniform from the
+    * document id's md5 — so the draw is reproducible, shard-order-free,
+    * and cross-engine exact after the rounding conventions. Top-m runs as
+    * orderBy+limit (TakeOrdered — parallel partial top-m, no global
+    * sort).
+    */
+  def dsirSample(raw: DataFrame, idCol: String, textCol: String,
+                 target: DataFrame, targetTextCol: String, m: Int,
+                 buckets: Int = 8192,
+                 smoothK: Double = 0.5): DataFrame = {
+    val w = dsirLogRatios(raw, idCol, textCol, target, targetTextCol,
+      buckets, smoothK)
+    // u in (0,1) strictly: (h + 0.5) / 1e6 with h in [0, 1e6)
+    val u = (pmod(md5_lower64(concat(lit("dsir|"), col("doc_id").cast("string"))),
+      lit(1000000L)) + 0.5) / 1000000.0
+    w.withColumn("gumbel_score",
+        round(col("dsir_logratio") + round(-log(-log(u)), 6), 4))
+      .orderBy(col("gumbel_score").desc, col("doc_id"))
+      .limit(m)
+  }
+
   def mixWeights(docs: DataFrame, domainCol: String,
                  targets: Map[String, Double]): DataFrame = {
     val spark = docs.sparkSession

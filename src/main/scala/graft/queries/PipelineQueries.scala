@@ -89,6 +89,45 @@ object PipelineQueries {
   private def dCos(a: String, b: String) =
     s"round(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])), 3)"
 
+  /** Signed-long positive-modulo bucket of a `md5_number_lower` value `u`
+    * — DuckDB's UBIGINT md5 converted to the two's-complement long
+    * `md5_lower64` yields, then `pmod(·, m)`.
+    */
+  private def dHashMod(u: String, m: Long) =
+    s"((CAST(CASE WHEN $u >= 9223372036854775808 THEN $u - 18446744073709551616 " +
+      s"ELSE $u END AS BIGINT) % $m) + $m) % $m"
+
+  /** DuckDB replication of the DSIR hashed-feature model
+    * ([[graft.operators.Curation.dsirLogRatios]]): unigram+bigram features
+    * per document in position order (one concatenated list — position IS
+    * the cross-engine summation order), md5-hashed into 8192 buckets,
+    * add-0.5-smoothed ln ratios rounded to 6, position-ordered per-doc
+    * sums rounded to 4. Target slice = `source IN ('src0','src1')`.
+    */
+  private val dsirCte =
+    "WITH rt0 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
+      "FROM documents), " +
+      "rf0 AS (SELECT doc_id, list_concat(t, " +
+      "[t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS f FROM rt0), " +
+      "rf AS (SELECT doc_id, unnest(f) AS feat, generate_subscripts(f, 1) AS fpos " +
+      "FROM rf0), " +
+      "rb AS (SELECT doc_id, fpos, " + dHashMod("u", 8192L) + " AS b " +
+      "FROM (SELECT doc_id, fpos, md5_number_lower(feat) AS u FROM rf)), " +
+      "tf AS (SELECT unnest(f) AS feat FROM rf0 JOIN documents USING (doc_id) " +
+      "WHERE source IN ('src0', 'src1')), " +
+      "tb AS (SELECT " + dHashMod("u", 8192L) + " AS b " +
+      "FROM (SELECT md5_number_lower(feat) AS u FROM tf)), " +
+      "rc AS (SELECT b, count(*) AS cr FROM rb GROUP BY 1), " +
+      "tc AS (SELECT b, count(*) AS ct FROM tb GROUP BY 1), " +
+      "rtot AS (SELECT CAST(count(*) AS DOUBLE) AS tr FROM rb), " +
+      "ttot AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM tb), " +
+      "w AS (SELECT rc.b, round(ln(((coalesce(tc.ct, 0) + 0.5) / (ttot.tt + 0.5 * 8192)) " +
+      "/ ((rc.cr + 0.5) / (rtot.tr + 0.5 * 8192))), 6) AS lnr " +
+      "FROM rc LEFT JOIN tc USING (b) CROSS JOIN rtot CROSS JOIN ttot), " +
+      "sc AS (SELECT rb.doc_id, count(*) AS n_features, " +
+      "round(list_sum(list(w.lnr ORDER BY rb.fpos)), 4) AS dsir_logratio " +
+      "FROM rb JOIN w USING (b) GROUP BY rb.doc_id) "
+
   /** The query vector for `vec_id == qid`, collected driver-side (one row). */
   private def queryVec(embs: DataFrame, qid: Long): Array[Float] =
     embs.filter(col("vec_id") === qid)
@@ -1313,6 +1352,49 @@ object PipelineQueries {
         "SELECT doc_id, source, CAST(i AS BIGINT) AS copy " +
         "FROM (SELECT doc_id, source, unnest(generate_series(0, copies - 1)) AS i " +
         "FROM k WHERE copies > 0) ORDER BY doc_id, copy")),
+
+    // ---- curation: DSIR importance weights (Xie et al. 2023) — every raw
+    // doc scored by Σ_f ln(p̂_target(f)/p̂_raw(f)) over hashed unigram +
+    // bigram features (8192 buckets, add-0.5 smoothing); target = the
+    // src0/src1 slice standing in for "the domain we want more of".
+    // Deterministic end-to-end (md5 feature hashing, ln rounded 6,
+    // position-ordered sum rounded 4), so the whole model hash-matches
+    // DuckDB. ----
+    ("ns_curate_dsir",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        Curation.dsirLogRatios(docs, "doc_id", "text",
+          docs.filter(col("source").isin("src0", "src1")), "text")
+          .orderBy("doc_id")
+      },
+      Some(dsirCte +
+        "SELECT d.doc_id, CAST(coalesce(sc.n_features, 0) AS BIGINT) AS n_features, " +
+        "coalesce(sc.dsir_logratio, 0.0) AS dsir_logratio " +
+        "FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id")),
+
+    // ---- curation: the DSIR resample itself — Gumbel-top-m over the
+    // importance weights (sampling ∝ exp(w) without replacement via the
+    // Gumbel-max trick), noise content-addressed from the doc id so the
+    // draw is reproducible and cross-engine exact ----
+    ("ns_curate_dsir_sample",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        Curation.dsirSample(docs, "doc_id", "text",
+          docs.filter(col("source").isin("src0", "src1")), "text", m = 100)
+          .orderBy(col("gumbel_score").desc, col("doc_id"))
+      },
+      Some(dsirCte +
+        ", wdoc AS (SELECT d.doc_id, CAST(coalesce(sc.n_features, 0) AS BIGINT) AS n_features, " +
+        "coalesce(sc.dsir_logratio, 0.0) AS dsir_logratio " +
+        "FROM documents d LEFT JOIN sc USING (doc_id)), " +
+        "g AS (SELECT doc_id, n_features, dsir_logratio, " +
+        "round(dsir_logratio + round(-ln(-ln(" +
+        "((((CAST(CASE WHEN gu >= 9223372036854775808 THEN gu - 18446744073709551616 " +
+        "ELSE gu END AS BIGINT) % 1000000) + 1000000) % 1000000) + 0.5) / 1000000.0" +
+        ")), 6), 4) AS gumbel_score FROM (SELECT wdoc.*, " +
+        "md5_number_lower('dsir|' || CAST(doc_id AS VARCHAR)) AS gu FROM wdoc)) " +
+        "SELECT doc_id, n_features, dsir_logratio, gumbel_score FROM g " +
+        "ORDER BY gumbel_score DESC, doc_id LIMIT 100")),
 
     // ---- text analysis: overlapping token chunks (RAG/embedding context
     // windows: 32-token chunks at stride 24; zero-shuffle explode) ----
