@@ -72,6 +72,12 @@ object GraftFunctions {
       if (es.length > 1) int(es(1), "kll_agg") else 200))
     add("kll_merge_agg")(es => KllMergeAgg(es.head,
       if (es.length > 1) int(es(1), "kll_merge_agg") else 200))
+    // mg_agg(item [, capacity]) / mg_merge_agg(sketch [, capacity])
+    add("mg_agg")(es => MgAgg(es.head,
+      if (es.length > 1) int(es(1), "mg_agg") else 256))
+    add("mg_merge_agg")(es => MgMergeAgg(es.head,
+      if (es.length > 1) int(es(1), "mg_merge_agg") else 256))
+    add("mg_items")(es => MgItems(es.head))
     // kll_quantiles(sketch, rank [, rank ...])
     add("kll_quantiles")(es => KllQuantiles(es.head,
       es.tail.map(dbl(_, "kll_quantiles"))))

@@ -137,6 +137,20 @@ package object functions {
   def kll_merge_agg(sketch: Column, k: Int = 200): Column =
     col(KllMergeAgg(ex(sketch), k).toAggregateExpression())
 
+  /** Mergeable Misra–Gries heavy-hitter sketch of a string column
+    * (`binary` result — bounded `capacity` counters; every item with
+    * frequency > N/(capacity+1) guaranteed present). */
+  def mg_agg(c: Column, capacity: Int = 256): Column =
+    col(MgAgg(ex(c), capacity).toAggregateExpression())
+
+  /** Re-merge stored MG sketches (shard profiles → corpus hitters). */
+  def mg_merge_agg(sketch: Column, capacity: Int = 256): Column =
+    col(MgMergeAgg(ex(sketch), capacity).toAggregateExpression())
+
+  /** Decode an MG sketch's survivors as
+    * `array<struct<item, est>>` ordered by (est desc, item). */
+  def mg_items(sketch: Column): Column = col(MgItems(ex(sketch)))
+
   /** Extract quantiles at `ranks` from a serialized KLL sketch column. */
   def kll_quantiles(sketch: Column, ranks: Seq[Double]): Column =
     col(KllQuantiles(ex(sketch), ranks))

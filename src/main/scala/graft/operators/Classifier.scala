@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.md5_lower64
+
+/** Supervised text classifiers over hashed bag-of-n-gram features — the
+  * quality/domain-filter models a training-data pipeline actually ships
+  * (GPT-3/LLaMA-style "does this page look like the reference corpus"
+  * filters are linear classifiers over exactly these features; fastText's
+  * supervised mode is the canonical implementation).
+  *
+  * Two model families, chosen so the whole surface is verifiable:
+  *
+  *  - '''Multinomial Naive Bayes''' — closed-form counts, so BOTH training
+  *    and scoring are single-aggregation SQL-expressible and the declared
+  *    queries hash-match a DuckDB oracle end-to-end (`ns_quality_nb_*`).
+  *  - '''Binary logistic regression''' — iterative gradient descent, not
+  *    SQL-expressible; instead the distributed trainer is INTEGER-EXACT
+  *    and therefore bit-identical to a serial reference implementation
+  *    regardless of partitioning (spec-pinned, the BPE precedent).
+  *
+  * Scale shape (both): the corpus-sized work per pass is one hash
+  * aggregate over the exploded feature stream; the model is ≤
+  * `buckets`·classes rows and BROADCASTS back for scoring, so scoring is
+  * map-side until the per-document sum (the only corpus-sized shuffle).
+  * LR additionally round-trips a ≤`buckets`-row gradient table through
+  * the driver per iteration — the PQ-codebook pattern, geometry-bounded
+  * state only.
+  *
+  * Cross-engine / cross-partitioning determinism:
+  *  - features hash with `md5_lower64` (== DuckDB `md5_number_lower`);
+  *  - NB log-likelihoods and priors round to 6 decimals; per-document
+  *    scores fold in feature-position order and round to 4 (the DSIR
+  *    conventions, `Curation.dsirLogRatios`);
+  *  - LR keeps weights in integer NANO-units and per-doc residuals in
+  *    integer MICRO-units, so every distributed sum is an exact `long`
+  *    sum — associative and commutative, immune to partition order; the
+  *    only floating-point steps (sigmoid, the driver's weight update) run
+  *    on deterministic scalar inputs and re-round to the integer grid.
+  */
+object Classifier {
+
+  /** Hashed unigram+bigram features in position order: one row per
+    * feature occurrence `(id, fpos, b)`. The concatenated
+    * unigrams-then-bigrams array gives `fpos` a total per-document order,
+    * which pins the float summation order for the NB oracle.
+    */
+  private[operators] def features(df: DataFrame, id: Column, text: Column,
+                                  buckets: Int): DataFrame = {
+    val t = TextOps.tokens(text)
+    val bi = zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    df.select(id.as("id"), posexplode(concat(t, bi)).as(Seq("fpos", "feat")))
+      .withColumn("b", pmod(md5_lower64(col("feat")), lit(buckets.toLong)))
+      .drop("feat")
+  }
+
+  /** Train a multinomial NB model. Returns
+    * `(label, b, llh)` — per-class add-k-smoothed feature
+    * log-likelihoods `ln((n(c,b)+k)/(T(c)+k·buckets))`, rounded 6 — and
+    * `(label, prior, llh0)` — `ln(docs_c/docs)` class priors and the
+    * per-class default log-likelihood for buckets unseen in class c.
+    * Model size ≤ classes·buckets rows: broadcastable by construction.
+    */
+  def nbTrain(train: DataFrame, idCol: String, textCol: String,
+              labelCol: String, buckets: Int = 4096,
+              smoothK: Double = 0.5): (DataFrame, DataFrame) = {
+    val f = features(train, col(idCol), col(textCol), buckets)
+      .join(train.select(col(idCol).as("id"), col(labelCol).as("label")), "id")
+    val counts = f.groupBy("label", "b").agg(count(lit(1)).as("n"))
+    val totals = f.groupBy("label").agg(count(lit(1)).as("t"))
+    val model = counts.join(totals, "label")
+      .select(col("label"), col("b"),
+        round(log((col("n") + smoothK) / (col("t") + smoothK * buckets)),
+          6).as("llh"))
+    val nDocs = train.count().toDouble
+    val priors = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("nc"))
+      .join(totals, "label")
+      .select(col("label"),
+        round(log(col("nc") / nDocs), 6).as("prior"),
+        round(log(lit(smoothK) / (col("t") + smoothK * buckets)),
+          6).as("llh0"))
+    (model, priors)
+  }
+
+  /** Score documents against an NB model: per-document per-class
+    * log-posterior `prior(c) + Σ_f llh(c, b_f)` (position-ordered fold,
+    * rounded 4) and the argmax prediction (ties → lexically smaller
+    * label). Both the model and the priors broadcast; the feature stream
+    * is scored map-side and shuffles once per (doc, class) for the sum.
+    */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+              model: DataFrame, priors: DataFrame,
+              buckets: Int = 4096): DataFrame = {
+    val f = features(docs, col(idCol), col(textCol), buckets)
+      .crossJoin(broadcast(priors.select("label")))
+      .join(broadcast(model), Seq("label", "b"), "left")
+    val scored = f
+      .join(broadcast(priors), "label")
+      .withColumn("llh", coalesce(col("llh"), col("llh0")))
+      .groupBy("id", "label")
+      .agg(first(col("prior")).as("prior"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("fpos"), col("llh")))),
+            s => s.getField("llh")),
+          lit(0.0), (acc, x) => acc + x).as("s"))
+      .select(col("id"), col("label"),
+        round(col("prior") + col("s"), 4).as("score"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("score").desc, col("label"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id").as(idCol), col("label").as("predicted"),
+        col("score"))
+  }
+
+  private def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
+
+  /** Per-document hashed feature COUNTS `(id, y, b, cnt)` — the LR
+    * trainer's working relation. Bucket multiplicity folds into `cnt`, so
+    * margins and gradients are exact integer dot products.
+    */
+  private def lrFeatures(train: DataFrame, idCol: String, textCol: String,
+                         positive: Column, buckets: Int): DataFrame =
+    features(train, col(idCol), col(textCol), buckets)
+      .groupBy("id", "b").agg(count(lit(1)).as("cnt"))
+      .join(train.select(col(idCol).as("id"),
+        when(positive, 1L).otherwise(0L).as("y")), "id")
+
+  /** Train binary logistic regression by full-batch gradient descent.
+    *
+    * Determinism contract (what makes the distributed run EQUAL the
+    * serial reference bit-for-bit, any partitioning): weights live on an
+    * integer nano-grid (`w_nano: long`), per-document residuals on a
+    * micro-grid (`round((p−y)·1e6): long`), so the margin
+    * `Σ w_nano[b]·cnt` and the gradient `Σ residual·cnt` are exact long
+    * sums — order-free. The driver's update
+    * `w ← w − lr·(grad/1e6)/N` runs in scalar doubles on deterministic
+    * inputs and re-rounds to the nano grid.
+    *
+    * Scale shape: per iteration, one broadcast join of the ≤`buckets`-row
+    * weight table onto the cached feature relation, one id-keyed shuffle
+    * for margins, one bucket-keyed aggregate for the gradient; the
+    * collected gradient is ≤ `buckets`+1 rows (the PQ-codebook driver
+    * round-trip). The feature relation is computed once and
+    * local-checkpointed so iteration N's plan does not replay 1..N−1.
+    *
+    * Returns the model as `(b, w)` rows (bias at `b = -1`), storable as a
+    * tiny parquet — plus the nano weights for exact reuse.
+    */
+  def lrTrain(train: DataFrame, idCol: String, textCol: String,
+              positive: Column, buckets: Int = 1024, iters: Int = 5,
+              learnRate: Double = 0.5): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val f = lrFeatures(train, idCol, textCol, positive, buckets)
+      .localCheckpoint()
+    val nDocs = f.select("id").distinct().count()
+
+    var wNano = Array.fill(buckets + 1)(0L) // [bias, w_0 .. w_{buckets-1}]
+    for (_ <- 0 until iters) {
+      val wDf = broadcast(
+        wNano.zipWithIndex.tail.map { case (w, i) => (i - 1L, w) }
+          .toSeq.toDF("b", "w_nano"))
+      val resid = f.join(wDf, Seq("b"), "left")
+        .groupBy("id", "y")
+        .agg(sum(coalesce(col("w_nano"), lit(0L)) * col("cnt")).as("m_nano"))
+        .select(col("id"), col("y"), col("m_nano") + wNano(0))
+        .toDF("id", "y", "m_nano")
+        .select(col("id"),
+          (round(lit(1e6) / (lit(1.0) + exp(-(col("m_nano") / 1e9))))
+            .cast("long") - col("y") * 1000000L).as("r_micro"))
+      val grads = f.join(resid, "id")
+        .groupBy("b").agg(sum(col("r_micro") * col("cnt")).as("g"))
+        .as[(Long, Long)].collect().toMap
+      val biasGrad = resid.agg(sum(col("r_micro"))).as[Long].head()
+      val upd = (wOld: Long, g: Long) =>
+        math.round(wOld.toDouble - learnRate * (g / 1e6) / nDocs * 1e9)
+      wNano = (upd(wNano(0), biasGrad) +:
+        Array.tabulate(buckets)(b => upd(wNano(b + 1), grads.getOrElse(b.toLong, 0L))))
+    }
+    wNano.zipWithIndex
+      .map { case (w, i) => (i - 1L, w, w / 1e9) }
+      .toSeq.toDF("b", "w_nano", "w")
+  }
+
+  /** Score documents with an LR model (as produced by [[lrTrain]]):
+    * margin on the exact nano grid, probability `sigmoid(margin)` rounded
+    * 6, prediction at p ≥ 0.5. Broadcast model; one id-keyed shuffle.
+    */
+  def lrScore(docs: DataFrame, idCol: String, textCol: String,
+              model: DataFrame, buckets: Int = 1024): DataFrame = {
+    val bias = model.filter(col("b") === -1L)
+      .select(col("w_nano")).head().getLong(0)
+    val f = features(docs, col(idCol), col(textCol), buckets)
+      .groupBy("id", "b").agg(count(lit(1)).as("cnt"))
+    f.join(broadcast(model.filter(col("b") >= 0)), Seq("b"), "left")
+      .groupBy("id")
+      .agg(sum(coalesce(col("w_nano"), lit(0L)) * col("cnt")).as("m"))
+      .select(col("id").as(idCol),
+        round((col("m") + bias) / 1e9, 6).as("margin"),
+        round(lit(1.0) / (lit(1.0) + exp(-((col("m") + bias) / 1e9))),
+          6).as("p"))
+      .withColumn("predicted", (col("p") >= 0.5).cast("int"))
+  }
+}

@@ -534,6 +534,62 @@ object Curation {
       .filter(col("rn") <= perStratum)
   }
 
+  /** Deterministic per-epoch corpus shuffle: a content-addressed global
+    * permutation that differs every epoch but is reproducible and
+    * shard-order-free — the "reshuffle the corpus each epoch without a
+    * seed server" op. The permutation key is `md5(epoch | id)`, so
+    * epoch e's order is uncorrelated with epoch e+1's (md5 avalanche);
+    * each example gets its serving shard `pmod(key, nShards)` and its
+    * within-shard position.
+    *
+    * Scale shape: one shard-keyed shuffle; the position window sorts only
+    * within a shard (corpus/nShards rows). No global sort, no global
+    * window — writers range-write shard files independently. Rerunning
+    * any subset of shards reproduces identical files (the key is pure
+    * content arithmetic).
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, epoch: Int,
+                   nShards: Int): DataFrame = {
+    val key = md5_lower64(
+      concat(lit(s"epoch$epoch|"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col(idCol))
+    docs.select(col(idCol), key.as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Length-bucketed batch assembly (the padding-minimizing batcher for
+    * variable-length SFT/eval serving): documents are binned by token
+    * count (`bin = ceil(n/binWidth)·binWidth`, capped at `maxLen`), then
+    * packed into fixed-size batches of `batchSize` within each bin in
+    * content-hash order. Each row reports its batch, the batch's pad
+    * target (the bin ceiling) and its own padding waste — so
+    * `sum(pad_tokens)` against a naive single-bin batcher quantifies the
+    * win, and a serving loader can consume (bin, batch_id) groups
+    * directly.
+    *
+    * Scale shape: one shuffle keyed on the bin (bounded by
+    * `maxLen/binWidth` + 1 distinct bins); rank windows sort only within
+    * a bin. Documents longer than `maxLen` clamp into the top bin (they
+    * would be truncated at serving time anyway).
+    */
+  def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
+                    binWidth: Int = 64, maxLen: Int = 2048,
+                    batchSize: Int = 8): DataFrame = {
+    val n = size(TextOps.tokens(col(textCol)))
+    val bin = least(
+      ceil(n.cast("double") / binWidth).cast("int") * binWidth, lit(maxLen))
+    val h = md5_lower64(col(idCol).cast("string"))
+    val w = Window.partitionBy(col("bin")).orderBy(col("h"), col(idCol))
+    docs.select(col(idCol), n.as("n_tokens"), bin.as("bin"), h.as("h"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_id", ((col("rn") - 1) / batchSize).cast("int"))
+      .select(col(idCol), col("n_tokens"), col("bin"), col("batch_id"),
+        (col("bin") - least(col("n_tokens"), col("bin"))).cast("long")
+          .as("pad_tokens"))
+  }
+
   /** Per-domain document cap (the C4/RefinedWeb "no domain dominates the
     * corpus" rule): keep at most `cap` documents per domain, chosen in
     * md5-hash order — a content-addressed uniform draw within each domain,

@@ -125,6 +125,42 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("ngram"))
       .limit(k)
 
+  /** EXACT corpus heavy hitters at a BOUNDED shuffle: every token with
+    * count > N/(capacity+1), with its exact count — computed without ever
+    * shuffling the distinct-token relation (which, under Zipf, is
+    * corpus-sized for [[topNgrams]]'s exact group-by).
+    *
+    * Two passes, both capacity-bounded:
+    *  1. one Misra–Gries sketch over the token stream
+    *     ([[graft.functions.MgAgg]]) — per-task state and shuffle bytes
+    *     capped at `capacity` counters; survivors are a GUARANTEED
+    *     superset of the > N/(capacity+1) hitters (lossless prune), and
+    *     the same pass counts N exactly;
+    *  2. exact counts of the ≤ `capacity` candidates only — the corpus
+    *     semi-joins the broadcast candidate set before the count shuffle,
+    *     so the group-by moves candidate occurrences, not the tail.
+    *
+    * The output is therefore exact and data-deterministic (no sketch
+    * estimate survives into it) — SQL-oracle-able even though the prune
+    * is approximate.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String,
+                   capacity: Int = 256): DataFrame = {
+    import graft.functions.{mg_agg, mg_items}
+    val toks = docs.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+    val sketch = toks.agg(
+      mg_agg(col("tok"), capacity).as("sk"),
+      count(lit(1)).as("n"))
+    val cands = sketch.select(col("n"),
+        explode(mg_items(col("sk"))).as("it"))
+      .select(col("it.item").as("tok"), col("n"))
+    toks.join(broadcast(cands), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"), first(col("n")).as("n"))
+      .filter(col("cnt") > col("n") / (capacity + 1.0))
+      .select(col("tok"), col("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
   /** Character-level Shannon entropy per document (low entropy = repetitive
     * / machine-generated text, high = random noise — both filter targets).
     * Zero-shuffle per-row HOF compute like [[repetition]]; the per-char

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bpe, Curation, Dedup, IndexCatalog, SemDedup, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Classifier, Curation, Dedup, IndexCatalog, SemDedup, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (SURVEY §2.9 north-star): dedup,
   * similarity search, text analysis, multimodal plumbing — each wired as a
@@ -127,6 +127,52 @@ object PipelineQueries {
       "sc AS (SELECT rb.doc_id, count(*) AS n_features, " +
       "round(list_sum(list(w.lnr ORDER BY rb.fpos)), 4) AS dsir_logratio " +
       "FROM rb JOIN w USING (b) GROUP BY rb.doc_id) "
+
+  /** DuckDB replication of the hashed-n-gram Naive Bayes pipeline
+    * ([[graft.operators.Classifier.nbTrain]]/[[Classifier.nbScore]]):
+    * unigram+bigram features per document in position order, md5-hashed
+    * into 4096 buckets; train split = md5 doc_id bucket < 80 (the
+    * hashSplit convention); per-class add-0.5-smoothed log-likelihoods
+    * rounded 6, class priors and the unseen-bucket default rounded 6;
+    * per-(doc, class) scores = prior + position-ordered llh sum rounded
+    * 4; prediction = arg max score with ties to the lexically smaller
+    * label.
+    */
+  private val nbCte =
+    "WITH t0 AS (SELECT doc_id, lang, " +
+      "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+      "f0 AS (SELECT doc_id, lang, list_concat(t, " +
+      "[t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS f FROM t0), " +
+      "fx AS (SELECT doc_id, lang, unnest(f) AS feat, " +
+      "generate_subscripts(f, 1) AS fpos FROM f0), " +
+      "fb AS (SELECT doc_id, lang, fpos, " + dHashMod("u", 4096L) + " AS b " +
+      "FROM (SELECT doc_id, lang, fpos, md5_number_lower(feat) AS u FROM fx)), " +
+      "sp AS (SELECT doc_id, " + dHashMod("su", 100L) + " < 80 AS is_train " +
+      "FROM (SELECT doc_id, md5_number_lower(CAST(doc_id AS VARCHAR)) AS su " +
+      "FROM documents)), " +
+      "cnts AS (SELECT lang AS label, b, count(*) AS n FROM fb " +
+      "JOIN sp USING (doc_id) WHERE is_train GROUP BY 1, 2), " +
+      "tot AS (SELECT label, sum(n) AS tt FROM cnts GROUP BY 1), " +
+      "model AS (SELECT label, b, round(ln((n + 0.5) / (tt + 0.5 * 4096)), 6) " +
+      "AS llh FROM cnts JOIN tot USING (label)), " +
+      "pri0 AS (SELECT d.lang AS label, count(*) AS nc FROM documents d " +
+      "JOIN sp USING (doc_id) WHERE is_train GROUP BY 1), " +
+      "ndoc AS (SELECT sum(nc) AS nd FROM pri0), " +
+      "pr AS (SELECT p.label, " +
+      "round(ln(CAST(p.nc AS DOUBLE) / (SELECT nd FROM ndoc)), 6) AS prior, " +
+      "round(ln(0.5 / (t.tt + 0.5 * 4096)), 6) AS llh0 " +
+      "FROM pri0 p JOIN tot t USING (label)), " +
+      "sf AS (SELECT fb.doc_id, fb.fpos, fb.b FROM fb " +
+      "JOIN sp USING (doc_id) WHERE NOT is_train), " +
+      "sx AS (SELECT s.doc_id, p.label, s.fpos, p.prior, " +
+      "coalesce(m.llh, p.llh0) AS llh FROM sf s CROSS JOIN pr p " +
+      "LEFT JOIN model m ON m.label = p.label AND m.b = s.b), " +
+      "sc AS (SELECT doc_id, label, " +
+      "round(max(prior) + list_sum(list(llh ORDER BY fpos)), 4) AS score " +
+      "FROM sx GROUP BY 1, 2), " +
+      "pred AS (SELECT doc_id, label AS predicted, score FROM sc " +
+      "QUALIFY row_number() OVER (PARTITION BY doc_id " +
+      "ORDER BY score DESC, label) = 1) "
 
   /** The query vector for `vec_id == qid`, collected driver-side (one row). */
   private def queryVec(embs: DataFrame, qid: Long): Array[Float] =
@@ -1633,5 +1679,116 @@ object PipelineQueries {
         "ELSE 'gif' END AS format, " +
         "CAST(16 + doc_id % 640 AS INTEGER) AS width, " +
         "CAST(16 + doc_id % 480 AS INTEGER) AS height " +
-        "FROM documents ORDER BY doc_id")))
+        "FROM documents ORDER BY doc_id")),
+
+    // ---- supervised quality/domain classifiers (operators/Classifier):
+    // hashed-n-gram Naive Bayes — closed-form counts, so TRAIN and SCORE
+    // are both SQL-expressible and the whole train→predict pipeline
+    // hash-matches DuckDB end-to-end. Train split = the hashSplit
+    // convention (md5 bucket < 80); labels = lang. ----
+    ("ns_quality_nb_predict",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val b = Curation.hashBucket(col("doc_id"), 100)
+        val (model, priors) = Classifier.nbTrain(
+          docs.filter(b < 80), "doc_id", "text", "lang", 4096)
+        Classifier.nbScore(docs.filter(b >= 80), "doc_id", "text",
+            model, priors, 4096)
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .select("doc_id", "lang", "predicted", "score")
+          .orderBy("doc_id")
+      },
+      Some(nbCte +
+        "SELECT p.doc_id, d.lang, p.predicted, p.score " +
+        "FROM pred p JOIN documents d USING (doc_id) ORDER BY doc_id")),
+
+    ("ns_quality_nb_eval",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val b = Curation.hashBucket(col("doc_id"), 100)
+        val (model, priors) = Classifier.nbTrain(
+          docs.filter(b < 80), "doc_id", "text", "lang", 4096)
+        Classifier.nbScore(docs.filter(b >= 80), "doc_id", "text",
+            model, priors, 4096)
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+          .orderBy("lang", "predicted")
+      },
+      Some(nbCte +
+        "SELECT d.lang, p.predicted, count(*) AS n " +
+        "FROM pred p JOIN documents d USING (doc_id) " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // ---- deterministic per-epoch corpus shuffle: content-addressed
+    // permutation (md5(epoch|id)), shard + within-shard position; no
+    // global sort or window. ----
+    ("ns_curate_epoch_shuffle",
+      (s: SparkSession, d: String) =>
+        Curation.epochShuffle(Tables.documents(s, d), "doc_id",
+            epoch = 1, nShards = 8)
+          .orderBy("doc_id"),
+      Some("WITH h AS (SELECT doc_id, " +
+        "md5_number_lower('epoch1|' || CAST(doc_id AS VARCHAR)) AS u " +
+        "FROM documents), " +
+        "k AS (SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808 " +
+        "THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS skey FROM h), " +
+        "b AS (SELECT doc_id, skey, " +
+        "CAST(((skey % 8) + 8) % 8 AS INTEGER) AS shard FROM k) " +
+        "SELECT doc_id, shard, CAST(row_number() OVER " +
+        "(PARTITION BY shard ORDER BY skey, doc_id) AS INTEGER) AS pos " +
+        "FROM b ORDER BY doc_id")),
+
+    // ---- length-bucketed batch assembly: bin by token count, pack
+    // batches of 8 within bins in content-hash order, report per-doc
+    // padding waste against the bin ceiling. ----
+    ("ns_curate_length_batches",
+      (s: SparkSession, d: String) =>
+        Curation.lengthBatches(Tables.documents(s, d), "doc_id", "text",
+            binWidth = 64, maxLen = 2048, batchSize = 8)
+          .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, CAST(len(string_split_regex(" +
+        "lower(trim(text)), '\\s+')) AS INTEGER) AS n_tokens FROM documents), " +
+        "bt AS (SELECT doc_id, n_tokens, " +
+        "least(CAST(ceil(n_tokens / 64.0) AS INTEGER) * 64, 2048) AS bin, " +
+        "CAST(CASE WHEN u >= 9223372036854775808 " +
+        "THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS h " +
+        "FROM (SELECT t.*, md5_number_lower(CAST(doc_id AS VARCHAR)) AS u FROM t)), " +
+        "rn AS (SELECT doc_id, n_tokens, bin, " +
+        "row_number() OVER (PARTITION BY bin ORDER BY h, doc_id) AS rn FROM bt) " +
+        "SELECT doc_id, n_tokens, bin, " +
+        "CAST((rn - 1) // 8 AS INTEGER) AS batch_id, " +
+        "CAST(bin - least(n_tokens, bin) AS BIGINT) AS pad_tokens " +
+        "FROM rn ORDER BY doc_id")),
+
+    // ---- exact heavy hitters at a bounded shuffle: Misra–Gries sketch
+    // prune (lossless above N/(cap+1)) + exact recount of the ≤cap
+    // candidates. The output carries no estimate — it equals the exact
+    // HAVING-threshold query, so it hash-matches DuckDB even though the
+    // prune is approximate. ----
+    ("ns_text_heavy_hitters",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.heavyHitters(Tables.documents(s, d), "text", capacity = 16),
+      Some("WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), " +
+        "'\\s+')) AS tok FROM documents), " +
+        "nt AS (SELECT count(*) AS n FROM toks) " +
+        "SELECT tok, count(*) AS cnt FROM toks GROUP BY 1 " +
+        "HAVING count(*) > (SELECT n FROM nt) / 17.0 " +
+        "ORDER BY cnt DESC, tok")),
+
+    // Binary logistic regression (lang='en' vs rest) — iterative gradient
+    // descent is not SQL-expressible; rows-only by design. The trainer is
+    // integer-exact and bit-identical to a serial reference under any
+    // partitioning (ClassifierSpec), the BPE verification pattern.
+    ("ns_quality_lr_score",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val b = Curation.hashBucket(col("doc_id"), 100)
+        val model = Classifier.lrTrain(docs.filter(b < 80),
+          "doc_id", "text", col("lang") === "en",
+          buckets = 1024, iters = 5, learnRate = 0.5)
+        Classifier.lrScore(docs.filter(b >= 80), "doc_id", "text",
+            model, 1024)
+          .orderBy("doc_id")
+      },
+      None))
 }

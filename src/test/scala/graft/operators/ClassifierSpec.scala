@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.SparkSpec
+import graft.functions.TextHashKernels
+
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bucket(feat: String, buckets: Int): Long = {
+    val h = TextHashKernels.md5Lower64(UTF8String.fromString(feat))
+    ((h % buckets) + buckets) % buckets
+  }
+
+  private def r(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // ---------------------------------------------------------------- NB
+
+  test("nbTrain/nbScore match a hand computation on a collision-free toy set") {
+    val B = 4096
+    // features per doc: unigrams then bigrams, e.g. "cat cat" ->
+    // [cat, cat, "cat cat"]
+    val train = Seq(
+      (1L, "cat cat", "a"), (2L, "cat dog", "a"),
+      (3L, "dog dog", "b")).toDF("doc_id", "text", "lang")
+    val feats = Seq("cat", "dog", "cat cat", "cat dog", "dog dog")
+    assert(feats.map(bucket(_, B)).distinct.size === feats.size,
+      "hand computation assumes no bucket collisions")
+    val (model, priors) = Classifier.nbTrain(train, "doc_id", "text", "lang", B)
+
+    val k = 0.5
+    // class a: 6 features (cat,cat,"cat cat" / cat,dog,"cat dog"), class b: 3
+    def llhA(n: Long) = r(math.log((n + k) / (6 + k * B)), 6)
+    def llhB(n: Long) = r(math.log((n + k) / (3 + k * B)), 6)
+    val m = model.as[(String, Long, Double)].collect
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(m(("a", bucket("cat", B))) === llhA(3))
+    assert(m(("a", bucket("dog", B))) === llhA(1))
+    assert(m(("b", bucket("dog", B))) === llhB(2))
+    assert(m.get(("b", bucket("cat", B))).isEmpty) // unseen in class b
+    val p = priors.as[(String, Double, Double)].collect
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(p("a") === ((r(math.log(2.0 / 3), 6), llhA(0))))
+    assert(p("b") === ((r(math.log(1.0 / 3), 6), llhB(0))))
+
+    // score "cat dog": features [cat, dog, "cat dog"]
+    val got = Classifier.nbScore(Seq((9L, "cat dog")).toDF("doc_id", "text"),
+        "doc_id", "text", model, priors, B)
+      .as[(Long, String, Double)].collect.toSeq
+    val sa = r(p("a")._1 + (llhA(3) + llhA(1) + llhA(1)), 4)
+    val sb = r(p("b")._1 + (llhB(0) + llhB(2) + llhB(0)), 4)
+    assert(sa > sb)
+    assert(got === Seq((9L, "a", sa)))
+  }
+
+  test("nb prediction tie-breaks to the lexically smaller label") {
+    val B = 4096
+    // perfectly symmetric classes -> equal scores for a symmetric doc
+    val train = Seq(
+      (1L, "x", "b2"), (2L, "y", "a9")).toDF("doc_id", "text", "lang")
+    val (model, priors) = Classifier.nbTrain(train, "doc_id", "text", "lang", B)
+    val got = Classifier.nbScore(Seq((5L, "z")).toDF("doc_id", "text"),
+        "doc_id", "text", model, priors, B)
+      .as[(Long, String, Double)].collect.toSeq
+    assert(got.head._2 === "a9") // equal scores, smaller label wins
+  }
+
+  test("nb learns a planted vocabulary split exactly") {
+    val n = 200
+    val docs = (0 until n).map { i =>
+      val cls = if (i % 2 == 0) "pos" else "neg"
+      val word = if (cls == "pos") "alpha" else "beta"
+      (i.toLong, s"$word $word filler$i", cls)
+    }.toDF("doc_id", "text", "lang")
+    val train = docs.filter(col("doc_id") < 150)
+    val test0 = docs.filter(col("doc_id") >= 150)
+    val (model, priors) = Classifier.nbTrain(train, "doc_id", "text", "lang")
+    val scored = Classifier.nbScore(test0, "doc_id", "text", model, priors)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    assert(scored.filter(col("predicted") =!= col("lang")).isEmpty)
+  }
+
+  // ---------------------------------------------------------------- LR
+
+  /** Serial reference: identical arithmetic to [[Classifier.lrTrain]] on
+    * collected rows — integer nano-grid weights, micro-grid residuals.
+    */
+  private def lrSerial(docs: Seq[(Long, String, Long)], buckets: Int,
+                       iters: Int, learnRate: Double): Array[Long] = {
+    // per-doc feature bucket counts (unigrams + bigrams)
+    val featRows = docs.map { case (id, text, y) =>
+      val t = text.trim.toLowerCase.split("\\s+").toSeq
+      val f = t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      (id, y, f.groupBy(x => bucket(x, buckets)).map { case (b, xs) => b -> xs.size.toLong })
+    }
+    val n = docs.size
+    var w = Array.fill(buckets + 1)(0L)
+    for (_ <- 0 until iters) {
+      val resid = featRows.map { case (id, y, cnts) =>
+        val mNano = cnts.map { case (b, c) => w(b.toInt + 1) * c }.sum + w(0)
+        val p = 1e6 / (1.0 + math.exp(-(mNano / 1e9)))
+        (id, math.round(p) - y * 1000000L, cnts)
+      }
+      val grads = resid.flatMap { case (_, rm, cnts) =>
+        cnts.map { case (b, c) => b -> rm * c }
+      }.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+      val biasGrad = resid.map(_._2).sum
+      def upd(wOld: Long, g: Long): Long =
+        math.round(wOld.toDouble - learnRate * (g / 1e6) / n * 1e9)
+      w = upd(w(0), biasGrad) +:
+        Array.tabulate(buckets)(b => upd(w(b + 1), grads.getOrElse(b.toLong, 0L)))
+    }
+    w
+  }
+
+  test("lrTrain equals the serial reference bit-for-bit, any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val words = Vector("red", "blue", "green", "fast", "slow", "cold")
+    val docs = (0L until 120L).map { i =>
+      val pos = i % 3 == 0
+      val base = if (pos) "alpha up" else "beta down"
+      val noise = Seq.fill(3)(words(rnd.nextInt(words.size))).mkString(" ")
+      (i, s"$base $noise", if (pos) 1L else 0L)
+    }
+    val B = 256
+    val serial = lrSerial(docs, B, iters = 4, learnRate = 0.5)
+    for (parts <- Seq(1, 7)) {
+      val df = docs.toDF("doc_id", "text", "y").repartition(parts)
+      val got = Classifier.lrTrain(df, "doc_id", "text", col("y") === 1L,
+          buckets = B, iters = 4, learnRate = 0.5)
+        .select("b", "w_nano").as[(Long, Long)].collect
+        .map { case (b, w) => (b + 1).toInt -> w }.toMap
+      val gotArr = Array.tabulate(B + 1)(i => got(i))
+      assert(gotArr.toSeq === serial.toSeq, s"parts=$parts diverged")
+    }
+  }
+
+  test("lr separates a planted vocabulary and lrScore thresholds at 0.5") {
+    val docs = (0L until 200L).map { i =>
+      val pos = i % 2 == 0
+      (i, if (pos) s"alpha alpha token$i" else s"beta beta token$i",
+        if (pos) 1L else 0L)
+    }
+    val df = docs.toDF("doc_id", "text", "y")
+    val model = Classifier.lrTrain(df, "doc_id", "text", col("y") === 1L,
+      buckets = 256, iters = 8, learnRate = 1.0)
+    val scored = Classifier.lrScore(df, "doc_id", "text", model, buckets = 256)
+      .join(df.select(col("doc_id"), col("y")), "doc_id")
+    assert(scored.filter(col("predicted") =!= col("y")).isEmpty)
+    val agree = scored.filter((col("p") >= 0.5).cast("int") === col("predicted"))
+    assert(agree.count() === 200L)
+  }
+
+  test("lr model round-trips through parquet and scores identically") {
+    val docs = (0L until 60L).map(i =>
+      (i, if (i % 2 == 0) "alpha x" else "beta y", i % 2)).toDF("doc_id", "text", "y")
+    val model = Classifier.lrTrain(docs, "doc_id", "text", col("y") === 1,
+      buckets = 128, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("lrmodel").toString
+    model.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val a = Classifier.lrScore(docs, "doc_id", "text", model, 128)
+      .orderBy("doc_id").as[(Long, Double, Double, Int)].collect.toSeq
+    val b = Classifier.lrScore(docs, "doc_id", "text", back, 128)
+      .orderBy("doc_id").as[(Long, Double, Double, Int)].collect.toSeq
+    assert(a === b)
+  }
+}

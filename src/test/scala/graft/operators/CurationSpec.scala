@@ -378,4 +378,47 @@ class CurationSpec extends SparkSpec {
       s"tail weight must come from the unrounded share, got ${w("tail")._2}")
     assert(w("head")._2 > 0.0 && w("head")._2 < 1.0)
   }
+
+  test("epochShuffle: a true permutation, epoch-distinct, partitioning-free") {
+    val docs = spark.range(0, 500).selectExpr("id AS doc_id")
+    val e1 = Curation.epochShuffle(docs, "doc_id", epoch = 1, nShards = 8)
+      .as[(Long, Int, Int)].collect.toSeq.sorted
+    // every doc exactly once; within-shard positions are 1..count
+    assert(e1.map(_._1).distinct.size === 500)
+    e1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted === (1 to rows.size).toSeq)
+    }
+    // reproducible and independent of input partitioning
+    val e1b = Curation.epochShuffle(docs.repartition(7), "doc_id", 1, 8)
+      .as[(Long, Int, Int)].collect.toSeq.sorted
+    assert(e1b === e1)
+    // a different epoch yields a different order (avalanche)
+    val e2 = Curation.epochShuffle(docs, "doc_id", epoch = 2, nShards = 8)
+      .as[(Long, Int, Int)].collect.toSeq.sorted
+    assert(e2 !== e1)
+  }
+
+  test("lengthBatches: bins clamp at maxLen, batches fill within bins, padding exact") {
+    val docs = Seq(
+      (1L, Seq.fill(10)("w").mkString(" ")),   // 10 tokens -> bin 64
+      (2L, Seq.fill(64)("w").mkString(" ")),   // exactly 64 -> bin 64
+      (3L, Seq.fill(65)("w").mkString(" ")),   // 65 -> bin 128
+      (4L, Seq.fill(300)("w").mkString(" "))   // 300 -> clamped to maxLen 256
+    ).toDF("doc_id", "text")
+    val got = Curation.lengthBatches(docs, "doc_id", "text",
+        binWidth = 64, maxLen = 256, batchSize = 2)
+      .as[(Long, Int, Int, Int, Long)].collect
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) === ((10, 64, 0, 54L)))
+    assert(got(2L)._2 === 64 && got(2L)._4 === 0L)
+    assert(got(3L) === ((65, 128, 0, 63L)))
+    assert(got(4L) === ((300, 256, 0, 0L))) // over-length: clamped, no pad
+    // batch capacity: 20 same-length docs at batchSize 2 -> 10 batches
+    val many = (0L until 20L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val batches = Curation.lengthBatches(many, "doc_id", "text",
+        binWidth = 64, maxLen = 256, batchSize = 2)
+      .groupBy("bin", "batch_id").agg(count(lit(1)).as("n"))
+      .as[(Int, Int, Long)].collect.toSeq
+    assert(batches.size === 10 && batches.forall(_._3 === 2L))
+  }
 }
