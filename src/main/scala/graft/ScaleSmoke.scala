@@ -45,7 +45,7 @@ object ScaleSmoke {
     val n = if (args.nonEmpty) args(0).toInt else 200000
     val stages = if (args.length > 1) args(1) else "all"
     require(Set("all", "lexical", "semantic", "recall", "pipeline",
-      "streaming")(stages), s"unknown stage set '$stages'")
+      "streaming", "classifier")(stages), s"unknown stage set '$stages'")
     def on(s: String) = stages == "all" || stages == s
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -410,6 +410,69 @@ object ScaleSmoke {
     println(s"SCALE   hard-neg rows=${hn.count()} expected=${64 * k} " +
       s"same-label=$bad (${if (hn.count() == 64L * k && bad == 0) "OK" else "MISS"})")
     hn.unpersist(); embs.unpersist()
+    }
+
+    if (on("classifier")) {
+    // ---- supervised classifiers + heavy hitters at scale. Corpus: every
+    // doc carries its class token (`cls<label>`, label = id % 5) THREE
+    // times plus 29 noise tokens from a 20 k vocabulary. Hash buckets
+    // (4096) collide under a 20 k vocabulary by design, so per-doc
+    // misclassification is possible when colliding noise outweighs the
+    // planted signal — the assertion is an error-rate ceiling (0.5%),
+    // not exactness.
+    import graft.operators.Classifier
+    val docs = spark.range(n.toLong).toDF("doc_id")
+      .withColumn("label", (col("doc_id") % 5).cast("int"))
+      .withColumn("lang", concat(lit("cls"), col("label")))
+      .withColumn("text", concat_ws(" ",
+        concat_ws(" ", array_repeat(concat(lit("cls"), col("label")), 3)),
+        concat_ws(" ", transform(sequence(lit(0), lit(28)), i =>
+          concat(lit("w"), pmod(xxhash64(col("doc_id"), i), lit(20000L)))))))
+      .repartition(spark.sparkContext.defaultParallelism.toInt)
+      .cache()
+    t("cls_docs_materialize")(docs.count())
+    val split = pmod(graft.functions.md5_lower64(col("doc_id").cast("string")),
+      lit(100L))
+    val trainD = docs.filter(split < 80).cache()
+    val scoreD = docs.filter(split >= 80).cache()
+    val (nTrain, nScore) = (trainD.count(), scoreD.count())
+
+    val (nbModel, nbPriors) = t("nb_train") {
+      val (m, p) = Classifier.nbTrain(trainD, "doc_id", "text", "lang",
+        buckets = 4096)
+      val mc = m.localCheckpoint(); val pc = p.localCheckpoint()
+      (mc, pc)
+    }
+    val nbWrong = t("nb_score") {
+      Classifier.nbScore(scoreD, "doc_id", "text", nbModel, nbPriors, 4096)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .filter(col("predicted") =!= col("lang")).count()
+    }
+    println(s"SCALE   nb train=$nTrain score=$nScore wrong=$nbWrong " +
+      s"(${if (nbWrong <= nScore / 200) "OK <=0.5%" else "MISS"})")
+
+    val lrModel = t("lr_train_5it")(
+      Classifier.lrTrain(trainD, "doc_id", "text", col("label") === 0,
+        buckets = 1024, iters = 5, learnRate = 1.0))
+    val lrWrong = t("lr_score") {
+      Classifier.lrScore(scoreD, "doc_id", "text", lrModel, 1024)
+        .join(docs.select(col("doc_id"), col("label")), "doc_id")
+        .filter(col("predicted") =!= (col("label") === 0).cast("int")).count()
+    }
+    println(s"SCALE   lr wrong=$lrWrong " +
+      s"(${if (lrWrong <= nScore / 100) "OK <=1%" else "MISS"})")
+
+    // heavy hitters: the 5 class tokens (3·n/5 occurrences each) are the
+    // only tokens above N/(cap+1) at cap=512 (noise sits ~29n/20000)
+    val hh = t("heavy_hitters_cap512")(
+      graft.operators.TextAnalysis.heavyHitters(docs, "text", capacity = 512)
+        .collect().toSeq)
+    val expHh = (0 until 5).map(c => (s"cls$c",
+      3L * (n.toLong / 5 + (if (c < n % 5) 1 else 0)))).sortBy(x => (-x._2, x._1))
+    val gotHh = hh.map(r => (r.getString(0), r.getLong(1)))
+    println(s"SCALE   heavy-hitters=${gotHh.size} " +
+      s"(${if (gotHh == expHh) "EXACT" else s"MISS got=$gotHh"})")
+    trainD.unpersist(); scoreD.unpersist(); docs.unpersist()
     }
 
     if (on("streaming")) {

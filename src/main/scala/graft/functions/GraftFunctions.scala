@@ -78,6 +78,14 @@ object GraftFunctions {
     add("mg_merge_agg")(es => MgMergeAgg(es.head,
       if (es.length > 1) int(es(1), "mg_merge_agg") else 256))
     add("mg_items")(es => MgItems(es.head))
+    // theta_agg(item [, lgK]) / theta_union_agg(sketch [, lgK]) + set ops
+    add("theta_agg")(es => ThetaAgg(es.head,
+      if (es.length > 1) int(es(1), "theta_agg") else 12))
+    add("theta_union_agg")(es => ThetaUnionAgg(es.head,
+      if (es.length > 1) int(es(1), "theta_union_agg") else 12))
+    add("theta_estimate")(es => ThetaEstimate(es.head))
+    add("theta_intersect")(es => ThetaIntersect(es.head, es(1)))
+    add("theta_a_not_b")(es => ThetaANotB(es.head, es(1)))
     // kll_quantiles(sketch, rank [, rank ...])
     add("kll_quantiles")(es => KllQuantiles(es.head,
       es.tail.map(dbl(_, "kll_quantiles"))))

@@ -151,6 +151,34 @@ package object functions {
     * `array<struct<item, est>>` ordered by (est desc, item). */
   def mg_items(sketch: Column): Column = col(MgItems(ex(sketch)))
 
+  /** Mergeable theta distinct sketch of a string column (`binary` —
+    * storable, unionable, intersectable; exact below 2^lgK entries). */
+  def theta_agg(c: Column, lgK: Int = 12): Column =
+    col(ThetaAgg(ex(c), lgK).toAggregateExpression())
+
+  /** Union stored theta sketches (shard profiles → corpus set). */
+  def theta_union_agg(sketch: Column, lgK: Int = 12): Column =
+    col(ThetaUnionAgg(ex(sketch), lgK).toAggregateExpression())
+
+  /** Distinct estimate of a serialized theta sketch. */
+  def theta_estimate(sketch: Column): Column = col(ThetaEstimate(ex(sketch)))
+
+  /** Pairwise intersection of two serialized theta sketches. */
+  def theta_intersect(a: Column, b: Column): Column =
+    col(ThetaIntersect(ex(a), ex(b)))
+
+  /** Pairwise a-not-b of two serialized theta sketches. */
+  def theta_a_not_b(a: Column, b: Column): Column =
+    col(ThetaANotB(ex(a), ex(b)))
+
+  /** Exact integer dot product of per-row (bucket, count) arrays against
+    * a torrent-broadcast dense weight array (bias at index 0) — the
+    * zero-shuffle LR margin kernel. */
+  def bucket_weight_sum(
+      weights: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      buckets: Column, counts: Column): Column =
+    col(BucketWeightSum(weights, ex(buckets), ex(counts)))
+
   /** Extract quantiles at `ranks` from a serialized KLL sketch column. */
   def kll_quantiles(sketch: Column, ranks: Seq[Double]): Column =
     col(KllQuantiles(ex(sketch), ranks))

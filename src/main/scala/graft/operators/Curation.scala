@@ -590,6 +590,77 @@ object Curation {
           .as("pad_tokens"))
   }
 
+  /** One-row corpus data card — the release-governance summary a dataset
+    * ships with (docs, token/char volume, language and source diversity,
+    * exact-duplication rate). Everything is exact and closed-form, so the
+    * whole report hash-matches a SQL oracle; the top-language tie breaks
+    * to the lexically smaller code.
+    *
+    * Scale shape: one pass of tiny global aggregates (all 1-row), one
+    * bounded group-by for the language histogram, and one content-hash
+    * group-by for the duplicate census (keyed on `md5_lower64(text)`, so
+    * the shuffle moves 8-byte keys, not document bodies).
+    */
+  def corpusReport(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String, sourceCol: String,
+                   charsCol: String): DataFrame = {
+    val nToks = size(TextOps.tokens(col(textCol)))
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(nToks.cast("long")).as("total_tokens"),
+      sum(col(charsCol).cast("long")).as("total_chars"),
+      countDistinct(col(langCol)).as("n_langs"),
+      countDistinct(col(sourceCol)).as("n_sources"))
+    val top = docs.groupBy(col(langCol).as("top_lang"))
+      .agg(count(lit(1)).as("top_n"))
+      .orderBy(col("top_n").desc, col("top_lang"))
+      .limit(1)
+    val dup = docs
+      .groupBy(md5_lower64(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("dup_docs"))
+    base.crossJoin(top).crossJoin(dup)
+      .select(col("n_docs"), col("total_tokens"),
+        round(col("total_tokens") / col("n_docs"), 4).as("avg_tokens"),
+        col("total_chars"), col("n_langs"), col("top_lang"),
+        round(col("top_n") / col("n_docs"), 6).as("top_lang_share"),
+        col("n_sources"), col("dup_docs"),
+        round(col("dup_docs") / col("n_docs"), 6).as("dup_frac"))
+  }
+
+  /** Cross-corpus vocabulary overlap from theta sketches — "how much of
+    * corpus A's distinct vocabulary appears in corpus B?", the
+    * contamination/coverage triage between releases or domains. Each
+    * side condenses to ONE mergeable theta sketch (a map-side-combinable
+    * aggregate over the token stream); intersection/a-not-b run on the
+    * two serialized sketches, never on the corpora. Below 2^lgK distinct
+    * tokens the sketches are exact, so the whole report hash-matches a
+    * DuckDB INTERSECT/EXCEPT oracle at test scale; above it, estimates
+    * degrade per the DataSketches error contract while the corpus-side
+    * cost stays one streaming pass.
+    */
+  def vocabularyOverlap(docs: DataFrame, textCol: String, groupCol: String,
+                        a: String, b: String, lgK: Int = 12): DataFrame = {
+    import graft.functions.{theta_agg, theta_a_not_b, theta_estimate, theta_intersect}
+    val toks = docs.filter(col(groupCol).isin(a, b))
+      .select(col(groupCol).as("g"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+    val sk = toks.groupBy("g").agg(theta_agg(col("tok"), lgK).as("sk"))
+    sk.filter(col("g") === a).select(col("sk").as("ska"))
+      .crossJoin(sk.filter(col("g") === b).select(col("sk").as("skb")))
+      .select(
+        round(theta_estimate(col("ska"))).cast("long").as("n_a"),
+        round(theta_estimate(col("skb"))).cast("long").as("n_b"),
+        round(theta_estimate(theta_intersect(col("ska"), col("skb"))))
+          .cast("long").as("n_common"),
+        round(theta_estimate(theta_a_not_b(col("ska"), col("skb"))))
+          .cast("long").as("n_only_a"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")), 6))
+  }
+
   /** Per-domain document cap (the C4/RefinedWeb "no domain dominates the
     * corpus" rule): keep at most `cap` documents per domain, chosen in
     * md5-hash order — a content-addressed uniform draw within each domain,

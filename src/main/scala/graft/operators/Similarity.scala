@@ -31,6 +31,71 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * 1998): greedily select k results maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s)` — the dedup-aware serving
+    * layer over a near-duplicate-heavy corpus, where plain top-k returns
+    * k copies of the same document.
+    *
+    * Scale shape — the production split: candidate generation is the
+    * DISTRIBUTED stage (the full corpus scanned by the codegen'd cosine,
+    * top `k·candidateFactor` via TakeOrdered — or swap in the LSH/IVF
+    * probes for a hot path); the greedy diversification runs driver-side
+    * over those ≤ k·candidateFactor rows — an O(k²·factor) loop on data
+    * that must fit the response anyway, never a corpus-sized iteration.
+    *
+    * Determinism: relevance is the Spark-computed rounded-3 cosine;
+    * pairwise diversity uses the same float→double kernel arithmetic
+    * ([[graft.functions.VectorKernels.cosine]]-equivalent, driver-side)
+    * rounded 3; ties break to the smaller id. At `lambda = 1.0` the
+    * penalty vanishes and the selection provably equals brute-force
+    * top-k (the oracle-equality hook `ns_ann_mmr_lambda1` exploits).
+    */
+  def mmrTopK(embs: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, lambda: Double,
+              candidateFactor: Int = 4): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val query = embs.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("query_vec"))
+    val cands = embs.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(query))
+      .withColumn("rel", round(cosine_similarity(col(vecCol), col("query_vec")), 3))
+      .select(col(idCol).as("id"), col("rel"), col(vecCol).as("vec"))
+      .orderBy(col("rel").desc, col("id"))
+      .limit(k * candidateFactor)
+      .as[(Long, Double, Array[Float])].collect()
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+    def r3(x: Double): Double =
+      BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val selected =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Float])]
+    val pool = scala.collection.mutable.ArrayBuffer(cands: _*)
+    while (selected.size < k && pool.nonEmpty) {
+      val best = pool.zipWithIndex.map { case ((id, rel, vec), i) =>
+        val maxSim = if (selected.isEmpty) 0.0
+          else selected.map(s => r3(cos(vec, s._3))).max
+        (lambda * rel - (1 - lambda) * maxSim, -id, i)
+      }.max
+      selected += pool(best._3)
+      pool.remove(best._3)
+    }
+    selected.zipWithIndex
+      .map { case ((id, rel, _), i) => (i + 1, id, rel) }
+      .toSeq.toDF("rank", "vec_id", "rel")
+  }
+
   /** Bucket expression: for each of `numPlanes` pseudo-random ±1
     * hyperplanes (components from fixed hashes — reproducible across
     * executors with no plane-matrix broadcast), bit p =

@@ -331,6 +331,84 @@ object TextAnalysis {
         coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
   }
 
+  /** Trigram language-model score with STUPID BACKOFF (Brants et al.
+    * 2007, "Large Language Models in Machine Translation") — the
+    * cross-domain rendering of [[bigramLogProb]]: fit n-gram counts on a
+    * TRAIN corpus, score a (possibly disjoint) document set, so unseen
+    * trigrams actually exercise the backoff chain (a self-fitted model
+    * never backs off — every scored trigram exists in its own counts).
+    *
+    *   S(w₃|w₁w₂) = c₃/c₂                       if c(w₁w₂w₃) > 0
+    *              = 0.4 · c(w₂w₃)/c(w₂)          else if c(w₂w₃) > 0
+    *              = 0.4² · (c(w₃)+k)/(N+k·V)     otherwise (add-k floor,
+    *                                             so OOV words never hit
+    *                                             ln 0)
+    *
+    * Scores are relative frequencies, not normalized probabilities — the
+    * standard large-corpus trade (no discount estimation pass).
+    *
+    * Determinism: every branch is exact integer ratios; `ln S` rounds to
+    * 6 with the α factors INSIDE the ln (one mirrored expression per
+    * branch), the per-document sum folds in token-position order, the
+    * mean rounds to 4 — the [[bigramLogProb]] oracle conventions.
+    *
+    * Scale shape: the model is three hash aggregates over the train
+    * corpus (trigram / bigram / unigram counts) plus a 1-row (N, V);
+    * scoring left-joins the scored corpus's trigram stream against each
+    * table keyed on its own n-gram — no broadcast assumption on the
+    * model (trigram types grow with the corpus), every join keyed.
+    */
+  def trigramBackoff(train: DataFrame, docs: DataFrame, idCol: String,
+                     textCol: String, alpha: Double = 0.4,
+                     smoothK: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def stream(df: DataFrame): DataFrame = {
+      val wn = Window.partitionBy("id").orderBy("pos")
+      df.select(col(idCol).as("id"), posexplode(TextOps.tokens(col(textCol)))
+          .as(Seq("pos", "w1")))
+        .withColumn("w2", lead(col("w1"), 1).over(wn))
+        .withColumn("w3", lead(col("w1"), 2).over(wn))
+    }
+    val tr = stream(train)
+    val c3 = tr.filter(col("w3").isNotNull)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val c2 = tr.filter(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = tr.groupBy(col("w1").as("wu")).agg(count(lit(1)).as("c1"))
+    val nv = tr.agg(count(lit(1)).cast("double").as("nn"),
+      countDistinct(col("w1")).cast("double").as("v"))
+
+    val sc = stream(docs).filter(col("w3").isNotNull)
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c2.toDF("b1", "b2", "c2b"),
+        col("w2") === col("b1") && col("w3") === col("b2"), "left")
+      .join(c1.toDF("wu", "c1u"), col("w2") === col("wu"), "left")
+      .join(c1.toDF("wv", "c1w3"), col("w3") === col("wv"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("lns", round(
+        when(col("c3").isNotNull, log(col("c3") / col("c2")))
+          .when(col("c2b").isNotNull,
+            log(lit(alpha) * col("c2b") / col("c1u")))
+          .otherwise(log(lit(alpha) * alpha *
+            (coalesce(col("c1w3"), lit(0L)) + smoothK)
+            / (col("nn") + lit(smoothK) * col("v")))), 6))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(
+          aggregate(
+            transform(array_sort(collect_list(struct(col("pos"), col("lns")))),
+              s => s.getField("lns")),
+            lit(0.0), (acc, x) => acc + x) / count(lit(1)), 4)
+          .as("avg_logscore"))
+
+    docs.select(col(idCol).as("doc_id"))
+      .join(sc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("avg_logscore"), lit(0.0)).as("avg_logscore"))
+  }
+
   /** BM25 ranked retrieval for a literal query-term list (Robertson &
     * Zaragoza 2009; Lucene-style idf = ln(1 + (N - df + 0.5)/(df + 0.5)))
     * — the retrieval scoring a data pipeline uses for decontamination

@@ -477,6 +477,27 @@ object PipelineQueries {
         "FROM embeddings, (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0) q " +
         "WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10")),
 
+    // ---- MMR diversified top-k: distributed candidate scan + driver-side
+    // greedy diversification. At lambda=1 the penalty vanishes, so the
+    // selection must EQUAL brute-force top-k — a full oracle on the
+    // machinery; the diversifying lambda=0.6 twin is rows-only by design
+    // (iterative greedy selection is not SQL-expressible; DIVERSIFIED
+    // behavior asserted in SimilaritySpec). ----
+    ("ns_ann_mmr_lambda1",
+      (s: SparkSession, d: String) =>
+        Similarity.mmrTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+            queryId = 0, k = 10, lambda = 1.0)
+          .select(col("vec_id"), col("rel").as("cos")),
+      Some("SELECT vec_id, " + dCos("embeddings.embedding", "q.q_vec") + " AS cos " +
+        "FROM embeddings, (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0) q " +
+        "WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10")),
+
+    ("ns_ann_mmr_topk",
+      (s: SparkSession, d: String) =>
+        Similarity.mmrTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0, k = 10, lambda = 0.6),
+      None),
+
     // ---- ANN: hyperplane-LSH bucketed top-k (scale path; approximate by
     // design, so no cross-engine oracle — recall vs brute force is asserted
     // in ScalaTest instead) ----
@@ -1774,6 +1795,105 @@ object PipelineQueries {
         "SELECT tok, count(*) AS cnt FROM toks GROUP BY 1 " +
         "HAVING count(*) > (SELECT n FROM nt) / 17.0 " +
         "ORDER BY cnt DESC, tok")),
+
+    // ---- trigram LM with stupid backoff, fit on the train split and
+    // scored on held-out docs so unseen trigrams exercise the full
+    // backoff chain (a self-fitted model never backs off). ----
+    ("ns_text_trigram_backoff",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val b = Curation.hashBucket(col("doc_id"), 100)
+        TextAnalysis.trigramBackoff(docs.filter(b < 80), docs.filter(b >= 80),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("WITH sp AS (SELECT doc_id, " + dHashMod("su", 100L) + " < 80 " +
+        "AS is_train FROM (SELECT doc_id, " +
+        "md5_number_lower(CAST(doc_id AS VARCHAR)) AS su FROM documents)), " +
+        "tk AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos " +
+        "FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents)), " +
+        "st AS (SELECT doc_id, pos, w AS w1, lead(w, 1) OVER win AS w2, " +
+        "lead(w, 2) OVER win AS w3 FROM tk " +
+        "WINDOW win AS (PARTITION BY doc_id ORDER BY pos)), " +
+        "trn AS (SELECT st.* FROM st JOIN sp USING (doc_id) WHERE is_train), " +
+        "c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM trn " +
+        "WHERE w3 IS NOT NULL GROUP BY 1, 2, 3), " +
+        "c2 AS (SELECT w1, w2, count(*) AS c2 FROM trn " +
+        "WHERE w2 IS NOT NULL GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1 AS wu, count(*) AS c1 FROM trn GROUP BY 1), " +
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS nn, " +
+        "CAST(count(DISTINCT w1) AS DOUBLE) AS v FROM trn), " +
+        "sd AS (SELECT st.* FROM st JOIN sp USING (doc_id) " +
+        "WHERE NOT is_train AND w3 IS NOT NULL), " +
+        "sx AS (SELECT sd.doc_id, sd.pos, round(CASE " +
+        "WHEN c3.c3 IS NOT NULL THEN ln(c3.c3 / c2.c2) " +
+        "WHEN cb.c2b IS NOT NULL THEN ln(0.4 * cb.c2b / cu.c1) " +
+        "ELSE ln(0.4 * 0.4 * (coalesce(cw.c1, 0) + 0.5) / (nv.nn + 0.5 * nv.v)) " +
+        "END, 6) AS lns FROM sd " +
+        "LEFT JOIN c3 ON sd.w1 = c3.w1 AND sd.w2 = c3.w2 AND sd.w3 = c3.w3 " +
+        "LEFT JOIN c2 ON sd.w1 = c2.w1 AND sd.w2 = c2.w2 " +
+        "LEFT JOIN (SELECT w1 AS b1, w2 AS b2, c2 AS c2b FROM c2) cb " +
+        "ON sd.w2 = cb.b1 AND sd.w3 = cb.b2 " +
+        "LEFT JOIN c1 cu ON sd.w2 = cu.wu " +
+        "LEFT JOIN c1 cw ON sd.w3 = cw.wu " +
+        "CROSS JOIN nv), " +
+        "sc AS (SELECT doc_id, count(*) AS n_trigrams, " +
+        "round(list_sum(list(lns ORDER BY pos)) / count(*), 4) AS avg_logscore " +
+        "FROM sx GROUP BY 1) " +
+        "SELECT d.doc_id, CAST(coalesce(sc.n_trigrams, 0) AS BIGINT) " +
+        "AS n_trigrams, coalesce(sc.avg_logscore, 0.0) AS avg_logscore " +
+        "FROM documents d JOIN sp USING (doc_id) LEFT JOIN sc USING (doc_id) " +
+        "WHERE NOT is_train ORDER BY doc_id")),
+
+    // ---- one-row corpus data card: volume, diversity, exact-dup census.
+    // The dup census groups on md5_lower64(text) (8-byte shuffle keys);
+    // the oracle groups on the text itself — same counts. ----
+    ("ns_corpus_report",
+      (s: SparkSession, d: String) =>
+        Curation.corpusReport(Tables.documents(s, d), "doc_id", "text",
+          "lang", "source", "n_chars"),
+      Some("WITH base AS (SELECT count(*) AS n_docs, " +
+        "sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS total_tokens, " +
+        "sum(n_chars) AS total_chars, count(DISTINCT lang) AS n_langs, " +
+        "count(DISTINCT source) AS n_sources FROM documents), " +
+        "top AS (SELECT lang AS top_lang, count(*) AS top_n FROM documents " +
+        "GROUP BY 1 ORDER BY top_n DESC, top_lang LIMIT 1), " +
+        "dup AS (SELECT coalesce(sum(c), 0) AS dup_docs FROM " +
+        "(SELECT count(*) AS c FROM documents GROUP BY text HAVING count(*) > 1)) " +
+        "SELECT CAST(n_docs AS BIGINT) AS n_docs, " +
+        "CAST(total_tokens AS BIGINT) AS total_tokens, " +
+        "round(CAST(total_tokens AS BIGINT) / CAST(n_docs AS BIGINT), 4) AS avg_tokens, " +
+        "CAST(total_chars AS BIGINT) AS total_chars, " +
+        "CAST(n_langs AS BIGINT) AS n_langs, top_lang, " +
+        "round(CAST(top_n AS BIGINT) / CAST(n_docs AS BIGINT), 6) AS top_lang_share, " +
+        "CAST(n_sources AS BIGINT) AS n_sources, " +
+        "CAST(dup_docs AS BIGINT) AS dup_docs, " +
+        "round(CAST(dup_docs AS BIGINT) / CAST(n_docs AS BIGINT), 6) AS dup_frac " +
+        "FROM base CROSS JOIN top CROSS JOIN dup")),
+
+    // ---- cross-corpus vocabulary overlap via theta set-op sketches:
+    // exact below 2^lgK distinct tokens, so the report hash-matches
+    // DuckDB INTERSECT/EXCEPT at this scale while the corpus-side cost
+    // is one sketch pass per side at any scale. ----
+    ("ns_corpus_overlap",
+      (s: SparkSession, d: String) =>
+        Curation.vocabularyOverlap(Tables.documents(s, d), "text", "lang",
+          a = "en", b = "de"),
+      Some("WITH toks AS (SELECT lang AS g, unnest(string_split_regex(" +
+        "lower(trim(text)), '\\s+')) AS tok FROM documents " +
+        "WHERE lang IN ('en', 'de')), " +
+        "va AS (SELECT DISTINCT tok FROM toks WHERE g = 'en'), " +
+        "vb AS (SELECT DISTINCT tok FROM toks WHERE g = 'de'), " +
+        "c AS (SELECT CAST((SELECT count(*) FROM va) AS BIGINT) AS n_a, " +
+        "CAST((SELECT count(*) FROM vb) AS BIGINT) AS n_b, " +
+        "CAST((SELECT count(*) FROM (SELECT * FROM va INTERSECT " +
+        "SELECT * FROM vb)) AS BIGINT) AS n_common, " +
+        "CAST((SELECT count(*) FROM (SELECT * FROM va EXCEPT " +
+        "SELECT * FROM vb)) AS BIGINT) AS n_only_a) " +
+        "SELECT n_a, n_b, n_common, n_only_a, " +
+        "round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) " +
+        "AS jaccard FROM c")),
 
     // Binary logistic regression (lang='en' vs rest) — iterative gradient
     // descent is not SQL-expressible; rows-only by design. The trainer is

@@ -1,9 +1,5 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
-
-import org.apache.hadoop.fs.{FileSystem, Path}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -49,8 +45,6 @@ import org.apache.spark.sql.types.DecimalType
   */
 object MaterializedAgg {
 
-  private def stagingPath(targetDir: String) = new Path(targetDir + "__agg_staging")
-
   /** Partial aggregate of one batch: count + exact-decimal sum per value
     * column, grouped by `keyCols`. Decimal(28,6) holds 2-decimal currency
     * sums to ~10^21 rows per key.
@@ -61,40 +55,6 @@ object MaterializedAgg {
       .agg(count(lit(1)).as("cnt"),
         valueCols.map(v =>
           sum(col(v).cast(DecimalType(28, 6))).as(s"sum_$v")): _*)
-
-  /** Re-play an interrupted compaction from its staging manifest. */
-  private def recover(fs: FileSystem, targetDir: String): Unit = {
-    val staging = stagingPath(targetDir)
-    if (!fs.exists(staging)) return
-    if (fs.exists(new Path(staging, "_SUCCESS"))) {
-      val sources = {
-        val in = fs.open(new Path(staging, "_SOURCES"))
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      }
-      sources.foreach(s => fs.delete(new Path(targetDir, s), true))
-      fs.listStatus(staging).map(_.getPath.getName)
-        .find(_.startsWith("__batch=")).foreach { t =>
-          val dest = new Path(targetDir, t)
-          if (!fs.exists(dest)) fs.rename(new Path(staging, t), dest)
-        }
-    }
-    fs.delete(staging, true)
-  }
-
-  /** Highest batch id already folded into a compacted (`c`-tagged)
-    * partition, or -1. The compaction tag records the max batch id of its
-    * sources, so any batch at or below it is already counted inside the
-    * fold — even one whose checkpoint never committed.
-    */
-  private def compactedMax(fs: FileSystem, targetDir: String): Long = {
-    val dir = new Path(targetDir)
-    if (!fs.exists(dir)) return -1L
-    val ids = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.startsWith("__batch=c")).map(_.stripPrefix("__batch=c"))
-      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
-    if (ids.isEmpty) -1L else ids.max
-  }
 
   /** Apply one micro-batch: write its partial aggregate to the batch's own
     * partition (idempotent overwrite — safe under redelivery).
@@ -109,14 +69,9 @@ object MaterializedAgg {
     */
   def upsertBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                   targetDir: String, keyCols: Seq[String],
-                  valueCols: Seq[String]): Unit = {
-    val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recover(fs, targetDir)
-    if (batchId <= compactedMax(fs, targetDir)) return
-    partial(batch, keyCols, valueCols)
-      .coalesce(1) // partials are tiny (≤ #keys rows); one file per batch
-      .write.mode("overwrite").parquet(s"$targetDir/__batch=b$batchId")
-  }
+                  valueCols: Seq[String]): Unit =
+    PartialLog.upsertBatch(spark, targetDir, batchId,
+      partial(batch, keyCols, valueCols))
 
   /** Start the checkpointed incremental maintenance. */
   def start(spark: SparkSession, stream: DataFrame, targetDir: String,
@@ -149,37 +104,14 @@ object MaterializedAgg {
     * staging manifest (see object scaladoc).
     */
   def compact(spark: SparkSession, targetDir: String, keyCols: Seq[String],
-              valueCols: Seq[String]): Unit = {
-    val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recover(fs, targetDir)
-    if (!fs.exists(new Path(targetDir))) return
-    val parts = fs.listStatus(new Path(targetDir))
-      .map(_.getPath.getName).filter(_.startsWith("__batch=")).sorted
-    if (parts.length <= 1) return
-
-    // deterministic tag: max numeric batch id among the sources,
-    // 'c'-prefixed — never collides with a future streaming batch tag
-    // (those are 'b'-prefixed), nor with a previous compact (batch ids are
-    // monotonic, so a later compact always folds a higher id)
-    val tag = "__batch=c" + parts.map(_.filter(_.isDigit))
-      .filter(_.nonEmpty).map(BigInt(_)).max
-    val staging = stagingPath(targetDir)
+              valueCols: Seq[String]): Unit =
     // cast the re-aggregated sums back to the partial-side type: sum over
     // DECIMAL(28,6) widens to (38,6), and a table whose partitions disagree
     // on decimal width makes mergeSchema-less reads depend on which file's
     // footer Spark samples first
-    read(spark, targetDir, keyCols, valueCols)
-      .select(keyCols.map(col) ++ (col("cnt") +:
-        valueCols.map(v => col(s"sum_$v").cast(DecimalType(28, 6)).as(s"sum_$v"))): _*)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(new Path(staging, tag).toString)
-    val src = fs.create(new Path(staging, "_SOURCES"), true)
-    try src.write(parts.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally src.close()
-    fs.createNewFile(new Path(staging, "_SUCCESS"))
-
-    parts.foreach(p => fs.delete(new Path(targetDir, p), true))
-    fs.rename(new Path(staging, tag), new Path(targetDir, tag))
-    fs.delete(staging, true)
-  }
+    PartialLog.compact(spark, targetDir)(
+      read(spark, targetDir, keyCols, valueCols)
+        .select(keyCols.map(col) ++ (col("cnt") +:
+          valueCols.map(v =>
+            col(s"sum_$v").cast(DecimalType(28, 6)).as(s"sum_$v"))): _*))
 }

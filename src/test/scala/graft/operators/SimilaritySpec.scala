@@ -262,4 +262,49 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2L)._2 === 1.0 && got(2L)._5 === true)
     assert(got(3L) === ((2, 0.0, 0.0, 0.0, false)))
   }
+
+  test("mmrTopK at lambda=1 equals brute-force top-k, rank for rank") {
+    import spark.implicits._
+    val embs = Tables.embeddings(spark, sfDir)
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0, 10)
+      .as[(Long, Double)].collect.toSeq
+    val mmr = Similarity.mmrTopK(embs, "vec_id", "embedding", 0, 10, lambda = 1.0)
+      .orderBy("rank").as[(Int, Long, Double)].collect.toSeq
+    assert(mmr.map(t => (t._2, t._3)) === brute)
+    assert(mmr.map(_._1) === (1 to 10))
+  }
+
+  test("mmrTopK diversifies: near-duplicate candidates are demoted") {
+    import spark.implicits._
+    // query q = e0. Cluster A (ids 1-5): rel ~0.9 to q but mutually
+    // near-identical (pairwise cos ~1). Cluster B (ids 6-10): rel ~0.85,
+    // mutually dissimilar (pairwise ~0.72) and ~0.765 to A. Plain top-k
+    // fills from A; MMR must escape to B once one A member is taken
+    // (A2's penalty ~1.0 crushes its margin, B's ~0.77 does not).
+    val rows = Seq((0L, { val v = Array.fill(8)(0f); v(0) = 1f; v })) ++
+      (1L to 5L).map(i => (i, {
+        val v = Array.fill(8)(0f)
+        v(0) = 0.9f; v(1) = 0.4359f; v(2) = 0.001f * i; v
+      })) ++
+      (6L to 10L).map(i => (i, {
+        val v = Array.fill(8)(0f)
+        v(0) = 0.85f; v(i.toInt - 3) = 0.5268f; v
+      }))
+    val embs = rows.toDF("vec_id", "embedding")
+    val plain = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0, 4)
+      .as[(Long, Double)].collect.map(_._1).toSet
+    assert(plain === Set(1L, 2L, 3L, 4L))  // all near-dups
+    val mmr = Similarity.mmrTopK(embs, "vec_id", "embedding", 0, 4,
+        lambda = 0.5, candidateFactor = 3)
+      .as[(Int, Long, Double)].collect.map(_._2)
+    // first pick is still the most relevant; later picks escape the
+    // near-dup cluster (penalty ~1.0 within it vs ~0.7 across)
+    assert(mmr.head === 1L)
+    assert(mmr.count(_ >= 6L) >= 2, s"expected diversified picks, got ${mmr.toSeq}")
+    // deterministic rerun
+    val rerun = Similarity.mmrTopK(embs, "vec_id", "embedding", 0, 4,
+        lambda = 0.5, candidateFactor = 3)
+      .as[(Int, Long, Double)].collect.map(_._2)
+    assert(rerun.toSeq === mmr.toSeq)
+  }
 }

@@ -165,4 +165,60 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === ((4, 4, 2.0)))
     assert(out(3L) === ((4, 2, 1.0)))
   }
+
+  test("trigramBackoff: each backoff branch matches the hand computation") {
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val train = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    // N=4 train tokens, V=4 distinct
+    val score = Seq(
+      (1L, "a b c"),   // trigram seen: ln(c3/c2) = ln(1/1) = 0
+      (2L, "x b c"),   // backoff to bigram (b,c): ln(0.4 * 1 / 1)
+      (3L, "a b d"),   // backoff to unigram d (c=1): ln(0.16*1.5/6)
+      (4L, "q q z"),   // OOV unigram z: ln(0.16*0.5/6)
+      (5L, "hi")       // < 3 tokens: zero trigrams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.trigramBackoff(train, score, "doc_id", "text")
+      .as[(Long, Long, Double)].collect.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(1L) === ((1L, 0.0)))
+    assert(got(2L) === ((1L, r(r(math.log(0.4 * 1 / 1.0), 6) / 1, 4))))
+    assert(got(3L) === ((1L,
+      r(r(math.log(0.4 * 0.4 * (1 + 0.5) / (4 + 0.5 * 4)), 6) / 1, 4))))
+    assert(got(4L) === ((1L,
+      r(r(math.log(0.4 * 0.4 * (0 + 0.5) / (4 + 0.5 * 4)), 6) / 1, 4))))
+    assert(got(5L) === ((0L, 0.0)))
+  }
+
+  test("trigramBackoff: n_trigrams accounting on the real table") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val b = pmod(graft.functions.md5_lower64(col("doc_id").cast("string")), lit(100L))
+    val out = TextAnalysis.trigramBackoff(
+        docs.filter(b < 80), docs.filter(b >= 80), "doc_id", "text")
+      .join(docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n")), "doc_id")
+    // every scored doc with >= 3 tokens scores exactly n-2 trigrams
+    assert(out.filter(col("n") >= 3 && col("n_trigrams") =!= col("n") - 2).isEmpty)
+    assert(out.filter(col("n") < 3 && col("n_trigrams") =!= 0).isEmpty)
+  }
+
+  test("corpusReport: one exact row, top-lang tie to the smaller code") {
+    val docs = Seq(
+      (1L, "a b c", "en", "s1", 5L),
+      (2L, "a b c", "de", "s1", 5L),   // exact dup of doc 1
+      (3L, "x y", "de", "s2", 3L),
+      (4L, "p q r s", "en", "s2", 7L)  // 2 en vs 2 de -> tie -> 'de'
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val row = Curation.corpusReport(docs, "doc_id", "text",
+      "lang", "source", "n_chars").collect().head
+    assert(row.getLong(0) === 4L)        // n_docs
+    assert(row.getLong(1) === 12L)       // total_tokens 3+3+2+4
+    assert(row.getDouble(2) === 3.0)     // avg_tokens
+    assert(row.getLong(3) === 20L)       // total_chars
+    assert(row.getLong(4) === 2L)        // n_langs
+    assert(row.getString(5) === "de")    // tie-break
+    assert(row.getDouble(6) === 0.5)     // top share
+    assert(row.getLong(7) === 2L)        // n_sources
+    assert(row.getLong(8) === 2L)        // dup_docs (both copies)
+    assert(row.getDouble(9) === 0.5)     // dup_frac
+  }
 }
