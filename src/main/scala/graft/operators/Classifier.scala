@@ -152,8 +152,9 @@ object Classifier {
     * are a per-row codegen'd fold ([[graft.functions.BucketWeightSum]])
     * and the training loop never shuffles document-sized state again.
     */
-  private def lrFeatures(train: DataFrame, idCol: String, textCol: String,
-                         positive: Column, buckets: Int): DataFrame = {
+  private[graft] def lrFeatureArrays(train: DataFrame, idCol: String,
+                                     textCol: String, positive: Column,
+                                     buckets: Int): DataFrame = {
     val y = train.select(col(idCol).as("id"),
       when(positive, 1L).otherwise(0L).as("y"))
     features(train, col(idCol), col(textCol), buckets)
@@ -199,7 +200,7 @@ object Classifier {
     val spark = train.sparkSession
     import spark.implicits._
     import graft.functions.bucket_weight_sum
-    val f = lrFeatures(train, idCol, textCol, positive, buckets)
+    val f = lrFeatureArrays(train, idCol, textCol, positive, buckets)
       .localCheckpoint()
     val nDocs = f.count()
 
