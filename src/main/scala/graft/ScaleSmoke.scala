@@ -45,7 +45,8 @@ object ScaleSmoke {
     val n = if (args.nonEmpty) args(0).toInt else 200000
     val stages = if (args.length > 1) args(1) else "all"
     require(Set("all", "lexical", "semantic", "recall", "pipeline",
-      "streaming", "classifier")(stages), s"unknown stage set '$stages'")
+      "streaming", "classifier", "curation")(stages),
+      s"unknown stage set '$stages'")
     def on(s: String) = stages == "all" || stages == s
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -410,6 +411,105 @@ object ScaleSmoke {
     println(s"SCALE   hard-neg rows=${hn.count()} expected=${64 * k} " +
       s"same-label=$bad (${if (hn.count() == 64L * k && bad == 0) "OK" else "MISS"})")
     hn.unpersist(); embs.unpersist()
+    }
+
+    if (on("curation")) {
+    // ---- round-10 curation/profiling operators at scale: DSIR
+    // importance weights (two 8192-bucket feature models over the full
+    // token stream), trigram stupid-backoff LM (fit 80% / score 20%),
+    // theta vocabulary overlap (two sketch passes, estimates vs known
+    // truth), corpus data card (exact invariants), and SemDeDup over
+    // planted duplicate vectors.
+    import graft.operators.{Curation, SemDedup, TextAnalysis}
+    val docs = spark.range(n.toLong).toDF("doc_id")
+      .withColumn("lang", concat(lit("l"), col("doc_id") % 5))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), lit(30)), i =>
+          concat(lit("w"), pmod(xxhash64(col("doc_id"), i), lit(30000L))))))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(spark.sparkContext.defaultParallelism.toInt)
+      .cache()
+    t("cur_docs_materialize")(docs.count())
+
+    val target = docs.filter(col("doc_id") % 7 === 0)
+    val dsirN = t("dsir_logratios") {
+      Curation.dsirLogRatios(docs, "doc_id", "text", target, "text")
+        .filter(col("n_features") =!= 0).count()
+    }
+    println(s"SCALE   dsir scored=$dsirN (${if (dsirN == n) "OK" else "MISS"})")
+    val dsirM = t("dsir_sample_top10k")(
+      Curation.dsirSample(docs, "doc_id", "text", target, "text",
+        m = 10000).count())
+    println(s"SCALE   dsir sample=$dsirM (${if (dsirM == 10000) "OK" else "MISS"})")
+
+    val split = pmod(graft.functions.md5_lower64(col("doc_id").cast("string")),
+      lit(100L))
+    val triBad = t("trigram_backoff") {
+      TextAnalysis.trigramBackoff(docs.filter(split < 80),
+          docs.filter(split >= 80), "doc_id", "text")
+        .filter(col("n_trigrams") =!= 29).count()
+    }
+    println(s"SCALE   trigram bad-accounting=$triBad " +
+      s"(${if (triBad == 0) "OK" else "MISS"})")
+
+    // overlap truth: A = ids 0..29999's token space w0..w29999; B shifts
+    // by 10000 -> |A|=30k, |B|=30k, common 20k (captured at lgK=14)
+    val two = spark.range(n.toLong).toDF("doc_id")
+      .withColumn("g", when(col("doc_id") % 2 === 0, "a").otherwise("b"))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), lit(30)), i =>
+          concat(lit("w"), pmod(xxhash64(col("doc_id"), i), lit(30000L)) +
+            when(col("doc_id") % 2 === 0, 0L).otherwise(10000L)))))
+    val ov = t("theta_overlap_lgk14")(
+      Curation.vocabularyOverlap(two, "text", "g", "a", "b", lgK = 14)
+        .collect().head)
+    def close(got: Long, want: Long) =
+      math.abs(got - want).toDouble / want < 0.05
+    val ovOk = close(ov.getLong(0), 30000) && close(ov.getLong(1), 30000) &&
+      close(ov.getLong(2), 20000) && close(ov.getLong(3), 10000)
+    println(s"SCALE   overlap a=${ov.getLong(0)} b=${ov.getLong(1)} " +
+      s"common=${ov.getLong(2)} onlyA=${ov.getLong(3)} " +
+      s"(${if (ovOk) "OK <5%" else "MISS"})")
+
+    val card = t("corpus_report")(
+      Curation.corpusReport(docs, "doc_id", "text", "lang", "lang",
+        "n_chars").collect().head)
+    val cardOk = card.getLong(0) == n.toLong &&
+      card.getLong(1) == 31L * n && card.getLong(4) == 5L &&
+      card.getLong(8) == 0L
+    println(s"SCALE   card docs=${card.getLong(0)} toks=${card.getLong(1)} " +
+      s"langs=${card.getLong(4)} dup=${card.getLong(8)} " +
+      s"(${if (cardOk) "OK" else "MISS"})")
+    docs.unpersist()
+
+    // SemDeDup at n/5 vectors: every 10th vector copies its predecessor;
+    // identical vectors share a centroid, so exactly the planted copies
+    // must lose keep (threshold 0.99 - random dim-64 cosines stay far
+    // below it)
+    val nv = n / 5
+    val base = spark.range(nv.toLong).toDF("vec_id")
+      .withColumn("src",
+        when(col("vec_id") % 10 === 9, col("vec_id") - 1).otherwise(col("vec_id")))
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(63)), i =>
+          (pmod(xxhash64(col("src"), i), lit(1000L)).cast("float") / 500.0f
+            - 1.0f).cast("float")))
+      .drop("src")
+      .repartition(spark.sparkContext.defaultParallelism.toInt)
+      .cache()
+    t("sem_vecs_materialize")(base.count())
+    val centroids = spark.range(64).toDF("cid")
+      .select(col("cid").cast("int").as("cid"),
+        transform(sequence(lit(0), lit(63)), i =>
+          (pmod(xxhash64(col("cid"), i, lit(77L)), lit(1000L)).cast("float")
+            / 500.0f - 1.0f).cast("float")).as("cvec"))
+    val dropped = t("semdedup_report")(
+      SemDedup.report(base, "vec_id", "embedding", centroids, eps = 0.99)
+        .filter(!col("keep")).count())
+    val planted9 = (9L until nv.toLong by 10L).size
+    println(s"SCALE   semdedup dropped=$dropped planted=$planted9 " +
+      s"(${if (dropped == planted9) "EXACT" else "MISS"})")
+    base.unpersist()
     }
 
     if (on("classifier")) {

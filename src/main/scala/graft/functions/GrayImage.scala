@@ -1,0 +1,195 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Grayscale image kernels for the multimodal pipeline: decode (behind a
+  * pluggable codec seam), nearest-neighbor resize, and ViT-style patch
+  * statistics — all per-row codegen'd projections, so the stages scale
+  * with scan throughput and shuffle nothing.
+  *
+  * The DECODER is the documented codec boundary ([[GrayDecoder]]): this
+  * environment ships no image codec, so the default [[TileDecoder]]
+  * derives pixels deterministically from the payload bytes
+  * (`pixel(i) = content[i mod len]`) — pure byte arithmetic, which is
+  * exactly what makes the whole decode→resize→patchify chain
+  * REPLICABLE IN SQL and therefore hash-checkable cross-engine
+  * (`mm_patch_grid`). A real binding (ImageIO, JNI libjpeg) implements
+  * the same one-method trait and drops in without touching the plan
+  * shape: per-row, fully parallel.
+  */
+trait GrayDecoder extends Serializable {
+  /** Decode `content` into `width·height` row-major gray pixels (1 B each). */
+  def decode(content: Array[Byte], width: Int, height: Int): Array[Byte]
+}
+
+/** Deterministic stand-in codec: tiles the payload bytes across the
+  * pixel grid. Empty payloads decode to black.
+  */
+object TileDecoder extends GrayDecoder {
+  override def decode(content: Array[Byte], width: Int, height: Int): Array[Byte] =
+    if (content.isEmpty) new Array[Byte](width * height)
+    else Array.tabulate(width * height)(i => content(i % content.length))
+}
+
+private[functions] trait GrayTernary extends TernaryExpression {
+  protected def wantTypes: (DataType, String)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val (firstType, label) = wantTypes
+    if (first.dataType == firstType &&
+        second.dataType == IntegerType && third.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ($label, int, int), got " +
+        s"${children.map(_.dataType.simpleString(10)).mkString(", ")}")
+  }
+}
+
+/** `gray_decode(content, w, h) -> binary` — decode a payload to w·h gray
+  * pixels through the configured [[GrayDecoder]].
+  */
+case class GrayDecode(decoder: GrayDecoder, first: Expression,
+                      second: Expression, third: Expression)
+  extends GrayTernary {
+  override protected def wantTypes: (DataType, String) = (BinaryType, "binary")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "gray_decode"
+
+  def kernel(c: Array[Byte], w: Int, h: Int): Array[Byte] =
+    decoder.decode(c, w, h)
+
+  override protected def nullSafeEval(c: Any, w: Any, h: Any): Any =
+    kernel(c.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("grayDecode", this, classOf[GrayDecode].getName)
+    nullSafeCodeGen(ctx, ev,
+      (c, w, h) => s"${ev.value} = $ref.kernel($c, $w, $h);")
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): GrayDecode =
+    copy(first = f, second = s, third = t)
+}
+
+/** `gray_resize(pixels, w, h) -> binary` — nearest-neighbor resample to
+  * `outW·outH`: out(x, y) = in((y·h)/outH, (x·w)/outW), integer division
+  * (the convention the SQL oracle mirrors).
+  */
+case class GrayResize(outW: Int, outH: Int, first: Expression,
+                      second: Expression, third: Expression)
+  extends GrayTernary {
+  require(outW > 0 && outH > 0, s"bad output dims ${outW}x$outH")
+  override protected def wantTypes: (DataType, String) = (BinaryType, "binary")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "gray_resize"
+
+  def kernel(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = y.toLong * h / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x.toLong * w / outW
+        val si = sy * w + sx
+        out(y * outW + x) = if (si < px.length) px(si.toInt) else 0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(c: Any, w: Any, h: Any): Any =
+    kernel(c.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("grayResize", this, classOf[GrayResize].getName)
+    nullSafeCodeGen(ctx, ev,
+      (c, w, h) => s"${ev.value} = $ref.kernel($c, $w, $h);")
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): GrayResize =
+    copy(first = f, second = s, third = t)
+}
+
+/** `gray_patch_stats(pixels, w, h) -> array<struct<py, px, mean, std>>` —
+  * per-`p`×`p`-patch brightness mean and population std (ViT patchify
+  * summary), patches in row-major order. Mean = Σ/p², std =
+  * √(Σ²/p² − mean²), both rounded to 6 — mirrored exactly by the SQL
+  * oracle. Pixels are unsigned (0–255).
+  */
+case class GrayPatchStats(p: Int, first: Expression,
+                          second: Expression, third: Expression)
+  extends GrayTernary {
+  require(p > 0, s"bad patch size $p")
+  override protected def wantTypes: (DataType, String) = (BinaryType, "binary")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("py", IntegerType, nullable = false),
+      StructField("px", IntegerType, nullable = false),
+      StructField("mean", DoubleType, nullable = false),
+      StructField("std", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "gray_patch_stats"
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  def kernel(px: Array[Byte], w: Int, h: Int): Any = {
+    val ny = h / p
+    val nx = w / p
+    val rows = new Array[InternalRow](ny * nx)
+    var py = 0
+    while (py < ny) {
+      var pxi = 0
+      while (pxi < nx) {
+        var sum = 0L
+        var sumSq = 0L
+        var dy = 0
+        while (dy < p) {
+          var dx = 0
+          while (dx < p) {
+            val v = px((py * p + dy) * w + (pxi * p + dx)) & 0xFF
+            sum += v; sumSq += v.toLong * v
+            dx += 1
+          }
+          dy += 1
+        }
+        val np = (p * p).toDouble
+        val mean = sum / np
+        val variance = sumSq / np - mean * mean
+        rows(py * nx + pxi) = InternalRow(py, pxi, r6(mean),
+          r6(math.sqrt(math.max(variance, 0.0))))
+        pxi += 1
+      }
+      py += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def nullSafeEval(c: Any, w: Any, h: Any): Any =
+    kernel(c.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("grayPatchStats", this,
+      classOf[GrayPatchStats].getName)
+    nullSafeCodeGen(ctx, ev, (c, w, h) => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+        $ref.kernel($c, $w, $h);
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): GrayPatchStats =
+    copy(first = f, second = s, third = t)
+}

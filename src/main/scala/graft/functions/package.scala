@@ -151,6 +151,21 @@ package object functions {
     * `array<struct<item, est>>` ordered by (est desc, item). */
   def mg_items(sketch: Column): Column = col(MgItems(ex(sketch)))
 
+  /** Decode a binary payload to `w·h` gray pixels through `decoder`
+    * (codec seam; default tiles payload bytes deterministically). */
+  def gray_decode(decoder: GrayDecoder, content: Column,
+                  w: Column, h: Column): Column =
+    col(GrayDecode(decoder, ex(content), ex(w), ex(h)))
+
+  /** Nearest-neighbor resample of a gray pixel buffer to `outW·outH`. */
+  def gray_resize(outW: Int, outH: Int, pixels: Column,
+                  w: Column, h: Column): Column =
+    col(GrayResize(outW, outH, ex(pixels), ex(w), ex(h)))
+
+  /** Per-p×p-patch brightness mean/std (ViT patchify summary). */
+  def gray_patch_stats(p: Int, pixels: Column, w: Column, h: Column): Column =
+    col(GrayPatchStats(p, ex(pixels), ex(w), ex(h)))
+
   /** Mergeable theta distinct sketch of a string column (`binary` —
     * storable, unionable, intersectable; exact below 2^lgK entries). */
   def theta_agg(c: Column, lgK: Int = 12): Column =

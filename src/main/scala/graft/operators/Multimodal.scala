@@ -52,6 +52,32 @@ object Multimodal {
     * as a decoded frame is the stub. One row per (doc, frame), produced by
     * a single explode — no shuffle, scan-speed.
     */
+  /** The decode → resize → patchify feature pipeline: decode the payload
+    * to `w·h` gray pixels through the pluggable codec seam
+    * ([[graft.functions.GrayDecoder]]; the shipped [[graft.functions.TileDecoder]]
+    * derives pixels deterministically from the payload bytes), resample
+    * nearest-neighbor to `outW·outH`, and emit one row per `p`×`p` patch
+    * with brightness mean/std — the ViT-preprocessing shape. Every stage
+    * is a per-row codegen'd projection: no shuffle until the caller
+    * aggregates, scan-speed at any corpus size, and a real codec binding
+    * swaps in behind the one-method trait without touching the plan.
+    */
+  def patchFeatures(df: DataFrame, idCol: String, contentCol: String,
+                    w: Int, h: Int, outW: Int, outH: Int, p: Int,
+                    decoder: graft.functions.GrayDecoder =
+                      graft.functions.TileDecoder): DataFrame = {
+    import graft.functions.{gray_decode, gray_patch_stats, gray_resize}
+    df.select(col(idCol),
+        gray_resize(outW, outH,
+          gray_decode(decoder, col(contentCol), lit(w), lit(h)),
+          lit(w), lit(h)).as("__px"))
+      .select(col(idCol),
+        explode(gray_patch_stats(p, col("__px"), lit(outW), lit(outH)))
+          .as("__s"))
+      .select(col(idCol), col("__s.py").as("py"), col("__s.px").as("px"),
+        col("__s.mean").as("mean"), col("__s.std").as("std"))
+  }
+
   def frameSlices(df: DataFrame, idCol: String, contentCol: String,
                   frames: Int = 5): DataFrame = {
     val flen = (length(col(contentCol)).cast("long") / lit(frames)).cast("int")

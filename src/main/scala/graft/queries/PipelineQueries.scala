@@ -1910,5 +1910,37 @@ object PipelineQueries {
             model, 1024)
           .orderBy("doc_id")
       },
-      None))
+      None),
+
+    // ---- multimodal decode -> resize -> patchify: payloads constructed
+    // from doc_id arithmetic, decoded by the deterministic tile codec,
+    // nearest-neighbor resampled 8x6 -> 4x4, summarized as 2x2 patch
+    // mean/std — so the WHOLE pixel pipeline is arithmetic the oracle
+    // replicates (the mm_binary_meta approach, extended through three
+    // kernel stages). A real codec binding swaps in behind GrayDecoder
+    // without touching this plan. ----
+    ("mm_patch_grid",
+      (s: SparkSession, d: String) => {
+        import graft.operators.Multimodal
+        def hex2(c: Column) = lpad(hex(c % 256), 2, "0")
+        val payload = unhex(concat(hex2(col("doc_id")),
+          hex2(floor(col("doc_id") / 256).cast("long")), lit("070B")))
+        Multimodal.patchFeatures(
+          Tables.documents(s, d).select(col("doc_id"), payload.as("content")),
+          "doc_id", "content", w = 8, h = 6, outW = 4, outH = 4, p = 2)
+          .orderBy("doc_id", "py", "px")
+      },
+      Some("WITH px AS (SELECT doc_id, py, qx AS px, dy, dx, " +
+        "((py * 2 + dy) * 6) // 4 AS sy, ((qx * 2 + dx) * 8) // 4 AS sx " +
+        "FROM documents CROSS JOIN generate_series(0, 1) a(py) " +
+        "CROSS JOIN generate_series(0, 1) b(qx) " +
+        "CROSS JOIN generate_series(0, 1) c(dy) " +
+        "CROSS JOIN generate_series(0, 1) e(dx)), " +
+        "v AS (SELECT doc_id, py, px, CASE (sy * 8 + sx) % 4 " +
+        "WHEN 0 THEN doc_id % 256 WHEN 1 THEN (doc_id // 256) % 256 " +
+        "WHEN 2 THEN 7 ELSE 11 END AS v FROM px) " +
+        "SELECT doc_id, CAST(py AS INTEGER) AS py, CAST(px AS INTEGER) AS px, " +
+        "round(sum(v) / 4.0, 6) AS mean, " +
+        "round(sqrt(sum(v * v) / 4.0 - (sum(v) / 4.0) * (sum(v) / 4.0)), 6) " +
+        "AS std FROM v GROUP BY doc_id, py, px ORDER BY doc_id, py, px")))
 }

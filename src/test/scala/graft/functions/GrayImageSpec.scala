@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Multimodal
+
+class GrayImageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("TileDecoder tiles payload bytes; empty payload decodes to black") {
+    assert(TileDecoder.decode(Array[Byte](1, 2, 3), 2, 2).toSeq
+      === Seq[Byte](1, 2, 3, 1))
+    assert(TileDecoder.decode(Array.empty[Byte], 3, 1).toSeq
+      === Seq[Byte](0, 0, 0))
+  }
+
+  test("gray_resize nearest-neighbor mapping is (y*h)/outH, (x*w)/outW") {
+    // 4x2 -> 2x1: out(0,0)=in(0,0)=10, out(1,0)=in(0,2)=30
+    val df = Seq(Tuple1(Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)))
+      .toDF("px")
+    val got = df.select(gray_resize(2, 1, col("px"), lit(4), lit(2)))
+      .head().getAs[Array[Byte]](0)
+    assert(got.toSeq === Seq[Byte](10, 30))
+    // identity resize returns the buffer unchanged
+    val same = df.select(gray_resize(4, 2, col("px"), lit(4), lit(2)))
+      .head().getAs[Array[Byte]](0)
+    assert(same.toSeq === (10 to 80 by 10).map(_.toByte))
+  }
+
+  test("gray_patch_stats: hand-computed mean/std, unsigned pixels") {
+    // 4x2 image, 2x2 patches -> 2 patches
+    // patch(0,0) = {0, 255, 10, 20}; patch(0,1) = {1, 2, 3, 4}
+    val px = Array[Byte](0, 255.toByte, 1, 2, 10, 20, 3, 4)
+    val got = Seq(Tuple1(px)).toDF("px")
+      .select(explode(gray_patch_stats(2, col("px"), lit(4), lit(2))).as("s"))
+      .select("s.py", "s.px", "s.mean", "s.std")
+      .as[(Int, Int, Double, Double)].collect.toSeq
+    def stats(vs: Seq[Int]) = {
+      val mean = vs.sum / 4.0
+      (r6(mean), r6(math.sqrt(vs.map(v => v.toLong * v).sum / 4.0 - mean * mean)))
+    }
+    val (m0, s0) = stats(Seq(0, 255, 10, 20))
+    val (m1, s1) = stats(Seq(1, 2, 3, 4))
+    assert(got === Seq((0, 0, m0, s0), (0, 1, m1, s1)))
+  }
+
+  test("patchFeatures end-to-end: decode -> resize -> patchify golden") {
+    // payload [100, 200]: tiled over 2x2 -> [100, 200, 100, 200];
+    // resize 2x2 -> 2x2 identity; one 2x2 patch
+    val df = Seq((7L, Array[Byte](100, 200.toByte))).toDF("doc_id", "content")
+    val got = Multimodal.patchFeatures(df, "doc_id", "content",
+        w = 2, h = 2, outW = 2, outH = 2, p = 2)
+      .as[(Long, Int, Int, Double, Double)].collect.toSeq
+    val mean = (100 + 200 + 100 + 200) / 4.0
+    val std = r6(math.sqrt((100L * 100 * 2 + 200L * 200 * 2) / 4.0 - mean * mean))
+    assert(got === Seq((7L, 0, 0, r6(mean), std)))
+  }
+
+  test("a custom decoder drops in behind the seam") {
+    object Inverter extends GrayDecoder {
+      override def decode(c: Array[Byte], w: Int, h: Int): Array[Byte] =
+        Array.tabulate(w * h)(i =>
+          (255 - (c(i % c.length) & 0xFF)).toByte)
+    }
+    val df = Seq((1L, Array[Byte](0))).toDF("doc_id", "content")
+    val got = Multimodal.patchFeatures(df, "doc_id", "content",
+        2, 2, 2, 2, 2, decoder = Inverter)
+      .as[(Long, Int, Int, Double, Double)].collect.head
+    assert(got._4 === 255.0 && got._5 === 0.0)
+  }
+}
