@@ -166,6 +166,10 @@ package object functions {
   def gray_patch_stats(p: Int, pixels: Column, w: Column, h: Column): Column =
     col(GrayPatchStats(p, ex(pixels), ex(w), ex(h)))
 
+  /** LE signed-16-bit PCM decode + per-frame RMS/ZCR/peak features. */
+  def pcm16_frames(frameLen: Int, content: Column): Column =
+    col(Pcm16Frames(frameLen, ex(content)))
+
   /** Mergeable theta distinct sketch of a string column (`binary` —
     * storable, unionable, intersectable; exact below 2^lgK entries). */
   def theta_agg(c: Column, lgK: Int = 12): Column =

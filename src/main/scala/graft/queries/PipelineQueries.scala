@@ -1942,5 +1942,43 @@ object PipelineQueries {
         "SELECT doc_id, CAST(py AS INTEGER) AS py, CAST(px AS INTEGER) AS px, " +
         "round(sum(v) / 4.0, 6) AS mean, " +
         "round(sqrt(sum(v * v) / 4.0 - (sum(v) / 4.0) * (sum(v) / 4.0)), 6) " +
-        "AS std FROM v GROUP BY doc_id, py, px ORDER BY doc_id, py, px")))
+        "AS std FROM v GROUP BY doc_id, py, px ORDER BY doc_id, py, px")),
+
+    // ---- multimodal audio: REAL PCM16-LE decode + framed RMS/ZCR/peak
+    // features. Payload samples are doc_id arithmetic (incl. negative
+    // values, so the signed LE round-trip is exercised), and the oracle
+    // recomputes every feature from the same arithmetic — an endianness
+    // or sign bug breaks the hash. ----
+    ("mm_audio_frames",
+      (s: SparkSession, d: String) => {
+        import graft.operators.Multimodal
+        def hex2(c: Column) = lpad(hex(c % 256), 2, "0")
+        def le16(v: Column) = {
+          val u = pmod(v, lit(65536))
+          concat(hex2(u), hex2(floor(u / 256).cast("long")))
+        }
+        val v0 = col("doc_id") % 1000
+        val v1 = -(col("doc_id") % 500) - 1
+        val v2 = lit(7L)
+        val v3 = -(col("doc_id") % 3)
+        val payload = unhex(concat(le16(v0), le16(v1), le16(v2), le16(v3)))
+        Multimodal.audioFrames(
+          Tables.documents(s, d).select(col("doc_id"), payload.as("content")),
+          "doc_id", "content", frameLen = 2)
+          .orderBy("doc_id", "frame")
+      },
+      Some("WITH v AS (SELECT doc_id, doc_id % 1000 AS v0, " +
+        "-(doc_id % 500) - 1 AS v1, 7 AS v2, -(doc_id % 3) AS v3 " +
+        "FROM documents) " +
+        "SELECT * FROM (" +
+        "SELECT doc_id, CAST(0 AS INTEGER) AS frame, CAST(2 AS INTEGER) AS n, " +
+        "round(sqrt((v0 * v0 + v1 * v1) / 2.0), 6) AS rms, " +
+        "CAST(CASE WHEN v0 * v1 < 0 THEN 1 ELSE 0 END AS INTEGER) AS zcr, " +
+        "CAST(greatest(abs(v0), abs(v1)) AS INTEGER) AS peak FROM v " +
+        "UNION ALL " +
+        "SELECT doc_id, CAST(1 AS INTEGER), CAST(2 AS INTEGER), " +
+        "round(sqrt((v2 * v2 + v3 * v3) / 2.0), 6), " +
+        "CAST(CASE WHEN v2 * v3 < 0 THEN 1 ELSE 0 END AS INTEGER), " +
+        "CAST(greatest(abs(v2), abs(v3)) AS INTEGER) FROM v) " +
+        "ORDER BY doc_id, frame")))
 }

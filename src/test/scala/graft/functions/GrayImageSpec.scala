@@ -60,6 +60,26 @@ class GrayImageSpec extends SparkSpec {
     assert(got === Seq((7L, 0, 0, r6(mean), std)))
   }
 
+  test("pcm16_frames: LE signed decode, framing, rms/zcr/peak golden") {
+    // samples: 100, -200, 7, 0, 5 (odd trailing byte ignored)
+    def le(v: Int): Seq[Byte] = {
+      val u = v & 0xFFFF
+      Seq((u % 256).toByte, (u / 256).toByte)
+    }
+    val bytes = (le(100) ++ le(-200) ++ le(7) ++ le(0) ++ le(5) :+ 0x7F.toByte)
+      .toArray
+    val got = Seq(Tuple1(bytes)).toDF("c")
+      .select(explode(pcm16_frames(2, col("c"))).as("f"))
+      .select("f.frame", "f.n", "f.rms", "f.zcr", "f.peak")
+      .as[(Int, Int, Double, Int, Int)].collect.toSeq
+    val rms0 = r6(math.sqrt((100.0 * 100 + 200.0 * 200) / 2))
+    val rms1 = r6(math.sqrt(49.0 / 2))
+    assert(got === Seq(
+      (0, 2, rms0, 1, 200),   // 100 -> -200 crosses zero
+      (1, 2, rms1, 0, 7),     // 7 -> 0: product 0, no strict crossing
+      (2, 1, 5.0, 0, 5)))     // trailing partial frame
+  }
+
   test("a custom decoder drops in behind the seam") {
     object Inverter extends GrayDecoder {
       override def decode(c: Array[Byte], w: Int, h: Int): Array[Byte] =
