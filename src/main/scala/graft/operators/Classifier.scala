@@ -58,6 +58,13 @@ object Classifier {
       .drop("feat")
   }
 
+  /** The hashed feature stream `(id, fpos, b)` for external count-based
+    * trainers (the streaming NB partials).
+    */
+  private[graft] def featureRows(df: DataFrame, idCol: String,
+                                 textCol: String, buckets: Int): DataFrame =
+    features(df, col(idCol), col(textCol), buckets)
+
   /** Train a multinomial NB model. Returns
     * `(label, b, llh)` — per-class add-k-smoothed feature
     * log-likelihoods `ln((n(c,b)+k)/(T(c)+k·buckets))`, rounded 6 — and
