@@ -94,4 +94,107 @@ class KernelPropertySpec extends SparkSpec {
         "simhash sums per-token votes — permuting tokens must not change it")
     }
   }
+
+  test("property: MG sketch guarantee on random zipf streams, random merge trees") {
+    for (trial <- 0 until 5) {
+      val n = 2000 + rnd.nextInt(3000)
+      val items = Seq.fill(n)(s"i${math.min(rnd.nextInt(rnd.nextInt(400) + 1), 60)}")
+      val cap = 8 + rnd.nextInt(24)
+      val parts = 1 + rnd.nextInt(10)
+      val truth = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val sk = items.toDF("x").repartition(parts)
+        .agg(mg_agg(col("x"), cap)).head().getAs[Array[Byte]](0)
+      val est = MgKernels.deserialize(sk).counts
+      val bound = n.toDouble / (cap + 1)
+      est.foreach { case (k, e) =>
+        assert(e <= truth(k) && e >= truth(k) - bound,
+          s"trial=$trial cap=$cap parts=$parts item=$k est=$e true=${truth(k)}")
+      }
+      truth.filter(_._2 > bound).keys.foreach(k =>
+        assert(est.contains(k), s"trial=$trial guaranteed hitter $k missing"))
+    }
+  }
+
+  test("property: theta estimates exact below nominal entries, any split") {
+    for (trial <- 0 until 5) {
+      val distinct = 50 + rnd.nextInt(3000)
+      val items = Seq.fill(6000)(s"t${rnd.nextInt(distinct)}")
+      val trueD = items.distinct.size
+      val parts = 1 + rnd.nextInt(8)
+      val sk = items.toDF("x").repartition(parts)
+        .agg(theta_agg(col("x"))).head().getAs[Array[Byte]](0)
+      assert(ThetaKernels.wrap(sk).getEstimate === trueD.toDouble,
+        s"trial=$trial distinct=$trueD parts=$parts")
+    }
+  }
+
+  test("property: pcm16 frame features match a scalar reference on random audio") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (_ <- 0 until 20) {
+      val samples = Seq.fill(1 + rnd.nextInt(40))(rnd.nextInt(65536) - 32768)
+      val frameLen = 1 + rnd.nextInt(7)
+      val bytes = samples.flatMap { v =>
+        val u = v & 0xFFFF; Seq((u % 256).toByte, (u / 256).toByte)
+      }.toArray
+      val got = Seq(Tuple1(bytes)).toDF("c")
+        .select(explode(pcm16_frames(frameLen, col("c"))).as("f"))
+        .select("f.frame", "f.n", "f.rms", "f.zcr", "f.peak")
+        .as[(Int, Int, Double, Int, Int)].collect.toSeq
+      val want = samples.grouped(frameLen).zipWithIndex.map { case (fr, i) =>
+        val zcr = fr.sliding(2).count(p => p.size == 2 && p(0).toLong * p(1) < 0)
+        (i, fr.size, r6(math.sqrt(fr.map(s => s.toLong * s).sum.toDouble / fr.size)),
+          zcr, fr.map(math.abs).max)
+      }.toSeq
+      assert(got === want)
+    }
+  }
+
+  test("property: bucket_weight_sum equals a scalar dot product, ignores out-of-range") {
+    for (_ <- 0 until 20) {
+      val nW = 1 + rnd.nextInt(64)
+      val w = Array.fill(nW)(rnd.nextLong() % 1000000L)
+      val bs = Seq.fill(1 + rnd.nextInt(30))(rnd.nextLong() % (nW + 10) - 1)
+      val cnts = Seq.fill(bs.size)(rnd.nextInt(5).toLong + 1)
+      val wB = spark.sparkContext.broadcast(w)
+      val got = Seq((bs, cnts)).toDF("bs", "cnts")
+        .select(bucket_weight_sum(wB, col("bs"), col("cnts")))
+        .head().getLong(0)
+      val want = bs.zip(cnts).map { case (b, c) =>
+        val idx = b + 1
+        if (idx >= 0 && idx < nW) w(idx.toInt) * c else 0L
+      }.sum
+      assert(got === want)
+      wB.destroy()
+    }
+  }
+
+  test("property: gray resize+patch pipeline matches a scalar reference") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (_ <- 0 until 10) {
+      val (w, h) = (2 + rnd.nextInt(12), 2 + rnd.nextInt(12))
+      val (ow, oh, p) = (4, 4, 2)
+      val content = Array.fill(1 + rnd.nextInt(20))(rnd.nextInt(256).toByte)
+      val pixels = Array.tabulate(w * h)(i => content(i % content.length))
+      val resized = Array.tabulate(ow * oh) { i =>
+        val (y, x) = (i / ow, i % ow)
+        pixels(((y.toLong * h / oh) * w + x.toLong * w / ow).toInt)
+      }
+      val want = (for (py <- 0 until oh / p; px <- 0 until ow / p) yield {
+        val vs = for (dy <- 0 until p; dx <- 0 until p)
+          yield resized((py * p + dy) * ow + (px * p + dx)) & 0xFF
+        val mean = vs.sum / (p * p).toDouble
+        (py, px, r6(mean),
+          r6(math.sqrt(vs.map(v => v.toLong * v).sum / (p * p).toDouble - mean * mean)))
+      }).toSeq
+      val got = Seq(Tuple1(content)).toDF("c")
+        .select(explode(gray_patch_stats(p,
+          gray_resize(ow, oh, gray_decode(TileDecoder, col("c"), lit(w), lit(h)),
+            lit(w), lit(h)), lit(ow), lit(oh))).as("s"))
+        .select("s.py", "s.px", "s.mean", "s.std")
+        .as[(Int, Int, Double, Double)].collect.toSeq
+      assert(got === want, s"w=$w h=$h content=${content.toSeq}")
+    }
+  }
 }
