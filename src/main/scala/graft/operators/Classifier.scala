@@ -237,6 +237,46 @@ object Classifier {
       .toSeq.toDF("b", "w_nano", "w")
   }
 
+  /** Serial reference trainer: identical arithmetic to [[lrTrain]] on
+    * in-memory rows `(text, y)` — the executable statement of the
+    * determinism contract, shipped (not spec-only) so the
+    * `ns_quality_lr_audit` query can hash a distributed-equals-serial
+    * verdict through the driver's oracle gate. Returns nano-grid weights
+    * `[bias, w_0 .. w_{buckets-1}]`.
+    */
+  def lrTrainSerial(rows: Seq[(String, Long)], buckets: Int = 1024,
+                    iters: Int = 5, learnRate: Double = 0.5): Array[Long] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def bucket(feat: String): Long = {
+      val h = graft.functions.TextHashKernels
+        .md5Lower64(UTF8String.fromString(feat))
+      ((h % buckets) + buckets) % buckets
+    }
+    val featRows = rows.map { case (text, y) =>
+      val t = text.trim.toLowerCase.split("\\s+").toSeq
+      val f = t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      (y, f.groupBy(bucket).map { case (b, xs) => b -> xs.size.toLong })
+    }
+    val n = rows.size
+    var w = Array.fill(buckets + 1)(0L)
+    for (_ <- 0 until iters) {
+      val resid = featRows.map { case (y, cnts) =>
+        val mNano = cnts.map { case (b, c) => w(b.toInt + 1) * c }.sum + w(0)
+        (math.round(1e6 / (1.0 + math.exp(-(mNano / 1e9)))) - y * 1000000L,
+          cnts)
+      }
+      val grads = resid.flatMap { case (rm, cnts) =>
+        cnts.map { case (b, c) => b -> rm * c }
+      }.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+      val biasGrad = resid.map(_._1).sum
+      def upd(wOld: Long, g: Long): Long =
+        math.round(wOld.toDouble - learnRate * (g / 1e6) / n * 1e9)
+      w = upd(w(0), biasGrad) +:
+        Array.tabulate(buckets)(b => upd(w(b + 1), grads.getOrElse(b.toLong, 0L)))
+    }
+    w
+  }
+
   /** Score documents with an LR model (as produced by [[lrTrain]]):
     * margin on the exact nano grid, probability `sigmoid(margin)` rounded
     * 6, prediction at p ≥ 0.5. Broadcast model; one id-keyed shuffle.

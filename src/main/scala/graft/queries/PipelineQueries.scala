@@ -174,6 +174,21 @@ object PipelineQueries {
       "QUALIFY row_number() OVER (PARTITION BY doc_id " +
       "ORDER BY score DESC, label) = 1) "
 
+  /** One row per named invariant check, `holds` computed by actually
+    * running the check — hashed against a constant-true oracle, the
+    * ANN-recall-audit pattern generalized: spec-level assertions become
+    * driver-visible green rows.
+    */
+  private def auditDf(s: SparkSession, checks: Seq[(String, Boolean)]): DataFrame = {
+    import s.implicits._
+    checks.toDF("audit", "holds").orderBy("audit")
+  }
+
+  private def auditOracleSql(names: Seq[String]): String =
+    "SELECT * FROM (" + names.sorted.map(n =>
+      s"SELECT '$n' AS audit, CAST(1 AS BOOLEAN) AS holds")
+      .mkString(" UNION ALL ") + ") ORDER BY audit"
+
   /** The query vector for `vec_id == qid`, collected driver-side (one row). */
   private def queryVec(embs: DataFrame, qid: Long): Array[Float] =
     embs.filter(col("vec_id") === qid)
@@ -1980,5 +1995,176 @@ object PipelineQueries {
         "round(sqrt((v2 * v2 + v3 * v3) / 2.0), 6), " +
         "CAST(CASE WHEN v2 * v3 < 0 THEN 1 ELSE 0 END AS INTEGER), " +
         "CAST(greatest(abs(v2), abs(v3)) AS INTEGER) FROM v) " +
-        "ORDER BY doc_id, frame")))
+        "ORDER BY doc_id, frame")),
+
+    // ---- constant-oracle AUDITS: spec-level invariants of the rows-only
+    // operators, re-run inside the query and hashed against a
+    // constant-true oracle (the ANN-recall pattern generalized). A
+    // regression in any checked property flips a row to false and breaks
+    // the hash. ----
+
+    // BPE: the learned model equals the serial reference merge-for-merge;
+    // the corpus-side token total equals the dictionary-side sum (two
+    // independent computations of one number); the id stream decodes back
+    // to the exact symbol stream.
+    ("ns_text_bpe_audit",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val (mergesDf, vocabDf) = bpeModel(s, d)
+        val words = Bpe.wordCounts(docs, "text").collect()
+          .map(r => r.getAs[String]("word") -> r.getAs[Long]("cnt")).toSeq
+        val serial = Bpe.learnLocal(words, Bpe.BpeConfig(numMerges = 20))._1
+          .map(m => (m.rank, m.left, m.right, m.merged, m.pairCount))
+        val stored = mergesDf.orderBy("rank").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getLong(4))).toSeq
+        val corpusSide = Bpe.encode(docs, "doc_id", "text", vocabDf)
+          .agg(sum("n_bpe_tokens")).head().getLong(0)
+        val dictSide = vocabDf.select(sum(col("cnt") * size(col("syms"))))
+          .head().getLong(0)
+        val symById = Bpe.symbolVocab(vocabDf).collect()
+          .map(r => r.getAs[Int]("id") -> r.getAs[String]("token")).toMap
+        val decoded = Bpe.encodeIds(docs, "doc_id", "text", vocabDf)
+          .collect().map(r => r.getLong(0) ->
+            r.getSeq[Int](2).map(symById).mkString(" ")).toMap
+        val texts = Bpe.encode(docs, "doc_id", "text", vocabDf)
+          .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+        auditDf(s, Seq(
+          "merges_equal_serial" -> (stored == serial),
+          "encode_conservation" -> (corpusSide == dictSide),
+          "ids_decode_roundtrip" -> (decoded == texts)))
+      },
+      Some(auditOracleSql(Seq("merges_equal_serial", "encode_conservation",
+        "ids_decode_roundtrip")))),
+
+    // LR: the distributed trainer's weights equal the serial reference
+    // bit-for-bit; scoring thresholds exactly at p >= 0.5.
+    ("ns_quality_lr_audit",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val b = Curation.hashBucket(col("doc_id"), 100)
+        val train = docs.filter(b < 80)
+        val model = Classifier.lrTrain(train, "doc_id", "text",
+          col("lang") === "en", buckets = 1024, iters = 5, learnRate = 0.5)
+        val dist = model.orderBy("b").select("w_nano").collect()
+          .map(_.getLong(0)).toSeq
+        val rows = train
+          .select(col("text"), when(col("lang") === "en", 1L).otherwise(0L))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val serial = Classifier.lrTrainSerial(rows, 1024, 5, 0.5).toSeq
+        val thrOk = Classifier.lrScore(docs.filter(b >= 80), "doc_id",
+            "text", model, 1024)
+          .filter((col("p") >= 0.5).cast("int") =!= col("predicted")).isEmpty
+        auditDf(s, Seq(
+          "weights_equal_serial" -> (dist == serial),
+          "score_threshold_consistent" -> thrOk))
+      },
+      Some(auditOracleSql(Seq("weights_equal_serial",
+        "score_threshold_consistent")))),
+
+    // KLL quality floor: the sketch path's per-domain keep fraction
+    // tracks the exact path within rank error (+ small-n granularity) —
+    // one audited row per domain.
+    ("ns_curate_quality_floor_audit",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        def fracs(df: DataFrame) = df.groupBy("domain")
+          .agg(count(lit(1)).as("n"), count(when(col("keep"), 1)).as("kept"))
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+          .toMap
+        val exact = fracs(Curation.adaptiveQualityFloor(docs, "doc_id",
+          "text", "source", floorQuantile = 0.2))
+        val sk = fracs(Curation.adaptiveQualityFloorSketch(docs, "doc_id",
+          "text", "source", floorQuantile = 0.2))
+        exact.toSeq.map { case (dom, (n, kept)) =>
+          val (ns, ks) = sk(dom)
+          val tol = math.max(0.04, 2.5 / n)
+          (dom, ns == n &&
+            math.abs(ks.toDouble / ns - kept.toDouble / n) <= tol)
+        }.toDF("domain", "within_tolerance").orderBy("domain")
+      },
+      Some("SELECT source AS domain, CAST(1 AS BOOLEAN) AS within_tolerance " +
+        "FROM (SELECT DISTINCT source FROM documents) ORDER BY domain")),
+
+    // HLL: approx_count_distinct lands within 3·rsd of the exact count
+    // (rsd is a 1σ STANDARD deviation, not a bound — the first cut of
+    // this audit at 1·rsd failed on real data, which is exactly the
+    // property: default-rsd estimates routinely exceed 5%).
+    ("ns_hll_audit",
+      (s: SparkSession, d: String) => {
+        val r = Tables.orders(s, d).agg(
+          countDistinct(col("o_custkey")).as("exact"),
+          approx_count_distinct(col("o_custkey"), 0.05).as("approx")).head()
+        val (ex, ap) = (r.getLong(0), r.getLong(1))
+        auditDf(s, Seq("approx_distinct_within_3rsd" ->
+          (math.abs(ap - ex).toDouble / ex <= 0.15)))
+      },
+      Some(auditOracleSql(Seq("approx_distinct_within_3rsd")))),
+
+    // SemDeDup with learned centroids: keep flags re-derived by an
+    // INDEPENDENT driver-side union-find over the operator's own
+    // within-cluster pair graph (min-id representative per component) —
+    // plus the structural invariants: exactly one kept member per
+    // component, and no pair crosses clusters.
+    ("ns_dedup_semdedup_kmeans_audit",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        val rep = SemDedup.reportKMeans(embs, "vec_id", "embedding",
+            Seq(s"$d/embeddings.parquet"), k = 8, iterations = 2, eps = 0.4)
+          .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2))))
+          .toMap
+        val indexDir = graft.operators.IndexCatalog.ensure(s,
+          "semdedup-kmeans", Seq(s"$d/embeddings.parquet"), "k=8,it=2")(dir =>
+          graft.operators.IvfIndex.build(embs, "vec_id", "embedding", dir,
+            8, 2))
+        val centroids = s.read.parquet(s"$indexDir/centroids")
+        val asg = SemDedup.assign(embs, "vec_id", "embedding", centroids)
+        val prs = SemDedup.pairs(embs, "vec_id", "embedding", asg, eps = 0.4)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        // independent union-find, min-id representative
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        prs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+            parent(hi) = lo
+          }
+        }
+        val keepOk = rep.forall { case (id, (_, keep)) => keep == (find(id) == id) }
+        val crossOk = prs.forall { case (a, b) => rep(a)._1 == rep(b)._1 }
+        val groups = rep.keys.groupBy(find)
+        val oneKeep = groups.forall { case (_, ids) =>
+          ids.count(id => rep(id)._2) == 1 }
+        auditDf(s, Seq(
+          "keep_equals_union_find" -> keepOk,
+          "pairs_stay_within_clusters" -> crossOk,
+          "one_kept_per_component" -> oneKeep))
+      },
+      Some(auditOracleSql(Seq("keep_equals_union_find",
+        "pairs_stay_within_clusters", "one_kept_per_component")))),
+
+    // MMR (diversifying lambda): k rows, the first pick is the relevance
+    // top-1, and every pick comes from the top-k·factor candidate pool.
+    ("ns_ann_mmr_audit",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        val mmr = Similarity.mmrTopK(embs, "vec_id", "embedding",
+            queryId = 0, k = 10, lambda = 0.6)
+          .orderBy("rank").select("vec_id").collect().map(_.getLong(0)).toSeq
+        val cands = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+            queryId = 0, k = 40)
+          .select("vec_id").collect().map(_.getLong(0)).toSeq
+        auditDf(s, Seq(
+          "k_rows" -> (mmr.length == 10),
+          "head_is_relevance_top1" -> (mmr.head == cands.head),
+          "subset_of_candidates" -> mmr.forall(cands.contains)))
+      },
+      Some(auditOracleSql(Seq("k_rows", "head_is_relevance_top1",
+        "subset_of_candidates")))))
 }
