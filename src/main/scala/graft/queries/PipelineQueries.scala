@@ -2149,6 +2149,71 @@ object PipelineQueries {
       Some(auditOracleSql(Seq("keep_equals_union_find",
         "pairs_stay_within_clusters", "one_kept_per_component")))),
 
+    // STREAMING surfaces, driver-visible: a real AvailableNow stream
+    // through StreamingNb must derive the batch-identical model (counts
+    // are batching-insensitive, so this is robust to micro-batch
+    // boundaries); exact streaming dedup applied batch-by-batch in id
+    // order must keep exactly the min-id per fingerprint; and the
+    // incrementally-appended ANN index must probe identically to a
+    // single-shot build (bucket content is a set union).
+    ("ns_streaming_audit",
+      (s: SparkSession, d: String) => {
+        import graft.streaming.{StreamingAnnIndex, StreamingDedup, StreamingNb}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_stream_audit").toString
+        val docs = Tables.documents(s, d)
+        val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+        val parts = Seq(
+          docs.filter(col("doc_id") < n / 3),
+          docs.filter(col("doc_id") >= n / 3 && col("doc_id") < 2 * n / 3),
+          docs.filter(col("doc_id") >= 2 * n / 3))
+
+        // 1. real checkpointed stream -> NB counts
+        val log = s"$tmp/log"
+        parts.foreach(_.coalesce(1).write.mode("append").parquet(log))
+        StreamingNb.start(s,
+          s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(log),
+          s"$tmp/nb", s"$tmp/ckpt", "doc_id", "text", "lang", 4096)
+          .awaitTermination()
+        val (sm, sp) = StreamingNb.currentModel(s, s"$tmp/nb", 4096)
+        val (bm, bp) = Classifier.nbTrain(docs, "doc_id", "text", "lang", 4096)
+        def rowSet(df: DataFrame) = df.collect().map(_.toSeq).toSet
+        val nbEq = rowSet(sm) == rowSet(bm) && rowSet(sp) == rowSet(bp)
+
+        // 2. exact streaming dedup, id-ordered batches
+        parts.foreach(p => StreamingDedup.dedupBatch(s, p, "doc_id", "text",
+          s"$tmp/dd_idx", s"$tmp/dd_out"))
+        val streamedKeep = s.read.parquet(s"$tmp/dd_out")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val batchKeep = docs
+          .groupBy(md5(graft.operators.TextOps.normalized(col("text"))))
+          .agg(min("doc_id").as("keep"))
+          .select("keep").collect().map(_.getLong(0)).toSet
+        val ddEq = streamedKeep == batchKeep
+
+        // 3. incrementally-built ANN index vs single-shot build
+        val embs = Tables.embeddings(s, d)
+        val eParts = Seq(embs.filter(col("vec_id") % 3 === 0),
+          embs.filter(col("vec_id") % 3 === 1),
+          embs.filter(col("vec_id") % 3 === 2))
+        eParts.foreach(p => StreamingAnnIndex.appendBatch(p, "vec_id",
+          "embedding", s"$tmp/ann_inc"))
+        StreamingAnnIndex.appendBatch(embs, "vec_id", "embedding",
+          s"$tmp/ann_once")
+        val qv = queryVec(embs, 0L)
+        def probe(dir: String) = StreamingAnnIndex
+          .probeTopK(s, dir, qv, k = 10).collect().map(_.toSeq).toSeq
+        val annEq = probe(s"$tmp/ann_inc") == probe(s"$tmp/ann_once")
+
+        auditDf(s, Seq(
+          "streaming_nb_equals_batch" -> nbEq,
+          "streaming_dedup_keeps_min_id" -> ddEq,
+          "streaming_ann_probe_equals_batch" -> annEq))
+      },
+      Some(auditOracleSql(Seq("streaming_nb_equals_batch",
+        "streaming_dedup_keeps_min_id", "streaming_ann_probe_equals_batch")))),
+
     // MMR (diversifying lambda): k rows, the first pick is the relevance
     // top-1, and every pick comes from the top-k·factor candidate pool.
     ("ns_ann_mmr_audit",
