@@ -170,6 +170,13 @@ package object functions {
   def pcm16_frames(frameLen: Int, content: Column): Column =
     col(Pcm16Frames(frameLen, ex(content)))
 
+  /** Greedy longest-match WordPiece segmentation of a token array against
+    * a torrent-broadcast piece vocabulary (zero-shuffle tokenization). */
+  def wordpiece_encode(
+      pieces: org.apache.spark.broadcast.Broadcast[Array[String]],
+      unk: String, tokens: Column): Column =
+    col(WordPieceEncode(pieces, unk, ex(tokens)))
+
   /** Mergeable theta distinct sketch of a string column (`binary` —
     * storable, unionable, intersectable; exact below 2^lgK entries). */
   def theta_agg(c: Column, lgK: Int = 12): Column =

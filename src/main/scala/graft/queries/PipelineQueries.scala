@@ -1997,6 +1997,41 @@ object PipelineQueries {
         "CAST(greatest(abs(v2), abs(v3)) AS INTEGER) FROM v) " +
         "ORDER BY doc_id, frame")),
 
+    // ---- WordPiece greedy encode against a char + top-50-word corpus
+    // vocabulary — the regime where greedy longest-match has a CLOSED
+    // FORM (vocab word -> 1 piece, else 1 piece per character with ##
+    // continuations) that the oracle replicates exactly; the general
+    // greedy mechanics (multi-char prefixes, whole-word UNK) are pinned
+    // by WordPieceSpec goldens + a serial-reference property. ----
+    ("ns_text_wordpiece",
+      (s: SparkSession, d: String) => {
+        import graft.operators.WordPiece
+        val docs = Tables.documents(s, d)
+        WordPiece.encode(docs, "doc_id", "text",
+            WordPiece.charWordVocab(docs, "text", topWords = 50))
+          .select(col("doc_id"), col("n_pieces"),
+            concat_ws(" ", col("pieces")).as("pieces_text"))
+          .orderBy("doc_id")
+      },
+      Some("WITH tk AS (SELECT doc_id, unnest(t) AS w, " +
+        "generate_subscripts(t, 1) AS pos FROM (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents)), " +
+        "tw AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM tk GROUP BY 1 " +
+        "ORDER BY cnt DESC, w LIMIT 50)), " +
+        "ch AS (SELECT doc_id, pos, w, unnest(string_split(w, '')) AS c, " +
+        "generate_subscripts(string_split(w, ''), 1) AS ci FROM tk), " +
+        "pw AS (SELECT doc_id, pos, w, " +
+        "string_agg(CASE WHEN ci = 1 THEN c ELSE '##' || c END, ' ' " +
+        "ORDER BY ci) AS char_form, count(*) AS n_chars " +
+        "FROM ch GROUP BY 1, 2, 3), " +
+        "pcs AS (SELECT doc_id, pos, " +
+        "CASE WHEN w IN (SELECT w FROM tw) THEN w ELSE char_form END AS p, " +
+        "CASE WHEN w IN (SELECT w FROM tw) THEN 1 ELSE n_chars END AS np " +
+        "FROM pw) " +
+        "SELECT doc_id, CAST(sum(np) AS INTEGER) AS n_pieces, " +
+        "string_agg(p, ' ' ORDER BY pos) AS pieces_text " +
+        "FROM pcs GROUP BY doc_id ORDER BY doc_id")),
+
     // ---- constant-oracle AUDITS: spec-level invariants of the rows-only
     // operators, re-run inside the query and hashed against a
     // constant-true oracle (the ANN-recall pattern generalized). A
