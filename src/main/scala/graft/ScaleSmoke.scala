@@ -420,7 +420,7 @@ object ScaleSmoke {
     // theta vocabulary overlap (two sketch passes, estimates vs known
     // truth), corpus data card (exact invariants), and SemDeDup over
     // planted duplicate vectors.
-    import graft.operators.{Curation, SemDedup, TextAnalysis}
+    import graft.operators.{Curation, SemDedup, TextAnalysis, TextOps, WordPiece}
     val docs = spark.range(n.toLong).toDF("doc_id")
       .withColumn("lang", concat(lit("l"), col("doc_id") % 5))
       .withColumn("text", concat_ws(" ",
@@ -470,6 +470,29 @@ object ScaleSmoke {
     println(s"SCALE   overlap a=${ov.getLong(0)} b=${ov.getLong(1)} " +
       s"common=${ov.getLong(2)} onlyA=${ov.getLong(3)} " +
       s"(${if (ovOk) "OK <5%" else "MISS"})")
+
+    // WordPiece encode at corpus scale (zero-shuffle broadcast-vocab map):
+    // closed-form conservation under the PREFIX-FREE char+top-word vocab —
+    // every vocab word is 1 piece, every other word |chars| pieces. (The
+    // first cut of this stage ran WITHOUT the prefix filter and caught
+    // the closed form breaking on top-word prefixes of longer tokens.)
+    val wpVocab = WordPiece.charWordVocab(docs, "text", topWords = 1000,
+      prefixFree = true).cache()
+    val vocabWords = wpVocab
+      .filter(length(col("piece")) > 1 && !col("piece").startsWith("##"))
+    val wpGot = t("wordpiece_encode")(
+      WordPiece.encode(docs, "doc_id", "text", wpVocab)
+        .agg(sum("n_pieces")).head().getLong(0))
+    val wpWant = docs
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .join(vocabWords.select(col("piece").as("w"), lit(1).as("hit")),
+        Seq("w"), "left")
+      .select(when(col("hit").isNotNull, 1).otherwise(length(col("w")))
+        .cast("long").as("np"))
+      .agg(sum("np")).head().getLong(0)
+    wpVocab.unpersist()
+    println(s"SCALE   wordpiece pieces=$wpGot expected=$wpWant " +
+      s"(${if (wpGot == wpWant) "EXACT" else "MISS"})")
 
     val card = t("corpus_report")(
       Curation.corpusReport(docs, "doc_id", "text", "lang", "lang",

@@ -48,20 +48,38 @@ object WordPiece {
     * the `topWords` most frequent tokens as whole pieces — the regime
     * where greedy segmentation has a closed form (vocab word → 1 piece,
     * else 1 piece per character), which the cross-engine oracle exploits.
+    *
+    * `prefixFree = true` additionally drops any top word that is a
+    * PROPER PREFIX of some other corpus token. Without it the closed
+    * form is wrong: a non-vocab word whose prefix IS a vocab word greedy-
+    * matches that prefix first (e.g. top word `w12` inside `w1234` →
+    * `[w12, ##3, ##4]`, 3 pieces, not 4) — the 1 M ScaleSmoke caught
+    * exactly this, where sf0.01 had no prefix collisions by luck. The
+    * filter is a broadcast non-equi anti-join of the small top-word set
+    * against the distinct-token relation (verification-regime helper; a
+    * general vocab keeps prefixes and drops the closed form).
     */
-  def charWordVocab(docs: DataFrame, textCol: String,
-                    topWords: Int): DataFrame = {
+  def charWordVocab(docs: DataFrame, textCol: String, topWords: Int,
+                    prefixFree: Boolean = false): DataFrame = {
     val toks = docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
-    val words = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val words0 = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w")).limit(topWords)
-      .select(col("w").as("piece"))
+      .select("w")
+    val words =
+      if (!prefixFree) words0
+      else {
+        val others = toks.select(col("w").as("o")).distinct()
+        words0.join(others,
+          col("o") =!= col("w") && col("o").startsWith(col("w")),
+          "left_anti")
+      }
     val chars = toks
       .select(explode(split(col("w"), "")).as("c"))
       .filter(length(col("c")) > 0).distinct()
     chars.select(col("c").as("piece"))
       .unionByName(chars.select(concat(lit("##"), col("c")).as("piece")))
-      .unionByName(words)
+      .unionByName(words.select(col("w").as("piece")))
       .distinct()
   }
 }

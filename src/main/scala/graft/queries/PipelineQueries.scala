@@ -1998,9 +1998,12 @@ object PipelineQueries {
         "ORDER BY doc_id, frame")),
 
     // ---- WordPiece greedy encode against a char + top-50-word corpus
-    // vocabulary — the regime where greedy longest-match has a CLOSED
-    // FORM (vocab word -> 1 piece, else 1 piece per character with ##
-    // continuations) that the oracle replicates exactly; the general
+    // vocabulary, PREFIX-FREE (top words that prefix another token are
+    // dropped) — the regime where greedy longest-match has a CLOSED FORM
+    // (vocab word -> 1 piece, else 1 piece per character with ##
+    // continuations) that the oracle replicates exactly. Without the
+    // prefix filter the closed form breaks the moment a top word
+    // prefixes a longer token — the 1M ScaleSmoke caught it. The general
     // greedy mechanics (multi-char prefixes, whole-word UNK) are pinned
     // by WordPieceSpec goldens + a serial-reference property. ----
     ("ns_text_wordpiece",
@@ -2008,7 +2011,8 @@ object PipelineQueries {
         import graft.operators.WordPiece
         val docs = Tables.documents(s, d)
         WordPiece.encode(docs, "doc_id", "text",
-            WordPiece.charWordVocab(docs, "text", topWords = 50))
+            WordPiece.charWordVocab(docs, "text", topWords = 50,
+              prefixFree = true))
           .select(col("doc_id"), col("n_pieces"),
             concat_ws(" ", col("pieces")).as("pieces_text"))
           .orderBy("doc_id")
@@ -2017,7 +2021,9 @@ object PipelineQueries {
         "generate_subscripts(t, 1) AS pos FROM (SELECT doc_id, " +
         "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents)), " +
         "tw AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM tk GROUP BY 1 " +
-        "ORDER BY cnt DESC, w LIMIT 50)), " +
+        "ORDER BY cnt DESC, w LIMIT 50) t WHERE NOT EXISTS (" +
+        "SELECT 1 FROM (SELECT DISTINCT w AS o FROM tk) d " +
+        "WHERE d.o <> t.w AND starts_with(d.o, t.w))), " +
         "ch AS (SELECT doc_id, pos, w, unnest(string_split(w, '')) AS c, " +
         "generate_subscripts(string_split(w, ''), 1) AS ci FROM tk), " +
         "pw AS (SELECT doc_id, pos, w, " +

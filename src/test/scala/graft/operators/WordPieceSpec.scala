@@ -69,14 +69,13 @@ class WordPieceSpec extends SparkSpec {
     }
   }
 
-  test("charWordVocab closed form: top words are 1 piece, the rest per-char") {
+  test("prefix-free charWordVocab closed form: vocab word 1 piece, rest per-char") {
     val docs = graft.Tables.documents(spark, sfDir)
-    val vocab = WordPiece.charWordVocab(docs, "text", topWords = 50)
-    val top = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("w")).limit(50)
-      .select("w").as[String].collect.toSet
+    val vocab = WordPiece.charWordVocab(docs, "text", topWords = 50,
+      prefixFree = true)
+    val top = vocab
+      .filter(length(col("piece")) > 1 && !col("piece").startsWith("##"))
+      .select("piece").as[String].collect.toSet
     val out = WordPiece.encode(docs, "doc_id", "text", vocab)
       .join(docs.select(col("doc_id"),
         filter(TextOps.tokens(col("text")), w => length(w) > 0).as("toks")),
@@ -86,5 +85,15 @@ class WordPieceSpec extends SparkSpec {
       val want = toks.map(w => if (top(w)) 1 else w.length).sum
       assert(n === want, s"doc $id")
     }
+  }
+
+  test("prefixFree drops exactly the top words that prefix another token") {
+    val docs = Seq((1L, "play played player note note note")).toDF("doc_id", "text")
+    val pieces = WordPiece.charWordVocab(docs, "text", topWords = 10,
+        prefixFree = true)
+      .select("piece").as[String].collect.toSet
+    assert(pieces.contains("note") && pieces.contains("played")
+      && pieces.contains("player"))
+    assert(!pieces.contains("play"), "play prefixes played/player")
   }
 }
