@@ -45,7 +45,7 @@ object ScaleSmoke {
     val n = if (args.nonEmpty) args(0).toInt else 200000
     val stages = if (args.length > 1) args(1) else "all"
     require(Set("all", "lexical", "semantic", "recall", "pipeline",
-      "streaming", "classifier", "curation")(stages),
+      "streaming", "classifier", "curation", "streamlearn")(stages),
       s"unknown stage set '$stages'")
     def on(s: String) = stages == "all" || stages == s
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -596,6 +596,81 @@ object ScaleSmoke {
     println(s"SCALE   heavy-hitters=${gotHh.size} " +
       s"(${if (gotHh == expHh) "EXACT" else s"MISS got=$gotHh"})")
     trainD.unpersist(); scoreD.unpersist(); docs.unpersist()
+    }
+
+    if (on("streamlearn")) {
+    // ---- streaming learners at production admission: the 1M planted
+    // classifier corpus arriving as 10 micro-batches of 100k docs. The
+    // NB check is the strong one: the streamed count partials must
+    // derive a model BIT-IDENTICAL to batch nbTrain over the full
+    // corpus. LR trains online (one step per batch = 10 steps) and must
+    // separate the planted signal on held-out docs; the profile's
+    // merged sketches must report the 5 class tokens exactly.
+    import graft.operators.Classifier
+    import graft.streaming.{StreamingLr, StreamingNb, StreamingProfile}
+    val docs = spark.range(n.toLong).toDF("doc_id")
+      .withColumn("label", (col("doc_id") % 5).cast("int"))
+      .withColumn("lang", concat(lit("cls"), col("label")))
+      .withColumn("text", concat_ws(" ",
+        concat_ws(" ", array_repeat(concat(lit("cls"), col("label")), 3)),
+        concat_ws(" ", transform(sequence(lit(0), lit(28)), i =>
+          concat(lit("w"), pmod(xxhash64(col("doc_id"), i), lit(20000L)))))))
+      .repartition(spark.sparkContext.defaultParallelism.toInt)
+      .cache()
+    t("sl_docs_materialize")(docs.count())
+    val nb = 10
+    val batches = (0 until nb).map(i =>
+      docs.filter(col("doc_id") % nb === i))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sl").toString
+
+    t("sl_lr_10_steps") {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StreamingLr.stepBatch(spark, b, i, s"$tmp/lr", "doc_id", "text",
+          col("label") === 0, buckets = 1024, learnRate = 1.0)
+      }
+    }
+    val lrModel = StreamingLr.currentModel(spark, s"$tmp/lr", 1024)
+    val holdout = spark.range(n.toLong, n + 50000L).toDF("doc_id")
+      .withColumn("label", (col("doc_id") % 5).cast("int"))
+      .withColumn("text", concat_ws(" ",
+        concat_ws(" ", array_repeat(concat(lit("cls"), col("label")), 3)),
+        concat_ws(" ", transform(sequence(lit(0), lit(28)), i =>
+          concat(lit("w"), pmod(xxhash64(col("doc_id"), i), lit(20000L)))))))
+    val lrWrong = t("sl_lr_score_holdout") {
+      Classifier.lrScore(holdout, "doc_id", "text", lrModel, 1024)
+        .join(holdout.select(col("doc_id"), col("label")), "doc_id")
+        .filter(col("predicted") =!= (col("label") === 0).cast("int")).count()
+    }
+    println(s"SCALE   online-lr holdout wrong=$lrWrong/50000 " +
+      s"(${if (lrWrong <= 500) "OK <=1%" else "MISS"})")
+
+    t("sl_nb_10_batches") {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StreamingNb.upsertBatch(spark, b, i, s"$tmp/nb", "doc_id", "text",
+          "lang", buckets = 4096)
+      }
+    }
+    val (sm, sp) = t("sl_nb_derive_model")(
+      StreamingNb.currentModel(spark, s"$tmp/nb", 4096))
+    val (bm, bp) = Classifier.nbTrain(docs, "doc_id", "text", "lang", 4096)
+    val nbEq = sm.collect().map(_.toSeq).toSet == bm.collect().map(_.toSeq).toSet &&
+      sp.collect().map(_.toSeq).toSet == bp.collect().map(_.toSeq).toSet
+    println(s"SCALE   streamed-nb model ${if (nbEq) "BIT-EQUAL to batch" else "MISMATCH"}")
+
+    t("sl_profile_10_batches") {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StreamingProfile.upsertBatch(spark, b, i, s"$tmp/prof", "text",
+          capacity = 512)
+      }
+    }
+    val prof = StreamingProfile.read(spark, s"$tmp/prof", capacity = 512).head()
+    val hitters = prof.getSeq[org.apache.spark.sql.Row](2)
+      .map(r => (r.getString(0), r.getLong(1))).filter(_._1.startsWith("cls"))
+    val profOk = prof.getLong(0) == n.toLong && prof.getLong(1) == 32L * n &&
+      hitters.size == 5
+    println(s"SCALE   profile docs=${prof.getLong(0)} toks=${prof.getLong(1)} " +
+      s"cls-hitters=${hitters.size} (${if (profOk) "OK" else "MISS"})")
+    docs.unpersist()
     }
 
     if (on("streaming")) {
