@@ -128,7 +128,7 @@ object Classifier {
           .when(l.getField("fpos") > r.getField("fpos"), 1)
           .otherwise(0)),
       s => s.getField("m"))
-    val scoresArr = array(pri.map { case (label, prior, llh0) =>
+    val scoresArr = array(pri.toIndexedSeq.map { case (label, prior, llh0) =>
       struct(
         round(lit(prior) + aggregate(col("ms"),
           lit(0.0),

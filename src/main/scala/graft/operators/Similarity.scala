@@ -81,7 +81,7 @@ object Similarity {
 
     val selected =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Float])]
-    val pool = scala.collection.mutable.ArrayBuffer(cands: _*)
+    val pool = scala.collection.mutable.ArrayBuffer.from(cands)
     while (selected.size < k && pool.nonEmpty) {
       val best = pool.zipWithIndex.map { case ((id, rel, vec), i) =>
         val maxSim = if (selected.isEmpty) 0.0

@@ -64,7 +64,7 @@ class FreqSketchSpec extends SparkSpec {
     val data = Seq("b", "b", "b", "a", "a", "c").toDF("x")
     val arr = data.agg(mg_items(mg_agg(col("x"), 16)).as("items"))
       .select(explode(col("items")).as("s"))
-      .select("s.item", "s.est").as[(String, Long)].collect.toSeq
+      .select("s.item", "s.est").as[(String, Long)].collect().toSeq
     assert(arr === Seq(("b", 3L), ("a", 2L), ("c", 1L)))
   }
 
@@ -89,7 +89,7 @@ class FreqSketchSpec extends SparkSpec {
       .toSeq.sortBy { case (k, c) => (-c, k) }
     for (parts <- Seq(1, 8)) {
       val got = TextAnalysis.heavyHitters(docs.repartition(parts), "text", cap)
-        .as[(String, Long)].collect.toSeq
+        .as[(String, Long)].collect().toSeq
       assert(got === want, s"parts=$parts")
     }
   }

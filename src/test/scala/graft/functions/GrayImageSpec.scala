@@ -38,7 +38,7 @@ class GrayImageSpec extends SparkSpec {
     val got = Seq(Tuple1(px)).toDF("px")
       .select(explode(gray_patch_stats(2, col("px"), lit(4), lit(2))).as("s"))
       .select("s.py", "s.px", "s.mean", "s.std")
-      .as[(Int, Int, Double, Double)].collect.toSeq
+      .as[(Int, Int, Double, Double)].collect().toSeq
     def stats(vs: Seq[Int]) = {
       val mean = vs.sum / 4.0
       (r6(mean), r6(math.sqrt(vs.map(v => v.toLong * v).sum / 4.0 - mean * mean)))
@@ -54,7 +54,7 @@ class GrayImageSpec extends SparkSpec {
     val df = Seq((7L, Array[Byte](100, 200.toByte))).toDF("doc_id", "content")
     val got = Multimodal.patchFeatures(df, "doc_id", "content",
         w = 2, h = 2, outW = 2, outH = 2, p = 2)
-      .as[(Long, Int, Int, Double, Double)].collect.toSeq
+      .as[(Long, Int, Int, Double, Double)].collect().toSeq
     val mean = (100 + 200 + 100 + 200) / 4.0
     val std = r6(math.sqrt((100L * 100 * 2 + 200L * 200 * 2) / 4.0 - mean * mean))
     assert(got === Seq((7L, 0, 0, r6(mean), std)))
@@ -71,7 +71,7 @@ class GrayImageSpec extends SparkSpec {
     val got = Seq(Tuple1(bytes)).toDF("c")
       .select(explode(pcm16_frames(2, col("c"))).as("f"))
       .select("f.frame", "f.n", "f.rms", "f.zcr", "f.peak")
-      .as[(Int, Int, Double, Int, Int)].collect.toSeq
+      .as[(Int, Int, Double, Int, Int)].collect().toSeq
     val rms0 = r6(math.sqrt((100.0 * 100 + 200.0 * 200) / 2))
     val rms1 = r6(math.sqrt(49.0 / 2))
     assert(got === Seq(
@@ -89,7 +89,7 @@ class GrayImageSpec extends SparkSpec {
     val df = Seq((1L, Array[Byte](0))).toDF("doc_id", "content")
     val got = Multimodal.patchFeatures(df, "doc_id", "content",
         2, 2, 2, 2, 2, decoder = Inverter)
-      .as[(Long, Int, Int, Double, Double)].collect.head
+      .as[(Long, Int, Int, Double, Double)].collect().head
     assert(got._4 === 255.0 && got._5 === 0.0)
   }
 }

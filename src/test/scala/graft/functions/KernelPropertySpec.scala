@@ -140,7 +140,7 @@ class KernelPropertySpec extends SparkSpec {
       val got = Seq(Tuple1(bytes)).toDF("c")
         .select(explode(pcm16_frames(frameLen, col("c"))).as("f"))
         .select("f.frame", "f.n", "f.rms", "f.zcr", "f.peak")
-        .as[(Int, Int, Double, Int, Int)].collect.toSeq
+        .as[(Int, Int, Double, Int, Int)].collect().toSeq
       val want = samples.grouped(frameLen).zipWithIndex.map { case (fr, i) =>
         val zcr = fr.sliding(2).count(p => p.size == 2 && p(0).toLong * p(1) < 0)
         (i, fr.size, r6(math.sqrt(fr.map(s => s.toLong * s).sum.toDouble / fr.size)),
@@ -193,7 +193,7 @@ class KernelPropertySpec extends SparkSpec {
           gray_resize(ow, oh, gray_decode(TileDecoder, col("c"), lit(w), lit(h)),
             lit(w), lit(h)), lit(ow), lit(oh))).as("s"))
         .select("s.py", "s.px", "s.mean", "s.std")
-        .as[(Int, Int, Double, Double)].collect.toSeq
+        .as[(Int, Int, Double, Double)].collect().toSeq
       assert(got === want, s"w=$w h=$h content=${content.toSeq}")
     }
   }

@@ -35,13 +35,13 @@ class ClassifierSpec extends SparkSpec {
     // class a: 6 features (cat,cat,"cat cat" / cat,dog,"cat dog"), class b: 3
     def llhA(n: Long) = r(math.log((n + k) / (6 + k * B)), 6)
     def llhB(n: Long) = r(math.log((n + k) / (3 + k * B)), 6)
-    val m = model.as[(String, Long, Double)].collect
+    val m = model.as[(String, Long, Double)].collect()
       .map(t => (t._1, t._2) -> t._3).toMap
     assert(m(("a", bucket("cat", B))) === llhA(3))
     assert(m(("a", bucket("dog", B))) === llhA(1))
     assert(m(("b", bucket("dog", B))) === llhB(2))
     assert(m.get(("b", bucket("cat", B))).isEmpty) // unseen in class b
-    val p = priors.as[(String, Double, Double)].collect
+    val p = priors.as[(String, Double, Double)].collect()
       .map(t => t._1 -> ((t._2, t._3))).toMap
     assert(p("a") === ((r(math.log(2.0 / 3), 6), llhA(0))))
     assert(p("b") === ((r(math.log(1.0 / 3), 6), llhB(0))))
@@ -49,7 +49,7 @@ class ClassifierSpec extends SparkSpec {
     // score "cat dog": features [cat, dog, "cat dog"]
     val got = Classifier.nbScore(Seq((9L, "cat dog")).toDF("doc_id", "text"),
         "doc_id", "text", model, priors, B)
-      .as[(Long, String, Double)].collect.toSeq
+      .as[(Long, String, Double)].collect().toSeq
     val sa = r(p("a")._1 + (llhA(3) + llhA(1) + llhA(1)), 4)
     val sb = r(p("b")._1 + (llhB(0) + llhB(2) + llhB(0)), 4)
     assert(sa > sb)
@@ -64,7 +64,7 @@ class ClassifierSpec extends SparkSpec {
     val (model, priors) = Classifier.nbTrain(train, "doc_id", "text", "lang", B)
     val got = Classifier.nbScore(Seq((5L, "z")).toDF("doc_id", "text"),
         "doc_id", "text", model, priors, B)
-      .as[(Long, String, Double)].collect.toSeq
+      .as[(Long, String, Double)].collect().toSeq
     assert(got.head._2 === "a9") // equal scores, smaller label wins
   }
 
@@ -131,7 +131,7 @@ class ClassifierSpec extends SparkSpec {
       val df = docs.toDF("doc_id", "text", "y").repartition(parts)
       val got = Classifier.lrTrain(df, "doc_id", "text", col("y") === 1L,
           buckets = B, iters = 4, learnRate = 0.5)
-        .select("b", "w_nano").as[(Long, Long)].collect
+        .select("b", "w_nano").as[(Long, Long)].collect()
         .map { case (b, w) => (b + 1).toInt -> w }.toMap
       val gotArr = Array.tabulate(B + 1)(i => got(i))
       assert(gotArr.toSeq === serial.toSeq, s"parts=$parts diverged")
@@ -163,9 +163,9 @@ class ClassifierSpec extends SparkSpec {
     model.write.mode("overwrite").parquet(dir)
     val back = spark.read.parquet(dir)
     val a = Classifier.lrScore(docs, "doc_id", "text", model, 128)
-      .orderBy("doc_id").as[(Long, Double, Double, Int)].collect.toSeq
+      .orderBy("doc_id").as[(Long, Double, Double, Int)].collect().toSeq
     val b = Classifier.lrScore(docs, "doc_id", "text", back, 128)
-      .orderBy("doc_id").as[(Long, Double, Double, Int)].collect.toSeq
+      .orderBy("doc_id").as[(Long, Double, Double, Int)].collect().toSeq
     assert(a === b)
   }
 }

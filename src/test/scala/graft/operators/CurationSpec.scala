@@ -382,7 +382,7 @@ class CurationSpec extends SparkSpec {
   test("epochShuffle: a true permutation, epoch-distinct, partitioning-free") {
     val docs = spark.range(0, 500).selectExpr("id AS doc_id")
     val e1 = Curation.epochShuffle(docs, "doc_id", epoch = 1, nShards = 8)
-      .as[(Long, Int, Int)].collect.toSeq.sorted
+      .as[(Long, Int, Int)].collect().toSeq.sorted
     // every doc exactly once; within-shard positions are 1..count
     assert(e1.map(_._1).distinct.size === 500)
     e1.groupBy(_._2).foreach { case (_, rows) =>
@@ -390,11 +390,11 @@ class CurationSpec extends SparkSpec {
     }
     // reproducible and independent of input partitioning
     val e1b = Curation.epochShuffle(docs.repartition(7), "doc_id", 1, 8)
-      .as[(Long, Int, Int)].collect.toSeq.sorted
+      .as[(Long, Int, Int)].collect().toSeq.sorted
     assert(e1b === e1)
     // a different epoch yields a different order (avalanche)
     val e2 = Curation.epochShuffle(docs, "doc_id", epoch = 2, nShards = 8)
-      .as[(Long, Int, Int)].collect.toSeq.sorted
+      .as[(Long, Int, Int)].collect().toSeq.sorted
     assert(e2 !== e1)
   }
 
@@ -407,7 +407,7 @@ class CurationSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val got = Curation.lengthBatches(docs, "doc_id", "text",
         binWidth = 64, maxLen = 256, batchSize = 2)
-      .as[(Long, Int, Int, Int, Long)].collect
+      .as[(Long, Int, Int, Int, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     assert(got(1L) === ((10, 64, 0, 54L)))
     assert(got(2L)._2 === 64 && got(2L)._4 === 0L)
@@ -418,7 +418,7 @@ class CurationSpec extends SparkSpec {
     val batches = Curation.lengthBatches(many, "doc_id", "text",
         binWidth = 64, maxLen = 256, batchSize = 2)
       .groupBy("bin", "batch_id").agg(count(lit(1)).as("n"))
-      .as[(Int, Int, Long)].collect.toSeq
+      .as[(Int, Int, Long)].collect().toSeq
     assert(batches.size === 10 && batches.forall(_._3 === 2L))
   }
 }

@@ -22,7 +22,7 @@ class DsirSpec extends SparkSpec {
       (3L, "apple banana dog cat")).toDF("doc_id", "text")
     val target = Seq((0L, "apple banana apple")).toDF("doc_id", "text")
     val w = Curation.dsirLogRatios(raw, "doc_id", "text", target, "text")
-      .orderBy("doc_id").as[(Long, Long, Double)].collect.toSeq
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
     val byId = w.map(r => r._1 -> r._3).toMap
     assert(byId(1L) > byId(3L) && byId(3L) > byId(2L),
       s"expected target-like > mixed > off-target, got $byId")
@@ -44,7 +44,7 @@ class DsirSpec extends SparkSpec {
       1L -> (3L, sum4(lnr(2, 1), lnr(2, 1), lnr(1, 0))),
       2L -> (1L, sum4(lnr(1, 0))))
     val got = Curation.dsirLogRatios(raw, "doc_id", "text", target, "text")
-      .as[(Long, Long, Double)].collect.map(r => r._1 -> ((r._2, r._3))).toMap
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got === want)
   }
 
@@ -63,10 +63,10 @@ class DsirSpec extends SparkSpec {
     val target = docs.filter(col("source").isin("src0", "src1"))
     def run() = Curation.dsirSample(docs, "doc_id", "text", target, "text", m = 20)
     val r1 = run().orderBy("doc_id")
-      .as[(Long, Long, Double, Double)].collect.toSeq
+      .as[(Long, Long, Double, Double)].collect().toSeq
     assert(r1.length === 20)
     assert(r1 === run().orderBy("doc_id")
-      .as[(Long, Long, Double, Double)].collect.toSeq)
+      .as[(Long, Long, Double, Double)].collect().toSeq)
     // every selected gumbel_score >= every unselected one (ties broken by
     // doc_id, so compare on the score alone with >=)
     val selectedIds = r1.map(_._1).toSet
@@ -76,7 +76,7 @@ class DsirSpec extends SparkSpec {
     val scoredAll = all.withColumn("gumbel_score",
         round(col("dsir_logratio") + round(-log(-log(u)), 6), 4))
       .select("doc_id", "gumbel_score")
-      .as[(Long, Double)].collect.toSeq
+      .as[(Long, Double)].collect().toSeq
     val selMin = scoredAll.filter(r => selectedIds(r._1)).map(_._2).min
     val unselMax = scoredAll.filterNot(r => selectedIds(r._1)).map(_._2).max
     assert(selMin >= unselMax)

@@ -23,7 +23,7 @@ class SemDedupSpec extends SparkSpec {
     // must resolve to the SMALLER cid
     val c = cents(0 -> Seq(1f, 0f), 1 -> Seq(0f, 1f), 2 -> Seq(1f, 0f))
     val got = SemDedup.assign(e, "id", "v", c)
-      .orderBy("id").as[(Long, Int)].collect.toSeq
+      .orderBy("id").as[(Long, Int)].collect().toSeq
     assert(got === Seq((0L, 0), (1L, 1), (2L, 1)))
   }
 
@@ -38,7 +38,7 @@ class SemDedupSpec extends SparkSpec {
     val c = cents(0 -> Seq(1f, 0f), 1 -> Seq(0f, 1f))
     val asg = SemDedup.assign(e, "id", "v", c)
     val p = SemDedup.pairs(e, "id", "v", asg, eps = 0.9)
-      .select("id_a", "id_b").as[(Long, Long)].collect.toSet
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(!p.contains((10L, 11L)),
       "cross-cluster pair must be excluded by construction")
     assert(p.contains((20L, 21L)) || p.contains((11L, 20L)) ||
@@ -58,7 +58,7 @@ class SemDedupSpec extends SparkSpec {
       4L -> Seq(0f, 1f, 0.02f))
     val c = cents(0 -> Seq(1f, 0f, 0f), 1 -> Seq(0f, 1f, 0f))
     val got = SemDedup.report(e, "id", "v", c, eps = 0.95)
-      .orderBy("id").as[(Long, Int, Boolean)].collect.toSeq
+      .orderBy("id").as[(Long, Int, Boolean)].collect().toSeq
     assert(got === Seq(
       (2L, 1, true), (3L, 0, true), (4L, 1, false), (5L, 0, false),
       (7L, 0, true), (9L, 0, false)))
@@ -71,14 +71,14 @@ class SemDedupSpec extends SparkSpec {
     val asg = SemDedup.assign(embs, "vec_id", "embedding", c)
     val got = SemDedup.pairs(embs, "vec_id", "embedding", asg, eps = 0.4)
       .select("id_a", "id_b", "cos")
-      .as[(Long, Long, Double)].collect.toSet
+      .as[(Long, Long, Double)].collect().toSet
     val sameCluster = asg.select(col("id").as("id_a"), col("cid").as("ca"))
       .join(asg.select(col("id").as("id_b"), col("cid").as("cb")),
         col("ca") === col("cb"))
     val want = Dedup.embeddingDupPairsExact(embs, "vec_id", "embedding", 0.4)
       .join(sameCluster, Seq("id_a", "id_b"))
       .select("id_a", "id_b", "cos")
-      .as[(Long, Long, Double)].collect.toSet
+      .as[(Long, Long, Double)].collect().toSet
     assert(got === want)
     assert(got.nonEmpty, "sf0.001 embeddings must contain within-cluster near-dups")
   }
@@ -91,7 +91,7 @@ class SemDedupSpec extends SparkSpec {
       val embs = graft.Tables.embeddings(spark, sfDir)
       def run() = SemDedup.reportKMeans(embs, "vec_id", "embedding",
         Seq(s"$sfDir/embeddings.parquet"), k = 8, iterations = 2, eps = 0.4)
-      val r1 = run().orderBy("id").as[(Long, Int, Boolean)].collect.toSeq
+      val r1 = run().orderBy("id").as[(Long, Int, Boolean)].collect().toSeq
       assert(r1.length === embs.count())
       assert(r1.exists(!_._3), "the corpus's near-dups must drop someone")
       // keep flags re-derive from the pair graph: keep iff the id IS its
@@ -106,7 +106,7 @@ class SemDedupSpec extends SparkSpec {
       assert(mismatch.isEmpty,
         "keep must equal (id == min-id label of its near-dup group)")
       // second run resolves from the catalog: byte-identical output
-      val r2 = run().orderBy("id").as[(Long, Int, Boolean)].collect.toSeq
+      val r2 = run().orderBy("id").as[(Long, Int, Boolean)].collect().toSeq
       assert(r1 === r2)
     } finally {
       spark.conf.unset("spark.graft.index.root")

@@ -267,9 +267,9 @@ class SimilaritySpec extends SparkSpec {
     import spark.implicits._
     val embs = Tables.embeddings(spark, sfDir)
     val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0, 10)
-      .as[(Long, Double)].collect.toSeq
+      .as[(Long, Double)].collect().toSeq
     val mmr = Similarity.mmrTopK(embs, "vec_id", "embedding", 0, 10, lambda = 1.0)
-      .orderBy("rank").as[(Int, Long, Double)].collect.toSeq
+      .orderBy("rank").as[(Int, Long, Double)].collect().toSeq
     assert(mmr.map(t => (t._2, t._3)) === brute)
     assert(mmr.map(_._1) === (1 to 10))
   }
@@ -292,11 +292,11 @@ class SimilaritySpec extends SparkSpec {
       }))
     val embs = rows.toDF("vec_id", "embedding")
     val plain = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0, 4)
-      .as[(Long, Double)].collect.map(_._1).toSet
+      .as[(Long, Double)].collect().map(_._1).toSet
     assert(plain === Set(1L, 2L, 3L, 4L))  // all near-dups
     val mmr = Similarity.mmrTopK(embs, "vec_id", "embedding", 0, 4,
         lambda = 0.5, candidateFactor = 3)
-      .as[(Int, Long, Double)].collect.map(_._2)
+      .as[(Int, Long, Double)].collect().map(_._2)
     // first pick is still the most relevant; later picks escape the
     // near-dup cluster (penalty ~1.0 within it vs ~0.7 across)
     assert(mmr.head === 1L)
@@ -304,7 +304,7 @@ class SimilaritySpec extends SparkSpec {
     // deterministic rerun
     val rerun = Similarity.mmrTopK(embs, "vec_id", "embedding", 0, 4,
         lambda = 0.5, candidateFactor = 3)
-      .as[(Int, Long, Double)].collect.map(_._2)
+      .as[(Int, Long, Double)].collect().map(_._2)
     assert(rerun.toSeq === mmr.toSeq)
   }
 }

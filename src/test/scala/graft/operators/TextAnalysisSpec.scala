@@ -179,7 +179,7 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, "hi")       // < 3 tokens: zero trigrams
     ).toDF("doc_id", "text")
     val got = TextAnalysis.trigramBackoff(train, score, "doc_id", "text")
-      .as[(Long, Long, Double)].collect.map(t => t._1 -> ((t._2, t._3))).toMap
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
     assert(got(1L) === ((1L, 0.0)))
     assert(got(2L) === ((1L, r(r(math.log(0.4 * 1 / 1.0), 6) / 1, 4))))
     assert(got(3L) === ((1L,

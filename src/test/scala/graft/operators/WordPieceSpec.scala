@@ -15,7 +15,7 @@ class WordPieceSpec extends SparkSpec {
     val out = WordPiece.encode(docs, "doc_id", "text",
         vocab.toDF("piece"))
       .orderBy("doc_id").select("pieces")
-      .as[Seq[String]].collect.toSeq
+      .as[Seq[String]].collect().toSeq
     out
   }
 
@@ -75,12 +75,12 @@ class WordPieceSpec extends SparkSpec {
       prefixFree = true)
     val top = vocab
       .filter(length(col("piece")) > 1 && !col("piece").startsWith("##"))
-      .select("piece").as[String].collect.toSet
+      .select("piece").as[String].collect().toSet
     val out = WordPiece.encode(docs, "doc_id", "text", vocab)
       .join(docs.select(col("doc_id"),
         filter(TextOps.tokens(col("text")), w => length(w) > 0).as("toks")),
         "doc_id")
-      .as[(Long, Int, Seq[String], Seq[String])].collect
+      .as[(Long, Int, Seq[String], Seq[String])].collect()
     out.foreach { case (id, n, _, toks) =>
       val want = toks.map(w => if (top(w)) 1 else w.length).sum
       assert(n === want, s"doc $id")
@@ -91,7 +91,7 @@ class WordPieceSpec extends SparkSpec {
     val docs = Seq((1L, "play played player note note note")).toDF("doc_id", "text")
     val pieces = WordPiece.charWordVocab(docs, "text", topWords = 10,
         prefixFree = true)
-      .select("piece").as[String].collect.toSet
+      .select("piece").as[String].collect().toSet
     assert(pieces.contains("note") && pieces.contains("played")
       && pieces.contains("player"))
     assert(!pieces.contains("play"), "play prefixes played/player")

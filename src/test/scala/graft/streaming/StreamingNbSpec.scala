@@ -17,9 +17,9 @@ class StreamingNbSpec extends SparkSpec {
     rows.toDF("doc_id", "text", "lang")
 
   private def modelRows(m: DataFrame) =
-    m.as[(String, Long, Double)].collect.toSeq.sorted
+    m.as[(String, Long, Double)].collect().toSeq.sorted
   private def priorRows(p: DataFrame) =
-    p.as[(String, Double, Double)].collect.toSeq.sorted
+    p.as[(String, Double, Double)].collect().toSeq.sorted
 
   test("streamed counts derive a model BIT-IDENTICAL to batch nbTrain") {
     val log = Files.createTempDirectory("snb_log").toString + "/data"
@@ -78,7 +78,7 @@ class StreamingNbSpec extends SparkSpec {
     val (m, p) = StreamingNb.currentModel(spark, dir, B)
     val test0 = docs(Seq((900L, "alpha", "?"), (901L, "beta", "?")))
     val got = Classifier.nbScore(test0, "doc_id", "text", m, p, B)
-      .as[(Long, String, Double)].collect.map(t => t._1 -> t._2).toMap
+      .as[(Long, String, Double)].collect().map(t => t._1 -> t._2).toMap
     assert(got === Map(900L -> "pos", 901L -> "neg"))
   }
 }
