@@ -97,6 +97,11 @@ object PipelineQueries {
     s"((CAST(CASE WHEN $u >= 9223372036854775808 THEN $u - 18446744073709551616 " +
       s"ELSE $u END AS BIGINT) % $m) + $m) % $m"
 
+  /** [[dHashMod]] with a column/expression modulus (callers parenthesize). */
+  private def dHashModCol(u: String, m: String) =
+    s"((CAST(CASE WHEN $u >= 9223372036854775808 THEN $u - 18446744073709551616 " +
+      s"ELSE $u END AS BIGINT) % $m) + $m) % $m"
+
   /** DuckDB replication of the DSIR hashed-feature model
     * ([[graft.operators.Curation.dsirLogRatios]]): unigram+bigram features
     * per document in position order (one concatenated list — position IS
@@ -1996,6 +2001,77 @@ object PipelineQueries {
         "CAST(CASE WHEN v2 * v3 < 0 THEN 1 ELSE 0 END AS INTEGER), " +
         "CAST(greatest(abs(v2), abs(v3)) AS INTEGER) FROM v) " +
         "ORDER BY doc_id, frame")),
+
+    // ---- objective-shaping augmentations (operators/Augment): FIM/PSM
+    // reorder and T5 span corruption, split points content-addressed from
+    // md5(tag|doc_id) — deterministic, shard-order-free, and therefore
+    // SQL-replicable end-to-end (split arithmetic included). ----
+    ("ns_curate_fim",
+      (s: SparkSession, d: String) => {
+        import graft.operators.Augment
+        Augment.fim(Tables.documents(s, d), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("WITH tk AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t, " +
+        "CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INTEGER) " +
+        "AS n FROM documents), " +
+        "h1 AS (SELECT tk.*, CAST(" + dHashModCol("u1", "(n + 1)") + " AS INTEGER) " +
+        "AS s1 FROM (SELECT tk.*, " +
+        "md5_number_lower('fim1|' || CAST(doc_id AS VARCHAR)) AS u1 FROM tk) tk), " +
+        "h2 AS (SELECT h1.*, CAST(s1 + " + dHashModCol("u2", "(n - s1 + 1)") +
+        " AS INTEGER) AS s2 FROM (SELECT h1.*, " +
+        "md5_number_lower('fim2|' || CAST(doc_id AS VARCHAR)) AS u2 FROM h1) h1) " +
+        "SELECT doc_id, CAST(n AS INTEGER) AS n_tokens, s1, s2, " +
+        "regexp_replace(trim(concat_ws(' ', '<PRE>', " +
+        "array_to_string(t[1:s1], ' '), " +
+        "'<SUF>', array_to_string(t[s2+1:n], ' '), " +
+        "'<MID>', array_to_string(t[s1+1:s2], ' '))), ' +', ' ', 'g') " +
+        "AS fim_text " +
+        "FROM h2 ORDER BY doc_id")),
+
+    ("ns_curate_span_corrupt",
+      (s: SparkSession, d: String) => {
+        import graft.operators.Augment
+        Augment.spanCorrupt(Tables.documents(s, d), "doc_id", "text",
+            nSpans = 2, spanLen = 3)
+          .orderBy("doc_id")
+      },
+      Some("WITH tk AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t, " +
+        "CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INTEGER) " +
+        "AS n FROM documents), " +
+        // window 0 = [0, n//2), window 1 = [n//2, n); span_i of up to 3
+        // tokens at lo + h % (wlen - len + 1)
+        "sp AS (SELECT tk.*, " +
+        "CAST(CASE WHEN (n // 2) >= 1 THEN least(3, n // 2) ELSE 0 END " +
+        "AS INTEGER) AS ln0, " +
+        "CAST(CASE WHEN (n // 2) >= 1 THEN " + dHashModCol("u0",
+          "greatest((n // 2) - least(3, n // 2) + 1, 1)") +
+        " ELSE 0 END AS INTEGER) AS st0, " +
+        "CAST(CASE WHEN (n - n // 2) >= 1 THEN least(3, n - n // 2) ELSE 0 END " +
+        "AS INTEGER) AS ln1, " +
+        "CAST((n // 2) + CASE WHEN (n - n // 2) >= 1 THEN " + dHashModCol("u1",
+          "greatest((n - n // 2) - least(3, n - n // 2) + 1, 1)") +
+        " ELSE 0 END AS INTEGER) AS st1 " +
+        "FROM (SELECT tk.*, " +
+        "md5_number_lower('sc0|' || CAST(doc_id AS VARCHAR)) AS u0, " +
+        "md5_number_lower('sc1|' || CAST(doc_id AS VARCHAR)) AS u1 FROM tk) tk) " +
+        "SELECT doc_id, CAST(n AS INTEGER) AS n_tokens, " +
+        "regexp_replace(trim(concat_ws(' ', " +
+        "array_to_string(t[1:st0], ' '), " +
+        "CASE WHEN ln0 > 0 THEN '<X_0>' ELSE '' END, " +
+        "array_to_string(t[st0+ln0+1:st1], ' '), " +
+        "CASE WHEN ln1 > 0 THEN '<X_1>' ELSE '' END, " +
+        "array_to_string(t[st1+ln1+1:n], ' '))), ' +', ' ', 'g') " +
+        "AS inputs_text, " +
+        "regexp_replace(trim(concat_ws(' ', " +
+        "CASE WHEN ln0 > 0 THEN '<X_0>' ELSE '' END, " +
+        "array_to_string(t[st0+1:st0+ln0], ' '), " +
+        "CASE WHEN ln1 > 0 THEN '<X_1>' ELSE '' END, " +
+        "array_to_string(t[st1+1:st1+ln1], ' '))), ' +', ' ', 'g') " +
+        "AS targets_text " +
+        "FROM sp ORDER BY doc_id")),
 
     // ---- WordPiece greedy encode against a char + top-50-word corpus
     // vocabulary, PREFIX-FREE (top words that prefix another token are
