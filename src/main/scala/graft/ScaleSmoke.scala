@@ -494,6 +494,29 @@ object ScaleSmoke {
     println(s"SCALE   wordpiece pieces=$wpGot expected=$wpWant " +
       s"(${if (wpGot == wpWant) "EXACT" else "MISS"})")
 
+    // augmentations: exact token conservation at scale — FIM emits
+    // n + 3 tokens per doc (3 sentinels, empties collapse), span
+    // corruption emits n + 2·2 across inputs+targets (both windows
+    // host a span at 31 tokens/doc)
+    import graft.operators.Augment
+    val fimToks = t("augment_fim")(
+      Augment.fim(docs, "doc_id", "text")
+        .select(size(org.apache.spark.sql.functions.split(col("fim_text"), " "))
+          .cast("long").as("k"))
+        .agg(sum("k")).head().getLong(0))
+    val fimOk = fimToks == (31L + 3L) * n
+    println(s"SCALE   fim tokens=$fimToks expected=${(31L + 3L) * n} " +
+      s"(${if (fimOk) "EXACT" else "MISS"})")
+    val scToks = t("augment_span_corrupt")(
+      Augment.spanCorrupt(docs, "doc_id", "text")
+        .select((size(org.apache.spark.sql.functions.split(col("inputs_text"), " ")) +
+          size(org.apache.spark.sql.functions.split(col("targets_text"), " ")))
+          .cast("long").as("k"))
+        .agg(sum("k")).head().getLong(0))
+    val scOk = scToks == (31L + 4L) * n
+    println(s"SCALE   span-corrupt tokens=$scToks expected=${(31L + 4L) * n} " +
+      s"(${if (scOk) "EXACT" else "MISS"})")
+
     val card = t("corpus_report")(
       Curation.corpusReport(docs, "doc_id", "text", "lang", "lang",
         "n_chars").collect().head)
