@@ -170,6 +170,8 @@ case class MgMergeAgg(child: Expression, capacity: Int = 256,
                       inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[MgKernels.MgBuffer] {
 
+  require(capacity > 0, s"capacity must be positive, got $capacity")
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType

@@ -158,7 +158,10 @@ case class GrayPatchStats(p: Int, first: Expression,
         while (dy < p) {
           var dx = 0
           while (dx < p) {
-            val v = px((py * p + dy) * w + (pxi * p + dx)) & 0xFF
+            // buffer shorter than declared w*h (corrupt row / mismatched
+            // dims): read 0, like gray_resize's si < px.length degrade
+            val si = (py * p + dy) * w + (pxi * p + dx)
+            val v = if (si < px.length) px(si) & 0xFF else 0
             sum += v; sumSq += v.toLong * v
             dx += 1
           }

@@ -55,9 +55,14 @@ object WordPiece {
     * matches that prefix first (e.g. top word `w12` inside `w1234` →
     * `[w12, ##3, ##4]`, 3 pieces, not 4) — the 1 M ScaleSmoke caught
     * exactly this, where sf0.01 had no prefix collisions by luck. The
-    * filter is a broadcast non-equi anti-join of the small top-word set
-    * against the distinct-token relation (verification-regime helper; a
-    * general vocab keeps prefixes and drops the closed form).
+    * collision test is phrased as an EQUI-join: corpus tokens emit their
+    * proper prefixes at exactly the lengths present in the top-word set
+    * (≤ topWords distinct lengths), and those prefixes semi-join the
+    * broadcast top-word relation — the corpus-sized side streams. (A
+    * naive `startsWith` anti-join would be a BroadcastNestedLoopJoin
+    * forced to build the corpus-wide distinct-token relation.) This is a
+    * verification-regime helper; a general vocab keeps prefixes and drops
+    * the closed form.
     */
   def charWordVocab(docs: DataFrame, textCol: String, topWords: Int,
                     prefixFree: Boolean = false): DataFrame = {
@@ -69,10 +74,21 @@ object WordPiece {
     val words =
       if (!prefixFree) words0
       else {
-        val others = toks.select(col("w").as("o")).distinct()
-        words0.join(others,
-          col("o") =!= col("w") && col("o").startsWith(col("w")),
-          "left_anti")
+        // lengths present in the top-word set: ≤ topWords values, a
+        // bounded planning collect
+        val lens = words0.select(length(col("w")).as("l")).distinct()
+          .collect().map(_.getInt(0))
+        if (lens.isEmpty) words0
+        else {
+          val colliding = toks.select(col("w").as("o")).distinct()
+            .select(col("o"),
+              explode(array(lens.toSeq.map(l => lit(l)): _*)).as("l"))
+            .filter(length(col("o")) > col("l")) // PROPER prefix ⇒ o ≠ w
+            .select(col("o").substr(lit(1), col("l")).as("p")).distinct()
+            .join(broadcast(words0), col("p") === col("w"), "left_semi")
+          words0.join(broadcast(colliding), col("w") === col("p"),
+            "left_anti")
+        }
       }
     val chars = toks
       .select(explode(split(col("w"), "")).as("c"))

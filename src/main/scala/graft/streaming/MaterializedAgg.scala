@@ -94,7 +94,7 @@ object MaterializedAgg {
     */
   def read(spark: SparkSession, targetDir: String, keyCols: Seq[String],
            valueCols: Seq[String]): DataFrame =
-    spark.read.parquet(targetDir)
+    PartialLog.readRecovered(spark, targetDir)
       .groupBy(keyCols.map(col): _*)
       .agg(sum("cnt").as("cnt"),
         valueCols.map(v => sum(s"sum_$v").as(s"sum_$v")): _*)

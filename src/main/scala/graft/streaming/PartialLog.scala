@@ -67,6 +67,21 @@ private[streaming] object PartialLog {
       .write.mode("overwrite").parquet(s"$targetDir/__batch=b$batchId")
   }
 
+  /** Read the partial log after replaying any interrupted compaction.
+    * Read-only consumers MUST come through here rather than
+    * `spark.read.parquet` directly: a crash mid-compaction can leave the
+    * source partitions deleted with the staged fold still waiting in
+    * `__agg_staging/` (rename pending, `_SUCCESS` present), and a raw read
+    * of that window silently undercounts until the next writer runs
+    * recovery.
+    */
+  def readRecovered(spark: SparkSession, targetDir: String): DataFrame = {
+    val fs = new Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(fs, targetDir)
+    spark.read.parquet(targetDir)
+  }
+
   /** Fold every batch partition into one via the caller's associative
     * `fold` of the merged view; manifest-arbitrated (crash-recoverable).
     */

@@ -18,11 +18,14 @@ import org.apache.spark.sql.types._
   * nano-grid, residuals on the micro-grid, every distributed sum an exact
   * `long` sum — so the weight sequence is a PURE FUNCTION of the batch
   * sequence (bit-identical to stepping the batches serially, any
-  * per-batch partitioning; spec-pinned). Redelivery is idempotent by the
-  * [[StreamingPack]] state-log argument: batch `b` recomputes from the
-  * newest state with `batch_id < b` and overwrites its own append with
-  * identical bytes; the log auto-compacts past 16 files (keep 2 = the
-  * redelivery window).
+  * per-batch partitioning; spec-pinned). Redelivery is idempotent in
+  * VALUE, not in bytes: batch `b` recomputes from the newest state with
+  * `batch_id < b` and appends a duplicate state row with the identical
+  * weight vector (mode "append"), so the log may briefly hold several
+  * value-identical rows per batch id — harmless because [[readWeights]]
+  * takes `limit(1)` of the newest and duplicates compare equal. The log
+  * auto-compacts down to the 8 newest rows once it exceeds 16 files
+  * (redelivery only ever needs the previous row).
   *
   * Per-batch scale shape: one zero-shuffle codegen'd margin pass
   * ([[graft.functions.BucketWeightSum]]) over the batch + one bucket-keyed

@@ -69,7 +69,7 @@ object StreamingNb {
   def currentModel(spark: SparkSession, countsDir: String,
                    buckets: Int = 4096,
                    smoothK: Double = 0.5): (DataFrame, DataFrame) = {
-    val merged = spark.read.parquet(countsDir)
+    val merged = PartialLog.readRecovered(spark, countsDir)
       .groupBy("label", "b").agg(sum("n").cast("long").as("n"))
     val totals = merged.filter(col("b") >= 0)
       .groupBy("label").agg(sum("n").as("t"))

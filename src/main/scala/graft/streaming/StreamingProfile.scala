@@ -72,7 +72,7 @@ object StreamingProfile {
   def read(spark: SparkSession, profileDir: String,
            capacity: Int = 256, kllK: Int = 200,
            ranks: Seq[Double] = Seq(0.1, 0.5, 0.9)): DataFrame =
-    spark.read.parquet(profileDir)
+    PartialLog.readRecovered(spark, profileDir)
       .agg(sum("n_docs").cast("long").as("n_docs"),
         sum("n_tokens").cast("long").as("n_tokens"),
         mg_merge_agg(col("tok_sketch"), capacity).as("tok_sketch"),

@@ -132,4 +132,33 @@ class MaterializedAggSpec extends SparkSpec {
       expected(all ++ extra ++ Seq(("k1", 0.5))))
     assert(!fs.exists(staging))
   }
+
+  test("read-side recovers an interrupted compaction without a writer") {
+    val tgt = Files.createTempDirectory("ma_tgt4").toString + "/agg"
+    val all = Seq(("k0", 1.0), ("k1", 2.0), ("k0", 3.0), ("k1", 4.0))
+    all.grouped(2).zipWithIndex.foreach { case (rows, id) =>
+      MaterializedAgg.upsertBatch(spark, rows.toDF("k", "v"), id, tgt,
+        Seq("k"), Seq("v"))
+    }
+    MaterializedAgg.compact(spark, tgt, Seq("k"), Seq("v"))
+
+    // crash window: live partition sits renamed-out in staging (manifest
+    // complete, _SUCCESS present), sources already deleted — a raw
+    // spark.read.parquet here would see an EMPTY directory and silently
+    // derive an undercounted aggregate. Pure readers must recover first.
+    val fs = new Path(tgt).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.listStatus(new Path(tgt))
+      .map(_.getPath.getName).find(_.startsWith("__batch=")).get
+    val staging = new Path(tgt + "__agg_staging")
+    fs.mkdirs(staging)
+    fs.rename(new Path(tgt, live), new Path(staging, live))
+    val out = fs.create(new Path(staging, "_SOURCES"), true)
+    out.write("__batch=bghost\n".getBytes("UTF-8")); out.close()
+    fs.createNewFile(new Path(staging, "_SUCCESS"))
+
+    // read() alone (no upsertBatch/compact in between) must see everything
+    assertSame(MaterializedAgg.read(spark, tgt, Seq("k"), Seq("v")),
+      expected(all))
+    assert(!fs.exists(staging))
+  }
 }
