@@ -177,6 +177,28 @@ package object functions {
       unk: String, tokens: Column): Column =
     col(WordPieceEncode(pieces, unk, ex(tokens)))
 
+  /** Viterbi max-likelihood Unigram-LM segmentation of a token array
+    * against a torrent-broadcast `(piece, llp_nano, id)` model
+    * (zero-shuffle tokenization; SentencePiece inference). */
+  def unigram_encode(
+      model: org.apache.spark.broadcast.Broadcast[Array[(String, Long, Int)]],
+      unk: String, tokens: Column): Column =
+    col(UnigramEncode(model, unk, ex(tokens)))
+
+  /** Integer-id sibling of [[unigram_encode]]: the flattened piece-id
+    * stream under the model's dense frequency-sorted assignment. */
+  def unigram_encode_ids(
+      model: org.apache.spark.broadcast.Broadcast[Array[(String, Long, Int)]],
+      unkId: Int, tokens: Column): Column =
+    col(UnigramEncodeIds(model, unkId, ex(tokens)))
+
+  /** One word's Unigram-LM E-step contribution: expected piece counts on
+    * the micro grid as `array<struct<pid, c_micro>>`. */
+  def unigram_expected(
+      model: org.apache.spark.broadcast.Broadcast[Array[(String, Long, Int)]],
+      word: Column, cnt: Column): Column =
+    col(UnigramExpected(model, ex(word), ex(cnt)))
+
   /** Mergeable theta distinct sketch of a string column (`binary` —
     * storable, unionable, intersectable; exact below 2^lgK entries). */
   def theta_agg(c: Column, lgK: Int = 12): Column =

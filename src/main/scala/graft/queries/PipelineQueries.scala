@@ -249,6 +249,7 @@ object PipelineQueries {
     IndexCatalog.ensure(s, "ann-ivfpq", Seq(s"$d/embeddings.parquet"),
       "k=16,m=8,ksub=256")(
       dir => graft.operators.IvfPqIndex.build(embs, "vec_id", "embedding", dir))
+    unigramModel(s, d)
     dupClusterTable(s, d)
     semanticClusterTable(s, d)
   }
@@ -269,6 +270,19 @@ object PipelineQueries {
       v.write.parquet(s"$staging/vocab")
     }
     (s.read.parquet(s"$dir/merges"), s.read.parquet(s"$dir/vocab"))
+  }
+
+  /** The trained Unigram-LM model for `d`'s documents, memoized through
+    * [[IndexCatalog]] — same contract as [[bpeModel]]: EM training is an
+    * indexing step paid once per dataset version, not a per-query cost.
+    */
+  def unigramModel(s: SparkSession, d: String): DataFrame = {
+    val dir = IndexCatalog.ensure(s, "unigram",
+      Seq(s"$d/documents.parquet"), "v=400,len=8,seed=2000,em=4") { staging =>
+      graft.operators.Unigram.train(Tables.documents(s, d), "text")
+        .write.parquet(staging)
+    }
+    s.read.parquet(dir)
   }
 
   /** The near-dup CLUSTER table for `d`'s documents, memoized through
@@ -2114,6 +2128,53 @@ object PipelineQueries {
         "string_agg(p, ' ' ORDER BY pos) AS pieces_text " +
         "FROM pcs GROUP BY doc_id ORDER BY doc_id")),
 
+    // ---- Unigram-LM (SentencePiece) Viterbi encode against the uniform
+    // chars + SUBSTRING-FREE top-50-word vocabulary — under equal piece
+    // probabilities Viterbi = minimal-piece segmentation, and substring
+    // freedom gives it a closed form (vocab word -> 1 piece, any other
+    // word can only segment per character) the oracle replicates exactly.
+    // The trained-model path (EM probabilities, real Viterbi trade-offs)
+    // is pinned by UnigramSpec and audited in ns_text_unigram_audit. ----
+    ("ns_text_unigram_encode",
+      (s: SparkSession, d: String) => {
+        import graft.operators.Unigram
+        val docs = Tables.documents(s, d)
+        Unigram.encode(docs, "doc_id", "text",
+            Unigram.uniformVocab(docs, "text", topWords = 50))
+          .select(col("doc_id"), col("n_pieces"),
+            concat_ws(" ", col("pieces")).as("pieces_text"))
+          .orderBy("doc_id")
+      },
+      Some("WITH tk AS (SELECT doc_id, unnest(t) AS w, " +
+        "generate_subscripts(t, 1) AS pos FROM (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents)), " +
+        "tw AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM tk GROUP BY 1 " +
+        "ORDER BY cnt DESC, w LIMIT 50) t WHERE NOT EXISTS (" +
+        "SELECT 1 FROM (SELECT DISTINCT w AS o FROM tk) d " +
+        "WHERE d.o <> t.w AND contains(d.o, t.w))), " +
+        "ch AS (SELECT doc_id, pos, w, unnest(string_split(w, '')) AS c, " +
+        "generate_subscripts(string_split(w, ''), 1) AS ci FROM tk), " +
+        "pw AS (SELECT doc_id, pos, w, " +
+        "string_agg(c, ' ' ORDER BY ci) AS char_form, count(*) AS n_chars " +
+        "FROM ch GROUP BY 1, 2, 3), " +
+        "pcs AS (SELECT doc_id, pos, " +
+        "CASE WHEN w IN (SELECT w FROM tw) THEN w ELSE char_form END AS p, " +
+        "CASE WHEN w IN (SELECT w FROM tw) THEN 1 ELSE n_chars END AS np " +
+        "FROM pw) " +
+        "SELECT doc_id, CAST(sum(np) AS INTEGER) AS n_pieces, " +
+        "string_agg(p, ' ' ORDER BY pos) AS pieces_text " +
+        "FROM pcs GROUP BY doc_id ORDER BY doc_id")),
+
+    // EM-trained Unigram model (memoized like the BPE model) — rows-only
+    // by design (iterative EM has no SQL form); every training invariant
+    // is driver-checked by ns_text_unigram_audit below.
+    ("ns_text_unigram_vocab",
+      (s: SparkSession, d: String) =>
+        unigramModel(s, d)
+          .select(col("piece"), col("id"), round(col("llp"), 6).as("llp"))
+          .orderBy("id"),
+      None),
+
     // ---- constant-oracle AUDITS: spec-level invariants of the rows-only
     // operators, re-run inside the query and hashed against a
     // constant-true oracle (the ANN-recall pattern generalized). A
@@ -2153,6 +2214,57 @@ object PipelineQueries {
       },
       Some(auditOracleSql(Seq("merges_equal_serial", "encode_conservation",
         "ids_decode_roundtrip")))),
+
+    // Unigram-LM: the distributed EM trainer equals the serial reference
+    // bit-for-bit (the grid-arithmetic claim made measurable); the
+    // trained model's probabilities normalize; Viterbi never scores below
+    // the always-available char segmentation (optimality lower bound,
+    // exact in nano-longs); the id stream decodes back to the pieces.
+    ("ns_text_unigram_audit",
+      (s: SparkSession, d: String) => {
+        import graft.operators.{TextOps, Unigram}
+        val docs = Tables.documents(s, d)
+        val cfg = Unigram.UnigramConfig(vocabSize = 150, maxPieceLen = 4,
+          seedSize = 300, emIters = 2)
+        val words = Bpe.wordCounts(docs, "text")
+        val serial = Unigram.trainLocal(words.collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq, cfg)
+        val emEq = Unigram.trainDistributed(words, cfg).toSeq == serial.toSeq
+
+        val model = unigramModel(s, d)
+        val entries = model.select("piece", "llp_nano", "id").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        val normOk = math.abs(
+          entries.iterator.map(e => math.exp(e._2 / 1e9)).sum - 1.0) <= 1e-4
+
+        val llpOf = entries.map(e => e._1 -> e._2).toMap
+        val pieceOfId = entries.map(e => e._3 -> e._1).toMap
+        val slice = docs.orderBy("doc_id").limit(600)
+        val encoded = Unigram.encode(slice, "doc_id", "text", model)
+          .select("doc_id", "pieces").collect()
+          .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+        val toks = slice.select(col("doc_id"),
+            filter(TextOps.tokens(col("text")), w => length(w) > 0)
+              .as("toks")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        val vitOk = encoded.forall { case (id, pieces) =>
+          val vit = pieces.iterator.map(llpOf).sum // exact nano longs
+          val charBase = toks(id).iterator
+            .flatMap(_.split("").filter(_.nonEmpty)).map(llpOf).sum
+          vit >= charBase
+        }
+        val idsOk = Unigram.encodeIds(slice, "doc_id", "text", model)
+          .select("doc_id", "ids").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Int](1).map(pieceOfId))
+          .toMap == encoded
+        auditDf(s, Seq(
+          "em_equals_serial" -> emEq,
+          "probs_normalized" -> normOk,
+          "viterbi_dominates_char_baseline" -> vitOk,
+          "ids_decode_roundtrip" -> idsOk))
+      },
+      Some(auditOracleSql(Seq("em_equals_serial", "probs_normalized",
+        "viterbi_dominates_char_baseline", "ids_decode_roundtrip")))),
 
     // LR: the distributed trainer's weights equal the serial reference
     // bit-for-bit; scoring thresholds exactly at p >= 0.5.
