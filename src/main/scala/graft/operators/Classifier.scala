@@ -113,6 +113,23 @@ object Classifier {
   def nbScore(docs: DataFrame, idCol: String, textCol: String,
               model: DataFrame, priors: DataFrame,
               buckets: Int = 4096): DataFrame = {
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("label"))
+    nbScores(docs, idCol, textCol, model, priors, buckets)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("label").as("predicted"), col("score"))
+  }
+
+  /** The full per-(document, class) log-posterior table
+    * `(idCol, label, score)` behind [[nbScore]] — the input a
+    * calibration sweep ([[prCurve]]) or a reject-option policy reads.
+    * Same broadcast-pivot plan shape and the same position-ordered fold,
+    * so scores are bit-identical to the argmax path's.
+    */
+  def nbScores(docs: DataFrame, idCol: String, textCol: String,
+               model: DataFrame, priors: DataFrame,
+               buckets: Int = 4096): DataFrame = {
     val pri = priors.select("label", "prior", "llh0").collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)
@@ -136,18 +153,50 @@ object Classifier {
           4).as("score"),
         lit(label).as("label"))
     }: _*)
-    val scored = features(docs, col(idCol), col(textCol), buckets)
+    features(docs, col(idCol), col(textCol), buckets)
       .join(wide, Seq("b"), "left")
       .groupBy("id")
       .agg(sortedM.as("ms"))
       .select(col("id"), posexplode(scoresArr).as(Seq("ord", "sl")))
-      .select(col("id"), col("sl.label").as("label"), col("sl.score").as("score"))
-    val w = Window.partitionBy("id")
-      .orderBy(col("score").desc, col("label"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id").as(idCol), col("label").as("predicted"),
-        col("score"))
+      .select(col("id").as(idCol), col("sl.label").as("label"),
+        col("sl.score").as("score"))
+  }
+
+  /** Threshold-sweep calibration report over any scored binary relation:
+    * one row per DISTINCT score value (descending), with the confusion
+    * counts and precision/recall/F1 of the policy "keep when
+    * score ≥ threshold" — the table a filtering team reads before picking
+    * a keep threshold over [[lrScore]]/[[nbScores]] output.
+    *
+    * Plan shape: one corpus-sized groupBy collapses the input to the
+    * distinct-score relation (bounded by the 4-decimal score grid, NOT
+    * the corpus), then one cumulative window and a broadcast 1-row total
+    * ride that small relation. Ratios divide exact `long` counts and
+    * round to 6; F1 derives from the ROUNDED precision/recall so the
+    * arithmetic is reproducible cross-engine.
+    */
+  def prCurve(scored: DataFrame, scoreCol: String,
+              positive: Column): DataFrame = {
+    val g = scored
+      .select(col(scoreCol).as("thr"), positive.cast("boolean").as("pos"))
+      .groupBy("thr").agg(
+        count(when(col("pos"), 1)).as("np"),
+        count(when(!col("pos"), 1)).as("nn"))
+    val w = Window.orderBy(col("thr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prec = round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+    // guard the degenerate no-positives input (0/0 → NaN would poison f1)
+    val rec = when(col("tpos") > 0,
+      round(col("tp").cast("double") / col("tpos"), 6)).otherwise(lit(0.0))
+    g.crossJoin(broadcast(g.agg(sum("np").as("tpos"))))
+      .withColumn("tp", sum("np").over(w))
+      .withColumn("fp", sum("nn").over(w))
+      .select(col("thr"), col("tp"), col("fp"),
+        (col("tpos") - col("tp")).as("fn"),
+        prec.as("prec"), rec.as("rec"),
+        when(prec + rec > 0,
+          round(lit(2) * prec * rec / (prec + rec), 6))
+          .otherwise(lit(0.0)).as("f1"))
   }
 
   private def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))

@@ -674,6 +674,28 @@ object PipelineQueries {
       },
       None),
 
+    // Driver-visible twin of the rows-only quantized probe. Unlike the
+    // exhaustive `ns_ann_*_recall` audits, int8 quantization is LOSSY by
+    // construction — no parameter makes it reproduce brute force — so the
+    // auditable invariant is the SimilaritySpec recall floor (>= 8 of the
+    // float top-10 survive), stated as a constant-oracle boolean.
+    ("ns_ann_quantized_recall",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        val q = Similarity.quantize(embs, "vec_id", "embedding")
+        val qv = q.filter(col("id") === 0).select("qvec").head()
+          .getAs[Array[Byte]](0)
+        val quantTop = Similarity.quantizedTopK(q, qv, queryId = 0, k = 10)
+          .select("id").collect().map(_.getLong(0)).toSet
+        val floatTop = Similarity
+          .bruteForceTopK(embs, "vec_id", "embedding", 0, 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        auditDf(s, Seq(
+          "quantized_recall_at_least_8_of_10" ->
+            ((quantTop & floatTop).size >= 8)))
+      },
+      Some(auditOracleSql(Seq("quantized_recall_at_least_8_of_10")))),
+
     // ---- ANN: BATCH brute-force top-k (one pass, all query vectors) ----
     ("ns_ann_batch_topk",
       (s: SparkSession, d: String) => {
@@ -1773,6 +1795,43 @@ object PipelineQueries {
         "SELECT d.lang, p.predicted, count(*) AS n " +
         "FROM pred p JOIN documents d USING (doc_id) " +
         "GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // ---- classifier calibration: threshold-sweep precision/recall/F1
+    // over the held-out 'en'-class NB log-posteriors — the report read
+    // before picking a keep threshold. One row per distinct score; the
+    // cumulative window runs over the distinct-score relation (bounded by
+    // the 4-decimal grid), not the corpus. ----
+    ("ns_quality_pr_curve",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val b = Curation.hashBucket(col("doc_id"), 100)
+        val (model, priors) = Classifier.nbTrain(
+          docs.filter(b < 80), "doc_id", "text", "lang", 4096)
+        val en = Classifier.nbScores(docs.filter(b >= 80), "doc_id", "text",
+            model, priors, 4096)
+          .filter(col("label") === "en")
+          .join(docs.select("doc_id", "lang"), "doc_id")
+        Classifier.prCurve(en, "score", col("lang") === "en")
+          .orderBy(col("thr").desc)
+      },
+      Some(nbCte +
+        ", sl AS (SELECT sc.doc_id, sc.score, (d.lang = 'en') AS pos " +
+        "FROM sc JOIN documents d USING (doc_id) WHERE sc.label = 'en'), " +
+        "g AS (SELECT score AS thr, count(*) FILTER (WHERE pos) AS np, " +
+        "count(*) FILTER (WHERE NOT pos) AS nn FROM sl GROUP BY 1), " +
+        "tps AS (SELECT sum(np) AS tpos FROM g), " +
+        "c AS (SELECT thr, sum(np) OVER w AS tp, sum(nn) OVER w AS fp " +
+        "FROM g WINDOW w AS (ORDER BY thr DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "mm AS (SELECT thr, tp, fp, tpos, " +
+        "round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS prec, " +
+        "round(CAST(tp AS DOUBLE) / tpos, 6) AS rec " +
+        "FROM c CROSS JOIN tps) " +
+        "SELECT thr, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, " +
+        "CAST(tpos - tp AS BIGINT) AS fn, prec, rec, " +
+        "CASE WHEN prec + rec > 0 " +
+        "THEN round(2 * prec * rec / (prec + rec), 6) ELSE 0.0 END AS f1 " +
+        "FROM mm ORDER BY thr DESC")),
 
     // ---- deterministic per-epoch corpus shuffle: content-addressed
     // permutation (md5(epoch|id)), shard + within-shard position; no

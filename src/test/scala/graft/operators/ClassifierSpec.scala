@@ -168,4 +168,58 @@ class ClassifierSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Double, Double, Int)].collect().toSeq
     assert(a === b)
   }
+
+  test("prCurve matches the hand-computed sweep on planted separation") {
+    // scores 4,3,2,1 with positives at 4 and 2 (one doc each score)
+    val scored = Seq((4.0, true), (3.0, false), (2.0, true), (1.0, false))
+      .toDF("score", "pos")
+    val got = Classifier.prCurve(scored, "score", col("pos"))
+      .orderBy(col("thr").desc)
+      .as[(Double, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    def f1(p: Double, r: Double) =
+      BigDecimal(2 * p * r / (p + r))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(
+      (4.0, 1L, 0L, 1L, 1.0, 0.5, f1(1.0, 0.5)),
+      (3.0, 1L, 1L, 1L, 0.5, 0.5, 0.5),
+      (2.0, 2L, 1L, 0L, 0.666667, 1.0, f1(0.666667, 1.0)),
+      (1.0, 2L, 2L, 0L, 0.5, 1.0, f1(0.5, 1.0))))
+    // duplicate scores collapse to one threshold row
+    val dup = Classifier.prCurve(
+      Seq((2.0, true), (2.0, false), (1.0, true)).toDF("score", "pos"),
+      "score", col("pos"))
+      .orderBy(col("thr").desc)
+      .as[(Double, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(dup.map(r => (r._1, r._2, r._3, r._4)) ===
+      Seq((2.0, 1L, 1L, 1L), (1.0, 2L, 1L, 0L)))
+    // degenerate all-negative input: recall undefined-as-zero, f1 = 0
+    val neg = Classifier.prCurve(
+      Seq((1.0, false)).toDF("score", "pos"), "score", col("pos"))
+      .as[(Double, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(neg.head._2 === 0L && neg.head._7 === 0.0)
+  }
+
+  test("nbScores carries every class and agrees with nbScore's argmax") {
+    val docs = (0L until 100L).map { i =>
+      (i, if (i % 2 == 0) "alpha alpha common" else "beta beta common",
+        if (i % 2 == 0) "en" else "fr")
+    }.toDF("doc_id", "text", "lang")
+    val (model, priors) = Classifier.nbTrain(docs, "doc_id", "text", "lang", 256)
+    val all = Classifier.nbScores(docs, "doc_id", "text", model, priors, 256)
+    assert(all.select("label").distinct().count() === 2L)
+    assert(all.count() === 200L)
+    val top = all.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label"), col("score"))
+      .orderBy("doc_id").collect().toSeq
+    val argmax = Classifier.nbScore(docs, "doc_id", "text", model, priors, 256)
+      .orderBy("doc_id").collect().toSeq
+    assert(top.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))) ===
+      argmax.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))))
+  }
 }
