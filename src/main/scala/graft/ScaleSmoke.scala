@@ -45,7 +45,7 @@ object ScaleSmoke {
     val n = if (args.nonEmpty) args(0).toInt else 200000
     val stages = if (args.length > 1) args(1) else "all"
     require(Set("all", "lexical", "semantic", "recall", "pipeline",
-      "streaming", "classifier", "curation", "streamlearn")(stages),
+      "streaming", "classifier", "curation", "streamlearn", "semdedup")(stages),
       s"unknown stage set '$stages'")
     def on(s: String) = stages == "all" || stages == s
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -386,6 +386,33 @@ object ScaleSmoke {
       s"of $corpusSide doc_starts=$startsI " +
       s"(${if (nExI == expExI && sumI == corpusSide && startsI == n) "OK" else "MISS"})")
     packedIds.unpersist(); encIds.unpersist(); words.unpersist()
+
+    // interleaved multimodal packing: image-patch tokens + text ids in
+    // ONE stream per doc (2 markers + 4 patch tokens + 60 text ids = 66),
+    // packed at context length 2048 — conservation must be exact
+    import graft.operators.Multimodal
+    def hex2(c: org.apache.spark.sql.Column) = lpad(hex(c % 256), 2, "0")
+    val payload = unhex(concat(hex2(col("doc_id")),
+      hex2(floor(col("doc_id") / 256).cast("long")), lit("070B")))
+    val mmPacked = t("mm_pack_interleaved") {
+      val pk = Multimodal.packInterleaved(
+        docs.select(col("doc_id"), payload.as("content"), col("text")),
+        "doc_id", "content", "text", w = 8, h = 6, outW = 4, outH = 4,
+        p = 2, textVocab = 512, seqLen = 2048).cache()
+      pk.count(); pk
+    }
+    val mmRow = mmPacked
+      .agg(count(lit(1)), sum("n_tokens"), sum("n_docs_started"))
+      .collect().head
+    val (mmEx, mmSum, mmStarts) =
+      (mmRow.getLong(0), mmRow.getLong(1), mmRow.getLong(2))
+    val mmTotal = 66L * n
+    val mmExpEx = (mmTotal + 2048 - 1) / 2048
+    println(s"SCALE   mm-examples=$mmEx expected=$mmExpEx sum_ids=$mmSum " +
+      s"of $mmTotal doc_starts=$mmStarts " +
+      s"(${if (mmEx == mmExpEx && mmSum == mmTotal && mmStarts == n) "OK"
+          else "MISS"})")
+    mmPacked.unpersist()
     docs.unpersist()
 
     // hard negatives: 64-anchor batch against the full corpus (labels =
@@ -556,6 +583,46 @@ object ScaleSmoke {
     println(s"SCALE   semdedup dropped=$dropped planted=$planted9 " +
       s"(${if (dropped == planted9) "EXACT" else "MISS"})")
     base.unpersist()
+    }
+
+    if (on("semdedup")) {
+    // ---- SemDeDup at FULL corpus size with DEFAULT parameters: the
+    // production entry point (reportKMeans over a materialized parquet
+    // corpus — auto-k via kForCorpus, learned Lloyd centroids, memoized
+    // through IndexCatalog). Every 10th vector is an EXACT copy of its
+    // predecessor; identical vectors always co-assign, so the planted
+    // drop count is exact at any k. Also measures the auto-k occupancy
+    // and the within-cluster pair budget Σ|c|² the default produces.
+    import graft.operators.SemDedup
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_semdedup_smoke").toString
+    val src = s"$dir/embeddings.parquet"
+    spark.range(n.toLong).toDF("vec_id")
+      .withColumn("src0", when(col("vec_id") % 10 === 9,
+        col("vec_id") - 1).otherwise(col("vec_id")))
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)), i =>
+        (pmod(xxhash64(col("src0"), i), lit(1000L)).cast("float") / 500.0f
+          - 1.0f).cast("float")))
+      .drop("src0")
+      .repartition(spark.sparkContext.defaultParallelism.toInt)
+      .write.mode("overwrite").parquet(src)
+    val embs = spark.read.parquet(src).cache()
+    t("semdedup_vecs_materialize")(embs.count())
+    val k = SemDedup.kForCorpus(n.toLong)
+    val (rep, droppedK) = t("semdedup_kmeans_e2e") {
+      val r = SemDedup.reportKMeans(embs, "vec_id", "embedding", Seq(src),
+        eps = 0.99).cache()
+      (r, r.filter(!col("keep")).count())
+    }
+    val plantedK = (9L until n.toLong by 10L).size
+    println(s"SCALE   semdedup-auto dropped=$droppedK planted=$plantedK " +
+      s"(${if (droppedK == plantedK) "EXACT" else "MISS"})")
+    val occ = rep.groupBy("cid").count()
+      .agg(max("count").as("mx"), avg("count").as("av"),
+        sum(col("count") * col("count")).as("pairs")).head()
+    println(f"SCALE   semdedup-auto k=$k maxCluster=${occ.getLong(0)} " +
+      f"avgCluster=${occ.getDouble(1)}%.1f pairBudget=${occ.getLong(2)}")
+    rep.unpersist(); embs.unpersist()
     }
 
     if (on("classifier")) {

@@ -78,6 +78,47 @@ object Multimodal {
         col("__s.mean").as("mean"), col("__s.std").as("std"))
   }
 
+  /** Interleaved multimodal example packing — the VLM pretraining input
+    * shape: per document, ONE id stream
+    * `[IMG_BEGIN] patch-tokens… [IMG_END] text-ids…` carved into
+    * exact-`seqLen` examples by [[Curation.packSequencesIds]] (same hash
+    * order, carve stage, and `doc_starts` attention-reset semantics as
+    * the text pipeline — a document boundary is also the image boundary).
+    *
+    * Id layout: text ids hash into `[0, textVocab)`
+    * (`pmod(md5_lower64(token), textVocab)`), `IMG_BEGIN = textVocab`,
+    * `IMG_END = textVocab+1`, and each `p`×`p` patch of the
+    * decode→resize pipeline contributes `textVocab + 2 + ⌊mean⌋`
+    * (256 brightness-bucket image tokens, row-major patch order — the
+    * discrete stand-in for a learned visual codebook, swapped the same
+    * way a real codec swaps in behind [[graft.functions.GrayDecoder]]).
+    *
+    * Scale shape: the whole per-document assembly (decode, patchify,
+    * hash, concat) is a zero-shuffle codegen'd projection — the document
+    * row never explodes; the only shuffles are [[Curation.packSequencesIds]]'s
+    * slice-granular example carve. Token conservation
+    * (Σ example `n_tokens` = Σ per-doc `2 + patches + text tokens`) is
+    * asserted at 1 M docs in ScaleSmoke.
+    */
+  def packInterleaved(df: DataFrame, idCol: String, contentCol: String,
+                      textCol: String, w: Int, h: Int, outW: Int, outH: Int,
+                      p: Int, textVocab: Int, seqLen: Int,
+                      decoder: graft.functions.GrayDecoder =
+                        graft.functions.TileDecoder): DataFrame = {
+    import graft.functions.{gray_decode, gray_patch_stats, gray_resize, md5_lower64}
+    val px = gray_resize(outW, outH,
+      gray_decode(decoder, col(contentCol), lit(w), lit(h)), lit(w), lit(h))
+    val patchToks = transform(gray_patch_stats(p, px, lit(outW), lit(outH)),
+      s => floor(s.getField("mean")).cast("int") + lit(textVocab + 2))
+    val textIds = transform(TextOps.tokens(col(textCol)),
+      t => pmod(md5_lower64(t), lit(textVocab.toLong)).cast("int"))
+    val ids = concat(
+      array(lit(textVocab)), patchToks,
+      array(lit(textVocab + 1)), textIds)
+    Curation.packSequencesIds(
+      df.select(col(idCol), ids.as("ids")), idCol, "ids", seqLen)
+  }
+
   /** Audio feature extraction: decode the payload as little-endian signed
     * 16-bit PCM (the literal encoding of WAV data chunks — a REAL decode,
     * no codec library) and emit one row per `frameLen`-sample frame with

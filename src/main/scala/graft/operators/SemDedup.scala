@@ -96,20 +96,41 @@ object SemDedup {
       .select(col("id"), col("cid"), (col("grp") === col("id")).as("keep"))
   }
 
+  /** Cluster count holding the expected cluster occupancy N/k at
+    * `targetClusterSize` — the paper's contract made a default (the
+    * [[Dedup.resolveLshParams]] auto-sizing precedent). SemDeDup itself
+    * runs 50 k clusters over 5 B images (≈100 k vectors/cluster), sized
+    * for a GPU pair scan; this CPU engine defaults to ~2048, keeping one
+    * cluster's pair scan at ≈2 M cosines — a seconds-scale task — while
+    * the quadratic term stays O(N·target). The OTHER term this exposes:
+    * brute assignment is N·k cosines, so k grows linearly with N and
+    * assignment grows quadratically — past ~10⁸ vectors, assign against
+    * a two-level centroid hierarchy (route via √k super-centroids) before
+    * the within-cell argmax; the 1 M-vector ScaleSmoke stage measures
+    * where the flat default stands.
+    */
+  private[graft] def kForCorpus(n: => Long,
+                                targetClusterSize: Long = 2048L): Int =
+    math.min(Int.MaxValue.toLong,
+      math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)).toInt
+
   /** [[report]] with LEARNED centroids: deterministic k-means via the IVF
     * build (seeded by smallest `xxhash64(id)`, Lloyd-refined), memoized
     * through [[IndexCatalog]] so re-runs over the same corpus version pay
     * the clustering once. `inputPaths` fingerprint the corpus for the
-    * catalog key (same contract as the ANN index queries).
+    * catalog key (same contract as the ANN index queries). `k <= 0`
+    * (the default) auto-sizes via [[kForCorpus]] — one count pass, paid
+    * only on the auto path.
     */
   def reportKMeans(embs: DataFrame, idCol: String, vecCol: String,
                    inputPaths: Seq[String],
-                   k: Int = 16, iterations: Int = 2,
+                   k: Int = 0, iterations: Int = 2,
                    eps: Double = 0.4): DataFrame = {
     val s = embs.sparkSession
+    val kk = if (k > 0) k else kForCorpus(embs.count())
     val indexDir = IndexCatalog.ensure(s, "semdedup-kmeans", inputPaths,
-      s"k=$k,it=$iterations")(dir =>
-      IvfIndex.build(embs, idCol, vecCol, dir, k, iterations))
+      s"k=$kk,it=$iterations")(dir =>
+      IvfIndex.build(embs, idCol, vecCol, dir, kk, iterations))
     val centroids = s.read.parquet(s"$indexDir/centroids")
     report(embs, idCol, vecCol, centroids, eps)
   }

@@ -2037,6 +2037,71 @@ object PipelineQueries {
         "round(sqrt(sum(v * v) / 4.0 - (sum(v) / 4.0) * (sum(v) / 4.0)), 6) " +
         "AS std FROM v GROUP BY doc_id, py, px ORDER BY doc_id, py, px")),
 
+    // ---- interleaved multimodal example packing (the VLM pretraining
+    // input): per doc [IMG_BEGIN] patch-tokens [IMG_END] text-ids, packed
+    // into exact-64-id examples by the SAME carve stage as the text/id
+    // packers. The TileDecoder arithmetic keeps the image tokens
+    // SQL-replicable (the mm_patch_grid pipeline, discretized), text ids
+    // are md5 hash buckets — so the WHOLE multimodal stream gets a full
+    // cross-engine hash oracle, doc_starts boundaries included. ----
+    ("mm_pack_interleaved",
+      (s: SparkSession, d: String) => {
+        import graft.operators.Multimodal
+        def hex2(c: Column) = lpad(hex(c % 256), 2, "0")
+        val payload = unhex(concat(hex2(col("doc_id")),
+          hex2(floor(col("doc_id") / 256).cast("long")), lit("070B")))
+        Multimodal.packInterleaved(
+          Tables.documents(s, d)
+            .select(col("doc_id"), payload.as("content"), col("text")),
+          "doc_id", "content", "text", w = 8, h = 6, outW = 4, outH = 4,
+          p = 2, textVocab = 512, seqLen = 64)
+          .select(col("example_id"), col("n_tokens"),
+            concat_ws(",", transform(col("ids"), _.cast("string")))
+              .as("ids_csv"),
+            concat_ws(",", transform(col("doc_starts"), _.cast("string")))
+              .as("doc_starts"),
+            col("n_docs_started"))
+          .orderBy("example_id")
+      },
+      Some("WITH px0 AS (SELECT doc_id, py, qx AS px, " +
+        "((py * 2 + dy) * 6) // 4 AS sy, ((qx * 2 + dx) * 8) // 4 AS sx " +
+        "FROM documents CROSS JOIN generate_series(0, 1) a(py) " +
+        "CROSS JOIN generate_series(0, 1) b(qx) " +
+        "CROSS JOIN generate_series(0, 1) c(dy) " +
+        "CROSS JOIN generate_series(0, 1) e(dx)), " +
+        "pv AS (SELECT doc_id, py, px, CASE (sy * 8 + sx) % 4 " +
+        "WHEN 0 THEN doc_id % 256 WHEN 1 THEN (doc_id // 256) % 256 " +
+        "WHEN 2 THEN 7 ELSE 11 END AS v FROM px0), " +
+        "pm AS (SELECT doc_id, py, px, " +
+        "CAST(514 + floor(sum(v) / 4.0) AS INTEGER) AS ptok " +
+        "FROM pv GROUP BY 1, 2, 3), " +
+        "pt AS (SELECT doc_id, list(ptok ORDER BY py, px) AS ptoks " +
+        "FROM pm GROUP BY doc_id), " +
+        "tk2 AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), " +
+        "ids0 AS (SELECT tk2.doc_id, " +
+        "[CAST(512 AS INTEGER)] || pt.ptoks || [CAST(513 AS INTEGER)] || " +
+        "[CAST(" + dHashMod("md5_number_lower(tok)", 512L) +
+        " AS INTEGER) FOR tok IN tk2.toks] AS ids " +
+        "FROM tk2 JOIN pt USING (doc_id)), " +
+        "hh AS (SELECT doc_id, ids, " +
+        "md5_number_lower(CAST(doc_id AS VARCHAR)) AS u FROM ids0), " +
+        "ss AS (SELECT doc_id, ids, CAST(CASE WHEN u >= 9223372036854775808 " +
+        "THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS h64 FROM hh), " +
+        "oo AS (SELECT doc_id, ids, coalesce(sum(len(ids)) OVER " +
+        "(ORDER BY h64, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS pre FROM ss), " +
+        "ee AS (SELECT doc_id, pre, unnest(ids) AS id, " +
+        "generate_subscripts(ids, 1) - 1 AS pos FROM oo), " +
+        "gg AS (SELECT pos, id, CAST((pre + pos) // 64 AS BIGINT) AS example_id, " +
+        "CAST((pre + pos) % 64 AS INTEGER) AS epos FROM ee) " +
+        "SELECT example_id, CAST(count(*) AS INTEGER) AS n_tokens, " +
+        "string_agg(CAST(id AS VARCHAR), ',' ORDER BY epos) AS ids_csv, " +
+        "coalesce(string_agg(CASE WHEN pos = 0 THEN CAST(epos AS VARCHAR) END, " +
+        "',' ORDER BY epos), '') AS doc_starts, " +
+        "CAST(count(*) FILTER (WHERE pos = 0) AS INTEGER) AS n_docs_started " +
+        "FROM gg GROUP BY example_id ORDER BY example_id")),
+
     // ---- multimodal audio: REAL PCM16-LE decode + framed RMS/ZCR/peak
     // features. Payload samples are doc_id arithmetic (incl. negative
     // values, so the signed LE round-trip is exercised), and the oracle
@@ -2452,24 +2517,22 @@ object PipelineQueries {
         // equality is a property of the machinery, not the corpus size —
         // cap the audited slice so the bench entry stays O(constant)
         // while the gate-scale (sf0.01) run still covers every document
-        val docs = Tables.documents(s, d).filter(col("doc_id") < 600)
-        val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 600).cache()
         val parts = Seq(
-          docs.filter(col("doc_id") < n / 2),
-          docs.filter(col("doc_id") >= n / 2))
+          docs.filter(col("doc_id") < 300),
+          docs.filter(col("doc_id") >= 300))
 
-        // 1. real checkpointed stream -> NB counts
+        // 1. real checkpointed stream -> NB counts. Started FIRST and
+        // awaited LAST: stream startup + per-micro-batch checkpoint
+        // latency is ~1-2 s each regardless of data size, so it runs
+        // concurrently with the batch stages below instead of serializing
+        // in front of them (this entry was 17% of the bench before).
         val log = s"$tmp/log"
         parts.foreach(_.coalesce(1).write.mode("append").parquet(log))
-        StreamingNb.start(s,
+        val nbStream = StreamingNb.start(s,
           s.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", "1").parquet(log),
           s"$tmp/nb", s"$tmp/ckpt", "doc_id", "text", "lang", 512)
-          .awaitTermination()
-        val (sm, sp) = StreamingNb.currentModel(s, s"$tmp/nb", 512)
-        val (bm, bp) = Classifier.nbTrain(docs, "doc_id", "text", "lang", 512)
-        def rowSet(df: DataFrame) = df.collect().map(_.toSeq).toSet
-        val nbEq = rowSet(sm) == rowSet(bm) && rowSet(sp) == rowSet(bp)
 
         // 2. exact streaming dedup, id-ordered batches
         parts.foreach(p => StreamingDedup.dedupBatch(s, p, "doc_id", "text",
@@ -2494,6 +2557,14 @@ object PipelineQueries {
         def probe(dir: String) = StreamingAnnIndex
           .probeTopK(s, dir, qv, k = 10).collect().map(_.toSeq).toSeq
         val annEq = probe(s"$tmp/ann_inc") == probe(s"$tmp/ann_once")
+
+        // stream done by now (or we wait out its tail), then compare
+        nbStream.awaitTermination()
+        val (sm, sp) = StreamingNb.currentModel(s, s"$tmp/nb", 512)
+        val (bm, bp) = Classifier.nbTrain(docs, "doc_id", "text", "lang", 512)
+        def rowSet(df: DataFrame) = df.collect().map(_.toSeq).toSet
+        val nbEq = rowSet(sm) == rowSet(bm) && rowSet(sp) == rowSet(bp)
+        docs.unpersist()
 
         auditDf(s, Seq(
           "streaming_nb_equals_batch" -> nbEq,
