@@ -387,6 +387,42 @@ object ScaleSmoke {
       s"(${if (nExI == expExI && sumI == corpusSide && startsI == n) "OK" else "MISS"})")
     packedIds.unpersist(); encIds.unpersist(); words.unpersist()
 
+    // Unigram-LM: train on the corpus (driver-local EM over the ~50 k
+    // distinct-word table), then zero-shuffle Viterbi encode of all 1 M
+    // docs. Invariants: no UNK (chars always survive pruning), piece
+    // CHARACTER conservation (Viterbi covers each word exactly, so total
+    // piece chars == total token chars), and the id stream is
+    // length-identical to the string stream.
+    {
+      import graft.operators.Unigram
+      val uModel = t("unigram_train") {
+        val m = Unigram.train(docs, "text").cache(); m.count(); m
+      }
+      val enc = t("unigram_encode") {
+        val e = Unigram.encode(docs, "doc_id", "text", uModel).cache()
+        e.count(); e
+      }
+      val unk = enc.select(explode(col("pieces")).as("p"))
+        .filter(col("p") === "[UNK]").count()
+      val pieceChars = enc
+        .select(aggregate(col("pieces"), lit(0L),
+          (acc, x) => acc + length(x).cast("long")).as("c"))
+        .agg(sum("c")).head().getLong(0)
+      val tokChars = docs
+        .select(aggregate(TextOps.tokens(col("text")), lit(0L),
+          (acc, x) => acc + length(x).cast("long")).as("c"))
+        .agg(sum("c")).head().getLong(0)
+      val idTotal = t("unigram_encode_ids")(
+        Unigram.encodeIds(docs, "doc_id", "text", uModel)
+          .agg(sum("n_pieces")).head().getLong(0))
+      val strTotal = enc.agg(sum("n_pieces")).head().getLong(0)
+      println(s"SCALE   unigram unk=$unk pieceChars=$pieceChars " +
+        s"tokChars=$tokChars ids=$idTotal strs=$strTotal " +
+        s"(${if (unk == 0 && pieceChars == tokChars && idTotal == strTotal)
+             "OK" else "MISS"})")
+      enc.unpersist(); uModel.unpersist()
+    }
+
     // interleaved multimodal packing: image-patch tokens + text ids in
     // ONE stream per doc (2 markers + 4 patch tokens + 60 text ids = 66),
     // packed at context length 2048 — conservation must be exact

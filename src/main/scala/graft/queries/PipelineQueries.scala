@@ -2512,6 +2512,10 @@ object PipelineQueries {
     ("ns_streaming_audit",
       (s: SparkSession, d: String) => {
         import graft.streaming.{StreamingAnnIndex, StreamingDedup, StreamingNb}
+        val __t0 = System.nanoTime()
+        def __mark(tag: String): Unit =
+          if (sys.env.contains("GRAFT_AUDIT_TIMING"))
+            println(f"AUDIT $tag%-12s ${(System.nanoTime() - __t0) / 1e9}%6.2f s")
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_stream_audit").toString
         // equality is a property of the machinery, not the corpus size —
@@ -2527,16 +2531,52 @@ object PipelineQueries {
         // latency is ~1-2 s each regardless of data size, so it runs
         // concurrently with the batch stages below instead of serializing
         // in front of them (this entry was 17% of the bench before).
+        // One write job emits both micro-batch files (hash-partitioned on
+        // the same 300-split; which file becomes which batch is
+        // irrelevant — NB counts are batching-insensitive by design).
         val log = s"$tmp/log"
-        parts.foreach(_.coalesce(1).write.mode("append").parquet(log))
+        docs.repartition(2, col("doc_id") < 300)
+          .write.mode("append").parquet(log)
+        __mark("log_written")
         val nbStream = StreamingNb.start(s,
           s.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", "1").parquet(log),
           s"$tmp/nb", s"$tmp/ckpt", "doc_id", "text", "lang", 512)
 
-        // 2. exact streaming dedup, id-ordered batches
+        __mark("nb_started")
+        // 3. incrementally-built ANN index vs single-shot build — runs in
+        // a Future so its jobs interleave with the dedup stage's (three
+        // independent stacks; the equality claims are knob-independent,
+        // so the audit uses SMALL layouts — 4 planes / 8 buckets — where
+        // production-scale bucket counts would spend the whole budget
+        // writing hundreds of tiny partition dirs per 600-row batch)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        // batch-side NB reference model: independent of everything else —
+        // trains concurrently, compared after the stream lands
+        val nbBatchFut = Future {
+          val (bm, bp) = Classifier.nbTrain(docs, "doc_id", "text", "lang", 512)
+          (bm.collect().map(_.toSeq).toSet, bp.collect().map(_.toSeq).toSet)
+        }
+        val annFut = Future {
+          val embs = Tables.embeddings(s, d).filter(col("vec_id") < 600)
+          val eParts = Seq(embs.filter(col("vec_id") % 2 === 0),
+            embs.filter(col("vec_id") % 2 === 1))
+          eParts.foreach(p => StreamingAnnIndex.appendBatch(p, "vec_id",
+            "embedding", s"$tmp/ann_inc", numPlanes = 4))
+          StreamingAnnIndex.appendBatch(embs, "vec_id", "embedding",
+            s"$tmp/ann_once", numPlanes = 4)
+          val qv = queryVec(embs, 0L)
+          def probe(dir: String) = StreamingAnnIndex
+            .probeTopK(s, dir, qv, k = 10, numPlanes = 4)
+            .collect().map(_.toSeq).toSeq
+          probe(s"$tmp/ann_inc") == probe(s"$tmp/ann_once")
+        }
+
+        // 2. exact streaming dedup, id-ordered batches (order-dependent —
+        // stays sequential on this thread)
         parts.foreach(p => StreamingDedup.dedupBatch(s, p, "doc_id", "text",
-          s"$tmp/dd_idx", s"$tmp/dd_out"))
+          s"$tmp/dd_idx", s"$tmp/dd_out", numBuckets = 8))
         val streamedKeep = s.read.parquet(s"$tmp/dd_out")
           .select("doc_id").collect().map(_.getLong(0)).toSet
         val batchKeep = docs
@@ -2544,27 +2584,22 @@ object PipelineQueries {
           .agg(min("doc_id").as("keep"))
           .select("keep").collect().map(_.getLong(0)).toSet
         val ddEq = streamedKeep == batchKeep
+        __mark("dedup_done")
 
-        // 3. incrementally-built ANN index vs single-shot build
-        val embs = Tables.embeddings(s, d).filter(col("vec_id") < 600)
-        val eParts = Seq(embs.filter(col("vec_id") % 2 === 0),
-          embs.filter(col("vec_id") % 2 === 1))
-        eParts.foreach(p => StreamingAnnIndex.appendBatch(p, "vec_id",
-          "embedding", s"$tmp/ann_inc"))
-        StreamingAnnIndex.appendBatch(embs, "vec_id", "embedding",
-          s"$tmp/ann_once")
-        val qv = queryVec(embs, 0L)
-        def probe(dir: String) = StreamingAnnIndex
-          .probeTopK(s, dir, qv, k = 10).collect().map(_.toSeq).toSeq
-        val annEq = probe(s"$tmp/ann_inc") == probe(s"$tmp/ann_once")
+        val annEq = Await.result(annFut,
+          scala.concurrent.duration.Duration.Inf)
+        __mark("ann_done")
 
         // stream done by now (or we wait out its tail), then compare
         nbStream.awaitTermination()
+        __mark("nb_awaited")
         val (sm, sp) = StreamingNb.currentModel(s, s"$tmp/nb", 512)
-        val (bm, bp) = Classifier.nbTrain(docs, "doc_id", "text", "lang", 512)
         def rowSet(df: DataFrame) = df.collect().map(_.toSeq).toSet
-        val nbEq = rowSet(sm) == rowSet(bm) && rowSet(sp) == rowSet(bp)
+        val (bmSet, bpSet) = Await.result(nbBatchFut,
+          scala.concurrent.duration.Duration.Inf)
+        val nbEq = rowSet(sm) == bmSet && rowSet(sp) == bpSet
         docs.unpersist()
+        __mark("nb_compared")
 
         auditDf(s, Seq(
           "streaming_nb_equals_batch" -> nbEq,
