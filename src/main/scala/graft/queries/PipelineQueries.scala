@@ -250,6 +250,7 @@ object PipelineQueries {
       "k=16,m=8,ksub=256")(
       dir => graft.operators.IvfPqIndex.build(embs, "vec_id", "embedding", dir))
     unigramModel(s, d)
+    nbModel(s, d)
     dupClusterTable(s, d)
     semanticClusterTable(s, d)
   }
@@ -270,6 +271,26 @@ object PipelineQueries {
       v.write.parquet(s"$staging/vocab")
     }
     (s.read.parquet(s"$dir/merges"), s.read.parquet(s"$dir/vocab"))
+  }
+
+  /** The trained NB quality/language model for `d`'s documents (train
+    * split = hashSplit md5 bucket < 80, labels = lang), memoized through
+    * [[IndexCatalog]] — training is closed-form counts, but three
+    * queries (predict, eval, PR curve) consume the same model, and the
+    * parquet round-trip preserves the round-6 doubles exactly so the
+    * oracle hash is unchanged (the LR round-trip spec precedent).
+    */
+  def nbModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val dir = IndexCatalog.ensure(s, "nb-quality",
+      Seq(s"$d/documents.parquet"), "b=4096,label=lang,split=80") { staging =>
+      val docs = Tables.documents(s, d)
+      val b = Curation.hashBucket(col("doc_id"), 100)
+      val (m, p) = Classifier.nbTrain(docs.filter(b < 80), "doc_id", "text",
+        "lang", 4096)
+      m.write.parquet(s"$staging/model")
+      p.write.parquet(s"$staging/priors")
+    }
+    (s.read.parquet(s"$dir/model"), s.read.parquet(s"$dir/priors"))
   }
 
   /** The trained Unigram-LM model for `d`'s documents, memoized through
@@ -1767,8 +1788,7 @@ object PipelineQueries {
       (s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)
         val b = Curation.hashBucket(col("doc_id"), 100)
-        val (model, priors) = Classifier.nbTrain(
-          docs.filter(b < 80), "doc_id", "text", "lang", 4096)
+        val (model, priors) = nbModel(s, d)
         Classifier.nbScore(docs.filter(b >= 80), "doc_id", "text",
             model, priors, 4096)
           .join(docs.select("doc_id", "lang"), "doc_id")
@@ -1783,8 +1803,7 @@ object PipelineQueries {
       (s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)
         val b = Curation.hashBucket(col("doc_id"), 100)
-        val (model, priors) = Classifier.nbTrain(
-          docs.filter(b < 80), "doc_id", "text", "lang", 4096)
+        val (model, priors) = nbModel(s, d)
         Classifier.nbScore(docs.filter(b >= 80), "doc_id", "text",
             model, priors, 4096)
           .join(docs.select("doc_id", "lang"), "doc_id")
@@ -1805,8 +1824,7 @@ object PipelineQueries {
       (s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)
         val b = Curation.hashBucket(col("doc_id"), 100)
-        val (model, priors) = Classifier.nbTrain(
-          docs.filter(b < 80), "doc_id", "text", "lang", 4096)
+        val (model, priors) = nbModel(s, d)
         val en = Classifier.nbScores(docs.filter(b >= 80), "doc_id", "text",
             model, priors, 4096)
           .filter(col("label") === "en")
@@ -2298,6 +2316,54 @@ object PipelineQueries {
           .select(col("piece"), col("id"), round(col("llp"), 6).as("llp"))
           .orderBy("id"),
       None),
+
+    // ---- tokenizer evaluation report: per-language fertility
+    // (pieces/word — the number a tokenizer team tracks per language
+    // before training) and compression (chars/piece), over the
+    // closed-form uniform vocabulary so the whole report has a full
+    // cross-engine oracle. Exact long ratios divided once and rounded 6.
+    ("ns_text_tokenizer_stats",
+      (s: SparkSession, d: String) => {
+        import graft.operators.{TextOps, Unigram}
+        val docs = Tables.documents(s, d)
+        val enc = Unigram.encode(docs, "doc_id", "text",
+          Unigram.uniformVocab(docs, "text", topWords = 50))
+        val toks = TextOps.tokens(col("text"))
+        enc.join(docs.select(col("doc_id"), col("lang"),
+            size(filter(toks, w => length(w) > 0)).cast("long").as("nw"),
+            aggregate(toks, lit(0L),
+              (a, x) => a + length(x).cast("long")).as("nc")), "doc_id")
+          .groupBy("lang").agg(
+            count(lit(1)).as("n_docs"),
+            sum("nw").as("n_words"),
+            sum("n_pieces").cast("long").as("n_pieces"),
+            sum("nc").as("n_chars"))
+          .select(col("lang"), col("n_docs"), col("n_words"), col("n_pieces"),
+            round(col("n_pieces").cast("double") / col("n_words"), 6)
+              .as("fertility"),
+            round(col("n_chars").cast("double") / col("n_pieces"), 6)
+              .as("chars_per_piece"))
+          .orderBy("lang")
+      },
+      Some("WITH tk AS (SELECT doc_id, unnest(t) AS w, " +
+        "generate_subscripts(t, 1) AS pos FROM (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents)), " +
+        "tw AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM tk GROUP BY 1 " +
+        "ORDER BY cnt DESC, w LIMIT 50) t WHERE NOT EXISTS (" +
+        "SELECT 1 FROM (SELECT DISTINCT w AS o FROM tk) d " +
+        "WHERE d.o <> t.w AND contains(d.o, t.w))), " +
+        "pw AS (SELECT doc_id, CASE WHEN w IN (SELECT w FROM tw) THEN 1 " +
+        "ELSE len(w) END AS np, len(w) AS ncs FROM tk), " +
+        "pd AS (SELECT doc_id, count(*) AS nw, sum(np) AS np, " +
+        "sum(ncs) AS ncs FROM pw GROUP BY 1) " +
+        "SELECT d.lang, count(*) AS n_docs, " +
+        "CAST(sum(pd.nw) AS BIGINT) AS n_words, " +
+        "CAST(sum(pd.np) AS BIGINT) AS n_pieces, " +
+        "round(CAST(sum(pd.np) AS DOUBLE) / sum(pd.nw), 6) AS fertility, " +
+        "round(CAST(sum(pd.ncs) AS DOUBLE) / sum(pd.np), 6) " +
+        "AS chars_per_piece " +
+        "FROM pd JOIN documents d USING (doc_id) " +
+        "GROUP BY 1 ORDER BY 1")),
 
     // ---- constant-oracle AUDITS: spec-level invariants of the rows-only
     // operators, re-run inside the query and hashed against a
