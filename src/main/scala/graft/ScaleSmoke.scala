@@ -420,6 +420,20 @@ object ScaleSmoke {
         s"tokChars=$tokChars ids=$idTotal strs=$strTotal " +
         s"(${if (unk == 0 && pieceChars == tokChars && idTotal == strTotal)
              "OK" else "MISS"})")
+      // subword-regularized (sampled) encode: same char conservation,
+      // strictly more pieces than Viterbi in aggregate (the sampler
+      // explores sub-optimal = finer segmentations)
+      val sampChars = t("unigram_sample_encode")(
+        Unigram.sampleEncode(docs, "doc_id", "text", uModel, alpha = 0.5,
+            seed = 1L)
+          .select(aggregate(col("pieces"), lit(0L),
+            (acc, x) => acc + length(x).cast("long")).as("c"),
+            col("n_pieces").cast("long").as("np"))
+          .agg(sum("c"), sum("np")).head())
+      println(s"SCALE   unigram-sample pieceChars=${sampChars.getLong(0)} " +
+        s"pieces=${sampChars.getLong(1)} viterbiPieces=$strTotal " +
+        s"(${if (sampChars.getLong(0) == tokChars &&
+                 sampChars.getLong(1) >= strTotal) "OK" else "MISS"})")
       enc.unpersist(); uModel.unpersist()
     }
 

@@ -112,6 +112,95 @@ object UnigramKernels {
     out.result()
   }
 
+  /** splitmix64 — the deterministic uniform stream for the sampling
+    * encoder (Steele et al. 2014; pure arithmetic, platform-free).
+    */
+  def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Forward-filter backward-sample segmentation (subword regularization,
+    * Kudo 2018 §3.2): draw a segmentation with probability ∝ Π p(piece)^α
+    * — `prob` is the ALREADY-TEMPERED p^α array. The uniform stream is
+    * content-addressed (splitmix64 over `(seed, docKey, tokenPos,
+    * word.hashCode)` then one step per backward draw), so reruns — any
+    * partitioning, any engine running this kernel — produce identical
+    * samples. Returns piece indices or null when no path exists.
+    */
+  def sample(word: String, idx: java.util.HashMap[String, Integer],
+             prob: Array[Double], maxLen: Int, seed: Long, docKey: Long,
+             tokenPos: Int): Array[Int] = {
+    val n = word.length
+    if (n == 0) return Array.empty
+    val alpha = new Array[Double](n + 1)
+    alpha(0) = 1.0
+    var i = 1
+    while (i <= n) {
+      val mL = math.min(maxLen, i)
+      var s = 0.0
+      var L = 1
+      while (L <= mL) {
+        val j = i - L
+        if (alpha(j) > 0) {
+          val pid = idx.get(word.substring(j, i))
+          if (pid != null) s += alpha(j) * prob(pid)
+        }
+        L += 1
+      }
+      alpha(i) = s
+      i += 1
+    }
+    if (!(alpha(n) > 0) || java.lang.Double.isInfinite(alpha(n))) return null
+    var state = splitmix64(splitmix64(splitmix64(seed ^ docKey)
+      ^ tokenPos.toLong) ^ word.hashCode.toLong)
+    val picks = new java.util.ArrayList[Integer]()
+    var p = n
+    while (p > 0) {
+      state = splitmix64(state)
+      // uniform in [0, 1) from the top 53 bits
+      val u = (state >>> 11).toDouble / (1L << 53).toDouble
+      val target = u * alpha(p)
+      val mL = math.min(maxLen, p)
+      var cum = 0.0
+      var chosen = -1
+      var chosenL = 0
+      var L = 1
+      while (L <= mL && chosen < 0) {
+        val j = p - L
+        if (alpha(j) > 0) {
+          val pid = idx.get(word.substring(j, p))
+          if (pid != null) {
+            cum += alpha(j) * prob(pid)
+            if (cum > target) { chosen = pid; chosenL = L }
+          }
+        }
+        L += 1
+      }
+      if (chosen < 0) { // float-edge fallback: take the last valid piece
+        L = mL
+        while (L >= 1 && chosen < 0) {
+          val j = p - L
+          if (alpha(j) > 0) {
+            val pid = idx.get(word.substring(j, p))
+            if (pid != null) { chosen = pid; chosenL = L }
+          }
+          L -= 1
+        }
+      }
+      picks.add(chosen)
+      p -= chosenL
+    }
+    val out = new Array[Int](picks.size())
+    var o = 0
+    while (o < out.length) { // picks were collected back-to-front
+      out(o) = picks.get(out.length - 1 - o).intValue(); o += 1
+    }
+    out
+  }
+
   /** Viterbi max-likelihood segmentation: piece indices of the
     * segmentation maximizing the total NANO-grid log-probability —
     * integer dynamic programming, so the argmax is exact and platform-free.
@@ -281,6 +370,77 @@ case class UnigramEncodeIds(model: Broadcast[Array[(String, Long, Int)]],
 
   override protected def withNewChildInternal(newChild: Expression): UnigramEncodeIds =
     copy(child = newChild)
+}
+
+/** `unigram_sample_encode(docKey, tokens) -> array<string>` — SAMPLED
+  * Unigram segmentation (subword regularization, Kudo 2018): per token,
+  * a segmentation drawn with probability ∝ Π p(piece)^alpha via
+  * forward-filter backward-sample over the lattice. The training-time
+  * augmentation that exposes a model to alternative tokenizations of the
+  * same text. Content-addressed determinism: the uniform stream derives
+  * from `(seed, docKey, token position, word)`, so the "random" encode
+  * is a pure function of the input — rerunnable, shard-order-free, and
+  * auditable (the [[graft.operators.Augment]] convention). Zero-shuffle
+  * like [[UnigramEncode]].
+  */
+case class UnigramSampleEncode(model: Broadcast[Array[(String, Long, Int)]],
+                               alpha: Double, seed: Long, unk: String,
+                               left: Expression, right: Expression)
+  extends BinaryExpression with UnigramModelHolder {
+
+  require(alpha > 0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"unigram_sample_encode expects (bigint, array<string>), got " +
+          s"(${a.simpleString(10)}, ${b.simpleString(10)})")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_sample_encode"
+
+  @transient private lazy val prob: Array[Double] =
+    model.value.map(e => math.exp(e._2 / 1e9 * alpha))
+  @transient private lazy val pieceUtf8: Array[UTF8String] =
+    model.value.map(e => UTF8String.fromString(e._1))
+  @transient private lazy val unkUtf8: UTF8String = UTF8String.fromString(unk)
+
+  def encode(docKey: Long, tokens: ArrayData): ArrayData = {
+    val out = new java.util.ArrayList[UTF8String]()
+    var t = 0
+    while (t < tokens.numElements()) {
+      val w = tokens.getUTF8String(t).toString
+      if (w.nonEmpty) {
+        val pids = UnigramKernels.sample(w, idx, prob, maxLen, seed,
+          docKey, t)
+        if (pids == null) out.add(unkUtf8)
+        else {
+          var i = 0
+          while (i < pids.length) { out.add(pieceUtf8(pids(i))); i += 1 }
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(k: Any, tokens: Any): Any =
+    encode(k.asInstanceOf[Long], tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramSampleEncode", this,
+      classOf[UnigramSampleEncode].getName)
+    nullSafeCodeGen(ctx, ev, (k, t) => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+        $ref.encode($k, $t);
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UnigramSampleEncode =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `unigram_expected(word, cnt) -> array<struct<pid, c_micro>>` — one

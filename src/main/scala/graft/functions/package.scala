@@ -192,6 +192,15 @@ package object functions {
       unkId: Int, tokens: Column): Column =
     col(UnigramEncodeIds(model, unkId, ex(tokens)))
 
+  /** Sampled Unigram segmentation ∝ Π p(piece)^alpha (subword
+    * regularization) — content-addressed uniforms from (seed, docKey,
+    * position, word); zero-shuffle. */
+  def unigram_sample_encode(
+      model: org.apache.spark.broadcast.Broadcast[Array[(String, Long, Int)]],
+      alpha: Double, seed: Long, unk: String,
+      docKey: Column, tokens: Column): Column =
+    col(UnigramSampleEncode(model, alpha, seed, unk, ex(docKey), ex(tokens)))
+
   /** One word's Unigram-LM E-step contribution: expected piece counts on
     * the micro grid as `array<struct<pid, c_micro>>`. */
   def unigram_expected(

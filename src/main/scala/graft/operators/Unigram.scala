@@ -261,6 +261,29 @@ object Unigram {
       .select(col(idCol), size(col("pieces")).as("n_pieces"), col("pieces"))
   }
 
+  /** SAMPLED encode — subword regularization (Kudo 2018 §3.2): each
+    * token's segmentation is drawn with probability ∝ Π p(piece)^alpha
+    * instead of argmax, the training-time augmentation that regularizes
+    * a model against tokenization brittleness (α ∈ (0,1]; smaller α →
+    * flatter draw, α=1 → the exact posterior). "Randomness" is
+    * content-addressed from `(seed, doc key, token position, word)` — a
+    * pure function of the input, like [[Augment]]'s splits — so the
+    * sampled corpus is rerunnable and auditable. Zero-shuffle like
+    * [[encode]]. Epoch-varying augmentation = vary `seed` per epoch.
+    */
+  def sampleEncode(docs: DataFrame, idCol: String, textCol: String,
+                   model: DataFrame, alpha: Double = 0.5, seed: Long = 1L,
+                   unk: String = "[UNK]"): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(collectModel(model))
+    docs.select(col(idCol),
+        graft.functions.unigram_sample_encode(bc, alpha, seed, unk,
+          col(idCol).cast("long"),
+          filter(TextOps.tokens(col(textCol)), w => length(w) > 0))
+          .as("pieces"))
+      .filter(size(col("pieces")) > 0)
+      .select(col(idCol), size(col("pieces")).as("n_pieces"), col("pieces"))
+  }
+
   /** [[encode]] straight to the flattened piece-ID stream:
     * `(id, n_pieces, ids)`.
     */

@@ -2317,6 +2317,22 @@ object PipelineQueries {
           .orderBy("id"),
       None),
 
+    // ---- subword regularization: SAMPLED Unigram segmentation against
+    // the trained model (∝ Π p(piece)^0.5; content-addressed uniforms,
+    // so the "random" corpus is a pure function of (seed, input)).
+    // Rows-only by design — a sampled draw has no SQL form; the audit
+    // below makes every invariant driver-visible. ----
+    ("ns_text_unigram_sample",
+      (s: SparkSession, d: String) => {
+        import graft.operators.Unigram
+        Unigram.sampleEncode(Tables.documents(s, d), "doc_id", "text",
+            unigramModel(s, d), alpha = 0.5, seed = 1L)
+          .select(col("doc_id"), col("n_pieces"),
+            concat_ws(" ", col("pieces")).as("pieces_text"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // ---- tokenizer evaluation report: per-language fertility
     // (pieces/word — the number a tokenizer team tracks per language
     // before training) and compression (chars/piece), over the
@@ -2455,6 +2471,49 @@ object PipelineQueries {
       },
       Some(auditOracleSql(Seq("em_equals_serial", "probs_normalized",
         "viterbi_dominates_char_baseline", "ids_decode_roundtrip")))),
+
+    // Subword-regularization sampler: every sampled piece is a vocab
+    // piece and concatenates back to the token stream; no draw ever
+    // scores above Viterbi (optimality, exact nanos); the content-
+    // addressed stream reruns identically; and the sampler actually
+    // explores (some doc differs from argmax at alpha=0.5).
+    ("ns_text_unigram_sample_audit",
+      (s: SparkSession, d: String) => {
+        import graft.operators.{TextOps, Unigram}
+        val docs = Tables.documents(s, d).orderBy("doc_id").limit(600)
+        val model = unigramModel(s, d)
+        val llpOf = model.select("piece", "llp_nano").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        def run() = Unigram.sampleEncode(docs, "doc_id", "text", model,
+            alpha = 0.5, seed = 1L)
+          .select("doc_id", "pieces").collect()
+          .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+        val samp = run()
+        val vit = Unigram.encode(docs, "doc_id", "text", model)
+          .select("doc_id", "pieces").collect()
+          .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+        val toks = docs.select(col("doc_id"),
+            filter(TextOps.tokens(col("text")), w => length(w) > 0)
+              .as("toks")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        val covOk = samp.forall { case (id, pieces) =>
+          pieces.forall(llpOf.contains) &&
+            pieces.mkString("") == toks(id).mkString("")
+        }
+        val boundOk = samp.forall { case (id, pieces) =>
+          pieces.iterator.map(llpOf).sum <=
+            vit(id).iterator.map(llpOf).sum
+        }
+        auditDf(s, Seq(
+          "sample_covers_with_vocab_pieces" -> covOk,
+          "sample_never_beats_viterbi" -> boundOk,
+          "sample_rerun_identical" -> (run() == samp),
+          "sample_explores_beyond_argmax" ->
+            samp.exists { case (id, p) => p != vit(id) }))
+      },
+      Some(auditOracleSql(Seq("sample_covers_with_vocab_pieces",
+        "sample_never_beats_viterbi", "sample_rerun_identical",
+        "sample_explores_beyond_argmax")))),
 
     // LR: the distributed trainer's weights equal the serial reference
     // bit-for-bit; scoring thresholds exactly at p >= 0.5.

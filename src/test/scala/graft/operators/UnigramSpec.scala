@@ -119,6 +119,56 @@ class UnigramSpec extends SparkSpec {
     assert(enc(Seq("play"), m) === Seq(Seq("p", "l", "a", "y")))
   }
 
+  test("sampleEncode: deterministic, covering, Viterbi-bounded, alpha-sensitive") {
+    // 2000 copies of "ab" under uniform {a, b, ab}: posterior of the
+    // 1-piece segmentation is p/(p+p^2) = 3/4 at alpha=1
+    val docs = (0L until 2000L).map(i => (i, "ab")).toDF("doc_id", "text")
+    val m = model("a" -> -1098612289L, "b" -> -1098612289L,
+      "ab" -> -1098612289L) // ln(1/3) nano
+    def frac(alpha: Double): Double = {
+      val out = Unigram.sampleEncode(docs, "doc_id", "text", m, alpha,
+        seed = 7L)
+      out.filter(size(col("pieces")) === 1).count().toDouble / 2000.0
+    }
+    val f1 = frac(1.0)
+    assert(math.abs(f1 - 0.75) < 0.05, s"alpha=1 whole-word fraction $f1")
+    // flatter draw at small alpha: p^0.1 ratio -> ~0.53
+    val f01 = frac(0.1)
+    assert(math.abs(f01 - 0.527) < 0.05, s"alpha=0.1 fraction $f01")
+    assert(f01 < f1)
+    // deterministic: the exact same pieces on a rerun
+    val a = Unigram.sampleEncode(docs, "doc_id", "text", m, 0.5, seed = 7L)
+      .orderBy("doc_id").select("pieces").as[Seq[String]].collect().toSeq
+    val b = Unigram.sampleEncode(docs, "doc_id", "text", m, 0.5, seed = 7L)
+      .orderBy("doc_id").select("pieces").as[Seq[String]].collect().toSeq
+    assert(a === b)
+    // different seeds decorrelate
+    val c = Unigram.sampleEncode(docs, "doc_id", "text", m, 0.5, seed = 8L)
+      .orderBy("doc_id").select("pieces").as[Seq[String]].collect().toSeq
+    assert(a !== c)
+
+    // real corpus: coverage + vocab membership + Viterbi optimality bound
+    val corpus = graft.Tables.documents(spark, sfDir).limit(200)
+    val tm = Unigram.train(corpus, "text",
+      UnigramConfig(vocabSize = 150, maxPieceLen = 4, seedSize = 300,
+        emIters = 2))
+    val llpOf = tm.select("piece", "llp_nano").as[(String, Long)]
+      .collect().toMap
+    val vit = Unigram.encode(corpus, "doc_id", "text", tm)
+      .select("doc_id", "pieces").as[(Long, Seq[String])].collect().toMap
+    val samp = Unigram.sampleEncode(corpus, "doc_id", "text", tm, 0.5, 3L)
+      .select("doc_id", "pieces").as[(Long, Seq[String])].collect().toMap
+    assert(samp.keySet === vit.keySet)
+    samp.foreach { case (id, pieces) =>
+      assert(pieces.forall(llpOf.contains), s"doc $id: non-vocab piece")
+      assert(pieces.mkString("") === vit(id).mkString(""), s"doc $id coverage")
+      assert(pieces.iterator.map(llpOf).sum <=
+        vit(id).iterator.map(llpOf).sum, s"doc $id beats Viterbi")
+    }
+    // the sampler actually explores: some doc differs from argmax
+    assert(samp.exists { case (id, pieces) => pieces != vit(id) })
+  }
+
   test("encodeIds roundtrip through the model's id assignment") {
     val docs = graft.Tables.documents(spark, sfDir).limit(100)
     val m = Unigram.train(docs, "text",
