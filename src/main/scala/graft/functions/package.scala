@@ -166,6 +166,20 @@ package object functions {
   def gray_patch_stats(p: Int, pixels: Column, w: Column, h: Column): Column =
     col(GrayPatchStats(p, ex(pixels), ex(w), ex(h)))
 
+  /** One-pass count / mean / flattened d×d second-moment aggregate of a
+    * vector column (map-side-combinable; the covariance input of
+    * whitening). */
+  def vector_moments(c: Column): Column =
+    col(VectorMoments(ex(c)).toAggregateExpression())
+
+  /** `W · (v − μ)` against a broadcast row-major matrix + mean — linear
+    * embedding post-processing as a zero-shuffle codegen'd map. */
+  def mat_vec_center(
+      w: org.apache.spark.broadcast.Broadcast[Array[Double]],
+      mean: org.apache.spark.broadcast.Broadcast[Array[Double]],
+      vec: Column): Column =
+    col(MatVecCenter(w, mean, ex(vec)))
+
   /** LE signed-16-bit PCM decode + per-frame RMS/ZCR/peak features. */
   def pcm16_frames(frameLen: Int, content: Column): Column =
     col(Pcm16Frames(frameLen, ex(content)))

@@ -280,6 +280,99 @@ object Similarity {
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
 
+  /** ZCA whitening of an embedding column — the standard post-processing
+    * that equalizes feature variances and removes correlations before
+    * cosine retrieval (Su et al. 2021 "Whitening Sentence Representations"
+    * observed large retrieval gains on anisotropic encoder outputs):
+    * `v ↦ V diag((λ+eps)^(-1/2)) Vᵀ (v − μ)` with `C = V diag(λ) Vᵀ` the
+    * corpus covariance.
+    *
+    * Scale shape: ONE map-side-combinable moments pass
+    * ([[graft.functions.VectorMoments]] — the shuffle carries a
+    * `1 + d + d²` buffer per partition, never N·d² rows), a driver-side
+    * d×d Jacobi eigendecomposition (planning-scale: d ≤ a few hundred),
+    * then one zero-shuffle codegen'd transform
+    * ([[graft.functions.MatVecCenter]]) — the whole operator touches the
+    * corpus exactly twice, both at scan speed.
+    *
+    * Deterministic: fixed-order Jacobi sweeps on driver doubles; the
+    * transform is a pure function of (corpus, eps). Returns
+    * `(idCol, w)` with `w` the whitened `array<double>`. Verified by
+    * `ns_embed_whiten_audit`: whitened mean ≈ 0, whitened covariance ≈ I
+    * (diag shrunk by exactly λ/(λ+eps)), rerun-identical.
+    */
+  def whiten(embs: DataFrame, idCol: String, vecCol: String,
+             eps: Double = 1e-5): DataFrame = {
+    val row = embs.agg(graft.functions.vector_moments(col(vecCol))
+      .as("m")).select("m.n", "m.mean", "m.m2").head()
+    val mean = row.getSeq[Double](1).toArray
+    val m2 = row.getSeq[Double](2).toArray
+    val d = mean.length
+    val cov = Array.tabulate(d * d)(i =>
+      m2(i) - mean(i / d) * mean(i % d))
+    val (lambda, v) = graft.functions.Jacobi.eigen(cov, d)
+    // W = V diag((λ+eps)^(-1/2)) Vᵀ  (row-major)
+    val w = new Array[Double](d * d)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) {
+        var s = 0.0
+        var k = 0
+        while (k < d) {
+          s += v(i * d + k) * v(j * d + k) /
+            math.sqrt(math.max(lambda(k), 0.0) + eps)
+          k += 1
+        }
+        w(i * d + j) = s
+        j += 1
+      }
+      i += 1
+    }
+    val sc = embs.sparkSession.sparkContext
+    embs.select(col(idCol),
+      graft.functions.mat_vec_center(sc.broadcast(w), sc.broadcast(mean),
+        col(vecCol)).as("w"))
+  }
+
+  /** Matryoshka truncation report (Kusupati et al. 2022: MRL-trained
+    * embeddings concentrate signal in the leading dims, so retrieval can
+    * run on a prefix at a fraction of the scan cost): per vector, the
+    * full and m-dim-prefix norms and the ENERGY RATIO ‖v[:m]‖²/‖v‖² —
+    * the number that says whether a corpus's embeddings tolerate
+    * truncation before you re-index at the smaller dim. Pure codegen'd
+    * projection, zero shuffle; same left-to-right double accumulation as
+    * [[embedStats]] so the rounded values hash cross-engine.
+    */
+  def matryoshkaEnergy(embs: DataFrame, idCol: String, vecCol: String,
+                       m: Int): DataFrame = {
+    require(m > 0, s"prefix dims must be positive, got $m")
+    def sumSq(v: Column) = aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val full = sumSq(col(vecCol))
+    val head = sumSq(slice(col(vecCol), 1, m))
+    embs.select(col(idCol), size(col(vecCol)).as("dims"),
+      round(sqrt(full), 4).as("norm_full"),
+      round(sqrt(head), 4).as("norm_m"),
+      // zero vector: 0/0 would be NaN — report 0 energy, like the
+      // degenerate-vector handling in embedStats's is_unit
+      when(full > 0, round(head / full, 6)).otherwise(lit(0.0))
+        .as("energy_ratio"))
+  }
+
+  /** Brute-force top-k under m-dim Matryoshka truncation — the quality
+    * side of the truncation trade: overlap against the full-dim top-k
+    * measures retrieval degradation at the cheaper scan. Same plan as
+    * [[bruteForceTopK]] over the sliced column.
+    */
+  def matryoshkaTopK(embs: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int, m: Int): DataFrame = {
+    require(m > 0, s"prefix dims must be positive, got $m")
+    bruteForceTopK(
+      embs.select(col(idCol), slice(col(vecCol), 1, m).as(vecCol)),
+      idCol, vecCol, queryId, k)
+  }
+
   /** Per-vector statistics (corpus hygiene for an embedding column): L2
     * norm, component min/max, and a unit-norm flag — the checks a pipeline
     * runs before cosine math (a zero or wildly-scaled vector poisons

@@ -532,6 +532,35 @@ object PipelineQueries {
         "FROM embeddings, (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0) q " +
         "WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10")),
 
+    // ---- Matryoshka truncation (Kusupati et al. 2022): the per-vector
+    // prefix-energy report and the truncated-scan top-k — the two
+    // numbers that decide whether retrieval can run on a 16-dim prefix
+    // at a quarter of the scan cost. Both fully oracled (slice + the
+    // same cosine/norm conventions as the full-dim queries). ----
+    ("ns_embed_matryoshka",
+      (s: SparkSession, d: String) =>
+        Similarity.matryoshkaEnergy(Tables.embeddings(s, d), "vec_id",
+            "embedding", m = 16)
+          .orderBy("vec_id"),
+      Some("WITH m AS (SELECT vec_id, len(embedding) AS dims, " +
+        "list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS sf, " +
+        "list_sum(list_transform(CAST(embedding[1:16] AS DOUBLE[]), x -> x * x)) AS sh " +
+        "FROM embeddings) " +
+        "SELECT vec_id, CAST(dims AS INTEGER) AS dims, " +
+        "round(sqrt(sf), 4) AS norm_full, round(sqrt(sh), 4) AS norm_m, " +
+        "CASE WHEN sf > 0 THEN round(sh / sf, 6) ELSE 0.0 END " +
+        "AS energy_ratio FROM m ORDER BY vec_id")),
+
+    ("ns_ann_matryoshka_topk",
+      (s: SparkSession, d: String) =>
+        Similarity.matryoshkaTopK(Tables.embeddings(s, d), "vec_id",
+          "embedding", queryId = 0, k = 10, m = 16),
+      Some("SELECT vec_id, " +
+        dCos("embeddings.embedding[1:16]", "q.q_vec") + " AS cos " +
+        "FROM embeddings, (SELECT embedding[1:16] AS q_vec FROM embeddings " +
+        "WHERE vec_id = 0) q " +
+        "WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10")),
+
     // ---- MMR diversified top-k: distributed candidate scan + driver-side
     // greedy diversification. At lambda=1 the penalty vanishes, so the
     // selection must EQUAL brute-force top-k — a full oracle on the
@@ -1704,6 +1733,62 @@ object PipelineQueries {
         "SELECT vec_id, CAST(dims AS INTEGER) AS dims, round(nrm, 4) AS l2_norm, " +
         "round(mn, 4) AS min_v, round(mx, 4) AS max_v, " +
         "abs(nrm - 1.0) <= 0.01 AS is_unit FROM m ORDER BY vec_id")),
+
+    // ---- ZCA whitening of the embedding column (one moments pass +
+    // driver Jacobi + zero-shuffle transform). Rows-only by design (the
+    // whitened values depend on the eigenbasis, which has no SQL form);
+    // the audit below proves the transform did what whitening means. ----
+    ("ns_embed_whiten",
+      (s: SparkSession, d: String) =>
+        Similarity.whiten(Tables.embeddings(s, d), "vec_id", "embedding")
+          .select(col("vec_id"), size(col("w")).as("dims"),
+            round(sqrt(aggregate(col("w"), lit(0.0),
+              (acc, x) => acc + x * x)), 4).as("w_norm"))
+          .orderBy("vec_id"),
+      None),
+
+    // Whitening audit: whitened mean is 0; the whitened covariance's
+    // EIGENVALUES equal lambda/(lambda+eps) of the original spectrum
+    // (the spectrum comparison is exact even when unit-norm inputs make
+    // the covariance rank-deficient — a flat cov-equals-identity check
+    // would be wrong there); shape preserved; rerun identical.
+    ("ns_embed_whiten_audit",
+      (s: SparkSession, d: String) => {
+        import graft.functions.{vector_moments, Jacobi}
+        val eps = 1e-5
+        val embs = Tables.embeddings(s, d)
+        val w = Similarity.whiten(embs, "vec_id", "embedding", eps).cache()
+        def moments(df: DataFrame, c: String) = {
+          val r = df.agg(vector_moments(col(c)).as("m"))
+            .select("m.n", "m.mean", "m.m2").head()
+          (r.getLong(0), r.getSeq[Double](1).toArray,
+            r.getSeq[Double](2).toArray)
+        }
+        def covEig(mean: Array[Double], m2: Array[Double]): Array[Double] = {
+          val dd = mean.length
+          Jacobi.eigen(Array.tabulate(dd * dd)(i =>
+            m2(i) - mean(i / dd) * mean(i % dd)), dd)._1.sorted
+        }
+        val (n0, mean0, m20) = moments(embs, "embedding")
+        val (n1, mean1, m21) = moments(w, "w")
+        val expected = covEig(mean0, m20)
+          .map(l => math.max(l, 0.0) / (math.max(l, 0.0) + eps)).sorted
+        val got = covEig(mean1, m21)
+        val slice = w.filter(col("vec_id") < 100).orderBy("vec_id")
+          .collect().map(_.toSeq).toSeq
+        val rerun = Similarity.whiten(embs, "vec_id", "embedding", eps)
+          .filter(col("vec_id") < 100).orderBy("vec_id")
+          .collect().map(_.toSeq).toSeq
+        w.unpersist()
+        auditDf(s, Seq(
+          "whitened_mean_zero" -> mean1.forall(x => math.abs(x) < 1e-6),
+          "whitened_spectrum_matches" -> (got.length == expected.length &&
+            got.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-5 }),
+          "shape_preserved" -> (n0 == n1 && mean1.length == mean0.length),
+          "rerun_identical" -> (slice == rerun)))
+      },
+      Some(auditOracleSql(Seq("whitened_mean_zero",
+        "whitened_spectrum_matches", "shape_preserved", "rerun_identical")))),
 
     // ---- curation: stratified deterministic sample (<=20 docs per lang) ----
     ("ns_curate_stratified_sample",
