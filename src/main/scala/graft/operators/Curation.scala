@@ -166,6 +166,32 @@ object Curation {
         (col("quality_score") >= col("domain_threshold")).as("keep"))
   }
 
+  /** LM-based quality floor — the perplexity filter every web-scale
+    * pipeline runs (CCNet/Wenzek et al. 2020 shape: score text under a
+    * reference LM, drop the worst tail per domain): held-out docs are
+    * scored by the trigram stupid-backoff model
+    * ([[TextAnalysis.trigramBackoff]]) fit on `train`, and each domain
+    * keeps docs at or above its `floorQuantile` of `avg_logscore`
+    * (higher = more fluent under the reference corpus). Composes two
+    * independently-oracled stages, so the WHOLE filter hash-matches a
+    * cross-engine oracle. Degenerate docs (< 3 tokens, no trigram
+    * evidence) carry score 0 — unpenalized, matching the scorer's
+    * convention. Thresholds are |domains| rows — broadcast.
+    */
+  def perplexityFloor(train: DataFrame, docs: DataFrame, idCol: String,
+                      textCol: String, domainCol: String,
+                      floorQuantile: Double = 0.2): DataFrame = {
+    val scored = TextAnalysis.trigramBackoff(train, docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(domainCol).as("domain")), Seq(idCol))
+    val thresholds = scored.groupBy("domain")
+      .agg(round(percentile(col("avg_logscore"), lit(floorQuantile)), 6)
+        .as("domain_threshold"))
+    scored.join(broadcast(thresholds), Seq("domain"))
+      .select(col(idCol), col("domain"), col("n_trigrams"),
+        col("avg_logscore"), col("domain_threshold"),
+        (col("avg_logscore") >= col("domain_threshold")).as("keep"))
+  }
+
   /** [[adaptiveQualityFloor]] at profile scale: per-domain thresholds come
     * from a mergeable KLL sketch ([[graft.functions.KllAgg]], one
     * streaming pass, a few KB per domain) instead of an exact rank — and

@@ -179,6 +179,55 @@ object PipelineQueries {
       "QUALIFY row_number() OVER (PARTITION BY doc_id " +
       "ORDER BY score DESC, label) = 1) "
 
+  /** DuckDB replication of the trigram stupid-backoff scorer
+    * ([[graft.operators.TextAnalysis.trigramBackoff]]): counts fit on the
+    * md5-split train side, held-out docs scored per trigram with the
+    * trigram→bigram→add-k-unigram backoff chain (ln rounded 6,
+    * position-ordered sum / count rounded 4); `heldout` carries every
+    * non-train doc with its source and 0.0 for trigram-less docs. Shared
+    * by the scorer query and the perplexity-floor filter built on it.
+    */
+  private val trigramCte =
+    "WITH sp AS (SELECT doc_id, " + dHashMod("su", 100L) + " < 80 " +
+      "AS is_train FROM (SELECT doc_id, " +
+      "md5_number_lower(CAST(doc_id AS VARCHAR)) AS su FROM documents)), " +
+      "tk AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos " +
+      "FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
+      "FROM documents)), " +
+      "st AS (SELECT doc_id, pos, w AS w1, lead(w, 1) OVER win AS w2, " +
+      "lead(w, 2) OVER win AS w3 FROM tk " +
+      "WINDOW win AS (PARTITION BY doc_id ORDER BY pos)), " +
+      "trn AS (SELECT st.* FROM st JOIN sp USING (doc_id) WHERE is_train), " +
+      "c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM trn " +
+      "WHERE w3 IS NOT NULL GROUP BY 1, 2, 3), " +
+      "c2 AS (SELECT w1, w2, count(*) AS c2 FROM trn " +
+      "WHERE w2 IS NOT NULL GROUP BY 1, 2), " +
+      "c1 AS (SELECT w1 AS wu, count(*) AS c1 FROM trn GROUP BY 1), " +
+      "nv AS (SELECT CAST(count(*) AS DOUBLE) AS nn, " +
+      "CAST(count(DISTINCT w1) AS DOUBLE) AS v FROM trn), " +
+      "sd AS (SELECT st.* FROM st JOIN sp USING (doc_id) " +
+      "WHERE NOT is_train AND w3 IS NOT NULL), " +
+      "sx AS (SELECT sd.doc_id, sd.pos, round(CASE " +
+      "WHEN c3.c3 IS NOT NULL THEN ln(c3.c3 / c2.c2) " +
+      "WHEN cb.c2b IS NOT NULL THEN ln(0.4 * cb.c2b / cu.c1) " +
+      "ELSE ln(0.4 * 0.4 * (coalesce(cw.c1, 0) + 0.5) / (nv.nn + 0.5 * nv.v)) " +
+      "END, 6) AS lns FROM sd " +
+      "LEFT JOIN c3 ON sd.w1 = c3.w1 AND sd.w2 = c3.w2 AND sd.w3 = c3.w3 " +
+      "LEFT JOIN c2 ON sd.w1 = c2.w1 AND sd.w2 = c2.w2 " +
+      "LEFT JOIN (SELECT w1 AS b1, w2 AS b2, c2 AS c2b FROM c2) cb " +
+      "ON sd.w2 = cb.b1 AND sd.w3 = cb.b2 " +
+      "LEFT JOIN c1 cu ON sd.w2 = cu.wu " +
+      "LEFT JOIN c1 cw ON sd.w3 = cw.wu " +
+      "CROSS JOIN nv), " +
+      "sc AS (SELECT doc_id, count(*) AS n_trigrams, " +
+      "round(list_sum(list(lns ORDER BY pos)) / count(*), 4) AS avg_logscore " +
+      "FROM sx GROUP BY 1), " +
+      "heldout AS (SELECT d.doc_id, d.source, " +
+      "CAST(coalesce(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams, " +
+      "coalesce(sc.avg_logscore, 0.0) AS avg_logscore " +
+      "FROM documents d JOIN sp USING (doc_id) LEFT JOIN sc USING (doc_id) " +
+      "WHERE NOT is_train) "
+
   /** One row per named invariant check, `holds` computed by actually
     * running the check — hashed against a constant-true oracle, the
     * ANN-recall-audit pattern generalized: spec-level assertions become
@@ -2003,44 +2052,31 @@ object PipelineQueries {
             "doc_id", "text")
           .orderBy("doc_id")
       },
-      Some("WITH sp AS (SELECT doc_id, " + dHashMod("su", 100L) + " < 80 " +
-        "AS is_train FROM (SELECT doc_id, " +
-        "md5_number_lower(CAST(doc_id AS VARCHAR)) AS su FROM documents)), " +
-        "tk AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos " +
-        "FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
-        "FROM documents)), " +
-        "st AS (SELECT doc_id, pos, w AS w1, lead(w, 1) OVER win AS w2, " +
-        "lead(w, 2) OVER win AS w3 FROM tk " +
-        "WINDOW win AS (PARTITION BY doc_id ORDER BY pos)), " +
-        "trn AS (SELECT st.* FROM st JOIN sp USING (doc_id) WHERE is_train), " +
-        "c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM trn " +
-        "WHERE w3 IS NOT NULL GROUP BY 1, 2, 3), " +
-        "c2 AS (SELECT w1, w2, count(*) AS c2 FROM trn " +
-        "WHERE w2 IS NOT NULL GROUP BY 1, 2), " +
-        "c1 AS (SELECT w1 AS wu, count(*) AS c1 FROM trn GROUP BY 1), " +
-        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS nn, " +
-        "CAST(count(DISTINCT w1) AS DOUBLE) AS v FROM trn), " +
-        "sd AS (SELECT st.* FROM st JOIN sp USING (doc_id) " +
-        "WHERE NOT is_train AND w3 IS NOT NULL), " +
-        "sx AS (SELECT sd.doc_id, sd.pos, round(CASE " +
-        "WHEN c3.c3 IS NOT NULL THEN ln(c3.c3 / c2.c2) " +
-        "WHEN cb.c2b IS NOT NULL THEN ln(0.4 * cb.c2b / cu.c1) " +
-        "ELSE ln(0.4 * 0.4 * (coalesce(cw.c1, 0) + 0.5) / (nv.nn + 0.5 * nv.v)) " +
-        "END, 6) AS lns FROM sd " +
-        "LEFT JOIN c3 ON sd.w1 = c3.w1 AND sd.w2 = c3.w2 AND sd.w3 = c3.w3 " +
-        "LEFT JOIN c2 ON sd.w1 = c2.w1 AND sd.w2 = c2.w2 " +
-        "LEFT JOIN (SELECT w1 AS b1, w2 AS b2, c2 AS c2b FROM c2) cb " +
-        "ON sd.w2 = cb.b1 AND sd.w3 = cb.b2 " +
-        "LEFT JOIN c1 cu ON sd.w2 = cu.wu " +
-        "LEFT JOIN c1 cw ON sd.w3 = cw.wu " +
-        "CROSS JOIN nv), " +
-        "sc AS (SELECT doc_id, count(*) AS n_trigrams, " +
-        "round(list_sum(list(lns ORDER BY pos)) / count(*), 4) AS avg_logscore " +
-        "FROM sx GROUP BY 1) " +
-        "SELECT d.doc_id, CAST(coalesce(sc.n_trigrams, 0) AS BIGINT) " +
-        "AS n_trigrams, coalesce(sc.avg_logscore, 0.0) AS avg_logscore " +
-        "FROM documents d JOIN sp USING (doc_id) LEFT JOIN sc USING (doc_id) " +
-        "WHERE NOT is_train ORDER BY doc_id")),
+      Some(trigramCte +
+        "SELECT doc_id, n_trigrams, avg_logscore FROM heldout ORDER BY doc_id")),
+
+    // ---- LM-based (perplexity) quality floor: held-out docs scored by
+    // the train-split trigram backoff model, each domain keeping docs at
+    // or above its 20th-percentile avg log-score — the CCNet-style
+    // reference-LM filter, composed from two independently-oracled
+    // stages so the WHOLE filter hash-matches end-to-end. ----
+    ("ns_curate_ppl_floor",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val b = Curation.hashBucket(col("doc_id"), 100)
+        Curation.perplexityFloor(docs.filter(b < 80), docs.filter(b >= 80),
+            "doc_id", "text", "source", floorQuantile = 0.2)
+          .orderBy("doc_id")
+      },
+      Some(trigramCte +
+        ", th AS (SELECT source AS domain, " +
+        "round(quantile_cont(avg_logscore, 0.2), 6) AS domain_threshold " +
+        "FROM heldout GROUP BY 1) " +
+        "SELECT h.doc_id, h.source AS domain, h.n_trigrams, " +
+        "h.avg_logscore, th.domain_threshold, " +
+        "h.avg_logscore >= th.domain_threshold AS keep " +
+        "FROM heldout h JOIN th ON h.source = th.domain " +
+        "ORDER BY h.doc_id")),
 
     // ---- one-row corpus data card: volume, diversity, exact-dup census.
     // The dup census groups on md5_lower64(text) (8-byte shuffle keys);

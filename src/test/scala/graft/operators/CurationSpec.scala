@@ -421,4 +421,20 @@ class CurationSpec extends SparkSpec {
       .as[(Int, Int, Long)].collect().toSeq
     assert(batches.size === 10 && batches.forall(_._3 === 2L))
   }
+
+  test("perplexityFloor drops the unseen-gibberish tail, keeps fluent docs") {
+    val train = (0L until 40L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val fluent = (100L until 109L)
+      .map(i => (i, "the quick brown fox jumps over the dog", "web"))
+    val junk = Seq((999L, "zz qq xx vv ww yy uu tt", "web"))
+    val held = (fluent ++ junk).toDF("doc_id", "text", "dom")
+    val out = Curation.perplexityFloor(train, held, "doc_id", "text", "dom",
+        floorQuantile = 0.2)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out.size === 10)
+    fluent.foreach { case (id, _, _) => assert(out(id), s"doc $id dropped") }
+    assert(!out(999L), "gibberish survived the floor")
+  }
 }
