@@ -166,6 +166,30 @@ object Curation {
         (col("quality_score") >= col("domain_threshold")).as("keep"))
   }
 
+  /** Per-domain TOKEN-budget sampling: mixtures are specified in tokens,
+    * not documents (a domain of long documents exhausts its share in far
+    * fewer docs), so each domain admits its deterministic md5-order
+    * prefix of documents until the cumulative token count reaches
+    * `budgetTokens` — the content-addressed selection convention of
+    * [[domainCap]] with the running sum in tokens. Returns every doc
+    * with `(n_tokens, cum_tokens, keep)`; `keep` = the doc fits inside
+    * the budget (the first doc crossing the line is dropped, so a
+    * domain never exceeds its budget). One window per domain — the same
+    * shuffle [[domainCap]] pays.
+    */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, textCol: String,
+                        domainCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    val w = Window.partitionBy("domain").orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), col(domainCol).as("domain"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
+        graft.functions.md5_lower64(col(idCol).cast("string")).as("__h"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .select(col(idCol), col("domain"), col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= budgetTokens).as("keep"))
+  }
+
   /** LM-based quality floor — the perplexity filter every web-scale
     * pipeline runs (CCNet/Wenzek et al. 2020 shape: score text under a
     * reference LM, drop the worst tail per domain): held-out docs are

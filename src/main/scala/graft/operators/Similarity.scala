@@ -211,6 +211,42 @@ object Similarity {
       col(idCol) =!= col("qid") && col(labelCol) =!= col("qlabel"), k,
       Seq(col(labelCol).as("neg_label")))
 
+  /** Contrastive TRIPLET mining — the training-example builder for
+    * embedding/retrieval models: per anchor, the highest-cosine
+    * SAME-label vector (the positive), the highest-cosine
+    * DIFFERENT-label vector (the hard negative — [[hardNegatives]] at
+    * k=1), and the contrastive margin `cos_pos − cos_neg` (negative
+    * margin = the anchor's hardest negative outranks its best positive,
+    * exactly the examples a contrastive loss learns most from). One
+    * broadcast of the anchor table, one corpus scan, two per-anchor
+    * window ranks on the scored candidates. Ties break to the smaller
+    * id (the rounded-cosine convention throughout).
+    */
+  def tripletMine(embs: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, anchors: DataFrame, qidCol: String,
+                  qvecCol: String, qlabelCol: String): DataFrame = {
+    val scored = embs.filter(col(labelCol).isNotNull)
+      .crossJoin(broadcast(anchors.filter(col(qlabelCol).isNotNull)
+        .select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+          col(qlabelCol).as("qlabel"))))
+      .filter(col(idCol) =!= col("qid"))
+      .withColumn("cos",
+        round(cosine_similarity(col(vecCol), col("qvec")), 3))
+      .select(col("qid"), col("qlabel"), col(idCol).as("id"),
+        col(labelCol).as("lbl"), col("cos"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("id"))
+    def top1(side: DataFrame, pfx: String) = side
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("qid"), col("id").as(s"${pfx}_id"),
+        col("cos").as(s"${pfx}_cos"))
+    top1(scored.filter(col("lbl") === col("qlabel")), "pos")
+      .join(top1(scored.filter(col("lbl") =!= col("qlabel")), "neg"), "qid")
+      .select(col("qid"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 3).as("margin"))
+  }
+
   /** BATCH probe of the materialized index: every query's multi-probe
     * bucket list is computed as columns (one codegen'd pass over the query
     * table), the union of probe buckets — bounded by Q·probes, collected

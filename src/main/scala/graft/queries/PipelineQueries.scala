@@ -834,6 +834,33 @@ object PipelineQueries {
         "SELECT qid, id, neg_label, cos, rank FROM r WHERE rank <= 3 " +
         "ORDER BY qid, rank")),
 
+    // ---- contrastive triplet mining: per anchor the best same-label
+    // positive, the hardest different-label negative, and the margin —
+    // the training-example builder for embedding models; negative margin
+    // flags the anchors a contrastive loss learns most from. ----
+    ("ns_ann_triplets",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        Similarity.tripletMine(embs, "vec_id", "embedding", "label",
+            embs.filter(col("vec_id") < 10), "vec_id", "embedding", "label")
+          .orderBy("qid")
+      },
+      Some("WITH q AS (SELECT vec_id AS qid, embedding AS qvec, " +
+        "label AS qlabel FROM embeddings WHERE vec_id < 10), " +
+        "scored AS (SELECT q.qid, q.qlabel, e.vec_id AS id, e.label AS lbl, " +
+        "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+        "CAST(q.qvec AS DOUBLE[])), 3) AS cos " +
+        "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid), " +
+        "p AS (SELECT qid, id AS pos_id, cos AS pos_cos FROM scored " +
+        "WHERE lbl = qlabel QUALIFY row_number() OVER (PARTITION BY qid " +
+        "ORDER BY cos DESC, id) = 1), " +
+        "n AS (SELECT qid, id AS neg_id, cos AS neg_cos FROM scored " +
+        "WHERE lbl <> qlabel QUALIFY row_number() OVER (PARTITION BY qid " +
+        "ORDER BY cos DESC, id) = 1) " +
+        "SELECT qid, pos_id, pos_cos, neg_id, neg_cos, " +
+        "round(pos_cos - neg_cos, 3) AS margin " +
+        "FROM p JOIN n USING (qid) ORDER BY qid")),
+
     // ---- ANN: BATCH index probe (bucket-pruned scan; approximate by
     // design — recall vs the batch brute force asserted in SimilaritySpec) ----
     // ---- ANN: BATCH probe of the IVF index (centroid ranking as a
@@ -1497,6 +1524,28 @@ object PipelineQueries {
         "r AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source " +
         "ORDER BY h64, doc_id) AS INTEGER) AS rn FROM s) " +
         "SELECT doc_id, source, rn, rn <= 15 AS kept FROM r ORDER BY doc_id")),
+
+    // ---- curation: per-domain TOKEN-budget sampling — mixtures are
+    // specified in tokens, not documents; each domain admits its
+    // md5-order prefix until the running token sum crosses the budget. ----
+    ("ns_curate_token_budget",
+      (s: SparkSession, d: String) =>
+        Curation.tokenBudgetSample(Tables.documents(s, d), "doc_id", "text",
+            "source", budgetTokens = 2000L)
+          .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, source, " +
+        "CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) " +
+        "AS n_tokens, md5_number_lower(CAST(doc_id AS VARCHAR)) AS u " +
+        "FROM documents), " +
+        "s2 AS (SELECT doc_id, source AS domain, n_tokens, " +
+        "CAST(CASE WHEN u >= 9223372036854775808 " +
+        "THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS h64 FROM t), " +
+        "c AS (SELECT doc_id, domain, n_tokens, " +
+        "CAST(sum(n_tokens) OVER (PARTITION BY domain ORDER BY h64, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS cum_tokens FROM s2) " +
+        "SELECT doc_id, domain, n_tokens, cum_tokens, " +
+        "cum_tokens <= 2000 AS keep FROM c ORDER BY doc_id")),
 
     // ---- curation: domain-mixture reweighting (target shares -> sampling
     // weights; shares through exact decimal for cross-engine equality) ----

@@ -422,6 +422,25 @@ class CurationSpec extends SparkSpec {
     assert(batches.size === 10 && batches.forall(_._3 === 2L))
   }
 
+  test("tokenBudgetSample admits the hash-order prefix up to the budget") {
+    // 6 docs per domain, 10 tokens each, budget 25 -> exactly 2 kept
+    val docs = (0L until 12L).map(i =>
+      (i, Seq.fill(10)(s"w$i").mkString(" "), s"d${i % 2}"))
+      .toDF("doc_id", "text", "dom")
+    val out = Curation.tokenBudgetSample(docs, "doc_id", "text", "dom", 25L)
+      .as[(Long, String, Long, Long, Boolean)].collect()
+    assert(out.length === 12)
+    assert(out.forall(_._3 === 10L))
+    val kept = out.filter(_._5)
+    assert(kept.length === 4 && kept.groupBy(_._2).forall(_._2.length == 2))
+    // cumulative sums are the 10-token ladder per domain
+    out.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq === (1 to 6).map(_ * 10L))
+    }
+    // keep is exactly cum <= budget
+    out.foreach(r => assert(r._5 === (r._4 <= 25L)))
+  }
+
   test("perplexityFloor drops the unseen-gibberish tail, keeps fluent docs") {
     val train = (0L until 40L)
       .map(i => (i, "the quick brown fox jumps over the lazy dog"))

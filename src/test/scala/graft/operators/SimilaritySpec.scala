@@ -46,6 +46,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("tripletMine: planted geometry yields the known positive, negative, margin") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // anchor along x; same-label close (cos .8), same-label far (cos 0),
+    // diff-label CLOSER than the positive (cos ~.98) -> negative margin
+    val embs = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(0.8f, 0.6f), 0),  // positive, cos 0.8
+      (2L, Array(0f, 1f), 0),      // same label, cos 0
+      (3L, Array(0.98f, 0.199f), 1), // hard negative, cos ~0.98
+      (4L, Array(-1f, 0f), 1)      // easy negative, cos -1
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.tripletMine(embs, "vec_id", "embedding", "label",
+        embs.filter(col("vec_id") === 0), "vec_id", "embedding", "label")
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 1L && r.getDouble(2) === 0.8)   // pos
+    assert(r.getLong(3) === 3L)                              // hard neg
+    assert(r.getDouble(4) > 0.9)
+    assert(r.getDouble(5) < 0, "hard negative must yield a negative margin")
+    assert(r.getDouble(5) === BigDecimal(r.getDouble(2) - r.getDouble(4))
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("hardNegatives excludes null-labeled rows instead of silently dropping anchors") {
     import org.apache.spark.sql.functions.{col, lit, when}
     val embs = Tables.embeddings(spark, sfDir)
