@@ -45,7 +45,8 @@ object ScaleSmoke {
     val n = if (args.nonEmpty) args(0).toInt else 200000
     val stages = if (args.length > 1) args(1) else "all"
     require(Set("all", "lexical", "semantic", "recall", "pipeline",
-      "streaming", "classifier", "curation", "streamlearn", "semdedup")(stages),
+      "streaming", "classifier", "curation", "streamlearn", "semdedup",
+      "embed")(stages),
       s"unknown stage set '$stages'")
     def on(s: String) = stages == "all" || stages == s
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -633,6 +634,50 @@ object ScaleSmoke {
     println(s"SCALE   semdedup dropped=$dropped planted=$planted9 " +
       s"(${if (dropped == planted9) "EXACT" else "MISS"})")
     base.unpersist()
+    }
+
+    if (on("embed")) {
+    // ---- embedding post-processing at FULL corpus size: ZCA whitening
+    // over n 64-dim vectors — one VectorMoments pass (the shuffle is a
+    // 1+d+d² buffer per partition), driver Jacobi, one zero-shuffle
+    // transform. Asserts the whitening CONTRACT at scale: whitened mean
+    // 0, whitened-covariance spectrum = lambda/(lambda+eps).
+    import graft.operators.Similarity
+    import graft.functions.{vector_moments, Jacobi}
+    val embs = spark.range(n.toLong).toDF("vec_id")
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(63)), i =>
+          (pmod(xxhash64(col("vec_id"), i), lit(1000L)).cast("float") / 500.0f
+            - 1.0f).cast("float")))
+      .repartition(spark.sparkContext.defaultParallelism.toInt)
+      .cache()
+    t("embed_vecs_materialize")(embs.count())
+    val eps = 1e-5
+    val wdf = t("embed_whiten") {
+      val w = Similarity.whiten(embs, "vec_id", "embedding", eps).cache()
+      w.count(); w
+    }
+    def mom(df: org.apache.spark.sql.DataFrame, c: String) = {
+      val r = df.agg(vector_moments(col(c)).as("m"))
+        .select("m.mean", "m.m2").head()
+      (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray)
+    }
+    def covEig(mean: Array[Double], m2: Array[Double]) = {
+      val dd = mean.length
+      Jacobi.eigen(Array.tabulate(dd * dd)(i =>
+        m2(i) - mean(i / dd) * mean(i % dd)), dd)._1.sorted
+    }
+    val (m0, s0) = t("embed_moments_raw")(mom(embs, "embedding"))
+    val (m1, s1) = t("embed_moments_whitened")(mom(wdf, "w"))
+    val expectedEig = covEig(m0, s0)
+      .map(l => math.max(l, 0.0) / (math.max(l, 0.0) + eps)).sorted
+    val gotEig = covEig(m1, s1)
+    val meanOk = m1.forall(x => math.abs(x) < 1e-6)
+    val eigOk = gotEig.zip(expectedEig)
+      .forall { case (a, b) => math.abs(a - b) < 1e-5 }
+    println(s"SCALE   whiten meanZero=$meanOk spectrumMatch=$eigOk " +
+      s"(${if (meanOk && eigOk) "OK" else "MISS"})")
+    wdf.unpersist(); embs.unpersist()
     }
 
     if (on("semdedup")) {
