@@ -421,6 +421,25 @@ object ScaleSmoke {
         s"tokChars=$tokChars ids=$idTotal strs=$strTotal " +
         s"(${if (unk == 0 && pieceChars == tokChars && idTotal == strTotal)
              "OK" else "MISS"})")
+      // the closed-form oracle regime at 1M (the WordPiece lesson:
+      // sf0.01 can pass closed forms by luck): uniform chars +
+      // substring-free top words => total pieces == sum over tokens of
+      // (1 if vocab word else token length)
+      val um = Unigram.uniformVocab(docs, "text", topWords = 50)
+      val topWords = um.filter(length(col("piece")) > 1)
+        .select("piece").collect().map(_.getString(0)).toSeq
+      val cfPieces = Unigram.encode(docs, "doc_id", "text", um)
+        .agg(sum("n_pieces")).head().getLong(0)
+      val cfExpected = docs
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(when(col("w").isin(topWords: _*), lit(1L))
+          .otherwise(length(col("w")).cast("long")).as("np"))
+        .agg(sum("np")).head().getLong(0)
+      println(s"SCALE   unigram-closed-form pieces=$cfPieces " +
+        s"expected=$cfExpected " +
+        s"(${if (cfPieces == cfExpected) "EXACT" else "MISS"})")
+
       // subword-regularized (sampled) encode: same char conservation,
       // strictly more pieces than Viterbi in aggregate (the sampler
       // explores sub-optimal = finer segmentations)
