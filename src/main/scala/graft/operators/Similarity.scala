@@ -341,6 +341,8 @@ object Similarity {
              eps: Double = 1e-5): DataFrame = {
     val row = embs.agg(graft.functions.vector_moments(col(vecCol))
       .as("m")).select("m.n", "m.mean", "m.m2").head()
+    require(!row.isNullAt(0),
+      "whiten: no vectors to fit (empty or all-null input)")
     val mean = row.getSeq[Double](1).toArray
     val m2 = row.getSeq[Double](2).toArray
     val d = mean.length
