@@ -46,7 +46,7 @@ object ScaleSmoke {
     val stages = if (args.length > 1) args(1) else "all"
     require(Set("all", "lexical", "semantic", "recall", "pipeline",
       "streaming", "classifier", "curation", "streamlearn", "semdedup",
-      "embed")(stages),
+      "embed", "bm25")(stages),
       s"unknown stage set '$stages'")
     def on(s: String) = stages == "all" || stages == s
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -874,6 +874,43 @@ object ScaleSmoke {
       hitters.size == 5
     println(s"SCALE   profile docs=${prof.getLong(0)} toks=${prof.getLong(1)} " +
       s"cls-hitters=${hitters.size} (${if (profOk) "OK" else "MISS"})")
+    docs.unpersist()
+    }
+
+    if (on("bm25")) {
+    // ---- materialized BM25 inverted index at full corpus size: build
+    // once (the tokenize + (term, doc) count shuffle), then probe — the
+    // probe must (a) reproduce the full-scan bm25TopK BIT-FOR-BIT and
+    // (b) read only the buckets its terms hash into, so its wall-time is
+    // index-lookup-shaped, not corpus-scan-shaped. Corpus = the lexical
+    // generator without variants (uniform 50 k vocabulary, so a term's
+    // postings are ~n·60/50k docs — realistically selective).
+    import graft.operators.{Bm25Index, TextAnalysis}
+    val docs = spark.range(n.toLong).toDF("doc_id")
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), lit(59)), i =>
+          concat(lit("w"), pmod(xxhash64(col("doc_id"), i), lit(50000L))))))
+      .repartition(spark.sparkContext.defaultParallelism.toInt)
+      .cache()
+    t("bm25_docs_materialize")(docs.count())
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    t("bm25_index_build")(
+      Bm25Index.build(docs, "doc_id", "text", dir, numBuckets = 64))
+    val terms = Seq("w17", "w4242", "w31337")
+    val scan = t("bm25_full_scan")(
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq)
+    val probe = t("bm25_index_probe")(
+      Bm25Index.topK(spark, dir, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq)
+    println(s"SCALE   bm25 probe ${if (probe == scan) "BIT-EQUAL to scan"
+      else s"MISMATCH probe=$probe scan=$scan"}")
+    // warm second probe with different terms: the per-query marginal cost
+    // (the build and doclen/stats footprint already in page cache)
+    val probe2 = t("bm25_index_probe_warm")(
+      Bm25Index.topK(spark, dir, Seq("w999", "w1000"), k = 10).count())
+    println(s"SCALE   bm25 warm-probe rows=$probe2 " +
+      s"(${if (probe2 == 10) "OK" else "MISS"})")
     docs.unpersist()
     }
 

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized BM25 inverted index — the lexical-retrieval sibling of the
+  * ANN index family: postings `(term, doc_id, tf)` live in
+  * `__bucket = pmod(xxhash64(term), numBuckets)` parquet partitions, so a
+  * query's candidate scan opens ONLY the buckets its terms hash into
+  * (literal partition pruning, the [[Similarity.buildIndex]] contract),
+  * instead of re-tokenizing the corpus per query the way the full-scan
+  * [[TextAnalysis.bm25TopK]] does.
+  *
+  * Exactness contract: the probe reproduces the full scan BIT-FOR-BIT —
+  * same Lucene idf, same rounding, same tie order — because
+  *  - per-term `df` is the postings count of that term (postings exist
+  *    exactly where tf > 0, the scan's df definition);
+  *  - `n`/`avgdl` are computed at build time by the same aggregate the
+  *    scan runs, and round-trip parquet exactly;
+  *  - the score is the SAME shared expression tree
+  *    ([[TextAnalysis.bm25ScoreCol]]) over the same double values;
+  *  - documents matching no term score round(0, 4) = 0.0 in the scan; the
+  *    probe backfills them (by ascending doc_id, the zero-tie order) only
+  *    when the candidate set alone cannot decide the top-k — candidates
+  *    fewer than k, or a candidate score rounding to ≤ 0 — so the common
+  *    probe never touches corpus-sized state beyond the doc-length join.
+  * BM25IndexSpec asserts probe ≡ scan on real data including the
+  * underfilled-rare-term case, and that only matching bucket partitions
+  * are read.
+  *
+  * Scale shape: build is one tokenize + one (term, doc) count shuffle —
+  * paid once per corpus version ([[IndexCatalog]] memoizes). A probe
+  * reads |terms| buckets (≈ corpus/numBuckets each), aggregates
+  * per-document tf columns, joins doc lengths on the candidate set, and
+  * finishes with TakeOrdered.
+  */
+object Bm25Index {
+
+  def build(docs: DataFrame, idCol: String, textCol: String,
+            indexDir: String, numBuckets: Int = 64): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val toks = TextOps.tokens(col(textCol))
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        col("__toks"))
+    base.select(col("doc_id"), explode(col("__toks")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("__bucket",
+        pmod(xxhash64(col("term")), lit(numBuckets.toLong)).cast("int"))
+      .repartition(col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$indexDir/postings")
+    base.select("doc_id", "dl")
+      .write.mode("overwrite").parquet(s"$indexDir/doclen")
+    // the scan's corpus constants, by the scan's own aggregate
+    base.agg(count(lit(1)).cast("double").as("n"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  /** Probe: exact BM25 top-k for `terms` against the materialized index.
+    * Output `(doc_id, score, rank)` — identical to
+    * [[TextAnalysis.bm25TopK]] over the indexed corpus.
+    */
+  def topK(spark: SparkSession, indexDir: String, terms: Seq[String],
+           k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+           numBuckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    import spark.implicits._
+    // the terms' buckets, by the same hash the build used (one tiny job)
+    val buckets = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(numBuckets.toLong)).cast("int"))
+      .collect().map(_.getInt(0)).distinct.sorted
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("__bucket").isin(buckets.map(Integer.valueOf).toSeq: _*) &&
+        col("term").isin(terms: _*))
+    // per-term document frequency = postings row count (tf > 0 by
+    // construction): ≤ |terms| rows, collected as literals
+    val dfMap = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val statsRow = spark.read.parquet(s"$indexDir/stats").head()
+    val (n, avgdl) = (statsRow.getDouble(0), statsRow.getDouble(1))
+
+    val tfCols = terms.indices.map(i =>
+      coalesce(sum(when(col("term") === terms(i), col("tf"))), lit(0L))
+        .cast("double").as(s"tf$i"))
+    val cand = postings.groupBy("doc_id")
+      .agg(tfCols.head, tfCols.tail: _*)
+      .join(spark.read.parquet(s"$indexDir/doclen"), "doc_id")
+      .withColumn("n", lit(n)).withColumn("avgdl", lit(avgdl))
+    val scored = terms.indices.foldLeft(cand)((df0, i) =>
+        df0.withColumn(s"df$i", lit(dfMap.getOrElse(terms(i), 0.0))))
+      .select(col("doc_id"),
+        round(TextAnalysis.bm25ScoreCol(terms.length, k1, b), 4).as("score"))
+    val agg = scored.agg(count(lit(1)), min("score")).head()
+    val (candCount, minScore) =
+      (agg.getLong(0), if (agg.isNullAt(1)) 1.0 else agg.getDouble(1))
+    val pool =
+      if (candCount >= k && minScore > 0.0) scored
+      else {
+        // underfill / zero-rounded candidates: the scan ranks zero-score
+        // docs by ascending doc_id — backfill the k smallest non-candidate
+        // ids at score 0.0 (any id beyond those cannot enter the top-k)
+        val zeros = spark.read.parquet(s"$indexDir/doclen")
+          .join(scored.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit(0.0).as("score"))
+          .orderBy("doc_id").limit(k)
+        scored.unionByName(zeros)
+      }
+    TextAnalysis.bm25RankTail(pool, k)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{md5_lower64, rolling_hash}
@@ -426,7 +426,6 @@ object TextAnalysis {
                terms: Seq[String], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
-    import org.apache.spark.sql.expressions.Window
     val toks = TextOps.tokens(col(textCol))
     val base = docs.select(Seq(col(idCol).as("doc_id"),
       size(toks).cast("long").as("dl")) ++
@@ -437,17 +436,39 @@ object TextAnalysis {
       (sum("dl").cast("double") / count(lit(1))).as("avgdl") +:
         terms.indices.map(i =>
           sum((col(s"tf$i") > 0).cast("long")).cast("double").as(s"df$i")): _*)
-    val score = terms.indices.map { i =>
-      val idf = log(lit(1.0) + (col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+    bm25RankTail(
+      base.crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(bm25ScoreCol(terms.length, k1, b), 4).as("score")),
+      k)
+  }
+
+  /** The BM25 scoring expression over columns `n, avgdl, dl` and per-term
+    * `tf$i`/`df$i` — ONE expression tree shared by the full-scan
+    * [[bm25TopK]] and the partition-pruned [[Bm25Index]] probe, so their
+    * pre-round doubles are bit-equal by construction (identical ops on
+    * identical values, whether a column or an inlined literal supplies
+    * them).
+    */
+  private[operators] def bm25ScoreCol(nTerms: Int, k1: Double,
+                                      b: Double): Column =
+    (0 until nTerms).map { i =>
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
       (idf * (col(s"tf$i") * lit(k1 + 1))) /
-        (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+        (col(s"tf$i") + lit(k1) *
+          (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
     }.reduce(_ + _)
-    val top = base.crossJoin(broadcast(stats))
-      .select(col("doc_id"), round(score, 4).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
-    top.withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+
+  /** Deterministic top-k + rank tail over `(doc_id, score)` — shared by
+    * the scan and index paths (TakeOrdered, then the rank window over
+    * only the k survivors).
+    */
+  private[operators] def bm25RankTail(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
       .orderBy("rank")
   }
 

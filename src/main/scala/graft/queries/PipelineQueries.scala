@@ -228,6 +228,33 @@ object PipelineQueries {
       "FROM documents d JOIN sp USING (doc_id) LEFT JOIN sc USING (doc_id) " +
       "WHERE NOT is_train) "
 
+  /** The BM25 oracle for terms (join, stream, dup), k=10 — shared
+    * verbatim by the full-scan query and the inverted-index probe
+    * (the index contract is bit-equality with the scan).
+    */
+  private val bm25OracleSql =
+    "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
+      "FROM documents), " +
+      "d AS (SELECT doc_id, len(t) AS dl, " +
+      "CAST(len(list_filter(t, x -> x = 'join')) AS DOUBLE) AS tf0, " +
+      "CAST(len(list_filter(t, x -> x = 'stream')) AS DOUBLE) AS tf1, " +
+      "CAST(len(list_filter(t, x -> x = 'dup')) AS DOUBLE) AS tf2 FROM toks), " +
+      "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+      "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, " +
+      "CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0, " +
+      "CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1, " +
+      "CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2 FROM d), " +
+      "sc AS (SELECT doc_id, round(" +
+      "(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)) / " +
+      "(tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)) + " +
+      "(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)) / " +
+      "(tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) + " +
+      "(ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)) / " +
+      "(tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS score FROM d, s) " +
+      "SELECT doc_id, score, " +
+      "CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank " +
+      "FROM sc ORDER BY score DESC, doc_id LIMIT 10"
+
   /** One row per named invariant check, `holds` computed by actually
     * running the check — hashed against a constant-true oracle, the
     * ANN-recall-audit pattern generalized: spec-level assertions become
@@ -1797,27 +1824,22 @@ object PipelineQueries {
       (s: SparkSession, d: String) =>
         TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text",
           terms = Seq("join", "stream", "dup"), k = 10),
-      Some("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
-        "FROM documents), " +
-        "d AS (SELECT doc_id, len(t) AS dl, " +
-        "CAST(len(list_filter(t, x -> x = 'join')) AS DOUBLE) AS tf0, " +
-        "CAST(len(list_filter(t, x -> x = 'stream')) AS DOUBLE) AS tf1, " +
-        "CAST(len(list_filter(t, x -> x = 'dup')) AS DOUBLE) AS tf2 FROM toks), " +
-        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
-        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, " +
-        "CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0, " +
-        "CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1, " +
-        "CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2 FROM d), " +
-        "sc AS (SELECT doc_id, round(" +
-        "(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)) / " +
-        "(tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)) + " +
-        "(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)) / " +
-        "(tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) + " +
-        "(ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)) / " +
-        "(tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS score FROM d, s) " +
-        "SELECT doc_id, score, " +
-        "CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank " +
-        "FROM sc ORDER BY score DESC, doc_id LIMIT 10")),
+      Some(bm25OracleSql)),
+
+    // ---- BM25 through the MATERIALIZED inverted index (bucket-pruned
+    // postings probe; built once per corpus version via IndexCatalog) —
+    // must reproduce the full scan bit-for-bit, so it shares the scan's
+    // oracle verbatim. ----
+    ("ns_text_bm25_index",
+      (s: SparkSession, d: String) => {
+        val dir = IndexCatalog.ensure(s, "bm25",
+          Seq(s"$d/documents.parquet"), "buckets=64")(staging =>
+          graft.operators.Bm25Index.build(Tables.documents(s, d), "doc_id",
+            "text", staging))
+        graft.operators.Bm25Index.topK(s, dir,
+          terms = Seq("join", "stream", "dup"), k = 10)
+      },
+      Some(bm25OracleSql)),
 
     // ---- embeddings: per-vector hygiene stats (norms, ranges, unit flag) ----
     ("ns_embed_stats",

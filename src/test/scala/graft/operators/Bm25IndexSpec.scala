@@ -1,0 +1,84 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class Bm25IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+
+  test("index probe equals the full scan bit-for-bit on real data") {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = Files.createTempDirectory("bm25_idx").toString
+    Bm25Index.build(docs, "doc_id", "text", dir, numBuckets = 16)
+    val terms = Seq("join", "stream", "dup")
+    val scan = rows(TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, 10))
+    val probe = rows(Bm25Index.topK(spark, dir, terms, 10, numBuckets = 16))
+    assert(probe === scan)
+  }
+
+  test("underfill: rare terms backfill zero-score docs in scan order") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha alpha"), (3L, "gamma delta"),
+      (4L, "epsilon zeta"), (5L, "eta theta")
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("bm25_idx2").toString
+    Bm25Index.build(docs, "doc_id", "text", dir, numBuckets = 4)
+    // only docs 1-2 match; k=4 forces two zero-score backfills (ids 3, 4)
+    val terms = Seq("alpha")
+    val scan = rows(TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, 4))
+    val probe = rows(Bm25Index.topK(spark, dir, terms, 4, numBuckets = 4))
+    assert(probe === scan)
+    assert(probe.count(_._2 == 0.0) === 2)
+    assert(probe.filter(_._2 == 0.0).map(_._1) === Seq(3L, 4L))
+    // a term matching nothing at all: pure backfill
+    val none = rows(Bm25Index.topK(spark, dir, Seq("nosuchterm"), 3,
+      numBuckets = 4))
+    assert(none === rows(
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("nosuchterm"), 3)))
+    assert(none.map(_._1) === Seq(1L, 2L, 3L) && none.forall(_._2 == 0.0))
+  }
+
+  test("probe reads only the buckets the query terms hash into") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val docs = Tables.documents(spark, sfDir)
+    val dir = Files.createTempDirectory("bm25_idx3").toString
+    Bm25Index.build(docs, "doc_id", "text", dir, numBuckets = 16)
+    val terms = Seq("join", "stream")
+    val probe = Bm25Index.topK(spark, dir, terms, 10, numBuckets = 16)
+    probe.collect()
+    // this plan shuffles (groupBy/join/window), so under AQE the scans sit
+    // inside materialized QueryStageExec subtrees that plain collect()
+    // does not enter — unwrap stages and reused exchanges explicitly
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val postingsScans = scans(probe.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
+    assert(postingsScans.nonEmpty)
+    val totalFiles = spark.read.parquet(s"$dir/postings").inputFiles.length
+    val buckets = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(16L)).cast("int"))
+      .collect().map(_.getInt(0)).toSet
+    postingsScans.foreach { sc =>
+      val n = sc.metrics("numFiles").value
+      assert(n > 0 && n < totalFiles,
+        s"postings scan read $n of $totalFiles files — no partition pruning")
+    }
+    // the assertion bites: more buckets exist than the probe touches
+    assert(spark.read.parquet(s"$dir/postings")
+      .select("__bucket").distinct().count() > buckets.size)
+  }
+}
