@@ -911,6 +911,25 @@ object ScaleSmoke {
       Bm25Index.topK(spark, dir, Seq("w999", "w1000"), k = 10).count())
     println(s"SCALE   bm25 warm-probe rows=$probe2 " +
       s"(${if (probe2 == 10) "OK" else "MISS"})")
+    // incremental maintenance at scale: merge a 10%-of-corpus delta of
+    // NEW doc ids, then the probe must equal a fresh scan over the
+    // grown corpus — the CDC-append path, costed against the full build
+    val delta = spark.range(n.toLong, n + n / 10L).toDF("doc_id")
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), lit(59)), i =>
+          concat(lit("w"), pmod(xxhash64(col("doc_id"), i), lit(50000L))))))
+    t("bm25_merge_delta")(
+      Bm25Index.merge(delta, "doc_id", "text", dir, numBuckets = 64))
+    val scanM = t("bm25_scan_post_merge")(
+      TextAnalysis.bm25TopK(docs.unionByName(delta), "doc_id", "text",
+          terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq)
+    val probeM = t("bm25_probe_post_merge")(
+      Bm25Index.topK(spark, dir, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq)
+    println(s"SCALE   bm25 post-merge probe ${if (probeM == scanM)
+      "BIT-EQUAL to grown-corpus scan" else
+      s"MISMATCH probe=$probeM scan=$scanM"}")
     docs.unpersist()
     }
 

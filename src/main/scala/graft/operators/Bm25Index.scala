@@ -59,6 +59,54 @@ object Bm25Index {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
   }
 
+  /** Incremental maintenance: append NEW documents' postings into an
+    * existing index without rebuilding — at corpus scale the difference
+    * between a usable materialized index and a nightly full re-shuffle.
+    *
+    * Exactness contract: after `build(A); merge(B)` the index is
+    * BIT-IDENTICAL in effect to `build(A ∪ B)` — delta postings/doclen
+    * rows land in the same bucket layout (same term hash), per-term df
+    * is a row count so disjoint unions add exactly, and `stats` is
+    * recomputed from the full doclen by the SAME aggregate expression
+    * build uses (long count/sum round-trip parquet exactly; the one
+    * double division is performed on identical values). Bm25IndexSpec
+    * pins probe-after-merge ≡ probe-on-full-build ≡ full scan, and
+    * `ns_text_bm25_merge` proves it through the driver's oracle.
+    *
+    * Contract: `docs` must carry doc_ids NOT already in the index (the
+    * CDC append case). Updating an existing document needs
+    * delete-then-merge compaction — a documented seam, not silently
+    * wrong-answered here, because duplicate ids would double-count df.
+    */
+  def merge(docs: DataFrame, idCol: String, textCol: String,
+            indexDir: String, numBuckets: Int = 64): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val spark = docs.sparkSession
+    val toks = TextOps.tokens(col(textCol))
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        col("__toks"))
+    base.select(col("doc_id"), explode(col("__toks")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("__bucket",
+        pmod(xxhash64(col("term")), lit(numBuckets.toLong)).cast("int"))
+      .repartition(col("__bucket"))
+      .write.mode("append").partitionBy("__bucket")
+      .parquet(s"$indexDir/postings")
+    base.select("doc_id", "dl")
+      .write.mode("append").parquet(s"$indexDir/doclen")
+    // recompute the corpus constants from the now-complete doclen with
+    // build's aggregate; materialize before overwriting the dir read from
+    val Array(n2, avgdl2) = spark.read.parquet(s"$indexDir/doclen")
+      .agg(count(lit(1)).cast("double").as("n"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    import spark.implicits._
+    Seq((n2, avgdl2)).toDF("n", "avgdl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
   /** Probe: exact BM25 top-k for `terms` against the materialized index.
     * Output `(doc_id, score, rank)` — identical to
     * [[TextAnalysis.bm25TopK]] over the indexed corpus.

@@ -1841,6 +1841,25 @@ object PipelineQueries {
       },
       Some(bm25OracleSql)),
 
+    // ---- incremental index maintenance: build on half the corpus, MERGE
+    // the other half in (the CDC-append case) — the merged index must be
+    // indistinguishable from a full build, so the probe again shares the
+    // full-scan oracle verbatim. ----
+    ("ns_text_bm25_merge",
+      (s: SparkSession, d: String) => {
+        val dir = IndexCatalog.ensure(s, "bm25merge",
+          Seq(s"$d/documents.parquet"), "buckets=64 halves")(staging => {
+          val docs = Tables.documents(s, d)
+          graft.operators.Bm25Index.build(
+            docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", staging)
+          graft.operators.Bm25Index.merge(
+            docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", staging)
+        })
+        graft.operators.Bm25Index.topK(s, dir,
+          terms = Seq("join", "stream", "dup"), k = 10)
+      },
+      Some(bm25OracleSql)),
+
     // ---- embeddings: per-vector hygiene stats (norms, ranges, unit flag) ----
     ("ns_embed_stats",
       (s: SparkSession, d: String) =>

@@ -44,6 +44,29 @@ class Bm25IndexSpec extends SparkSpec {
     assert(none.map(_._1) === Seq(1L, 2L, 3L) && none.forall(_._2 == 0.0))
   }
 
+  test("incremental merge equals a full build bit-for-bit") {
+    val docs = Tables.documents(spark, sfDir)
+    val full = Files.createTempDirectory("bm25_full").toString
+    val inc = Files.createTempDirectory("bm25_inc").toString
+    Bm25Index.build(docs, "doc_id", "text", full, numBuckets = 16)
+    Bm25Index.build(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      inc, numBuckets = 16)
+    Bm25Index.merge(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      inc, numBuckets = 16)
+    // corpus constants identical after the parquet round-trip recompute
+    val sFull = spark.read.parquet(s"$full/stats").head()
+    val sInc = spark.read.parquet(s"$inc/stats").head()
+    assert(sInc.getDouble(0) === sFull.getDouble(0))
+    assert(sInc.getDouble(1) === sFull.getDouble(1))
+    val terms = Seq("join", "stream", "dup")
+    val mergedProbe = rows(Bm25Index.topK(spark, inc, terms, 10,
+      numBuckets = 16))
+    assert(mergedProbe === rows(Bm25Index.topK(spark, full, terms, 10,
+      numBuckets = 16)))
+    assert(mergedProbe === rows(
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, 10)))
+  }
+
   test("probe reads only the buckets the query terms hash into") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
