@@ -930,6 +930,27 @@ object ScaleSmoke {
     println(s"SCALE   bm25 post-merge probe ${if (probeM == scanM)
       "BIT-EQUAL to grown-corpus scan" else
       s"MISMATCH probe=$probeM scan=$scanM"}")
+    // batch retrieval: 64 two-term queries in ONE plan (the hard-negative
+    // mining shape) — per-query serial probing would pay ~2 s × 64; the
+    // batch amortizes the postings scan and candidate shuffle. Sampled
+    // queries must match their per-query probes row-for-row.
+    val batchQs = (0 until 64).map(i =>
+      s"q$i" -> Seq(s"w${i * 7 + 3}", s"w${i * 13 + 11}"))
+    val batchOut = t("bm25_batch_64_queries") {
+      val o = Bm25Index.batchTopK(spark, dir, batchQs, k = 10).cache()
+      o.count(); o
+    }
+    val sampleOk = Seq(0, 17, 63).forall { i =>
+      val got = batchOut.filter(col("qid") === s"q$i")
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+      val want = Bm25Index.topK(spark, dir, batchQs(i)._2, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      got == want
+    }
+    println(s"SCALE   bm25 batch rows=${batchOut.count()} expected=640 " +
+      s"sampled-queries ${if (sampleOk) "EQUAL to per-query probes"
+      else "MISMATCH"}")
+    batchOut.unpersist()
     docs.unpersist()
     }
 

@@ -158,4 +158,69 @@ object Bm25Index {
       }
     TextAnalysis.bm25RankTail(pool, k)
   }
+
+  /** Distributed batch retrieval: exact BM25 top-k over MATCHING
+    * documents for MANY queries in one plan — the shape lexical
+    * hard-negative mining needs (one probe per anchor would serialize
+    * thousands of driver round-trips; this is one bucket-pruned scan +
+    * one candidate-sized shuffle for the whole batch).
+    *
+    * Semantics: standard retrieval top-k — only documents matching ≥1
+    * query term are ranked (no zero-score backfill; a query with fewer
+    * than k matching docs returns fewer rows). When every query has ≥k
+    * positive-score candidates this equals [[topK]] row-for-row
+    * (Bm25IndexSpec pins it).
+    *
+    * Bit-determinism: each posting row contributes
+    * [[TextAnalysis.bm25TermContrib]] (the single-term tree the pivoted
+    * paths also use); per-(query, doc) contributions fold in term-index
+    * order via a sorted-struct aggregate, reproducing the pivoted
+    * left-fold exactly (absent terms contribute an exact +0.0 there, and
+    * x + 0.0 == x for the non-negative contributions involved), so the
+    * scores — and the DuckDB oracle — match the single-query paths
+    * bit-for-bit.
+    *
+    * Output: `(qid, doc_id, score, rank)` ordered by (qid, rank).
+    */
+  def batchTopK(spark: SparkSession, indexDir: String,
+                queries: Seq[(String, Seq[String])], k: Int = 10,
+                k1: Double = 1.2, b: Double = 0.75,
+                numBuckets: Int = 64): DataFrame = {
+    require(queries.nonEmpty, "batch BM25 needs at least one query")
+    require(queries.forall(_._2.nonEmpty), "every query needs >= 1 term")
+    require(queries.forall(q => q._2.distinct.size == q._2.size),
+      "query terms must be distinct within a query")
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val buckets = allTerms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(numBuckets.toLong)).cast("int"))
+      .collect().map(_.getInt(0)).distinct.sorted
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("__bucket").isin(buckets.map(Integer.valueOf).toSeq: _*) &&
+        col("term").isin(allTerms: _*))
+    val dfMap = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val statsRow = spark.read.parquet(s"$indexDir/stats").head()
+    val (n, avgdl) = (statsRow.getDouble(0), statsRow.getDouble(1))
+    // (qid, term-slot, term, corpus df): |queries|·|terms| rows, broadcast
+    val qt = queries.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (qid, i, t, dfMap.getOrElse(t, 0.0)) }
+    }.toDF("qid", "ti", "term", "df")
+    val contrib = TextAnalysis.bm25TermContrib(col("tf").cast("double"),
+      col("df"), col("dl"), lit(n), lit(avgdl), k1, b)
+    val scored = postings.join(broadcast(qt), "term")
+      .join(spark.read.parquet(s"$indexDir/doclen"), "doc_id")
+      .select(col("qid"), col("doc_id"),
+        struct(col("ti"), contrib.as("c")).as("tc"))
+      .groupBy("qid", "doc_id")
+      .agg(aggregate(sort_array(collect_list(col("tc"))), lit(0.0),
+        (acc, x) => acc + x.getField("c")).as("raw"))
+      .select(col("qid"), col("doc_id"), round(col("raw"), 4).as("score"))
+    import org.apache.spark.sql.expressions.Window
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id")))
+        .cast("int"))
+      .filter(col("rank") <= k)
+      .orderBy("qid", "rank")
+  }
 }

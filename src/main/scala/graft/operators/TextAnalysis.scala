@@ -452,13 +452,24 @@ object TextAnalysis {
     */
   private[operators] def bm25ScoreCol(nTerms: Int, k1: Double,
                                       b: Double): Column =
-    (0 until nTerms).map { i =>
-      val idf = log(lit(1.0) +
-        (col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
-      (idf * (col(s"tf$i") * lit(k1 + 1))) /
-        (col(s"tf$i") + lit(k1) *
-          (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
-    }.reduce(_ + _)
+    (0 until nTerms).map(i =>
+      bm25TermContrib(col(s"tf$i"), col(s"df$i"), col("dl"),
+        col("n"), col("avgdl"), k1, b)
+    ).reduce(_ + _)
+
+  /** ONE term's additive BM25 contribution — the same expression tree
+    * whether the inputs arrive as pivoted per-term columns
+    * ([[bm25ScoreCol]]) or as exploded posting rows
+    * ([[Bm25Index.batchTopK]]); identical ops on identical doubles keep
+    * every consumer bit-equal.
+    */
+  private[operators] def bm25TermContrib(tf: Column, df: Column, dl: Column,
+                                         n: Column, avgdl: Column,
+                                         k1: Double, b: Double): Column = {
+    val idf = log(lit(1.0) + (n - df + 0.5) / (df + 0.5))
+    (idf * (tf * lit(k1 + 1))) /
+      (tf + lit(k1) * (lit(1 - b) + lit(b) * dl.cast("double") / avgdl))
+  }
 
   /** Deterministic top-k + rank tail over `(doc_id, score)` — shared by
     * the scan and index paths (TakeOrdered, then the rank window over

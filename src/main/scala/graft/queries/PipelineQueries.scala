@@ -255,6 +255,50 @@ object PipelineQueries {
       "CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank " +
       "FROM sc ORDER BY score DESC, doc_id LIMIT 10"
 
+  /** The batch-retrieval query set: common terms so every query has
+    * well over k positive-score candidates at both driver SFs (the
+    * regime where batch ≡ per-query topK row-for-row).
+    */
+  private val bm25BatchQueries: Seq[(String, Seq[String])] = Seq(
+    "q_join_stream" -> Seq("join", "stream"),
+    "q_hash_scan" -> Seq("hash", "scan"),
+    "q_merge_filter" -> Seq("merge", "filter"))
+
+  /** DuckDB oracle for [[graft.operators.Bm25Index.batchTopK]]: per
+    * query the same tf/df/score CTE pipeline as the single-query BM25
+    * oracle, candidates only, UNION ALL'd under a literal qid —
+    * GENERATED from the query list so SQL and Scala cannot drift.
+    */
+  private def bm25BatchOracleSql(queries: Seq[(String, Seq[String])],
+                                 k: Int): String = {
+    val ctes = queries.zipWithIndex.map { case ((_, terms), q) =>
+      val tfDefs = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(t, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(", ")
+      val dfDefs = terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+      ).mkString(", ")
+      val scoreSum = terms.indices.map(i =>
+        s"(ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2)) / " +
+          s"(tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))").mkString(" + ")
+      val candFilter = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+      s"d$q AS (SELECT doc_id, len(t) AS dl, $tfDefs FROM toks), " +
+        s"s$q AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+        s"CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, $dfDefs FROM d$q), " +
+        s"sc$q AS (SELECT doc_id, round($scoreSum, 4) AS score " +
+        s"FROM d$q, s$q WHERE $candFilter), " +
+        s"r$q AS (SELECT doc_id, score, CAST(row_number() OVER " +
+        s"(ORDER BY score DESC, doc_id) AS INTEGER) AS rank FROM sc$q)"
+    }.mkString(", ")
+    val sel = queries.zipWithIndex.map { case ((qid, _), q) =>
+      s"SELECT '$qid' AS qid, doc_id, score, rank FROM r$q WHERE rank <= $k"
+    }.mkString(" UNION ALL ")
+    "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), " +
+      "'\\s+') AS t FROM documents), " + ctes +
+      " SELECT qid, doc_id, score, rank FROM (" + sel +
+      ") ORDER BY qid, rank"
+  }
+
   /** One row per named invariant check, `holds` computed by actually
     * running the check — hashed against a constant-true oracle, the
     * ANN-recall-audit pattern generalized: spec-level assertions become
@@ -1840,6 +1884,20 @@ object PipelineQueries {
           terms = Seq("join", "stream", "dup"), k = 10)
       },
       Some(bm25OracleSql)),
+
+    // ---- batch retrieval: many BM25 queries in ONE plan (the lexical
+    // hard-negative-mining shape) — per-posting additive contributions
+    // folded in term order, so the scores match the single-query paths
+    // bit-for-bit and the oracle is the per-query SQL UNION ALL'd. ----
+    ("ns_text_bm25_batch",
+      (s: SparkSession, d: String) => {
+        val dir = IndexCatalog.ensure(s, "bm25",
+          Seq(s"$d/documents.parquet"), "buckets=64")(staging =>
+          graft.operators.Bm25Index.build(Tables.documents(s, d), "doc_id",
+            "text", staging))
+        graft.operators.Bm25Index.batchTopK(s, dir, bm25BatchQueries, k = 10)
+      },
+      Some(bm25BatchOracleSql(bm25BatchQueries, 10))),
 
     // ---- incremental index maintenance: build on half the corpus, MERGE
     // the other half in (the CDC-append case) — the merged index must be

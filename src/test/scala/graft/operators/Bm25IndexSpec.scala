@@ -67,6 +67,39 @@ class Bm25IndexSpec extends SparkSpec {
       TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, 10)))
   }
 
+  test("batch retrieval equals per-query probes, query by query") {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = Files.createTempDirectory("bm25_batch").toString
+    Bm25Index.build(docs, "doc_id", "text", dir, numBuckets = 16)
+    val queries = Seq(
+      "q_join_stream" -> Seq("join", "stream"),
+      "q_hash_scan" -> Seq("hash", "scan"),
+      "q_merge_filter" -> Seq("merge", "filter"))
+    val batch = Bm25Index.batchTopK(spark, dir, queries, 10, numBuckets = 16)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getInt(3))))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSeq }
+    queries.foreach { case (qid, terms) =>
+      val single = rows(Bm25Index.topK(spark, dir, terms, 10, numBuckets = 16))
+      assert(batch(qid) === single, s"qid=$qid")
+    }
+  }
+
+  test("batch retrieval ranks matching docs only — no zero backfill") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha alpha"), (3L, "gamma delta"),
+      (4L, "epsilon zeta"), (5L, "eta theta")
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("bm25_batch2").toString
+    Bm25Index.build(docs, "doc_id", "text", dir, numBuckets = 4)
+    val out = Bm25Index.batchTopK(spark, dir,
+        Seq("qa" -> Seq("alpha"), "qnone" -> Seq("nosuchterm")), k = 4,
+        numBuckets = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    // only the two alpha docs rank; the no-match query returns nothing
+    assert(out.toSeq === Seq(("qa", 2L, 1), ("qa", 1L, 2)))
+  }
+
   test("probe reads only the buckets the query terms hash into") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
