@@ -185,7 +185,8 @@ object Bm25Index {
   def batchTopK(spark: SparkSession, indexDir: String,
                 queries: Seq[(String, Seq[String])], k: Int = 10,
                 k1: Double = 1.2, b: Double = 0.75,
-                numBuckets: Int = 64): DataFrame = {
+                numBuckets: Int = 64,
+                exclude: Seq[(String, Long)] = Seq.empty): DataFrame = {
     require(queries.nonEmpty, "batch BM25 needs at least one query")
     require(queries.forall(_._2.nonEmpty), "every query needs >= 1 term")
     require(queries.forall(q => q._2.distinct.size == q._2.size),
@@ -216,11 +217,59 @@ object Bm25Index {
       .agg(aggregate(sort_array(collect_list(col("tc"))), lit(0.0),
         (acc, x) => acc + x.getField("c")).as("raw"))
       .select(col("qid"), col("doc_id"), round(col("raw"), 4).as("score"))
+    // per-query excluded docs (e.g. the anchor itself in more-like-this
+    // retrieval), removed BEFORE ranking so the top-k stays dense
+    val pruned =
+      if (exclude.isEmpty) scored
+      else scored.join(
+        broadcast(exclude.toDF("qid", "doc_id")), Seq("qid", "doc_id"),
+        "left_anti")
     import org.apache.spark.sql.expressions.Window
-    scored.withColumn("rank", row_number().over(
+    pruned.withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id")))
         .cast("int"))
       .filter(col("rank") <= k)
       .orderBy("qid", "rank")
+  }
+
+  /** More-like-this retrieval for a bounded batch of ANCHOR documents —
+    * the doc-to-doc form of [[batchTopK]] that lexical hard-negative
+    * mining and near-dup triage actually call: each anchor's query is its
+    * own `m` highest-tf terms (ties broken lexicographically, both
+    * deterministic and SQL-replicable), retrieval excludes the anchor
+    * itself, output ranks stay dense.
+    *
+    * The anchor batch is training-batch-sized (one tiny aggregation job
+    * derives the term profiles, collected as ≤ |anchors|·m rows) — for
+    * corpus×corpus similarity use the dedup family, not retrieval.
+    *
+    * `ns_text_bm25_mlt` oracles this END-TO-END relationally in DuckDB —
+    * anchor term profiles, per-term df, ti-ordered contribution fold,
+    * self-exclusion, ranks — no literal scores anywhere.
+    */
+  def moreLikeThis(spark: SparkSession, indexDir: String, docs: DataFrame,
+                   idCol: String, textCol: String, anchorIds: Seq[Long],
+                   m: Int = 3, k: Int = 10, k1: Double = 1.2,
+                   b: Double = 0.75, numBuckets: Int = 64): DataFrame = {
+    require(anchorIds.nonEmpty, "more-like-this needs at least one anchor")
+    require(m > 0, s"need a positive per-anchor term count, got $m")
+    import org.apache.spark.sql.expressions.Window
+    val profile = docs.filter(col(idCol).isin(anchorIds.map(Long.box): _*))
+      .select(col(idCol).cast("long").as("aid"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("aid", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("aid").orderBy(col("tf").desc, col("term"))))
+      .filter(col("r") <= m)
+      .orderBy("aid", "r")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byAnchor = profile.groupBy(_._1)
+    val queries = anchorIds.distinct.sorted.flatMap { a =>
+      byAnchor.get(a).map(ts => a.toString -> ts.map(_._2).toSeq)
+    }
+    require(queries.nonEmpty, "no anchor id matched a document")
+    batchTopK(spark, indexDir, queries, k, k1, b, numBuckets,
+      exclude = queries.map { case (qid, _) => qid -> qid.toLong })
   }
 }

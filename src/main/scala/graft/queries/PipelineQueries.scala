@@ -1899,6 +1899,51 @@ object PipelineQueries {
       },
       Some(bm25BatchOracleSql(bm25BatchQueries, 10))),
 
+    // ---- more-like-this: doc-to-doc retrieval for a batch of anchors
+    // (query = each anchor's top-3 tf terms, self excluded) — the whole
+    // pipeline is relational in DuckDB: anchor term profiles, per-term
+    // df, the ti-ordered contribution fold (list_sum ORDER BY ti, the NB
+    // position-fold convention), self-exclusion, dense ranks. ----
+    ("ns_text_bm25_mlt",
+      (s: SparkSession, d: String) => {
+        val dir = IndexCatalog.ensure(s, "bm25",
+          Seq(s"$d/documents.parquet"), "buckets=64")(staging =>
+          graft.operators.Bm25Index.build(Tables.documents(s, d), "doc_id",
+            "text", staging))
+        graft.operators.Bm25Index.moreLikeThis(s, dir,
+          Tables.documents(s, d), "doc_id", "text",
+          anchorIds = Seq(11L, 42L, 123L), m = 3, k = 10)
+      },
+      Some("WITH toks AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf " +
+        "FROM (SELECT doc_id, unnest(t) AS term FROM toks) " +
+        "WHERE term <> '' GROUP BY doc_id, term), " +
+        "dl AS (SELECT doc_id, len(t) AS dl FROM toks), " +
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
+        "qt AS (SELECT aid, term, CAST(r - 1 AS INTEGER) AS ti FROM (" +
+        "SELECT doc_id AS aid, term, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY tf DESC, term) AS r " +
+        "FROM tf WHERE doc_id IN (11, 42, 123)) WHERE r <= 3), " +
+        "dfq AS (SELECT t.term, CAST(count(*) AS DOUBLE) AS df FROM tf t " +
+        "WHERE t.term IN (SELECT term FROM qt) GROUP BY t.term), " +
+        "contrib AS (SELECT q.aid, f.doc_id, q.ti, " +
+        "(ln(1.0 + (s.n - d2.df + 0.5) / (d2.df + 0.5)) * " +
+        "(CAST(f.tf AS DOUBLE) * 2.2)) / " +
+        "(CAST(f.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS c " +
+        "FROM qt q JOIN tf f ON f.term = q.term " +
+        "JOIN dfq d2 ON d2.term = q.term " +
+        "JOIN dl l ON l.doc_id = f.doc_id, s WHERE f.doc_id <> q.aid), " +
+        "sc AS (SELECT aid, doc_id, " +
+        "round(list_sum(list(c ORDER BY ti)), 4) AS score " +
+        "FROM contrib GROUP BY aid, doc_id), " +
+        "r AS (SELECT CAST(aid AS VARCHAR) AS qid, doc_id, score, " +
+        "CAST(row_number() OVER (PARTITION BY aid " +
+        "ORDER BY score DESC, doc_id) AS INTEGER) AS rank FROM sc) " +
+        "SELECT qid, doc_id, score, rank FROM r WHERE rank <= 10 " +
+        "ORDER BY qid, rank")),
+
     // ---- incremental index maintenance: build on half the corpus, MERGE
     // the other half in (the CDC-append case) — the merged index must be
     // indistinguishable from a full build, so the probe again shares the

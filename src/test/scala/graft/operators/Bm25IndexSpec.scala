@@ -100,6 +100,30 @@ class Bm25IndexSpec extends SparkSpec {
     assert(out.toSeq === Seq(("qa", 2L, 1), ("qa", 1L, 2)))
   }
 
+  test("more-like-this equals scan-derived retrieval minus the anchor") {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = Files.createTempDirectory("bm25_mlt").toString
+    Bm25Index.build(docs, "doc_id", "text", dir, numBuckets = 16)
+    val anchors = Seq(11L, 42L, 123L)
+    val got = Bm25Index.moreLikeThis(spark, dir, docs, "doc_id", "text",
+        anchors, m = 3, k = 10, numBuckets = 16)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getInt(3))))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSeq }
+    anchors.foreach { a =>
+      // independent path: derive the anchor's top terms driver-side, run
+      // the FULL SCAN at k+1, drop the anchor, renumber
+      val text = docs.filter(col("doc_id") === a).head().getAs[String]("text")
+      val terms = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, o) => (t, o.length) }.toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(3).map(_._1)
+      val scan = rows(TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, 11))
+      val expected = scan.filterNot(_._1 == a).take(10)
+        .zipWithIndex.map { case ((id, sc, _), i) => (id, sc, i + 1) }
+      assert(got(a.toString) === expected, s"anchor=$a terms=$terms")
+    }
+  }
+
   test("probe reads only the buckets the query terms hash into") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
