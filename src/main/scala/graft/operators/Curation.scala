@@ -392,6 +392,31 @@ object Curation {
       .select(col(idCol), col("__n").as("n_tokens"),
         (col("__pre") / tokensPerShard).cast("long").cast("int").as("shard"))
 
+  /** Delivery manifest for [[packTokenShards]]'s assignment — the
+    * integrity record a training job verifies before consuming a shard:
+    * per shard its document count, token total, and a CONTENT
+    * fingerprint (md5 over per-doc md5s concatenated in the shard's
+    * internal `(hash, id)` order — the packer's own order, so the
+    * fingerprint is a pure function of corpus content and the shard
+    * knob, independent of partitioning or task scheduling). One
+    * corpus-sized shuffle (the shard groupBy); per-group state is the
+    * shard's own doc digests, bounded by `tokensPerShard`.
+    */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+                    tokenCol: String, tokensPerShard: Long): DataFrame = {
+    val assigned = packTokenShards(docs, idCol, tokenCol, tokensPerShard)
+    assigned.join(
+        docs.select(col(idCol), md5(col(textCol)).as("doc_md5")), idCol)
+      .withColumn("__h", md5_lower64(col(idCol).cast("string")))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        md5(array_join(transform(array_sort(collect_list(
+            struct(col("__h"), col(idCol), col("doc_md5")))),
+          x => x.getField("doc_md5")), "")).as("fingerprint"))
+      .orderBy("shard")
+  }
+
   /** The two-phase distributed exclusive prefix sum over `weight` in
     * md5-hash total order (see [[packTokenShards]]'s scaladoc for the
     * phase-by-phase shape). Adds to `df`: `__h` (the hash), `__n`

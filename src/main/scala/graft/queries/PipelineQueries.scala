@@ -1465,6 +1465,29 @@ object PipelineQueries {
         "SELECT doc_id, n_tokens, CAST(pre // 20000 AS INTEGER) AS shard " +
         "FROM o ORDER BY doc_id")),
 
+    // ---- curation: shard delivery manifest — per shard the doc count,
+    // token total, and an order-deterministic content fingerprint (md5
+    // over per-doc md5s in the packer's (hash, id) order): the integrity
+    // record a training job checks before consuming a shard. ----
+    ("ns_curate_shard_manifest",
+      (s: SparkSession, d: String) =>
+        Curation.shardManifest(Tables.documents(s, d), "doc_id", "text",
+          "n_chars", tokensPerShard = 20000L),
+      Some("WITH h AS (SELECT doc_id, n_chars AS n_tokens, text, " +
+        "md5_number_lower(CAST(doc_id AS VARCHAR)) AS u FROM documents), " +
+        "s AS (SELECT doc_id, n_tokens, text, " +
+        "CAST(CASE WHEN u >= 9223372036854775808 " +
+        "THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS h64 FROM h), " +
+        "o AS (SELECT doc_id, n_tokens, text, h64, " +
+        "coalesce(sum(n_tokens) OVER (ORDER BY h64, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre FROM s), " +
+        "a AS (SELECT doc_id, n_tokens, text, h64, " +
+        "CAST(pre // 20000 AS INTEGER) AS shard FROM o) " +
+        "SELECT shard, count(*) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+        "md5(string_agg(md5(text), '' ORDER BY h64, doc_id)) AS fingerprint " +
+        "FROM a GROUP BY shard ORDER BY shard")),
+
     // ---- curation: fixed-length sequence packing (pretraining examples:
     // the corpus token stream in md5-hash doc order carved into 64-token
     // examples, with attention-reset doc boundaries) ----

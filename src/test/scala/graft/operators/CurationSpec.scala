@@ -245,6 +245,32 @@ class CurationSpec extends SparkSpec {
     assert(sizes.map(_._2).sum === (0L until 200L).map(i => 10L + i % 7).sum)
   }
 
+  test("shardManifest: totals conserve; a fingerprint sees one doc's edit") {
+    val docs = (0L until 200L)
+      .map(i => (i, s"doc $i body ${"x" * (i % 7).toInt}", 10L + i % 7))
+      .toDF("doc_id", "text", "n_toks")
+    val m = Curation.shardManifest(docs, "doc_id", "text", "n_toks", 100L)
+      .as[(Int, Long, Long, String)].collect()
+    // shard ids dense from 0; totals conserve against the corpus
+    assert(m.map(_._1).toSeq === m.indices.toSeq)
+    assert(m.map(_._2).sum === 200L)
+    assert(m.map(_._3).sum === (0L until 200L).map(i => 10L + i % 7).sum)
+    // partitioning-independence: same manifest from a different layout
+    val m2 = Curation.shardManifest(docs.repartition(7), "doc_id", "text",
+      "n_toks", 100L).as[(Int, Long, Long, String)].collect()
+    assert(m2.toSeq === m.toSeq)
+    // integrity: editing ONE doc's text flips exactly its shard's
+    // fingerprint and nothing else (same weights -> same assignment)
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 123L, lit("tampered")).otherwise(col("text")))
+    val m3 = Curation.shardManifest(edited, "doc_id", "text", "n_toks", 100L)
+      .as[(Int, Long, Long, String)].collect()
+    val changed = m.zip(m3).filter { case (a, b) => a._4 != b._4 }
+    assert(changed.length === 1)
+    assert(m.zip(m3).forall { case (a, b) =>
+      (a._1, a._2, a._3) == ((b._1, b._2, b._3)) })
+  }
+
   test("packSequences: lossless re-chunking with correct boundaries") {
     val seqLen = 8
     val docs = (0L until 60L)
