@@ -199,6 +199,43 @@ object Classifier {
           .otherwise(lit(0.0)).as("f1"))
   }
 
+  /** ROC-AUC of a scored binary relation — the single ranking-quality
+    * number (P[score_pos > score_neg] + ½·P[tie], the tie-corrected
+    * Mann–Whitney U statistic) a filter team tracks across model
+    * versions, complementing [[prCurve]]'s threshold sweep. Returns one
+    * row `(n_pos, n_neg, auc)`; degenerate inputs (no positives or no
+    * negatives) return auc 0.
+    *
+    * Plan shape: same as [[prCurve]] — one corpus-sized groupBy collapses
+    * to the distinct-score relation (bounded by the 4-decimal score grid,
+    * not the corpus); the cumulative window and final 1-row aggregate
+    * ride that small relation. All arithmetic is exact integer sums
+    * (pairs won = Σ np·cumneg, ties = Σ np·nn) until the single final
+    * division, rounded to 6 — bit-reproducible cross-engine.
+    */
+  def rocAuc(scored: DataFrame, scoreCol: String,
+             positive: Column): DataFrame = {
+    val g = scored
+      .select(col(scoreCol).as("s"), positive.cast("boolean").as("pos"))
+      .filter(col("pos").isNotNull)
+      .groupBy("s").agg(
+        count(when(col("pos"), 1)).as("np"),
+        count(when(!col("pos"), 1)).as("nn"))
+    // negatives strictly BELOW each score (ascending cumulative, exclusive)
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cumneg", coalesce(sum("nn").over(w), lit(0L)))
+      .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        sum(col("np") * col("cumneg")).as("u_gt"),
+        sum(col("np") * col("nn")).as("u_tie"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("u_gt").cast("double") +
+            lit(0.5) * col("u_tie").cast("double")) /
+            (col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+          .otherwise(lit(0.0)).as("auc"))
+  }
+
   private def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
 
   /** Per-document feature ARRAYS `(id, y, bs, cnts)` — the LR trainer's

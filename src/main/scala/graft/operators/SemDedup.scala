@@ -96,6 +96,44 @@ object SemDedup {
       .select(col("id"), col("cid"), (col("grp") === col("id")).as("keep"))
   }
 
+  /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws: beating power law scaling via data pruning",
+    * arXiv:2206.14486 — the SSL-prototypes metric; run after [[report]]
+    * it is the second stage of D4, Tirumala et al. 2023,
+    * arXiv:2308.12284): score each example by the cosine to its own
+    * cluster's centroid ("prototypicality"), then within each cluster
+    * DROP the `pruneFrac` most prototypical examples — the redundant
+    * core near the mode, which abundant-data training learns from least
+    * — and keep the harder tail. Returns `(id, cid, proto, keep)`.
+    *
+    * Plan shape: ONE broadcast-k scan computes assignment and
+    * prototypicality together (`proto` IS the assignment's max cosine, so
+    * no re-join against centroids), one N-row aggregate, and one
+    * cid-partitioned window for the per-cluster rank — clusters are the
+    * unit of parallelism, same skew rule as [[pairs]] (hot cluster ⇒
+    * raise k, never salt). Determinism: rounded-3 cosines, assignment
+    * ties to the smaller cid, rank ties to the smaller id, and the drop
+    * count `floor(pruneFrac · |cluster|)` is an IEEE double multiply +
+    * floor — identical in any engine.
+    */
+  def prototypePrune(embs: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, pruneFrac: Double): DataFrame = {
+    require(pruneFrac >= 0.0 && pruneFrac < 1.0,
+      "need 0 <= pruneFrac < 1")
+    import org.apache.spark.sql.expressions.Window
+    val scored = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos", round(cosine_similarity(col("v"), col("cvec")), 3))
+      .groupBy("id")
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
+        max("cos").as("proto"))
+    val wRank = Window.partitionBy("cid").orderBy(col("proto").desc, col("id"))
+    scored.withColumn("rn", row_number().over(wRank))
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy("cid")))
+      .select(col("id"), col("cid"), col("proto"),
+        (col("rn") > floor(lit(pruneFrac) * col("csize"))).as("keep"))
+  }
+
   /** Cluster count holding the expected cluster occupancy N/k at
     * `targetClusterSize` — the paper's contract made a default (the
     * [[Dedup.resolveLshParams]] auto-sizing precedent). SemDeDup itself

@@ -316,6 +316,77 @@ object Similarity {
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
 
+  /** Sign-bit binarization: 1 bit per dimension ([vec(i) > 0]), packed 32
+    * dims per long word (bit j of word w = dimension 32w+j) — the 32×
+    * compression of binary-embedding retrieval. On unit vectors Hamming
+    * distance tracks angular distance (each bit is a fixed-axis
+    * hyperplane sign, the [[bucketExpr]] idea with axis-aligned planes),
+    * so a binary scan is a cheap high-recall FIRST pass over 1/32 the
+    * bytes; [[binaryRerank]] restores exact ranking on the survivors.
+    * Packing 32 (not 64) bits per word keeps every word positive and
+    * shift-free on both engine and oracle sides. Deterministic bit-exact.
+    */
+  def binarize(vec: Column): Column = {
+    val pow2 = lit((0 until 32).map(1L << _).toArray)
+    transform(sequence(lit(0),
+      ((size(vec) + 31) / lit(32)).cast("int") - 1), w =>
+      aggregate(
+        zip_with(slice(vec, w * 32 + 1, lit(32)), sequence(lit(0), lit(31)),
+          (x, j) => when(x > 0f, element_at(pow2, j + 1)).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc + b))
+  }
+
+  /** Hamming distance between two packed bit arrays ([[binarize]]
+    * output): Σ_words popcount(xor) — a handful of ALU ops per word.
+    */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, h) => acc + h)
+
+  /** Binary top-k: scan the packed-bit relation, rank by (Hamming asc,
+    * id). At scale the packed table is materialized once ([[quantize]]'s
+    * pattern) and every query scans 1/32 the bytes of the float scan;
+    * the one-row query side broadcasts and TakeOrdered avoids a global
+    * sort. Exact over the binary space, so fully oracle-checkable.
+    */
+  def binaryTopK(embs: DataFrame, idCol: String, vecCol: String,
+                 queryId: Long, k: Int): DataFrame = {
+    val packed = embs.select(col(idCol).as("id"),
+      binarize(col(vecCol)).as("bits"))
+    val q = packed.filter(col("id") === queryId)
+      .select(col("bits").as("qbits"))
+    packed.filter(col("id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("hamming", hammingDist(col("bits"), col("qbits")).cast("int"))
+      .select(col("id").as(idCol), col("hamming"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(k)
+  }
+
+  /** The binary-then-rerank cascade — production binary retrieval: a
+    * Hamming shortlist of `k · candidateFactor` (cheap first pass), then
+    * exact float cosine re-ranking of only the shortlist. With a
+    * candidateFactor covering the corpus this EQUALS [[bruteForceTopK]]
+    * (asserted in SimilaritySpec), which is what makes the cascade's
+    * recall knob honest: factor trades scan savings against recall, never
+    * correctness of the rerank itself.
+    */
+  def binaryRerank(embs: DataFrame, idCol: String, vecCol: String,
+                   queryId: Long, k: Int,
+                   candidateFactor: Int = 4): DataFrame = {
+    val shortlist = binaryTopK(embs, idCol, vecCol, queryId,
+      k * candidateFactor)
+    val query = embs.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("query_vec"))
+    embs.join(broadcast(shortlist.select(col(idCol))), Seq(idCol))
+      .crossJoin(broadcast(query))
+      .withColumn("cos",
+        round(cosine_similarity(col(vecCol), col("query_vec")), 3))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ZCA whitening of an embedding column — the standard post-processing
     * that equalizes feature variances and removes correlations before
     * cosine retrieval (Su et al. 2021 "Whitening Sentence Representations"

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bpe, Classifier, Curation, Dedup, IndexCatalog, SemDedup, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Classifier, Curation, Dedup, IndexCatalog, Retrieval, SemDedup, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (SURVEY §2.9 north-star): dedup,
   * similarity search, text analysis, multimodal plumbing — each wired as a
@@ -299,6 +299,41 @@ object PipelineQueries {
       ") ORDER BY qid, rank"
   }
 
+  /** DuckDB CTE chain replicating [[graft.operators.Bm25Index.moreLikeThis]]
+    * for anchors (11, 42, 123), m=3, k-unbounded: anchor term profiles,
+    * per-term df, the ti-ordered contribution fold (the NB position-fold
+    * convention), self-exclusion, per-anchor rank in `r` — shared by the
+    * more-like-this query and the retrieval-eval qrels derivation.
+    */
+  private val bm25MltCtes =
+    "toks AS (SELECT doc_id, " +
+      "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf " +
+      "FROM (SELECT doc_id, unnest(t) AS term FROM toks) " +
+      "WHERE term <> '' GROUP BY doc_id, term), " +
+      "dl AS (SELECT doc_id, len(t) AS dl FROM toks), " +
+      "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+      "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
+      "qt AS (SELECT aid, term, CAST(r - 1 AS INTEGER) AS ti FROM (" +
+      "SELECT doc_id AS aid, term, row_number() OVER " +
+      "(PARTITION BY doc_id ORDER BY tf DESC, term) AS r " +
+      "FROM tf WHERE doc_id IN (11, 42, 123)) WHERE r <= 3), " +
+      "dfq AS (SELECT t.term, CAST(count(*) AS DOUBLE) AS df FROM tf t " +
+      "WHERE t.term IN (SELECT term FROM qt) GROUP BY t.term), " +
+      "contrib AS (SELECT q.aid, f.doc_id, q.ti, " +
+      "(ln(1.0 + (s.n - d2.df + 0.5) / (d2.df + 0.5)) * " +
+      "(CAST(f.tf AS DOUBLE) * 2.2)) / " +
+      "(CAST(f.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS c " +
+      "FROM qt q JOIN tf f ON f.term = q.term " +
+      "JOIN dfq d2 ON d2.term = q.term " +
+      "JOIN dl l ON l.doc_id = f.doc_id, s WHERE f.doc_id <> q.aid), " +
+      "sc AS (SELECT aid, doc_id, " +
+      "round(list_sum(list(c ORDER BY ti)), 4) AS score " +
+      "FROM contrib GROUP BY aid, doc_id), " +
+      "r AS (SELECT CAST(aid AS VARCHAR) AS qid, doc_id, score, " +
+      "CAST(row_number() OVER (PARTITION BY aid " +
+      "ORDER BY score DESC, doc_id) AS INTEGER) AS rank FROM sc)"
+
   /** One row per named invariant check, `holds` computed by actually
     * running the check — hashed against a constant-true oracle, the
     * ANN-recall-audit pattern generalized: spec-level assertions become
@@ -313,6 +348,18 @@ object PipelineQueries {
     "SELECT * FROM (" + names.sorted.map(n =>
       s"SELECT '$n' AS audit, CAST(1 AS BOOLEAN) AS holds")
       .mkString(" UNION ALL ") + ") ORDER BY audit"
+
+  /** DuckDB replication of [[graft.operators.Similarity.binarize]] for the
+    * 64-dim fixture: two packed 32-bit sign words per vector (bit j of
+    * word w = [embedding[32w+j+1] > 0]).
+    */
+  private val binaryWordsCte =
+    "WITH b AS (SELECT vec_id, " +
+      "CAST(list_sum([CASE WHEN embedding[j + 1] > 0 THEN (1::BIGINT << j) " +
+      "ELSE 0 END FOR j IN range(32)]) AS BIGINT) AS w0, " +
+      "CAST(list_sum([CASE WHEN embedding[j + 33] > 0 THEN (1::BIGINT << j) " +
+      "ELSE 0 END FOR j IN range(32)]) AS BIGINT) AS w1 " +
+      "FROM embeddings), "
 
   /** The query vector for `vec_id == qid`, collected driver-side (one row). */
   private def queryVec(embs: DataFrame, qid: Long): Array[Float] =
@@ -643,6 +690,34 @@ object PipelineQueries {
           .orderBy("id"),
       None),
 
+    // ---- prototypicality pruning (Sorscher et al. 2022 / D4 stage 2):
+    // per cluster, drop the 25% most-prototypical examples (highest
+    // cosine to own centroid), keep the harder tail. Fixed centroids
+    // (vec_id < 8) make assignment + rank + drop-count SQL-expressible,
+    // so the whole policy hash-matches DuckDB. ----
+    ("ns_curate_prototype_prune",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        val cents = embs.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("cid"),
+            col("embedding").as("cvec"))
+        SemDedup.prototypePrune(embs, "vec_id", "embedding", cents,
+            pruneFrac = 0.25)
+          .orderBy("id")
+      },
+      Some("WITH cent AS (SELECT CAST(vec_id AS INTEGER) AS cid, " +
+        "embedding AS cvec FROM embeddings WHERE vec_id < 8), " +
+        "a AS (SELECT e.vec_id AS id, c.cid, " +
+        dCos("e.embedding", "c.cvec") + " AS cos " +
+        "FROM embeddings e CROSS JOIN cent c), " +
+        "p AS (SELECT id, cid, cos AS proto FROM a QUALIFY " +
+        "row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) = 1), " +
+        "r AS (SELECT id, cid, proto, row_number() OVER (PARTITION BY cid " +
+        "ORDER BY proto DESC, id) AS rn, " +
+        "count(*) OVER (PARTITION BY cid) AS csize FROM p) " +
+        "SELECT id, cid, proto, rn > floor(0.25 * csize) AS keep " +
+        "FROM r ORDER BY id")),
+
     // ---- ANN: brute-force cosine top-k (correctness baseline) ----
     ("ns_ann_brute_topk",
       (s: SparkSession, d: String) =>
@@ -865,6 +940,35 @@ object PipelineQueries {
             ((quantTop & floatTop).size >= 8)))
       },
       Some(auditOracleSql(Seq("quantized_recall_at_least_8_of_10")))),
+
+    // ---- binary-embedding retrieval: sign-bit packed words (32 dims per
+    // long) ranked by Hamming distance — exact over the binary space, so
+    // fully oracled (unlike lossy int8, the SIGNATURE itself is the
+    // contract); and the binary-then-rerank cascade whose shortlist stage
+    // scans 1/32 the bytes, with exact cosine restored on survivors. ----
+    ("ns_ann_binary_topk",
+      (s: SparkSession, d: String) =>
+        Similarity.binaryTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0, k = 10),
+      Some(binaryWordsCte +
+        "q AS (SELECT w0 AS q0, w1 AS q1 FROM b WHERE vec_id = 0) " +
+        "SELECT b.vec_id, CAST(bit_count(xor(b.w0, q.q0)) + " +
+        "bit_count(xor(b.w1, q.q1)) AS INTEGER) AS hamming " +
+        "FROM b, q WHERE vec_id <> 0 ORDER BY hamming, vec_id LIMIT 10")),
+
+    ("ns_ann_binary_rerank",
+      (s: SparkSession, d: String) =>
+        Similarity.binaryRerank(Tables.embeddings(s, d), "vec_id",
+          "embedding", queryId = 0, k = 10, candidateFactor = 4),
+      Some(binaryWordsCte +
+        "q AS (SELECT w0 AS q0, w1 AS q1 FROM b WHERE vec_id = 0), " +
+        "h AS (SELECT b.vec_id, bit_count(xor(b.w0, q.q0)) + " +
+        "bit_count(xor(b.w1, q.q1)) AS ham FROM b, q WHERE vec_id <> 0), " +
+        "slist AS (SELECT vec_id FROM h ORDER BY ham, vec_id LIMIT 40), " +
+        "qq AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0) " +
+        "SELECT e.vec_id, " + dCos("e.embedding", "qq.q_vec") + " AS cos " +
+        "FROM embeddings e JOIN slist USING (vec_id), qq " +
+        "ORDER BY cos DESC, e.vec_id LIMIT 10")),
 
     // ---- ANN: BATCH brute-force top-k (one pass, all query vectors) ----
     ("ns_ann_batch_topk",
@@ -1937,34 +2041,8 @@ object PipelineQueries {
           Tables.documents(s, d), "doc_id", "text",
           anchorIds = Seq(11L, 42L, 123L), m = 3, k = 10)
       },
-      Some("WITH toks AS (SELECT doc_id, " +
-        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
-        "tf AS (SELECT doc_id, term, count(*) AS tf " +
-        "FROM (SELECT doc_id, unnest(t) AS term FROM toks) " +
-        "WHERE term <> '' GROUP BY doc_id, term), " +
-        "dl AS (SELECT doc_id, len(t) AS dl FROM toks), " +
-        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
-        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
-        "qt AS (SELECT aid, term, CAST(r - 1 AS INTEGER) AS ti FROM (" +
-        "SELECT doc_id AS aid, term, row_number() OVER " +
-        "(PARTITION BY doc_id ORDER BY tf DESC, term) AS r " +
-        "FROM tf WHERE doc_id IN (11, 42, 123)) WHERE r <= 3), " +
-        "dfq AS (SELECT t.term, CAST(count(*) AS DOUBLE) AS df FROM tf t " +
-        "WHERE t.term IN (SELECT term FROM qt) GROUP BY t.term), " +
-        "contrib AS (SELECT q.aid, f.doc_id, q.ti, " +
-        "(ln(1.0 + (s.n - d2.df + 0.5) / (d2.df + 0.5)) * " +
-        "(CAST(f.tf AS DOUBLE) * 2.2)) / " +
-        "(CAST(f.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS c " +
-        "FROM qt q JOIN tf f ON f.term = q.term " +
-        "JOIN dfq d2 ON d2.term = q.term " +
-        "JOIN dl l ON l.doc_id = f.doc_id, s WHERE f.doc_id <> q.aid), " +
-        "sc AS (SELECT aid, doc_id, " +
-        "round(list_sum(list(c ORDER BY ti)), 4) AS score " +
-        "FROM contrib GROUP BY aid, doc_id), " +
-        "r AS (SELECT CAST(aid AS VARCHAR) AS qid, doc_id, score, " +
-        "CAST(row_number() OVER (PARTITION BY aid " +
-        "ORDER BY score DESC, doc_id) AS INTEGER) AS rank FROM sc) " +
-        "SELECT qid, doc_id, score, rank FROM r WHERE rank <= 10 " +
+      Some("WITH " + bm25MltCtes +
+        " SELECT qid, doc_id, score, rank FROM r WHERE rank <= 10 " +
         "ORDER BY qid, rank")),
 
     // ---- incremental index maintenance: build on half the corpus, MERGE
@@ -1985,6 +2063,115 @@ object PipelineQueries {
           terms = Seq("join", "stream", "dup"), k = 10)
       },
       Some(bm25OracleSql)),
+
+    // ---- hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+    // top-20 and the dense cosine top-20 for one query (terms + doc-0's
+    // vector). Contributions 1/(60+rank) are exact IEEE divisions folded
+    // in list order, so the fused scores are bit-equal cross-engine. ----
+    ("ns_retrieval_rrf",
+      (s: SparkSession, d: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("vec_id"))
+        val lex = TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id",
+            "text", terms = Seq("join", "stream", "dup"), k = 20)
+          .select(lit("q0").as("qid"), col("doc_id").as("id"), col("rank"))
+        val dense = Similarity.bruteForceTopK(Tables.embeddings(s, d),
+            "vec_id", "embedding", queryId = 0, k = 20)
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .select(lit("q0").as("qid"), col("vec_id").as("id"), col("rank"))
+        Retrieval.rrfFuse(Seq(lex, dense), k0 = 60, topK = 10)
+      },
+      Some("WITH toks AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "d AS (SELECT doc_id, len(t) AS dl, " +
+        "CAST(len(list_filter(t, x -> x = 'join')) AS DOUBLE) AS tf0, " +
+        "CAST(len(list_filter(t, x -> x = 'stream')) AS DOUBLE) AS tf1, " +
+        "CAST(len(list_filter(t, x -> x = 'dup')) AS DOUBLE) AS tf2 FROM toks), " +
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, " +
+        "CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0, " +
+        "CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1, " +
+        "CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2 FROM d), " +
+        "sc AS (SELECT doc_id, round(" +
+        "(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)) / " +
+        "(tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)) + " +
+        "(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)) / " +
+        "(tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) + " +
+        "(ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)) / " +
+        "(tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS score FROM d, s), " +
+        "lex AS (SELECT doc_id, CAST(row_number() OVER " +
+        "(ORDER BY score DESC, doc_id) AS INTEGER) AS rank FROM sc), " +
+        "q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), " +
+        "dn AS (SELECT vec_id, " +
+        dCos("embeddings.embedding", "q.q_vec") + " AS cos " +
+        "FROM embeddings, q WHERE vec_id <> 0), " +
+        "dr AS (SELECT vec_id, CAST(row_number() OVER " +
+        "(ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM dn), " +
+        "u AS (SELECT doc_id AS id, 0 AS li, 1.0 / (60.0 + rank) AS c " +
+        "FROM lex WHERE rank <= 20 " +
+        "UNION ALL SELECT vec_id, 1, 1.0 / (60.0 + rank) " +
+        "FROM dr WHERE rank <= 20), " +
+        "f AS (SELECT id, round(list_sum(list(c ORDER BY li)), 6) AS rrf " +
+        "FROM u GROUP BY id), " +
+        "rr AS (SELECT 'q0' AS qid, id, rrf, CAST(row_number() OVER " +
+        "(ORDER BY rrf DESC, id) AS INTEGER) AS rank FROM f) " +
+        "SELECT qid, id, rrf, rank FROM rr WHERE rank <= 10 " +
+        "ORDER BY qid, rank")),
+
+    // ---- retrieval evaluation: dense doc-to-doc retrieval (cosine top-10
+    // per anchor) scored against lexical more-like-this qrels (BM25 top-10,
+    // grade = 11 - rank) — recall@10, MRR@10, nDCG@10 per anchor. DCG
+    // terms round to 6 before the rank-ordered fold; metrics round to 4.
+    // ----
+    ("ns_retrieval_eval",
+      (s: SparkSession, d: String) => {
+        val dir = IndexCatalog.ensure(s, "bm25",
+          Seq(s"$d/documents.parquet"), "buckets=64")(staging =>
+          graft.operators.Bm25Index.build(Tables.documents(s, d), "doc_id",
+            "text", staging))
+        val qrels = graft.operators.Bm25Index.moreLikeThis(s, dir,
+            Tables.documents(s, d), "doc_id", "text",
+            anchorIds = Seq(11L, 42L, 123L), m = 3, k = 10)
+          .select(col("qid"), col("doc_id").as("id"),
+            (lit(11) - col("rank")).as("grade"))
+        val embs = Tables.embeddings(s, d)
+        val sys = Similarity.bruteForceTopKBatch(embs, "vec_id", "embedding",
+            embs.filter(col("vec_id").isin(11L, 42L, 123L)),
+            "vec_id", "embedding", k = 10)
+          .select(col("qid").cast("string").as("qid"), col("id"), col("rank"))
+        Retrieval.evalMetrics(sys, qrels, k = 10)
+      },
+      Some("WITH " + bm25MltCtes + ", " +
+        "rel AS (SELECT qid, doc_id AS id, 11 - rank AS grade FROM r " +
+        "WHERE rank <= 10), " +
+        "nrel AS (SELECT qid, count(*) AS n_rel FROM rel GROUP BY qid), " +
+        "db AS (SELECT CAST(q.vec_id AS VARCHAR) AS qid, e.vec_id AS id, " +
+        dCos("e.embedding", "q.embedding") + " AS cos " +
+        "FROM embeddings e JOIN embeddings q " +
+        "ON q.vec_id IN (11, 42, 123) AND e.vec_id <> q.vec_id), " +
+        "sysr AS (SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid " +
+        "ORDER BY cos DESC, id) AS INTEGER) AS rank FROM db), " +
+        "hits AS (SELECT sy.qid, sy.rank, re.grade FROM sysr sy " +
+        "JOIN rel re ON sy.qid = re.qid AND sy.id = re.id " +
+        "WHERE sy.rank <= 10), " +
+        "hterm AS (SELECT qid, rank, round((pow(2.0, CAST(grade AS DOUBLE)) " +
+        "- 1.0) / log2(CAST(rank AS DOUBLE) + 1.0), 6) AS t FROM hits), " +
+        "pq AS (SELECT qid, count(*) AS n_hit, min(rank) AS first_rank, " +
+        "list_sum(list(t ORDER BY rank)) AS dcg FROM hterm GROUP BY qid), " +
+        "ig AS (SELECT qid, grade, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY grade DESC, id) AS rn FROM rel), " +
+        "iterm AS (SELECT qid, rn, round((pow(2.0, CAST(grade AS DOUBLE)) " +
+        "- 1.0) / log2(CAST(rn AS DOUBLE) + 1.0), 6) AS t FROM ig " +
+        "WHERE rn <= 10), " +
+        "ic AS (SELECT qid, list_sum(list(t ORDER BY rn)) AS idcg " +
+        "FROM iterm GROUP BY qid) " +
+        "SELECT n.qid, CAST(n.n_rel AS BIGINT) AS n_rel, " +
+        "round(CAST(coalesce(p.n_hit, 0) AS DOUBLE) / n.n_rel, 4) " +
+        "AS recall_at_k, " +
+        "round(coalesce(1.0 / p.first_rank, 0.0), 4) AS mrr, " +
+        "round(coalesce(p.dcg / i.idcg, 0.0), 4) AS ndcg_at_k " +
+        "FROM nrel n LEFT JOIN pq p USING (qid) LEFT JOIN ic i USING (qid) " +
+        "ORDER BY n.qid")),
 
     // ---- embeddings: per-vector hygiene stats (norms, ranges, unit flag) ----
     ("ns_embed_stats",
@@ -2200,6 +2387,37 @@ object PipelineQueries {
         "CASE WHEN prec + rec > 0 " +
         "THEN round(2 * prec * rec / (prec + rec), 6) ELSE 0.0 END AS f1 " +
         "FROM mm ORDER BY thr DESC")),
+
+    // ---- ROC-AUC of the NB "is-English" score against the true lang
+    // label — the tie-corrected Mann–Whitney rank statistic over the
+    // same held-out slice as the PR curve. Exact integer pair counts
+    // until one final division. ----
+    ("ns_quality_auc",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val b = Curation.hashBucket(col("doc_id"), 100)
+        val (model, priors) = nbModel(s, d)
+        val en = Classifier.nbScores(docs.filter(b >= 80), "doc_id", "text",
+            model, priors, 4096)
+          .filter(col("label") === "en")
+          .join(docs.select("doc_id", "lang"), "doc_id")
+        Classifier.rocAuc(en, "score", col("lang") === "en")
+      },
+      Some(nbCte +
+        ", sl AS (SELECT sc.doc_id, sc.score, (d.lang = 'en') AS pos " +
+        "FROM sc JOIN documents d USING (doc_id) WHERE sc.label = 'en'), " +
+        "g AS (SELECT score AS s, count(*) FILTER (WHERE pos) AS np, " +
+        "count(*) FILTER (WHERE NOT pos) AS nn FROM sl GROUP BY 1), " +
+        "c AS (SELECT s, np, nn, coalesce(sum(nn) OVER (ORDER BY s " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg " +
+        "FROM g) " +
+        "SELECT CAST(sum(np) AS BIGINT) AS n_pos, " +
+        "CAST(sum(nn) AS BIGINT) AS n_neg, " +
+        "CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN " +
+        "round((CAST(sum(np * cumneg) AS DOUBLE) + " +
+        "0.5 * CAST(sum(np * nn) AS DOUBLE)) / " +
+        "(CAST(sum(np) AS DOUBLE) * CAST(sum(nn) AS DOUBLE)), 6) " +
+        "ELSE 0.0 END AS auc FROM c")),
 
     // ---- deterministic per-epoch corpus shuffle: content-addressed
     // permutation (md5(epoch|id)), shard + within-shard position; no

@@ -222,4 +222,30 @@ class ClassifierSpec extends SparkSpec {
     assert(top.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))) ===
       argmax.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))))
   }
+
+  test("rocAuc: hand-computed tie-corrected AUC") {
+    // positives {0.9, 0.8, 0.8, 0.3}, negatives {0.8, 0.2, 0.1}:
+    // U = 3 (0.9 beats all) + 2.5 + 2.5 (each 0.8 beats two, ties one)
+    //   + 2 (0.3 beats two) = 10; AUC = 10 / (4*3)
+    val scored = Seq((0.9, true), (0.8, true), (0.8, true), (0.3, true),
+      (0.8, false), (0.2, false), (0.1, false)).toDF("score", "pos")
+    val got = Classifier.rocAuc(scored, "score", col("pos"))
+      .as[(Long, Long, Double)].head()
+    assert(got === ((4L, 3L, BigDecimal(10.0 / 12.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("rocAuc: perfect separation 1.0, coin-flip ties 0.5, degenerate 0") {
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+      .toDF("score", "pos")
+    assert(Classifier.rocAuc(perfect, "score", col("pos"))
+      .as[(Long, Long, Double)].head() === ((2L, 2L, 1.0)))
+    val tied = Seq((0.5, true), (0.5, true), (0.5, false), (0.5, false))
+      .toDF("score", "pos")
+    assert(Classifier.rocAuc(tied, "score", col("pos"))
+      .as[(Long, Long, Double)].head() === ((2L, 2L, 0.5)))
+    val onlyPos = Seq((0.5, true)).toDF("score", "pos")
+    assert(Classifier.rocAuc(onlyPos, "score", col("pos"))
+      .as[(Long, Long, Double)].head() === ((1L, 0L, 0.0)))
+  }
 }

@@ -113,4 +113,42 @@ class SemDedupSpec extends SparkSpec {
       IndexCatalog.invalidateMemo()
     }
   }
+
+  test("prototypePrune drops the per-cluster most-prototypical quarter") {
+    // cluster 0: four vectors at decreasing cosine to (1,0); cluster 1:
+    // two vectors — floor(0.25*4)=1 drop in cluster 0, floor(0.25*2)=0
+    // drops in cluster 1
+    val e = emb(
+      1L -> Seq(1f, 0f),       // proto 1.0 -> the one dropped in cid 0
+      2L -> Seq(0.99f, 0.14f), // proto ~0.990
+      3L -> Seq(0.95f, 0.31f),
+      4L -> Seq(0.90f, 0.44f),
+      5L -> Seq(0f, 1f),       // cid 1, proto 1.0 — kept (csize 2)
+      6L -> Seq(0.31f, 0.95f))
+    val c = cents(0 -> Seq(1f, 0f), 1 -> Seq(0f, 1f))
+    val got = SemDedup.prototypePrune(e, "id", "v", c, pruneFrac = 0.25)
+      .orderBy("id").as[(Long, Int, Double, Boolean)].collect().toSeq
+    assert(got.map(r => r._1 -> r._4).toMap ===
+      Map(1L -> false, 2L -> true, 3L -> true, 4L -> true,
+        5L -> true, 6L -> true))
+    assert(got.map(r => r._1 -> r._2).toMap ===
+      Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 1, 6L -> 1))
+    // proto IS the assignment cosine (max over centroids, rounded 3)
+    assert(got.find(_._1 == 1L).get._3 === 1.0)
+    assert(got.find(_._1 == 5L).get._3 === 1.0)
+  }
+
+  test("prototypePrune: pruneFrac 0 keeps everything; ranking ties break to the smaller id") {
+    val e = emb(
+      1L -> Seq(1f, 0f), 2L -> Seq(1f, 0f), 3L -> Seq(1f, 0f),
+      4L -> Seq(1f, 0f))
+    val c = cents(0 -> Seq(1f, 0f))
+    val all = SemDedup.prototypePrune(e, "id", "v", c, pruneFrac = 0.0)
+      .as[(Long, Int, Double, Boolean)].collect()
+    assert(all.forall(_._4), "pruneFrac 0 must keep every example")
+    // all protos tie at 1.0: the drop must hit the SMALLEST ids first
+    val half = SemDedup.prototypePrune(e, "id", "v", c, pruneFrac = 0.5)
+      .as[(Long, Int, Double, Boolean)].collect()
+    assert(half.filter(!_._4).map(_._1).sorted.toSeq === Seq(1L, 2L))
+  }
 }

@@ -332,4 +332,60 @@ class SimilaritySpec extends SparkSpec {
       .as[(Int, Long, Double)].collect().map(_._2)
     assert(rerun.toSeq === mmr.toSeq)
   }
+
+  test("binarize packs sign bits 32 per word; hammingDist counts flips") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 40 dims: positives at 0, 5, 31 (word 0) and 32, 39 (word 1)
+    val v = Array.tabulate(40)(i =>
+      if (Set(0, 5, 31, 32, 39).contains(i)) 1f else -1f)
+    val packed = Seq(Tuple1(v.toSeq)).toDF("v")
+      .select(Similarity.binarize(col("v")).as("bits"))
+      .as[Seq[Long]].head()
+    assert(packed === Seq((1L << 0) + (1L << 5) + (1L << 31),
+      (1L << 0) + (1L << 7)))
+    // flipping dims 5 and 39 costs Hamming 2
+    val v2 = v.clone(); v2(5) = -1f; v2(39) = -1f
+    val ham = Seq((v.toSeq, v2.toSeq)).toDF("a", "b")
+      .select(Similarity.hammingDist(
+        Similarity.binarize(col("a")), Similarity.binarize(col("b"))))
+      .as[Int].head()
+    assert(ham === 2)
+  }
+
+  test("binaryRerank with corpus-covering factor equals brute force exactly") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rerank = Similarity.binaryRerank(embs, "vec_id", "embedding", 0,
+        k = 10, candidateFactor = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rerank === brute)
+  }
+
+  test("binary shortlist catches genuinely-near neighbors at small factor") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(d: Int): Array[Float] = {
+      val a = Array.fill(d)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(a.map(x => x.toDouble * x).sum).toFloat
+      a.map(_ / n)
+    }
+    val base = unit(64)
+    def nearOf(eps: Float): Seq[Float] = {
+      val a = base.zip(unit(64)).map { case (b, p) => b + eps * p }
+      val n = math.sqrt(a.map(x => x.toDouble * x).sum).toFloat
+      a.map(_ / n).toSeq
+    }
+    // query 0 = base; ids 1..5 planted near (cos ~0.995); 6..105 random
+    val rows = Seq((0L, base.toSeq)) ++
+      (1L to 5L).map(i => (i, nearOf(0.1f))) ++
+      (6L to 105L).map(i => (i, unit(64).toSeq))
+    val embs = rows.toDF("vec_id", "embedding")
+    val got = Similarity.binaryRerank(embs, "vec_id", "embedding", 0,
+        k = 5, candidateFactor = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === (1L to 5L).toSet,
+      "planted high-cosine neighbors must survive the binary shortlist")
+  }
 }
