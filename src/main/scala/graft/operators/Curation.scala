@@ -875,7 +875,11 @@ object Curation {
     * ln ratio is rounded to 6 decimals; the per-document sum folds in
     * feature-position order (unigrams in token order, then bigrams in
     * token order — one concatenated array, so the position IS the order)
-    * and rounds to 4.
+    * and rounds to 6 — the SAME grid as the terms. Rounding a sum of
+    * 1e-6-grid terms on a coarser grid (e.g. 4) manufactures exact .5
+    * ties where double rounding and decimal rounding diverge; rounding
+    * on the term grid itself can never tie (multiples of 1e-6 are never
+    * half-grid).
     */
   def dsirLogRatios(raw: DataFrame, idCol: String, textCol: String,
                     target: DataFrame, targetTextCol: String,
@@ -914,7 +918,7 @@ object Curation {
         round(aggregate(
           transform(array_sort(collect_list(struct(col("fpos"), col("lnr")))),
             s => s.getField("lnr")),
-          lit(0.0), (acc, x) => acc + x), 4).as("dsir_logratio"))
+          lit(0.0), (acc, x) => acc + x), 6).as("dsir_logratio"))
 
     raw.select(col(idCol).as("doc_id"))
       .join(scored.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -943,7 +947,7 @@ object Curation {
     val u = (pmod(md5_lower64(concat(lit("dsir|"), col("doc_id").cast("string"))),
       lit(1000000L)) + 0.5) / 1000000.0
     w.withColumn("gumbel_score",
-        round(col("dsir_logratio") + round(-log(-log(u)), 6), 4))
+        round(col("dsir_logratio") + round(-log(-log(u)), 6), 6))
       .orderBy(col("gumbel_score").desc, col("doc_id"))
       .limit(m)
   }

@@ -30,7 +30,20 @@ object TextAnalysis {
       when(enRatio >= 0.10, "en").otherwise("other").as("lang_pred"))
   }
 
-  /** Quality metrics + a composite score per document. */
+  /** Quality metrics + a composite score per document.
+    *
+    * The composite `0.5·min(1, nt/100) + 0.3·(1−punct) + 0.2·stop` is
+    * computed in EXACT int64 arithmetic, not doubles: as one rational
+    * N/D (D = 200·nc·nt, N = min(100,nt)·nc·nt + 60·(nc−np)·nt +
+    * 40·ns·nc) whose 4-decimal HALF_UP rounding is the integer
+    * expression `(2·10⁴·N + D) div 2D`. The double formulation lands on
+    * exact .5 ties (the weights and the /100 length term make 5-decimal
+    * values structurally common — e.g. score 0.49125 at nt=32, sr=5/32)
+    * where Spark's shortest-decimal-repr rounding and a decimal engine's
+    * rounding diverge. Exact while 4·10⁶·nc·nt stays inside int64, i.e.
+    * any document under ~1.5 M chars — chunk longer docs first
+    * ([[chunks]]).
+    */
   def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
     val nChars = length(col(textCol))
@@ -38,20 +51,29 @@ object TextAnalysis {
     val avgTokLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
       .cast("double") / nTokens.cast("double")
     val stops = array(TextOps.EnStopwords.map(lit): _*)
-    val stopRatio = size(filter(toks, t => array_contains(stops, t))).cast("double") /
-      nTokens.cast("double")
-    val punctRatio =
-      (nChars - length(regexp_replace(col(textCol), "[^a-z0-9 ]", ""))).cast("double") /
-        nChars.cast("double")
+    val nStops = size(filter(toks, t => array_contains(stops, t)))
+    val nPunct = nChars - length(regexp_replace(col(textCol), "[^a-z0-9 ]", ""))
+    val stopRatio = nStops.cast("double") / nTokens.cast("double")
+    val punctRatio = nPunct.cast("double") / nChars.cast("double")
     // Length-normalized composite: long docs with real words and few
-    // symbols score high.
-    val score = least(lit(1.0), nTokens.cast("double") / lit(100.0)) * lit(0.5) +
-      (lit(1.0) - punctRatio) * lit(0.3) + stopRatio * lit(0.2)
+    // symbols score high. Exact int64 rounding (see scaladoc).
+    val ncL = nChars.cast("long")
+    val ntL = nTokens.cast("long")
+    val num = least(lit(100L), ntL) * ncL * ntL +
+      lit(60L) * (ncL - nPunct.cast("long")) * ntL +
+      lit(40L) * nStops.cast("long") * ncL
+    val den = lit(200L) * ncL * ntL
+    val a = lit(20000L) * num + den
+    val b = lit(2L) * den
+    // exact integer division: pmod is exact on longs, and the quotient
+    // (≤ 10⁴) divides to a bit-exact double
+    val score4 = when(ntL > 0 && ncL > 0, (a - pmod(a, b)) / b)
+      .otherwise(lit(0.0))
     docs.select(col(idCol), nChars.as("n_chars"), nTokens.as("n_tokens"),
       round(avgTokLen, 4).as("avg_token_len"),
       round(stopRatio, 4).as("stopword_ratio"),
       round(punctRatio, 4).as("punct_ratio"),
-      round(score, 4).as("quality_score"))
+      (score4 / 10000.0).as("quality_score"))
   }
 
   /** Token counting: whitespace tokens + BPE-ish regex tokens. */

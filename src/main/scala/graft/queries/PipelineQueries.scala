@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bpe, Classifier, Curation, Dedup, IndexCatalog, Retrieval, SemDedup, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Classifier, Curation, Dedup, IndexCatalog, Retrieval, SemDedup, Sft, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (SURVEY §2.9 north-star): dedup,
   * similarity search, text analysis, multimodal plumbing — each wired as a
@@ -107,7 +107,8 @@ object PipelineQueries {
     * per document in position order (one concatenated list — position IS
     * the cross-engine summation order), md5-hashed into 8192 buckets,
     * add-0.5-smoothed ln ratios rounded to 6, position-ordered per-doc
-    * sums rounded to 4. Target slice = `source IN ('src0','src1')`.
+    * sums rounded to 6 (the term grid — a coarser final grid manufactures
+    * exact .5 ties). Target slice = `source IN ('src0','src1')`.
     */
   private val dsirCte =
     "WITH rt0 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
@@ -130,8 +131,25 @@ object PipelineQueries {
       "/ ((rc.cr + 0.5) / (rtot.tr + 0.5 * 8192))), 6) AS lnr " +
       "FROM rc LEFT JOIN tc USING (b) CROSS JOIN rtot CROSS JOIN ttot), " +
       "sc AS (SELECT rb.doc_id, count(*) AS n_features, " +
-      "round(list_sum(list(w.lnr ORDER BY rb.fpos)), 4) AS dsir_logratio " +
+      "round(list_sum(list(w.lnr ORDER BY rb.fpos)), 6) AS dsir_logratio " +
       "FROM rb JOIN w USING (b) GROUP BY rb.doc_id) "
+
+  /** Exact-int64 replication of [[graft.operators.TextAnalysis.quality]]'s
+    * composite score (see its scaladoc for why doubles tie): the
+    * 4-decimal HALF_UP rounding of N/D as pure integer arithmetic —
+    * DuckDB `//` is floor division and its integer ops widen exactly.
+    * Args are SQL expressions for char count, token count, stopword
+    * token count, and punctuation char count.
+    */
+  private def qScoreSql(nc: String, nt: String, ns: String, np: String): String = {
+    val c = s"CAST($nc AS BIGINT)"
+    val t = s"CAST($nt AS BIGINT)"
+    val st = s"CAST($ns AS BIGINT)"
+    val p = s"CAST($np AS BIGINT)"
+    s"((CASE WHEN $t > 0 AND $c > 0 THEN " +
+      s"(20000 * (least(100, $t) * $c * $t + 60 * ($c - $p) * $t + 40 * $st * $c) " +
+      s"+ 200 * $c * $t) // (400 * $c * $t) ELSE 0 END) / 10000.0)"
+  }
 
   /** DuckDB replication of the hashed-n-gram Naive Bayes pipeline
     * ([[graft.operators.Classifier.nbTrain]]/[[Classifier.nbScore]]):
@@ -1218,13 +1236,14 @@ object PipelineQueries {
         "m AS (SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, " +
         "CAST(len(toks) AS INTEGER) AS n_tokens, " +
         "CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS atl, " +
-        "CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(toks) AS sr, " +
-        "CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS pr " +
+        "len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS nst, " +
+        "length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS npc " +
         "FROM t) " +
         "SELECT doc_id, n_chars, n_tokens, round(atl, 4) AS avg_token_len, " +
-        "round(sr, 4) AS stopword_ratio, round(pr, 4) AS punct_ratio, " +
-        "round(least(1.0, n_tokens / 100.0) * 0.5 + (1.0 - pr) * 0.3 + sr * 0.2, 4) " +
-        "AS quality_score FROM m ORDER BY doc_id")),
+        "round(CAST(nst AS DOUBLE) / n_tokens, 4) AS stopword_ratio, " +
+        "round(CAST(npc AS DOUBLE) / n_chars, 4) AS punct_ratio, " +
+        qScoreSql("n_chars", "n_tokens", "nst", "npc") +
+        " AS quality_score FROM m ORDER BY doc_id")),
 
     // ---- BPE tokenizer training: ranked merge table learned from the
     // corpus word counts (iterative argmax — not SQL-expressible, so
@@ -1409,12 +1428,13 @@ object PipelineQueries {
           .orderBy("id"),
       Some("WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks " +
         "FROM documents), " +
-        "m AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens, " +
-        "CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(toks) AS sr, " +
-        "CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS pr " +
+        "m AS (SELECT doc_id, CAST(length(text) AS INTEGER) AS nc, " +
+        "CAST(len(toks) AS INTEGER) AS nt, " +
+        "len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS nst, " +
+        "length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS npc " +
         "FROM t), " +
-        "q AS (SELECT doc_id, round(least(1.0, n_tokens / 100.0) * 0.5 + " +
-        "(1.0 - pr) * 0.3 + sr * 0.2, 4) AS quality_score FROM m), " +
+        "q AS (SELECT doc_id, " + qScoreSql("nc", "nt", "nst", "npc") +
+        " AS quality_score FROM m), " +
         "j AS (SELECT d.doc_id AS id, d.source AS domain, q.quality_score " +
         "FROM q JOIN documents d USING (doc_id)), " +
         "th AS (SELECT domain, round(quantile_cont(quality_score, 0.2), 6) AS domain_threshold " +
@@ -1495,12 +1515,13 @@ object PipelineQueries {
         "FROM documents d LEFT JOIN closure c ON d.doc_id = c.id), " +
         // quality_score exactly as ns_text_quality computes it (same
         // rounding, so the rank order is the engine-agreed rounded value)
-        "qm AS (SELECT t.doc_id, CAST(len(t.t) AS INTEGER) AS n_tokens, " +
-        "CAST(len(list_filter(t.t, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(t.t) AS sr, " +
-        "CAST(length(d.text) - length(regexp_replace(d.text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(d.text) AS pr " +
+        "qm AS (SELECT t.doc_id, CAST(length(d.text) AS INTEGER) AS nc, " +
+        "CAST(len(t.t) AS INTEGER) AS nt, " +
+        "len(list_filter(t.t, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS nst, " +
+        "length(d.text) - length(regexp_replace(d.text, '[^a-z0-9 ]', '', 'g')) AS npc " +
         "FROM toks t JOIN documents d USING (doc_id)), " +
-        "q AS (SELECT doc_id, round(least(1.0, n_tokens / 100.0) * 0.5 + " +
-        "(1.0 - pr) * 0.3 + sr * 0.2, 4) AS score FROM qm), " +
+        "q AS (SELECT doc_id, " + qScoreSql("nc", "nt", "nst", "npc") +
+        " AS score FROM qm), " +
         "r AS (SELECT cl.cluster, cl.id, q.score, row_number() OVER (" +
         "PARTITION BY cl.cluster ORDER BY q.score DESC, cl.id) AS rn " +
         "FROM cl JOIN q ON cl.id = q.doc_id) " +
@@ -1532,16 +1553,17 @@ object PipelineQueries {
         Curation.funnelReport(Tables.documents(s, d), "doc_id", "text"),
       Some("WITH t AS (SELECT doc_id, text, " +
         "string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), " +
+        "sig0 AS (SELECT doc_id, text, toks, " +
+        "len(list_filter(toks, x -> x IN " +
+        "('the','a','an','of','and','to','in','is','it','for'))) AS nst, " +
+        "length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS npc " +
+        "FROM t), " +
         "sig AS (SELECT doc_id, " +
-        "round(CAST(len(list_filter(toks, x -> x IN " +
-        "('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(toks), 4) AS en_ratio, " +
-        "round(least(1.0, CAST(len(toks) AS INTEGER) / 100.0) * 0.5 + " +
-        "(1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 + " +
-        "CAST(len(list_filter(toks, x -> x IN " +
-        "('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(toks) * 0.2, 4) AS quality_score, " +
+        "round(CAST(nst AS DOUBLE) / len(toks), 4) AS en_ratio, " +
+        qScoreSql("length(text)", "len(toks)", "nst", "npc") + " AS quality_score, " +
         "round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS dup_word_frac, " +
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp " +
-        "FROM t), " +
+        "FROM sig0), " +
         "flags AS (SELECT *, en_ratio >= 0.10 AS p1, " +
         "en_ratio >= 0.10 AND quality_score >= 0.5 AS p2, " +
         "en_ratio >= 0.10 AND quality_score >= 0.5 AND dup_word_frac <= 0.6 AS p3 " +
@@ -1860,7 +1882,7 @@ object PipelineQueries {
         "round(dsir_logratio + round(-ln(-ln(" +
         "((((CAST(CASE WHEN gu >= 9223372036854775808 THEN gu - 18446744073709551616 " +
         "ELSE gu END AS BIGINT) % 1000000) + 1000000) % 1000000) + 0.5) / 1000000.0" +
-        ")), 6), 4) AS gumbel_score FROM (SELECT wdoc.*, " +
+        ")), 6), 6) AS gumbel_score FROM (SELECT wdoc.*, " +
         "md5_number_lower('dsir|' || CAST(doc_id AS VARCHAR)) AS gu FROM wdoc)) " +
         "SELECT doc_id, n_features, dsir_logratio, gumbel_score FROM g " +
         "ORDER BY gumbel_score DESC, doc_id LIMIT 100")),
@@ -2172,6 +2194,153 @@ object PipelineQueries {
         "round(coalesce(p.dcg / i.idcg, 0.0), 4) AS ndcg_at_k " +
         "FROM nrel n LEFT JOIN pq p USING (qid) LEFT JOIN ic i USING (qid) " +
         "ORDER BY n.qid")),
+
+    // ---- SFT: DPO/RLHF preference pairs — per source domain, the
+    // highest- vs lowest-quality document (deterministic ties, margin
+    // floor). Scores are the exact-int64 quality composite, so the pair
+    // selection and margin are bit-deterministic. ----
+    ("ns_sft_pref_pairs",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val scored = docs.select(col("doc_id"), col("source"))
+          .join(TextAnalysis.quality(docs, "doc_id", "text")
+            .select(col("doc_id"), col("quality_score")), "doc_id")
+        Sft.preferencePairs(scored, "source", "doc_id", "quality_score",
+            minMargin = 0.05)
+          .orderBy("prompt")
+      },
+      Some("WITH t AS (SELECT doc_id, source, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS toks, text " +
+        "FROM documents), " +
+        "m AS (SELECT doc_id, source, CAST(length(text) AS INTEGER) AS nc, " +
+        "CAST(len(toks) AS INTEGER) AS nt, " +
+        "len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS nst, " +
+        "length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS npc " +
+        "FROM t), " +
+        "q AS (SELECT doc_id, source, " + qScoreSql("nc", "nt", "nst", "npc") +
+        " AS score FROM m), " +
+        "c AS (SELECT source, doc_id, score, " +
+        "row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rc, " +
+        "row_number() OVER (PARTITION BY source ORDER BY score ASC, doc_id) AS rr, " +
+        "count(*) OVER (PARTITION BY source) AS n_cands FROM q), " +
+        "p AS (SELECT ch.source AS prompt, CAST(ch.n_cands AS BIGINT) AS n_cands, " +
+        "ch.doc_id AS chosen_id, ch.score AS chosen_score, " +
+        "rj.doc_id AS rejected_id, rj.score AS rejected_score, " +
+        "round(ch.score - rj.score, 6) AS margin " +
+        "FROM (SELECT * FROM c WHERE rc = 1) ch " +
+        "JOIN (SELECT * FROM c WHERE rr = 1) rj USING (source)) " +
+        "SELECT prompt, n_cands, chosen_id, chosen_score, rejected_id, " +
+        "rejected_score, margin FROM p " +
+        "WHERE n_cands >= 2 AND chosen_id <> rejected_id AND margin >= 0.05 " +
+        "ORDER BY prompt")),
+
+    // ---- SFT: completion-loss-masked id packing — the ws-vocab packer
+    // (full oracle, same corpus/order as ns_curate_pack_sequence_ids_ws)
+    // with per-doc prompt/completion masks riding the carve: prompt =
+    // first least(8, ceil(n/2)) tokens of each doc. ----
+    ("ns_sft_masked_pack",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.operators.TextOps.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(desc("freq"), asc("token"))
+        val vocab = docs.select(explode(col("toks")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("freq"))
+          .select(col("token"),
+            (row_number().over(w) - 1).cast("int").as("id"))
+        val ids = docs
+          .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
+          .join(vocab, "token")
+          .groupBy("doc_id")
+          .agg(array_sort(collect_list(struct(col("pos"), col("id")))).as("a"))
+          .select(col("doc_id"), col("a.id").as("ids"),
+            least(lit(8), ((size(col("a.id")) + 1) / 2).cast("int"))
+              .as("prompt_len"))
+        Sft.maskedPack(ids, "doc_id", "ids", "prompt_len", seqLen = 64)
+          .select(col("example_id"), col("n_tokens"),
+            concat_ws(",", transform(col("ids"), _.cast("string")))
+              .as("ids_csv"),
+            concat_ws(",", transform(col("mask"), _.cast("string")))
+              .as("mask_csv"),
+            col("n_loss_tokens"),
+            concat_ws(",", transform(col("doc_starts"), _.cast("string")))
+              .as("doc_starts"),
+            col("n_docs_started"))
+          .orderBy("example_id")
+      },
+      Some("WITH t AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), " +
+        "h AS (SELECT doc_id, toks, md5_number_lower(CAST(doc_id AS VARCHAR)) AS u " +
+        "FROM t WHERE len(toks) > 0), " +
+        "s AS (SELECT doc_id, toks, CAST(CASE WHEN u >= 9223372036854775808 " +
+        "THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS h64 FROM h), " +
+        "o AS (SELECT doc_id, toks, coalesce(sum(len(toks)) OVER " +
+        "(ORDER BY h64, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre " +
+        "FROM s), " +
+        "e AS (SELECT doc_id, pre, len(toks) AS nt, unnest(toks) AS token, " +
+        "generate_subscripts(toks, 1) - 1 AS pos FROM o), " +
+        "v AS (SELECT token, count(*) AS freq FROM e GROUP BY 1), " +
+        "vid AS (SELECT token, CAST(row_number() OVER " +
+        "(ORDER BY freq DESC, token) - 1 AS INTEGER) AS id FROM v), " +
+        "g AS (SELECT e.pos, vid.id, " +
+        "CASE WHEN e.pos < least(8, (e.nt + 1) // 2) THEN 0 ELSE 1 END AS mask, " +
+        "CAST((e.pre + e.pos) // 64 AS BIGINT) AS example_id, " +
+        "CAST((e.pre + e.pos) % 64 AS INTEGER) AS epos " +
+        "FROM e JOIN vid USING (token)) " +
+        "SELECT example_id, CAST(count(*) AS INTEGER) AS n_tokens, " +
+        "string_agg(CAST(id AS VARCHAR), ',' ORDER BY epos) AS ids_csv, " +
+        "string_agg(CAST(mask AS VARCHAR), ',' ORDER BY epos) AS mask_csv, " +
+        "CAST(sum(mask) AS INTEGER) AS n_loss_tokens, " +
+        "coalesce(string_agg(CASE WHEN pos = 0 THEN CAST(epos AS VARCHAR) END, " +
+        "',' ORDER BY epos), '') AS doc_starts, " +
+        "CAST(count(*) FILTER (WHERE pos = 0) AS INTEGER) AS n_docs_started " +
+        "FROM g GROUP BY example_id ORDER BY example_id")),
+
+    // ---- SFT: chat-template rendering with assistant loss spans — each
+    // document becomes a conversation (12-token turns, roles alternate
+    // user/assistant); spans are integer prefix-sum arithmetic, so the
+    // rendered text AND the trainable character ranges hash exactly. ----
+    ("ns_sft_render_chat",
+      (s: SparkSession, d: String) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(graft.operators.TextOps.tokens(col("text")))
+              .as(Seq("pos", "tok")))
+        val turns = toks
+          .withColumn("idx", (col("pos") / 12).cast("int"))
+          .groupBy("doc_id", "idx")
+          .agg(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s0 => s0.getField("tok"))).as("content"))
+          .withColumn("role",
+            when(pmod(col("idx"), lit(2)) === 0, "user").otherwise("assistant"))
+        Sft.renderChat(turns, "doc_id", "idx", "role", "content")
+          .orderBy("conv_id")
+      },
+      Some("WITH t AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), " +
+        "e AS (SELECT doc_id, unnest(toks) AS tok, " +
+        "generate_subscripts(toks, 1) - 1 AS pos FROM t), " +
+        "tu AS (SELECT doc_id, CAST(pos // 12 AS INTEGER) AS idx, " +
+        "string_agg(tok, ' ' ORDER BY pos) AS content FROM e GROUP BY 1, 2), " +
+        "r AS (SELECT doc_id, idx, CASE WHEN idx % 2 = 0 THEN 'user' " +
+        "ELSE 'assistant' END AS role, content FROM tu), " +
+        "seg AS (SELECT doc_id, idx, role, length(role) AS role_len, " +
+        "'<|' || role || '|>' || content AS seg, " +
+        "length('<|' || role || '|>' || content) AS seg_len FROM r), " +
+        "st AS (SELECT *, coalesce(sum(seg_len) OVER (PARTITION BY doc_id " +
+        "ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "+ (row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1) AS start " +
+        "FROM seg) " +
+        "SELECT doc_id AS conv_id, CAST(count(*) AS INTEGER) AS n_turns, " +
+        "string_agg(seg, chr(10) ORDER BY idx) AS text, " +
+        "coalesce(string_agg(CASE WHEN role = 'assistant' THEN " +
+        "CAST(start + role_len + 4 AS VARCHAR) || ':' || " +
+        "CAST(start + seg_len AS VARCHAR) END, ';' ORDER BY idx), '') " +
+        "AS assistant_spans " +
+        "FROM st GROUP BY doc_id ORDER BY conv_id")),
 
     // ---- embeddings: per-vector hygiene stats (norms, ranges, unit flag) ----
     ("ns_embed_stats",

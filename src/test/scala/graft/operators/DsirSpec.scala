@@ -38,11 +38,11 @@ class DsirSpec extends SparkSpec {
     def lnr(cr: Long, ct: Long): Double =
       BigDecimal(math.log(((ct + k) / (tt + k * B)) / ((cr + k) / (tr + k * B))))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def sum4(xs: Double*): Double =
-      BigDecimal(xs.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def sum6(xs: Double*): Double =
+      BigDecimal(xs.sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val want = Map(
-      1L -> (3L, sum4(lnr(2, 1), lnr(2, 1), lnr(1, 0))),
-      2L -> (1L, sum4(lnr(1, 0))))
+      1L -> (3L, sum6(lnr(2, 1), lnr(2, 1), lnr(1, 0))),
+      2L -> (1L, sum6(lnr(1, 0))))
     val got = Curation.dsirLogRatios(raw, "doc_id", "text", target, "text")
       .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got === want)
@@ -74,7 +74,7 @@ class DsirSpec extends SparkSpec {
     val u = (pmod(graft.functions.md5_lower64(
       concat(lit("dsir|"), col("doc_id").cast("string"))), lit(1000000L)) + 0.5) / 1000000.0
     val scoredAll = all.withColumn("gumbel_score",
-        round(col("dsir_logratio") + round(-log(-log(u)), 6), 4))
+        round(col("dsir_logratio") + round(-log(-log(u)), 6), 6))
       .select("doc_id", "gumbel_score")
       .as[(Long, Double)].collect().toSeq
     val selMin = scoredAll.filter(r => selectedIds(r._1)).map(_._2).min
