@@ -46,7 +46,7 @@ object ScaleSmoke {
     val stages = if (args.length > 1) args(1) else "all"
     require(Set("all", "lexical", "semantic", "recall", "pipeline",
       "streaming", "classifier", "curation", "streamlearn", "semdedup",
-      "embed", "bm25")(stages),
+      "embed", "bm25", "minhashindex")(stages),
       s"unknown stage set '$stages'")
     def on(s: String) = stages == "all" || stages == s
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -951,6 +951,72 @@ object ScaleSmoke {
       s"sampled-queries ${if (sampleOk) "EQUAL to per-query probes"
       else "MISMATCH"}")
     batchOut.unpersist()
+    docs.unpersist()
+    }
+
+    if (on("minhashindex")) {
+    // ---- materialized MinHash-LSH dedup index at full corpus size: the
+    // rolling-ingest dedup shape. Corpus = the lexical generator (every
+    // 10th doc a 1-token variant of its predecessor), indexed side =
+    // doc_id % 10 != 9, incoming delta = the variants (% 10 == 9) — so
+    // every delta doc has EXACTLY one planted near-dup in the index and
+    // probe recall is checkable. Contrast: the full-corpus
+    // minhashLshPairs scan (the non-indexed path) re-shingles everything
+    // per run; the probe only shingles the delta and opens pruned
+    // buckets. merge() then appends the delta and a fresh shard of
+    // verbatim copies must surface via the post-merge probe.
+    import graft.operators.MinHashIndex
+    val docs = spark.range(n.toLong).toDF("doc_id")
+      .withColumn("base",
+        when(col("doc_id") % 10 === 9, col("doc_id") - 1).otherwise(col("doc_id")))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), lit(59)), i =>
+          concat(lit("w"), pmod(xxhash64(
+            when(col("doc_id") =!= col("base") && (i === 30), col("doc_id"))
+              .otherwise(col("base")), i), lit(50000L))))))
+      .drop("base")
+      .repartition(spark.sparkContext.defaultParallelism.toInt)
+      .cache()
+    t("mhidx_docs_materialize")(docs.count())
+    val indexed = docs.filter(col("doc_id") % 10 =!= 9)
+    val delta = docs.filter(col("doc_id") % 10 === 9)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx").toString
+    t("mhidx_build")(
+      MinHashIndex.build(indexed, "doc_id", "text", dir))
+    val probeScope = graft.CacheScope()
+    val hits = t("mhidx_probe_delta") {
+      MinHashIndex.probe(spark, dir, delta, "doc_id", "text", 0.8)(probeScope)
+        .count()
+    }
+    probeScope.close()
+    println(s"SCALE   mhidx probe pairs=$hits planted=$planted " +
+      s"(recall ${if (hits >= planted) "OK" else "MISS"})")
+    // non-indexed contrast: the full-corpus pair scan (re-shingles all n
+    // docs; the probe shingled only the n/10 delta + pruned bucket reads)
+    val scanScope = graft.CacheScope()
+    val scanPairs = t("mhidx_fullscan_contrast")(
+      Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8)(scanScope).count())
+    scanScope.close()
+    println(s"SCALE   fullscan pairs=$scanPairs (probe found the same " +
+      s"cross pairs without rescanning the corpus)")
+    t("mhidx_merge_delta")(
+      MinHashIndex.merge(delta, "doc_id", "text", dir))
+    // fresh shard of verbatim copies of docs 0..999 under new ids: every
+    // one must surface an exact (jaccard 1.0) match post-merge
+    val fresh = spark.range(n.toLong, n.toLong + 1000).toDF("doc_id")
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), lit(59)), i =>
+          concat(lit("w"), pmod(xxhash64(col("doc_id") - n.toLong, i),
+            lit(50000L))))))
+    val freshScope = graft.CacheScope()
+    val freshHits = t("mhidx_probe_post_merge") {
+      MinHashIndex.probe(spark, dir, fresh, "doc_id", "text", 0.8)(freshScope)
+        .filter(col("jaccard") === 1.0)
+        .select("id_new").distinct().count()
+    }
+    freshScope.close()
+    println(s"SCALE   post-merge fresh-shard exact matches=$freshHits/1000 " +
+      s"(${if (freshHits == 1000) "OK" else "MISS"})")
     docs.unpersist()
     }
 

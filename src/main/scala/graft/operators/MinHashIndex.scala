@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.CacheScope
+
+/** Materialized MinHash-LSH near-dup index — the dedup sibling of
+  * [[Bm25Index]]: the corpus's band keys and verification payloads live in
+  * bucket-partitioned parquet so an INCOMING shard can be near-dup-checked
+  * against an existing corpus without rescanning it — the shape a rolling
+  * 100 TB ingest actually needs (each day's delta probes the index; the
+  * full corpus is only ever shuffled once, at build).
+  *
+  * Layout (`numBuckets` parquet partitions each):
+  *  - `bands/ (id, band, bkey)` partitioned by
+  *    `__bucket = pmod(xxhash64(band, bkey), numBuckets)` — a probe opens
+  *    only the buckets ITS OWN band keys hash into (literal partition
+  *    pruning, asserted via scan metrics in MinHashIndexSpec);
+  *  - `docs/ (id, sh, sig)` partitioned by `pmod(xxhash64(id), numBuckets)`
+  *    — the verification side, opened only for the candidate ids' buckets.
+  *
+  * Exactness contract: `probe(delta)` emits EXACTLY the cross pairs
+  * (delta × indexed) that [[Dedup.minhashLshPairs]] over the union corpus
+  * would emit — same banding (a pair collides iff it shares a band key,
+  * regardless of which side is indexed), same Hoeffding signature
+  * prefilter, same exact-Jaccard verification on the shingle sets —
+  * asserted pair-for-pair in MinHashIndexSpec and through the driver's
+  * DuckDB oracle (`ns_dedup_minhash_index`, whose oracle is the exact
+  * cross-pair Jaccard relation). Unlike BM25 there are NO corpus-global
+  * constants (no df/avgdl), so `merge` is append-only and
+  * `build(A); merge(B)` is byte-identical in layout semantics to
+  * `build(A ∪ B)` — no stats recomputation step at all.
+  *
+  * Delta contract: probe/merge ids must be disjoint from indexed ids (the
+  * CDC-append case); updating a document is delete-then-merge, the same
+  * documented seam as [[Bm25Index.merge]].
+  */
+object MinHashIndex {
+
+  private def sigTable(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, numHashes: Int): DataFrame =
+    Dedup.withShingles(docs, idCol, textCol, n)
+      .select(col("id"), col("sh"),
+        graft.functions.minhash_signature(col("sh"), numHashes).as("sig"))
+
+  private def bandRows(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    sigs.select(col("id"),
+      posexplode(Dedup.bandKeysOfSig(col("sig"), numHashes, bands))
+        .as(Seq("band", "bkey")))
+
+  private def bandBucket(numBuckets: Int) =
+    pmod(xxhash64(col("band"), col("bkey")), lit(numBuckets.toLong)).cast("int")
+
+  private def idBucket(numBuckets: Int) =
+    pmod(xxhash64(col("id")), lit(numBuckets.toLong)).cast("int")
+
+  private def writeTables(sigs: DataFrame, indexDir: String, numHashes: Int,
+                          bands: Int, numBuckets: Int, mode: String): Unit = {
+    bandRows(sigs, numHashes, bands)
+      .withColumn("__bucket", bandBucket(numBuckets))
+      .repartition(col("__bucket"))
+      .write.mode(mode).partitionBy("__bucket").parquet(s"$indexDir/bands")
+    sigs.withColumn("__bucket", idBucket(numBuckets))
+      .repartition(col("__bucket"))
+      .write.mode(mode).partitionBy("__bucket").parquet(s"$indexDir/docs")
+  }
+
+  /** One tokenize + signature pass over the corpus, two bucket-keyed
+    * shuffles (band rows, doc rows) — paid once per corpus version
+    * ([[IndexCatalog]] memoizes).
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+            n: Int = 3, numHashes: Int = 32, bands: Int = 16,
+            numBuckets: Int = 64)
+           (implicit scope: CacheScope = CacheScope.unmanaged): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val sigs = scope.own(sigTable(docs, idCol, textCol, n, numHashes))
+    writeTables(sigs, indexDir, numHashes, bands, numBuckets, "overwrite")
+  }
+
+  /** Append a delta shard's band/doc rows — same bucket layout, no global
+    * state, so the merged index IS the full-corpus index.
+    */
+  def merge(docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+            n: Int = 3, numHashes: Int = 32, bands: Int = 16,
+            numBuckets: Int = 64)
+           (implicit scope: CacheScope = CacheScope.unmanaged): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = scope.own(sigTable(docs, idCol, textCol, n, numHashes))
+    writeTables(sigs, indexDir, numHashes, bands, numBuckets, "append")
+  }
+
+  /** Near-dup pairs between `newDocs` and the indexed corpus:
+    * `(id_new, id_old, jaccard)` with exact Jaccard ≥ `threshold`.
+    *
+    * Plan: the delta's band keys prune `bands/` to ≤ min(numBuckets,
+    * |delta|·bands) partitions (bucket list = one tiny distinct-collect,
+    * bounded by numBuckets); the band join yields candidate pairs; the
+    * candidates' id-buckets prune `docs/` the same way; then the standard
+    * two-stage verify — Hoeffding signature prefilter
+    * ([[Dedup.sigMarginForMissBound]]) on the ~128 B signatures, exact
+    * shingle-set Jaccard on survivors. Nothing corpus-sized moves except
+    * the pruned bucket reads.
+    */
+  def probe(spark: SparkSession, indexDir: String, newDocs: DataFrame,
+            idCol: String, textCol: String, threshold: Double, n: Int = 3,
+            numHashes: Int = 32, bands: Int = 16, numBuckets: Int = 64,
+            sigPrefilterMargin: Double = -1.0)
+           (implicit scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigsNew = scope.own(sigTable(newDocs, idCol, textCol, n, numHashes))
+    val bandNew = scope.own(bandRows(sigsNew, numHashes, bands))
+
+    val bandBuckets = bandNew.select(bandBucket(numBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val idxBands = spark.read.parquet(s"$indexDir/bands")
+      .filter(col("__bucket").isin(bandBuckets.map(Integer.valueOf).toSeq: _*))
+
+    val candidates = scope.own(bandNew.as("q").join(idxBands.as("i"),
+        col("q.band") === col("i.band") && col("q.bkey") === col("i.bkey"))
+      .select(col("q.id").as("id_new"), col("i.id").as("id_old"))
+      .distinct())
+
+    val candBuckets = candidates
+      .select(pmod(xxhash64(col("id_old")), lit(numBuckets.toLong))
+        .cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val idxDocs = scope.own(spark.read.parquet(s"$indexDir/docs")
+      .filter(col("__bucket").isin(candBuckets.map(Integer.valueOf).toSeq: _*)))
+
+    val margin =
+      if (sigPrefilterMargin < 0) Dedup.sigMarginForMissBound(numHashes)
+      else sigPrefilterMargin
+    val cut = threshold - margin
+    val toVerify =
+      if (cut <= 0) candidates
+      else {
+        val agree = aggregate(
+          zip_with(col("sig_new"), col("sig_old"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v)
+        candidates
+          .join(sigsNew.select(col("id").as("id_new"),
+            col("sig").as("sig_new")), "id_new")
+          .join(idxDocs.select(col("id").as("id_old"),
+            col("sig").as("sig_old")), "id_old")
+          .filter(agree.cast("double") / numHashes >= cut)
+          .select(col("id_new"), col("id_old"))
+      }
+
+    toVerify
+      .join(sigsNew.select(col("id").as("id_new"), col("sh").as("sh_new")),
+        "id_new")
+      .join(idxDocs.select(col("id").as("id_old"), col("sh").as("sh_old")),
+        "id_old")
+      .withColumn("inter", size(array_intersect(col("sh_new"), col("sh_old"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_new")) + size(col("sh_old")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_old"), col("jaccard"))
+  }
+}

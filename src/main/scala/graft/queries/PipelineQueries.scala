@@ -438,6 +438,11 @@ object PipelineQueries {
     nbModel(s, d)
     dupClusterTable(s, d)
     semanticClusterTable(s, d)
+    IndexCatalog.ensure(s, "minhash", Seq(s"$d/documents.parquet"),
+      "mod10ne0|n=3|h=32|b=16")(staging =>
+      graft.operators.MinHashIndex.build(
+        Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", staging))
   }
 
   /** The learned BPE model for `d`'s documents (merge table + word
@@ -567,6 +572,34 @@ object PipelineQueries {
         Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text", 0.8)
           .orderBy("id_a", "id_b"),
       Some(jaccardPairsSql)),
+
+    // ---- near-dup INDEX probe: an incoming shard (doc_id % 10 == 0)
+    // checked against a materialized MinHash-LSH index of the rest of the
+    // corpus — the rolling-ingest dedup shape (the delta probes bucketed
+    // band partitions; the corpus is never rescanned). Oracle = the exact
+    // cross-pair Jaccard relation. ----
+    ("ns_dedup_minhash_index",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val indexed = docs.filter(col("doc_id") % 10 =!= 0)
+        val dir = IndexCatalog.ensure(s, "minhash",
+          Seq(s"$d/documents.parquet"), "mod10ne0|n=3|h=32|b=16")(staging =>
+          graft.operators.MinHashIndex.build(indexed, "doc_id", "text",
+            staging))
+        graft.operators.MinHashIndex.probe(s, dir,
+            docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+            threshold = 0.8)
+          .orderBy("id_new", "id_old")
+      },
+      Some(shingleCte +
+        "SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS id_new, " +
+        "CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS id_old, " +
+        "CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) AS jaccard " +
+        "FROM pairs JOIN sizes s1 ON id_a = s1.doc_id " +
+        "JOIN sizes s2 ON id_b = s2.doc_id " +
+        "WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.8 " +
+        "AND ((id_a % 10 = 0) <> (id_b % 10 = 0)) " +
+        "ORDER BY id_new, id_old")),
 
     // ---- near-dup clusters: connected components over the 0.8-Jaccard
     // pair graph, min-id labels (the "which doc do we keep" end product).
