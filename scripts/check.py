@@ -25,7 +25,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def run_verify():
-    cmd = ["sbt", f'runMain graft.Verify {SF_DIR} {OUT_DIR}']
+    # pass an ONLY selection through to Verify's query filter so targeted
+    # local checks dump only what they compare (full dumps are ~20 min at
+    # sf0.1; the driver always runs the unfiltered two-arg form)
+    filt = f" {','.join(ONLY)}" if ONLY else ""
+    cmd = ["sbt", f'runMain graft.Verify {SF_DIR} {OUT_DIR}{filt}']
     r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
     for line in r.stdout.splitlines():
         if "[verify]" in line or "error" in line.lower():

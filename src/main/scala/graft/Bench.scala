@@ -72,7 +72,8 @@ object Bench {
       if (new java.io.File(w).isDirectory) w else sfDir
     }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
     // then touch every table at the TARGET SF so footer reads and OS page
@@ -138,10 +139,17 @@ object Bench {
     // One timed sample: (seconds, errored, canary-observation). The canary
     // observation is kept with the sample so it can be re-classified against
     // the final rolling baseline at report time.
+    // The timed action is the NOOP SINK, not count(): count() lets
+    // Catalyst prune every column the action doesn't need, so a query
+    // whose cost lives in its final projection benches as a phantom
+    // no-op (ns_text_repetition read 0.12 s under count() while a full
+    // materialization cost minutes before its rewrite). The noop sink
+    // evaluates every output column at full parallelism and discards the
+    // rows — the honest cost of producing the query's result.
     def sample(fn: (SparkSession, String) => DataFrame): (Double, Boolean, Double) = {
       val t0 = System.nanoTime()
       val errored =
-        try { fn(spark, sfDir).count(); false }
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); false }
         catch { case _: Throwable => true }
       val dt = (System.nanoTime() - t0) / 1e9
       // outside the timer: caches one query leaves behind must not squeeze

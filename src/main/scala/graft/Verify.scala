@@ -28,8 +28,18 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // Materialize BEFORE the single-file coalesce: Catalyst can hoist a
+      // heavy deterministic projection above a sort's exchange, and
+      // coalesce(1) then runs it in ONE task (ns_text_repetition paid
+      // 13 min single-threaded at sf0.1 this way). cache+count computes
+      // the result at full parallelism; the coalesced write just
+      // concatenates cached partitions in order, preserving the query's
+      // ORDER BY for the driver's order-sensitive compare.
+      try {
+        val res = fn(spark, sfDir).cache()
+        res.count()
+        res.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         errors(name) = msg.linesIterator.take(3).mkString(" | ").take(500)

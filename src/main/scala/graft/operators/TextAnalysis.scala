@@ -124,14 +124,28 @@ object TextAnalysis {
     // bigram list WITH duplicates (word_shingles is distinct by design)
     val bigrams = transform(sequence(lit(1), nToks - 1),
       i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
-    val counts = transform(array_distinct(bigrams),
-      b => size(filter(bigrams, x => x === b)))
-    val dupWordFrac = lit(1.0) -
-      size(array_distinct(toks)).cast("double") / nToks.cast("double")
-    val topShare = array_max(counts).cast("double") / size(bigrams).cast("double")
-    docs.select(col(idCol),
-      round(dupWordFrac, 4).as("dup_word_frac"),
-      round(topShare, 4).as("top_bigram_share"))
+    // Materialize tokens/bigrams ONCE per row, then take the max bigram
+    // multiplicity as the longest equal-run of the SORTED array —
+    // O(B log B) per doc. The previous formulation
+    // (`transform(array_distinct(bg), b => size(filter(bg, _ === b)))`)
+    // re-evaluated the bigram-array constructor inside the lambda (no CSE
+    // across higher-order functions), cubing the per-doc string work: it
+    // looked fast under `count()` (Catalyst prunes the projection) but a
+    // full-column dump at sf0.1 paid 10+ minutes.
+    docs.select(col(idCol), toks.as("__t"), bigrams.as("__bg"))
+      .select(col(idCol),
+        round(lit(1.0) - size(array_distinct(col("__t"))).cast("double") /
+          size(col("__t")).cast("double"), 4).as("dup_word_frac"),
+        round(aggregate(array_sort(col("__bg")),
+            struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+            (acc, x) => {
+              val run = when(x === acc.getField("prev"),
+                acc.getField("run") + 1).otherwise(lit(1))
+              struct(x.as("prev"), run.as("run"),
+                greatest(acc.getField("best"), run).as("best"))
+            },
+            acc => acc.getField("best")).cast("double") /
+          size(col("__bg")).cast("double"), 4).as("top_bigram_share"))
   }
 
   /** Corpus-level top-k n-gram document-frequency table (boilerplate /
