@@ -609,6 +609,37 @@ object Curation {
       .filter(col("rn") <= perStratum)
   }
 
+  /** WEIGHTED stratified sample — Efraimidis–Spirakis (2006) reservoir
+    * sampling without replacement, probability ∝ `weightCol`: each doc
+    * draws key `ln(u)/w` with `u` a content-addressed uniform
+    * (md5 of seed|id, the [[dsirSample]] grid), and the `perStratum`
+    * LARGEST keys win — exactly the A-ES scheme, so inclusion odds are
+    * proportional to weight, yet the draw is reproducible,
+    * shard-order-free, and cross-engine exact (keys round to 6; ties
+    * break to the smaller id). Rows with non-positive weight never
+    * qualify. Same plan shape as [[stratifiedSample]]: one stratum-keyed
+    * shuffle, rank window bounded by the largest stratum.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, stratumCol: String,
+                     weightCol: String, perStratum: Int,
+                     seed: String = "ws"): DataFrame = {
+    require(perStratum > 0, s"need perStratum > 0, got $perStratum")
+    val u = (pmod(md5_lower64(concat(lit(seed + "|"), col(idCol).cast("string"))),
+      lit(1000000L)) + 0.5) / 1000000.0
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(desc("es_key"), col(idCol))
+    docs.select(col(idCol), col(stratumCol), col(weightCol))
+      .filter(col(weightCol) > 0)
+      // + 0.0 normalizes the -0.0 a huge weight's rounded key produces
+      // (Spark's double sort splits -0.0 from 0.0; IEEE addition folds
+      // them — the charEntropy 0-x convention)
+      .withColumn("es_key",
+        round(log(u) / col(weightCol).cast("double"), 6) + lit(0.0))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= perStratum)
+      .drop("rn")
+  }
+
   /** Deterministic per-epoch corpus shuffle: a content-addressed global
     * permutation that differs every epoch but is reproducible and
     * shard-order-free — the "reshuffle the corpus each epoch without a

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.cosine_similarity
+
+/** Corpus-wide k-nearest-neighbor graph — the building block of
+  * graph-shaped curation (D4-style dedup-then-diversify, agglomerative
+  * topic clustering, neighborhood-based quality propagation): for EVERY
+  * vector, its top-k cosine neighbors. Exact all-pairs is O(N²) and only
+  * exists as a verification baseline ([[Similarity.bruteForceTopKBatch]]
+  * over a sampled query set); the graph itself is built cluster-scoped,
+  * the [[SemDedup.pairs]] contract — candidates are vectors sharing at
+  * least one of each vector's `nprobe` nearest centroids, so the pairwise
+  * scan is Σ|cluster|²·nprobe², never corpus², and clusters are the unit
+  * of parallelism (hot cluster ⇒ raise k via [[SemDedup.kForCorpus]],
+  * never salt).
+  *
+  * Multi-probe assignment is `nprobe` successive broadcast-k scans, each
+  * excluding the cids already taken (the IVF nprobe pattern as
+  * map-side-combinable `max_by` aggregates — an N·k-row window would
+  * shuffle the whole crossJoin; these shuffle N rows per pass).
+  * Boundary-recall is the standard IVF trade: a true neighbor in a
+  * cluster none of the vector's probes touch is missed — quantified
+  * against the exact baseline by the `ns_ann_knn_recall` audit rather
+  * than asserted away.
+  *
+  * Determinism (oracle rules): rounded-3 cosines, centroid ties to the
+  * smaller cid, neighbor ties to the smaller id — the graph is a pure
+  * function of (embeddings, centroids).
+  */
+object KnnGraph {
+
+  /** `(id, nbr, cos, rank)`, `rank <= k` per id (fewer if the probed
+    * clusters hold fewer candidates). `centroids` is `(cid, cvec)`,
+    * broadcast.
+    */
+  def build(embs: DataFrame, idCol: String, vecCol: String,
+            centroids: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(nprobe > 0, s"need nprobe > 0, got $nprobe")
+    val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+
+    // nprobe nearest centroids per vector, one max_by pass each (pass p
+    // excludes the p-1 cids already assigned via a broadcast anti-join
+    // on (id, cid))
+    var taken: DataFrame = null
+    for (_ <- 1 to nprobe) {
+      val scan = base.crossJoin(broadcast(centroids))
+        .withColumn("ccos",
+          round(cosine_similarity(col("v"), col("cvec")), 3))
+        .select(col("id"), col("cid"), col("ccos"))
+      val remaining =
+        if (taken == null) scan
+        else scan.join(taken, Seq("id", "cid"), "left_anti")
+      val next = remaining.groupBy("id")
+        .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
+      taken = if (taken == null) next else taken.unionByName(next)
+    }
+
+    // skinny candidate ids first (a pair sharing several probed clusters
+    // surfaces once), vectors joined back after the distinct — the float
+    // arrays never ride the candidate shuffle
+    val pairIds = taken.select(col("id").as("a"), col("cid"))
+      .join(taken.select(col("id").as("b"), col("cid")), Seq("cid"))
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val cand = pairIds
+      .join(base.select(col("id").as("a"), col("v").as("va")), "a")
+      .join(base.select(col("id").as("b"), col("v").as("vb")), "b")
+    val w = Window.partitionBy("id").orderBy(col("cos").desc, col("nbr"))
+    cand.withColumn("cos", round(cosine_similarity(col("va"), col("vb")), 3))
+      .select(col("a").as("id"), col("b").as("nbr"), col("cos"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+}

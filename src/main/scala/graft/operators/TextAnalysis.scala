@@ -556,19 +556,38 @@ object TextAnalysis {
 
   def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val s = lower(col(textCol))
-    val n = length(s)
     // split on "" emits a trailing "" (regex split, limit -1) — drop it
     val chars = filter(split(s, ""), c => c =!= lit(""))
-    val sortedDistinct = array_sort(array_distinct(chars))
-    val sumPLnP = aggregate(sortedDistinct, lit(0.0),
+    // Materialize once, then fold Σ p·ln p over the SORTED char array's
+    // equal-runs: each run closes with exactly the term the old
+    // per-distinct-char count produced, in the same (sorted-unique)
+    // order, so the float partial-sum sequence — and the oracle hash —
+    // is bit-identical. The old shape re-ran the O(n) char split inside
+    // the per-distinct-char lambda (no CSE through higher-order
+    // functions): 15.3 s at sf0.1 under the honest bench, vs ~1 s now.
+    val pre = docs.select(col(idCol), length(s).as("__n"),
+      array_sort(chars).as("__sc"))
+    def term(run: Column, acc: Column) = {
+      val p = run.cast("double") / col("__n").cast("double")
+      acc + p * log(p)
+    }
+    val sumPLnP = aggregate(col("__sc"),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0).as("s")),
       (acc, ch) => {
-        val p = size(filter(chars, x => x === ch)).cast("double") / n.cast("double")
-        acc + p * log(p)
-      })
+        val same = ch === acc.getField("prev")
+        val closed = when(same || acc.getField("run") === 0L,
+            acc.getField("s"))
+          .otherwise(term(acc.getField("run"), acc.getField("s")))
+        struct(ch.as("prev"),
+          when(same, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          closed.as("s"))
+      },
+      acc => when(acc.getField("run") === 0L, acc.getField("s"))
+        .otherwise(term(acc.getField("run"), acc.getField("s"))))
     // 0 - x, not -x: a one-symbol doc sums to ±0.0 and unary minus would
     // emit -0.0, which is NOT value-equal to 0.0 once boxed/hashed
-    docs.select(col(idCol), n.as("n_chars"),
-      size(sortedDistinct).as("n_distinct_chars"),
+    pre.select(col(idCol), col("__n").as("n_chars"),
+      size(array_distinct(col("__sc"))).as("n_distinct_chars"),
       round((lit(0.0) - sumPLnP) / log(lit(2.0)), 4).as("char_entropy_bits"))
   }
 }

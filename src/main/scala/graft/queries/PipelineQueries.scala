@@ -2375,6 +2375,71 @@ object PipelineQueries {
         "AS assistant_spans " +
         "FROM st GROUP BY doc_id ORDER BY conv_id")),
 
+    // ---- KNN graph: every vector's top-5 neighbors, cluster-scoped
+    // (IVF centroids, nprobe=2) — approximate by design, so rows-only;
+    // the recall audit below is the driver-visible quality gate. ----
+    ("ns_ann_knn_graph",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        val dir = IndexCatalog.ensure(s, "ann-ivf",
+          Seq(s"$d/embeddings.parquet"), "k=16,it=2")(
+          p => graft.operators.IvfIndex.build(embs, "vec_id", "embedding", p))
+        graft.operators.KnnGraph.build(embs, "vec_id", "embedding",
+            s.read.parquet(s"$dir/centroids"), k = 5, nprobe = 4)
+          .orderBy("id", "rank")
+      },
+      None),
+
+    // ---- KNN-graph recall audit (constant oracle): the graph must
+    // recover >= 80% of the exact brute-force top-5 edges over a fixed
+    // 5-query sample — the exhaustive-probe recall-audit pattern. ----
+    ("ns_ann_knn_recall",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        val dir = IndexCatalog.ensure(s, "ann-ivf",
+          Seq(s"$d/embeddings.parquet"), "k=16,it=2")(
+          p => graft.operators.IvfIndex.build(embs, "vec_id", "embedding", p))
+        val sample = Seq(0L, 11L, 42L, 77L, 123L)
+        // nprobe=4 measured at 23-24/25 exact-edge recall across
+        // sf0.001/0.01/0.1 (nprobe=2: 12-16, nprobe=3: 20-22) — the IVF
+        // boundary trade, bought back with probes
+        val graph = graft.operators.KnnGraph.build(embs, "vec_id",
+            "embedding", s.read.parquet(s"$dir/centroids"), k = 5,
+            nprobe = 4)
+          .filter(col("id").isin(sample.map(Long.box): _*))
+          .select("id", "nbr")
+        val exact = Similarity.bruteForceTopKBatch(embs, "vec_id", "embedding",
+            embs.filter(col("vec_id").isin(sample.map(Long.box): _*)),
+            "vec_id", "embedding", k = 5)
+          .select(col("qid").cast("long").as("id"), col("id").as("nbr"))
+        graph.join(exact, Seq("id", "nbr"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit("knn_recall").as("audit"),
+            lit(5).as("n_queries"),
+            (col("n_hits") >= 20).as("recall_ok"))
+      },
+      Some("SELECT 'knn_recall' AS audit, 5 AS n_queries, true AS recall_ok")),
+
+    // ---- curation: WEIGHTED stratified sample (Efraimidis–Spirakis
+    // reservoir, inclusion ∝ n_chars, content-addressed draws) ----
+    ("ns_curate_weighted_sample",
+      (s: SparkSession, d: String) =>
+        Curation.weightedSample(Tables.documents(s, d), "doc_id", "source",
+            "n_chars", perStratum = 5)
+          .orderBy("doc_id"),
+      Some("WITH h AS (SELECT doc_id, source, n_chars, " +
+        "md5_number_lower('ws|' || CAST(doc_id AS VARCHAR)) AS gu " +
+        "FROM documents WHERE n_chars > 0), " +
+        "k AS (SELECT doc_id, source, n_chars, " +
+        "round(ln(((((CAST(CASE WHEN gu >= 9223372036854775808 " +
+        "THEN gu - 18446744073709551616 ELSE gu END AS BIGINT) % 1000000) " +
+        "+ 1000000) % 1000000) + 0.5) / 1000000.0) " +
+        "/ CAST(n_chars AS DOUBLE), 6) + 0.0 AS es_key FROM h), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY source " +
+        "ORDER BY es_key DESC, doc_id) AS rn FROM k) " +
+        "SELECT doc_id, source, n_chars, es_key FROM r WHERE rn <= 5 " +
+        "ORDER BY doc_id")),
+
     // ---- embeddings: per-vector hygiene stats (norms, ranges, unit flag) ----
     ("ns_embed_stats",
       (s: SparkSession, d: String) =>

@@ -1,0 +1,65 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class KnnGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def graphRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+
+  test("one cluster degenerates to exact brute-force top-k for every vector") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val one = embs.limit(1)
+      .select(lit(0).as("cid"), col("embedding").as("cvec"))
+    val graph = graphRows(
+      KnnGraph.build(embs, "vec_id", "embedding", one, k = 5))
+    val exact = Similarity.bruteForceTopKBatch(embs, "vec_id", "embedding",
+        embs, "vec_id", "embedding", k = 5)
+      .select(col("qid").cast("long"), col("id"), col("cos"), col("rank"))
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(graph === exact)
+  }
+
+  test("planted near-identical vectors are mutual top-1 across two clusters") {
+    val d = 8
+    def v(axis: Int, eps: Double): Seq[Float] =
+      Seq.tabulate(d)(i => (if (i == axis) 1.0 else if (i == axis + 1) eps
+        else 0.0).toFloat)
+    // cluster around axis 0: ids 1,2 near-identical; around axis 4: 3,4
+    val embs = Seq(
+      (1L, v(0, 0.01)), (2L, v(0, 0.02)),
+      (3L, v(4, 0.01)), (4L, v(4, 0.02))).toDF("vec_id", "embedding")
+    val cents = Seq((0, v(0, 0.0)), (1, v(4, 0.0))).toDF("cid", "cvec")
+    val top1 = KnnGraph.build(embs, "vec_id", "embedding", cents,
+        k = 1, nprobe = 1)
+      .select("id", "nbr").as[(Long, Long)].collect().toMap
+    assert(top1 === Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L))
+  }
+
+  test("clustered graph recalls most exact neighbors on real embeddings") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val dir = Files.createTempDirectory("knn_ivf").toString
+    IvfIndex.build(embs, "vec_id", "embedding", dir, k = 4, iterations = 2)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val graph = KnnGraph.build(embs, "vec_id", "embedding", cents, k = 5)
+    val sample = Seq(0L, 11L, 42L, 77L, 123L)
+    val exact = Similarity.bruteForceTopKBatch(embs, "vec_id", "embedding",
+        embs.filter(col("vec_id").isin(sample.map(Long.box): _*)),
+        "vec_id", "embedding", k = 5)
+      .select(col("qid").cast("long").as("id"), col("id").as("nbr"))
+      .as[(Long, Long)].collect().toSet
+    val got = graph.filter(col("id").isin(sample.map(Long.box): _*))
+      .select("id", "nbr").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@5 over sample = $recall")
+  }
+}
