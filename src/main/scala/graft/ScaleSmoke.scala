@@ -1001,13 +1001,17 @@ object ScaleSmoke {
       s"cross pairs without rescanning the corpus)")
     t("mhidx_merge_delta")(
       MinHashIndex.merge(delta, "doc_id", "text", dir))
-    // fresh shard of verbatim copies of docs 0..999 under new ids: every
-    // one must surface an exact (jaccard 1.0) match post-merge
+    // fresh shard of verbatim copies under new ids: every copy of a
+    // NON-variant origin must surface an exact (jaccard 1.0) match
+    // post-merge (variant origins' texts differ at position 30 from this
+    // pure-seed rendering, so they are excluded from the expectation)
     val fresh = spark.range(n.toLong, n.toLong + 1000).toDF("doc_id")
+      .filter((col("doc_id") - n.toLong) % 10 =!= 9)
       .withColumn("text", concat_ws(" ",
         transform(sequence(lit(0), lit(59)), i =>
           concat(lit("w"), pmod(xxhash64(col("doc_id") - n.toLong, i),
             lit(50000L))))))
+    val freshExpect = fresh.count()
     val freshScope = graft.CacheScope()
     val freshHits = t("mhidx_probe_post_merge") {
       MinHashIndex.probe(spark, dir, fresh, "doc_id", "text", 0.8)(freshScope)
@@ -1015,8 +1019,9 @@ object ScaleSmoke {
         .select("id_new").distinct().count()
     }
     freshScope.close()
-    println(s"SCALE   post-merge fresh-shard exact matches=$freshHits/1000 " +
-      s"(${if (freshHits == 1000) "OK" else "MISS"})")
+    println(s"SCALE   post-merge fresh-shard exact matches=" +
+      s"$freshHits/$freshExpect " +
+      s"(${if (freshHits == freshExpect) "OK" else "MISS"})")
     docs.unpersist()
     }
 

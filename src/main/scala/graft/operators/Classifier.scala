@@ -236,6 +236,59 @@ object Classifier {
           .otherwise(lit(0.0)).as("auc"))
   }
 
+  /** Per-document posterior P(target | doc) from the per-class NB scores
+    * (`(doc_id, label, score)` — [[nbScores]] output): computed in
+    * log-space as `1 / (1 + Σ_{c≠target} exp(s_c − s_target))` so no
+    * un-normalized likelihood overflows. Cross-engine determinism: scores
+    * are already rounded (4); each exp term rounds to 6 and the class sum
+    * folds in LABEL order; the posterior rounds to 6. Returns
+    * `(doc_id, p)`.
+    */
+  def nbPosterior(scores: DataFrame, target: String): DataFrame =
+    scores.groupBy("doc_id")
+      .agg(max(when(col("label") === target, col("score"))).as("s_t"),
+        array_sort(collect_list(struct(col("label"), col("score"))))
+          .as("a"))
+      .filter(col("s_t").isNotNull)
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + aggregate(
+          filter(col("a"), s => s.getField("label") =!= target),
+          lit(0.0),
+          (acc, s) => acc +
+            round(exp(s.getField("score") - col("s_t")), 6))), 6).as("p"))
+
+  /** Calibration (reliability) bins over a [0,1] probability column on
+    * the engine's rounded grid: bin `i` holds predictions in
+    * [i/bins, (i+1)/bins) (the last bin closed at 1.0), reporting count,
+    * positive count, empirical positive rate, mean predicted
+    * probability, and the calibration gap — the table a reliability
+    * diagram plots, and what decides whether a filter's scores can be
+    * thresholded by probability at all.
+    *
+    * Determinism: binning floors an identical double expression on both
+    * engines; the mean prediction sums the 1e-6-grid probabilities as
+    * exact integers (`Σ round(p·10⁶)`), so it is partition-order-free —
+    * a plain float sum would depend on row order.
+    */
+  def calibrationBins(scored: DataFrame, probCol: String,
+                      positive: Column, bins: Int = 10): DataFrame = {
+    require(bins > 0, s"need bins > 0, got $bins")
+    val b = least(lit(bins - 1),
+      floor(col(probCol) * bins).cast("int")).as("bin")
+    scored.select(b, col(probCol).as("p"),
+        positive.cast("boolean").as("pos"))
+      .filter(col("pos").isNotNull)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("pos"), 1)).as("n_pos"),
+        sum(round(col("p") * 1e6).cast("long")).as("psum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
+        round(col("psum").cast("double") / 1e6 / col("n"), 6).as("mean_pred"))
+      .withColumn("gap", round(col("mean_pred") - col("pos_rate"), 6))
+      .orderBy("bin")
+  }
+
   private def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
 
   /** Per-document feature ARRAYS `(id, y, bs, cnts)` — the LR trainer's

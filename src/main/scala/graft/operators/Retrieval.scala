@@ -61,6 +61,47 @@ object Retrieval {
       .orderBy("qid", "rank")
   }
 
+  /** Weighted linear score fusion — the OTHER standard hybrid combiner
+    * (when score scales ARE calibrated, weights express retriever trust;
+    * [[rrfFuse]] is the rank-only fallback when they are not): per list
+    * and query, min-max normalize the scores to [0,1] (a degenerate
+    * all-equal list normalizes to 1.0), then per (qid, id) sum
+    * `weight_i · norm_i` over the lists the doc appears in, folding in
+    * list order. Inputs have `(qid, id, score)`; returns
+    * `(qid, id, fused, rank)`.
+    *
+    * Determinism: normalized scores round to 6 before the weight
+    * multiply; contributions fold in list order; the fused sum rounds to
+    * 6; ranks tie to the smaller id. Same corpus-independent cost shape
+    * as [[rrfFuse]] — result lists in, result lists out.
+    */
+  def weightedFuse(lists: Seq[DataFrame], weights: Seq[Double],
+                   topK: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "weightedFuse needs at least one result list")
+    require(lists.size == weights.size, "one weight per list")
+    require(topK > 0, "need topK > 0")
+    val w = Window.partitionBy("qid")
+    val tagged = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col("qid"), col("id"), col("score").cast("double").as("s"),
+          lit(i).as("li"))
+        .withColumn("mn", min("s").over(w))
+        .withColumn("mx", max("s").over(w))
+        .select(col("qid"), col("id"), col("li"),
+          (when(col("mx") === col("mn"), lit(1.0))
+            .otherwise(round((col("s") - col("mn")) /
+              (col("mx") - col("mn")), 6)) * lit(weights(i))).as("c"))
+    }.reduce(_ unionByName _)
+    val fused = tagged.groupBy("qid", "id")
+      .agg(round(aggregate(
+        transform(array_sort(collect_list(struct(col("li"), col("c")))),
+          s => s.getField("c")),
+        lit(0.0), (acc, x) => acc + x), 6).as("fused"))
+    val rw = Window.partitionBy("qid").orderBy(col("fused").desc, col("id"))
+    fused.withColumn("rank", row_number().over(rw).cast("int"))
+      .filter(col("rank") <= topK)
+      .orderBy("qid", "rank")
+  }
+
   /** Graded ranked-retrieval evaluation: per query, recall@k, MRR@k, and
     * nDCG@k of `results` against `qrels` — the report a retrieval team
     * reads before shipping a ranker change.

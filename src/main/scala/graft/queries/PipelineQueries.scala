@@ -2173,6 +2173,66 @@ object PipelineQueries {
         "SELECT qid, id, rrf, rank FROM rr WHERE rank <= 10 " +
         "ORDER BY qid, rank")),
 
+    // ---- hybrid retrieval: WEIGHTED linear score fusion (min-max
+    // normalized per list/query, 0.7·lexical + 0.3·dense) — the
+    // calibrated-scores combiner next to ns_retrieval_rrf's rank-only
+    // one. Same lists, full oracle. ----
+    ("ns_retrieval_fuse_weighted",
+      (s: SparkSession, d: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("vec_id"))
+        val lex = TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id",
+            "text", terms = Seq("join", "stream", "dup"), k = 20)
+          .select(lit("q0").as("qid"), col("doc_id").as("id"),
+            col("score"))
+        val dense = Similarity.bruteForceTopK(Tables.embeddings(s, d),
+            "vec_id", "embedding", queryId = 0, k = 20)
+          .select(lit("q0").as("qid"), col("vec_id").as("id"),
+            col("cos").as("score"))
+        Retrieval.weightedFuse(Seq(lex, dense), Seq(0.7, 0.3), topK = 10)
+      },
+      Some("WITH toks AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "d AS (SELECT doc_id, len(t) AS dl, " +
+        "CAST(len(list_filter(t, x -> x = 'join')) AS DOUBLE) AS tf0, " +
+        "CAST(len(list_filter(t, x -> x = 'stream')) AS DOUBLE) AS tf1, " +
+        "CAST(len(list_filter(t, x -> x = 'dup')) AS DOUBLE) AS tf2 FROM toks), " +
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, " +
+        "CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0, " +
+        "CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1, " +
+        "CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2 FROM d), " +
+        "sc AS (SELECT doc_id, round(" +
+        "(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)) / " +
+        "(tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)) + " +
+        "(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)) / " +
+        "(tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) + " +
+        "(ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)) / " +
+        "(tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS score FROM d, s), " +
+        "lex AS (SELECT doc_id AS id, score, CAST(row_number() OVER " +
+        "(ORDER BY score DESC, doc_id) AS INTEGER) AS rank FROM sc), " +
+        "q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), " +
+        "dn AS (SELECT vec_id AS id, " +
+        dCos("embeddings.embedding", "q.q_vec") + " AS score " +
+        "FROM embeddings, q WHERE vec_id <> 0), " +
+        "dr AS (SELECT id, score, CAST(row_number() OVER " +
+        "(ORDER BY score DESC, id) AS INTEGER) AS rank FROM dn), " +
+        "l0 AS (SELECT id, score FROM lex WHERE rank <= 20), " +
+        "l1 AS (SELECT id, score FROM dr WHERE rank <= 20), " +
+        "n0 AS (SELECT id, 0 AS li, CASE WHEN max(score) OVER () = " +
+        "min(score) OVER () THEN 1.0 ELSE round((score - min(score) OVER ()) " +
+        "/ (max(score) OVER () - min(score) OVER ()), 6) END * 0.7 AS c FROM l0), " +
+        "n1 AS (SELECT id, 1 AS li, CASE WHEN max(score) OVER () = " +
+        "min(score) OVER () THEN 1.0 ELSE round((score - min(score) OVER ()) " +
+        "/ (max(score) OVER () - min(score) OVER ()), 6) END * 0.3 AS c FROM l1), " +
+        "u AS (SELECT * FROM n0 UNION ALL SELECT * FROM n1), " +
+        "f AS (SELECT id, round(list_sum(list(c ORDER BY li)), 6) AS fused " +
+        "FROM u GROUP BY id), " +
+        "rr AS (SELECT 'q0' AS qid, id, fused, CAST(row_number() OVER " +
+        "(ORDER BY fused DESC, id) AS INTEGER) AS rank FROM f) " +
+        "SELECT qid, id, fused, rank FROM rr WHERE rank <= 10 " +
+        "ORDER BY qid, rank")),
+
     // ---- retrieval evaluation: dense doc-to-doc retrieval (cosine top-10
     // per anchor) scored against lexical more-like-this qrels (BM25 top-10,
     // grade = 11 - rank) — recall@10, MRR@10, nDCG@10 per anchor. DCG
@@ -2654,6 +2714,44 @@ object PipelineQueries {
         "CASE WHEN prec + rec > 0 " +
         "THEN round(2 * prec * rec / (prec + rec), 6) ELSE 0.0 END AS f1 " +
         "FROM mm ORDER BY thr DESC")),
+
+    // ---- calibration (reliability) bins of the NB posterior
+    // P(en | doc) against the true label over the held-out slice — the
+    // reliability-diagram table next to the PR curve and AUC. Posterior
+    // in log-space (round-6 exp terms, label-ordered fold); bin means
+    // sum the 1e-6-grid probabilities as exact integers. ----
+    ("ns_quality_calibration",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val b = Curation.hashBucket(col("doc_id"), 100)
+        val (model, priors) = nbModel(s, d)
+        val p = Classifier.nbPosterior(
+            Classifier.nbScores(docs.filter(b >= 80), "doc_id", "text",
+              model, priors, 4096), "en")
+          .join(docs.select("doc_id", "lang"), "doc_id")
+        Classifier.calibrationBins(p, "p", col("lang") === "en", bins = 10)
+      },
+      Some(nbCte +
+        ", st AS (SELECT doc_id, max(CASE WHEN label = 'en' THEN score END) " +
+        "AS s_t FROM sc GROUP BY doc_id), " +
+        "tm AS (SELECT sc.doc_id, sc.label, round(exp(sc.score - st.s_t), 6) AS t " +
+        "FROM sc JOIN st USING (doc_id) " +
+        "WHERE sc.label <> 'en' AND st.s_t IS NOT NULL), " +
+        "ps AS (SELECT doc_id, round(1.0 / (1.0 + " +
+        "list_sum(list(t ORDER BY label))), 6) AS p FROM tm GROUP BY doc_id), " +
+        "pl AS (SELECT ps.doc_id, ps.p, (d.lang = 'en') AS pos " +
+        "FROM ps JOIN documents d USING (doc_id)), " +
+        "bi AS (SELECT least(9, CAST(floor(p * 10) AS INTEGER)) AS bin, p, pos " +
+        "FROM pl), " +
+        "g AS (SELECT bin, count(*) AS n, count(*) FILTER (WHERE pos) AS n_pos, " +
+        "sum(CAST(round(p * 1000000.0, 0) AS BIGINT)) AS psum " +
+        "FROM bi GROUP BY bin) " +
+        "SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos, " +
+        "round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate, " +
+        "round(CAST(psum AS DOUBLE) / 1000000.0 / n, 6) AS mean_pred, " +
+        "round(round(CAST(psum AS DOUBLE) / 1000000.0 / n, 6) - " +
+        "round(CAST(n_pos AS DOUBLE) / n, 6), 6) AS gap " +
+        "FROM g ORDER BY bin")),
 
     // ---- ROC-AUC of the NB "is-English" score against the true lang
     // label — the tie-corrected Mann–Whitney rank statistic over the

@@ -248,4 +248,38 @@ class ClassifierSpec extends SparkSpec {
     assert(Classifier.rocAuc(onlyPos, "score", col("pos"))
       .as[(Long, Long, Double)].head() === ((1L, 0L, 0.0)))
   }
+
+  test("nbPosterior: two-class log-space posterior matches the closed form") {
+    // doc 1: en score ln(3), de score ln(1) -> p = 3/(3+1) = 0.75
+    // doc 2: en -2.0, de -1.0 -> p = 1/(1+e^1)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s = Seq(
+      (1L, "en", r6(math.log(3.0))), (1L, "de", 0.0),
+      (2L, "en", -2.0), (2L, "de", -1.0)).toDF("doc_id", "label", "score")
+    val got = Classifier.nbPosterior(s, "en").orderBy("doc_id")
+      .as[(Long, Double)].collect().toSeq
+    val p1 = r6(1.0 / (1.0 + r6(math.exp(0.0 - r6(math.log(3.0))))))
+    val p2 = r6(1.0 / (1.0 + r6(math.exp(-1.0 + 2.0))))
+    assert(got === Seq((1L, p1), (2L, p2)))
+  }
+
+  test("calibrationBins: binning, rates, integer-exact means, order-free") {
+    val scored = Seq(
+      (0.05, false), (0.05, true),   // bin 0
+      (0.55, true), (0.55, true),    // bin 5
+      (1.0, true)                    // clamps to bin 9
+    ).toDF("p", "pos")
+    val got = Classifier.calibrationBins(scored, "p", col("pos"))
+      .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      (0, 2L, 1L, 0.5, 0.05, -0.45),
+      (5, 2L, 2L, 1.0, 0.55, -0.45),
+      (9, 1L, 1L, 1.0, 1.0, 0.0)))
+    // shuffling input rows cannot move the mean (integer-exact sum)
+    val rev = Classifier.calibrationBins(
+      scored.orderBy(col("p").desc), "p", col("pos"))
+      .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(rev === got)
+  }
 }

@@ -80,4 +80,29 @@ class RetrievalSpec extends SparkSpec {
     val idcg = r6(3.0 / 1.0) + r6(3.0 / (math.log(3.0) / math.log(2.0)))
     assert(got === Seq(("q", 3L, r4(1.0 / 3.0), 1.0, r4(r6(3.0) / idcg))))
   }
+
+  test("weightedFuse: min-max normalization, weights, and degenerate lists") {
+    // list 0: scores 10/5/0 -> norms 1.0/0.5/0.0, weight 0.8
+    // list 1: all-equal scores -> every norm 1.0, weight 0.2
+    val l0 = Seq(("q", 1L, 10.0), ("q", 2L, 5.0), ("q", 3L, 0.0))
+      .toDF("qid", "id", "score")
+    val l1 = Seq(("q", 2L, 7.0), ("q", 4L, 7.0)).toDF("qid", "id", "score")
+    val got = Retrieval.weightedFuse(Seq(l0, l1), Seq(0.8, 0.2), topK = 10)
+      .select("id", "fused", "rank")
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0.8, 1),       // 1.0*0.8
+      (2L, 0.6, 2),       // 0.5*0.8 + 1.0*0.2
+      (4L, 0.2, 3),       // 1.0*0.2
+      (3L, 0.0, 4)))      // 0.0*0.8
+  }
+
+  test("weightedFuse: normalization is per qid, not global") {
+    val l0 = Seq(("a", 1L, 100.0), ("a", 2L, 0.0), ("b", 3L, 1.0),
+      ("b", 4L, 0.0)).toDF("qid", "id", "score")
+    val got = Retrieval.weightedFuse(Seq(l0), Seq(1.0), topK = 1)
+      .select("qid", "id", "fused").as[(String, Long, Double)].collect().toSet
+    // each qid's max normalizes to 1.0 regardless of raw scale
+    assert(got === Set(("a", 1L, 1.0), ("b", 3L, 1.0)))
+  }
 }
