@@ -62,18 +62,24 @@ object KnnGraph {
 
     // skinny candidate ids first (a pair sharing several probed clusters
     // surfaces once), vectors joined back after the distinct — the float
-    // arrays never ride the candidate shuffle
+    // arrays never ride the candidate shuffle. Score each UNDIRECTED pair
+    // once (a < b) and mirror after: halves the cosine work and, more
+    // importantly, halves the vector payload the verify joins ship.
     val pairIds = taken.select(col("id").as("a"), col("cid"))
       .join(taken.select(col("id").as("b"), col("cid")), Seq("cid"))
-      .filter(col("a") =!= col("b"))
+      .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    val cand = pairIds
+    val scored = pairIds
       .join(base.select(col("id").as("a"), col("v").as("va")), "a")
       .join(base.select(col("id").as("b"), col("v").as("vb")), "b")
+      .select(col("a"), col("b"),
+        round(cosine_similarity(col("va"), col("vb")), 3).as("cos"))
+    val directed = scored.select(col("a").as("id"), col("b").as("nbr"),
+        col("cos"))
+      .unionByName(scored.select(col("b").as("id"), col("a").as("nbr"),
+        col("cos")))
     val w = Window.partitionBy("id").orderBy(col("cos").desc, col("nbr"))
-    cand.withColumn("cos", round(cosine_similarity(col("va"), col("vb")), 3))
-      .select(col("a").as("id"), col("b").as("nbr"), col("cos"))
-      .withColumn("rank", row_number().over(w).cast("int"))
+    directed.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
   }
 }

@@ -120,19 +120,23 @@ object TextAnalysis {
     */
   def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    val nToks = size(toks)
-    // bigram list WITH duplicates (word_shingles is distinct by design)
-    val bigrams = transform(sequence(lit(1), nToks - 1),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
-    // Materialize tokens/bigrams ONCE per row, then take the max bigram
-    // multiplicity as the longest equal-run of the SORTED array —
-    // O(B log B) per doc. The previous formulation
+    // Materialize the token array FIRST (its own projection — split is
+    // non-cheap, so CollapseProject leaves the boundary), THEN build the
+    // bigram list from the bound column: `element_at(<split expr>, i)`
+    // inside the transform lambda would re-run the whole split per
+    // element (no CSE through higher-order functions — O(B·n) per doc,
+    // still 11.6 s at sf0.1 after the first rewrite). Max bigram
+    // multiplicity = longest equal-run of the SORTED array, O(B log B).
+    // The original nested count
     // (`transform(array_distinct(bg), b => size(filter(bg, _ === b)))`)
-    // re-evaluated the bigram-array constructor inside the lambda (no CSE
-    // across higher-order functions), cubing the per-doc string work: it
-    // looked fast under `count()` (Catalyst prunes the projection) but a
-    // full-column dump at sf0.1 paid 10+ minutes.
-    docs.select(col(idCol), toks.as("__t"), bigrams.as("__bg"))
+    // additionally re-built the array per distinct bigram: 13.5 min at
+    // sf0.1 in a full-column dump, phantom-fast under `count()` (Catalyst
+    // prunes unevaluated projections).
+    val bigrams = transform(sequence(lit(1), size(col("__t")) - 1),
+      i => concat_ws(" ", element_at(col("__t"), i),
+        element_at(col("__t"), i + 1)))
+    docs.select(col(idCol), toks.as("__t"))
+      .select(col(idCol), col("__t"), bigrams.as("__bg"))
       .select(col(idCol),
         round(lit(1.0) - size(array_distinct(col("__t"))).cast("double") /
           size(col("__t")).cast("double"), 4).as("dup_word_frac"),
