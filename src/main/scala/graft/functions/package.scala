@@ -147,6 +147,12 @@ package object functions {
   def mg_merge_agg(sketch: Column, capacity: Int = 256): Column =
     col(MgMergeAgg(ex(sketch), capacity).toAggregateExpression())
 
+  /** Per-group top-n `value`s by (score desc, value asc), best-first —
+    * mergeable bounded buffer: partials carry ≤ n entries per group per
+    * task (a window would shuffle every candidate row). */
+  def top_n_by(value: Column, score: Column, n: Int): Column =
+    col(TopNBy(ex(value), ex(score), n).toAggregateExpression())
+
   /** Decode an MG sketch's survivors as
     * `array<struct<item, est>>` ordered by (est desc, item). */
   def mg_items(sketch: Column): Column = col(MgItems(ex(sketch)))
