@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout optimization for scan pruning — the knob that decides how
+  * much of a 100 TB table a selective query has to READ. Parquet/ORC
+  * readers skip whole files and row groups whose footer min/max stats
+  * exclude a predicate; a single-column sort gives that skipping to ONE
+  * column and destroys it for every other. Z-ORDER clustering (Morton
+  * order — the bit-interleaved space-filling curve Delta's
+  * OPTIMIZE ZORDER BY and Iceberg's sort orders use) makes every written
+  * file a small hyper-rectangle in the layout columns' joint space, so
+  * range predicates on ANY clustered column prune most files.
+  *
+  * Determinism contract (these queries are driver-oracled, so every
+  * step must be bit-replicable in SQL):
+  *  - per-dimension buckets use POWER-OF-TWO cell widths over the exact
+  *    integer [min,max]: `bucket = (x - min) >> shift` with `shift` the
+  *    smallest s where `range+1 <= 2^s * 2^bits` — integer-only, no
+  *    float log/quantile anywhere, so Spark and the oracle agree at
+  *    every boundary. (Range partitioning on sampled quantiles — the
+  *    production default for SKEWED dimensions — trades this exactness
+  *    for balance; the bucket law here is the oracle-friendly variant
+  *    and the right one for roughly-uniform keys.)
+  *  - the z-value interleaves bucket bits LSB-first, earlier layout
+  *    columns at the more-significant position within each bit group;
+  *  - a "file" is a fixed-width z-prefix bin (`z >> (d*bits - log2Bins)`)
+  *    — what a size-targeted writer (`Curation.packShards`) would cut,
+  *    made deterministic. Bins can be UNEVEN under skew (the power-of-two
+  *    trade documented above); [[skippingAudit]] reports per-bin rows so
+  *    imbalance is visible, not hidden.
+  *
+  * Scale shape: one exact min/max aggregate per layout column (map-side
+  * combined, 2·d longs to the driver — planning state), then the z-value
+  * is a per-row projection of shifts/masks (whole-stage codegen'd
+  * built-ins, no UDF, no custom expression needed); the physical
+  * clustering itself is `repartitionByRange(z_bin)` + per-partition sort
+  * at write time. Nothing here shuffles except that final write.
+  */
+object Layout {
+
+  /** Smallest shift giving at most `2^bits` power-of-two-width cells
+    * over `[minV, maxV]`; integer-only, so any engine reproduces it.
+    */
+  def shiftFor(minV: Long, maxV: Long, bits: Int): Int = {
+    require(maxV >= minV, s"empty range [$minV, $maxV]")
+    require(bits > 0 && bits <= 31, s"bits out of range: $bits")
+    // s+bits stays <= 62: the shift target can't overflow a signed long
+    (0 to (62 - bits)).find(s => maxV - minV + 1 <= (1L << (s + bits))).get
+  }
+
+  /** Morton interleave of per-dimension buckets (each < 2^bits):
+    * bit i of column j lands at position `i*d + (d-1-j)` — LSB groups
+    * first, earlier columns more significant within a group. Pure
+    * shift/mask built-ins: stays inside whole-stage codegen.
+    */
+  def interleave(buckets: Seq[Column], bits: Int): Column = {
+    require(buckets.nonEmpty, "need at least one layout column")
+    val d = buckets.size
+    val terms = for {
+      i <- 0 until bits
+      (b, j) <- buckets.zipWithIndex
+    } yield shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * d + (d - 1 - j))
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Exact per-column (min, max) — ONE aggregate pass, 2·d longs of
+    * planning state to the driver.
+    */
+  def columnRanges(df: DataFrame, cols: Seq[String]): Seq[(Long, Long)] = {
+    val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.indices.map(i => (row.getLong(2 * i), row.getLong(2 * i + 1)))
+  }
+
+  /** `df` + `z_value` (interleaved Morton code) + `z_bin` (the
+    * deterministic "file": top `log2Bins` bits of the z-value). Layout
+    * columns must be integral and non-null.
+    */
+  def zorderBy(df: DataFrame, cols: Seq[String], bits: Int,
+               log2Bins: Int): DataFrame = {
+    require(log2Bins > 0 && log2Bins <= cols.size * bits,
+      s"log2Bins $log2Bins out of range for ${cols.size} cols x $bits bits")
+    val ranges = columnRanges(df, cols)
+    val buckets = cols.zip(ranges).map { case (c, (mn, mx)) =>
+      shiftright(col(c) - lit(mn), shiftFor(mn, mx, bits))
+    }
+    df.withColumn("z_value", interleave(buckets, bits))
+      .withColumn("z_bin",
+        shiftright(col("z_value"), cols.size * bits - log2Bins))
+  }
+
+  /** Per-bin footer stats a z-layout write would produce: rows plus each
+    * dimension's min/max. `binCol` names the file column; output columns
+    * are `bin, n_rows, <dim>_min, <dim>_max ...`.
+    */
+  def binStats(df: DataFrame, binCol: String, dims: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      dims.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max")))
+    df.groupBy(col(binCol).as("bin")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** How many "files" a min/max-pruning reader must scan per layout for
+    * each predicate box: one row per (layout, predicate) with the bin
+    * totals. `layouts` maps a layout name to a binned DataFrame;
+    * `predicates` maps a predicate name to per-dim `[lo, hi]` bounds
+    * (None = unconstrained dim). A bin is HIT when every constrained
+    * dim's [min,max] intersects its bound — exactly the parquet
+    * row-group pruning rule.
+    */
+  def skippingAudit(layouts: Seq[(String, DataFrame)], binCol: String,
+                    dims: Seq[String],
+                    predicates: Seq[(String, Seq[Option[(Long, Long)]])]): DataFrame = {
+    val stats = layouts.map { case (name, df) =>
+      binStats(df, binCol, dims).withColumn("layout", lit(name))
+    }.reduce(_ unionByName _)
+    val perPred = predicates.map { case (pname, bounds) =>
+      val hit = dims.zip(bounds).collect { case (dim, Some((lo, hi))) =>
+        col(s"${dim}_min") <= lit(hi) && col(s"${dim}_max") >= lit(lo)
+      }.reduceOption(_ && _).getOrElse(lit(true))
+      stats.groupBy("layout").agg(
+        count(lit(1)).as("bins_total"),
+        sum(when(hit, 1L).otherwise(0L)).as("bins_hit"))
+        .withColumn("predicate", lit(pname))
+    }
+    perPred.reduce(_ unionByName _)
+      .select("layout", "predicate", "bins_total", "bins_hit")
+  }
+}

@@ -25,6 +25,35 @@ import graft.operators.{Bpe, Classifier, Curation, Dedup, IndexCatalog, Retrieva
   */
 object PipelineQueries {
 
+  /** DuckDB Morton interleave of two bucket columns (bit i of `bu` at
+    * position 2i+1, `be` at 2i — [[graft.operators.Layout.interleave]]'s
+    * convention for d=2).
+    */
+  private def mortonSql(bu: String, be: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($bu >> $i) & 1) << ${2 * i + 1})",
+      s"((($be >> $i) & 1) << ${2 * i})")).mkString(" | ")
+
+  /** Shared z-order CTE prefix: exact ranges, integer-only shift search
+    * (g+bits <= 62 so the shift target can't overflow — same bound as
+    * `Layout.shiftFor`), per-row buckets. `su`/`se` are the 8-bit z
+    * dimensions, `sl` the 64-bin arrival-order layout the audit compares
+    * against.
+    */
+  private val zorderPreSql =
+    "WITH s AS (SELECT min(user_id) mnu, max(user_id) mxu, " +
+      "min(event_id) mne, max(event_id) mxe FROM events), " +
+      "p AS (SELECT s.*, " +
+      "(SELECT min(g) FROM generate_series(0,54) t(g) " +
+      "WHERE mxu-mnu+1 <= (1::BIGINT << (g+8))) su, " +
+      "(SELECT min(g) FROM generate_series(0,54) t(g) " +
+      "WHERE mxe-mne+1 <= (1::BIGINT << (g+8))) se, " +
+      "(SELECT min(g) FROM generate_series(0,56) t(g) " +
+      "WHERE mxe-mne+1 <= (1::BIGINT << (g+6))) sl FROM s), " +
+      "b AS (SELECT user_id, event_id, ((user_id - mnu) >> su) bu, " +
+      "((event_id - mne) >> se) be, ((event_id - mne) >> sl) lbin " +
+      "FROM events, p) "
+
   /** Shared DuckDB shingle pipeline (3-word shingles, distinct per doc).
     * Positional unnest + lead windows, not a fixed-bound generate_series —
     * no token-count ceiling to silently truncate at (ADVICE r4).
@@ -3671,5 +3700,66 @@ object PipelineQueries {
           "subset_of_candidates" -> mmr.forall(cands.contains)))
       },
       Some(auditOracleSql(Seq("k_rows", "head_is_relevance_top1",
-        "subset_of_candidates")))))
+        "subset_of_candidates")))),
+
+    // ---- Z-order layout: Morton z-values over (user_id, event_id) with
+    // power-of-two cells — integer-only bucket law, so the oracle
+    // replicates every bit (Layout.scala scaladoc has the contract) ----
+    ("ns_layout_zorder",
+      (s: SparkSession, d: String) =>
+        graft.operators.Layout.zorderBy(
+            Tables.events(s, d).select("event_id", "user_id"),
+            Seq("user_id", "event_id"), bits = 8, log2Bins = 6)
+          .select("event_id", "z_value", "z_bin").orderBy("event_id"),
+      Some(zorderPreSql +
+        s"SELECT event_id, (${mortonSql("bu", "be", 8)}) AS z_value, " +
+        s"(${mortonSql("bu", "be", 8)}) >> 10 AS z_bin FROM b " +
+        "ORDER BY event_id")),
+
+    // ---- data-skipping audit: how many "files" (deterministic z-prefix
+    // bins vs arrival-order bins) a min/max-pruning reader must scan for
+    // a user-band and an event-band predicate. The point the numbers
+    // make: the linear layout scans EVERY bin for the user predicate;
+    // z-order prunes both dimensions. ----
+    ("ns_layout_skip_audit",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d).select("event_id", "user_id")
+        val dims = Seq("user_id", "event_id")
+        val Seq((mnu, mxu), (mne, mxe)) =
+          graft.operators.Layout.columnRanges(ev, dims)
+        val z = graft.operators.Layout.zorderBy(ev, dims, 8, 6)
+          .withColumnRenamed("z_bin", "bin")
+        val lin = ev.withColumn("bin",
+          shiftright(col("event_id") - lit(mne),
+            graft.operators.Layout.shiftFor(mne, mxe, 6)))
+        val preds = Seq(
+          "user_band" -> Seq(
+            Some((mnu + (mxu - mnu) / 4,
+              mnu + (mxu - mnu) / 4 + (mxu - mnu) / 16)), None),
+          "event_band" -> Seq(None,
+            Some((mne + (mxe - mne) / 4,
+              mne + (mxe - mne) / 4 + (mxe - mne) / 16))))
+        graft.operators.Layout.skippingAudit(
+            Seq("zorder" -> z, "linear" -> lin), "bin", dims, preds)
+          .orderBy("layout", "predicate")
+      },
+      Some(zorderPreSql +
+        s", z AS (SELECT user_id, event_id, (${mortonSql("bu", "be", 8)}) >> 10 AS bin, " +
+        "'zorder' AS layout FROM b " +
+        "UNION ALL SELECT user_id, event_id, lbin AS bin, 'linear' AS layout FROM b), " +
+        "st AS (SELECT layout, bin, min(user_id) umin, max(user_id) umax, " +
+        "min(event_id) emin, max(event_id) emax FROM z GROUP BY 1, 2), " +
+        "bounds AS (SELECT mnu + (mxu-mnu)//4 AS ulo, " +
+        "mnu + (mxu-mnu)//4 + (mxu-mnu)//16 AS uhi, " +
+        "mne + (mxe-mne)//4 AS elo, " +
+        "mne + (mxe-mne)//4 + (mxe-mne)//16 AS ehi FROM s) " +
+        "SELECT layout, predicate, bins_total, bins_hit FROM (" +
+        "SELECT layout, 'user_band' AS predicate, count(*) AS bins_total, " +
+        "count(*) FILTER (WHERE umin <= uhi AND umax >= ulo) AS bins_hit " +
+        "FROM st, bounds GROUP BY layout " +
+        "UNION ALL " +
+        "SELECT layout, 'event_band' AS predicate, count(*) AS bins_total, " +
+        "count(*) FILTER (WHERE emin <= ehi AND emax >= elo) AS bins_hit " +
+        "FROM st, bounds GROUP BY layout) " +
+        "ORDER BY layout, predicate")))
 }
