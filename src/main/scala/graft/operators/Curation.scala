@@ -368,6 +368,34 @@ object Curation {
         .otherwise("test").as("split"))
   }
 
+  /** LEAKAGE-FREE split: every member of a near-dup cluster lands in the
+    * SAME split. Per-document hash splits leak — a train doc's near-twin
+    * in the eval split inflates every metric it touches — so the split
+    * key is the CLUSTER representative's hash, not the doc's own
+    * (the grouped-splits practice; same failure class as benchmark
+    * contamination, handled upstream of training instead of post hoc).
+    *
+    * `clusters` is an `(id, cluster)` labeling ([[Dedup.dupClusters]] —
+    * singletons labeled with their own id); docs without a row fall back
+    * to their own id, so the operator degrades to [[hashSplit]] when no
+    * clustering exists. Broadcast-free: the join shuffles on the id key
+    * once, then the split is the same zero-shuffle projection as
+    * `hashSplit`.
+    */
+  def groupSplit(docs: DataFrame, idCol: String, clusters: DataFrame,
+                 trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val lab = clusters.select(col("id").as(idCol), col("cluster"))
+    val keyed = docs.select(col(idCol)).join(lab, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col(idCol)).as("grp"))
+    val b = hashBucket(col("grp"), 100)
+    keyed.select(col(idCol), col("grp"),
+      b.cast("int").as("bucket"),
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Token-budget shard packing: assign documents to training shards of
     * ~`tokensPerShard` tokens each, in deterministic md5-hash order (a
     * content-addressed global shuffle of the corpus, so shards are i.i.d.

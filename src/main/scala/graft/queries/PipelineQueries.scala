@@ -1609,6 +1609,36 @@ object PipelineQueries {
         "ELSE 'test' END AS split " +
         "FROM b ORDER BY doc_id")),
 
+    // ---- curation: LEAKAGE-FREE grouped split — near-dup clusters never
+    // straddle train/eval (split key = cluster rep's hash, not the
+    // doc's); oracle composes the recursive-CTE closure with the
+    // hash-split bucket law ----
+    ("ns_curate_group_split",
+      (s: SparkSession, d: String) =>
+        Curation.groupSplit(Tables.documents(s, d), "doc_id",
+            dupClusterTable(s, d))
+          .orderBy("doc_id"),
+      Some(shingleCte +
+        ", dup AS (SELECT id_a, id_b FROM pairs " +
+        "JOIN sizes s1 ON id_a = s1.doc_id JOIN sizes s2 ON id_b = s2.doc_id " +
+        "WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.8), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM dup " +
+        "UNION ALL SELECT id_b, id_a FROM dup), " +
+        "closure AS (WITH RECURSIVE reach(id, r) AS (" +
+        "SELECT a, a FROM (SELECT DISTINCT a FROM edges) " +
+        "UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id) " +
+        "SELECT id, min(r) AS cluster FROM reach GROUP BY id), " +
+        "lab AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS grp " +
+        "FROM documents d LEFT JOIN closure c ON d.doc_id = c.id), " +
+        "hx AS (SELECT doc_id, grp, md5_number_lower(CAST(grp AS VARCHAR)) AS u FROM lab), " +
+        "sx AS (SELECT doc_id, grp, CAST(CASE WHEN u >= 9223372036854775808 " +
+        "THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS h64 FROM hx), " +
+        "bx AS (SELECT doc_id, grp, CAST(((h64 % 100) + 100) % 100 AS INTEGER) AS bucket FROM sx) " +
+        "SELECT doc_id, grp, bucket, " +
+        "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' " +
+        "ELSE 'test' END AS split " +
+        "FROM bx ORDER BY doc_id")),
+
     // ---- curation: funnel report (lang -> quality -> repetition -> dedup) ----
     ("ns_curate_funnel",
       (s: SparkSession, d: String) =>

@@ -482,4 +482,22 @@ class CurationSpec extends SparkSpec {
     fluent.foreach { case (id, _, _) => assert(out(id), s"doc $id dropped") }
     assert(!out(999L), "gibberish survived the floor")
   }
+
+  test("groupSplit: cluster members share a split; singletons match hashSplit") {
+    val docs = (0L until 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters: {0,1,2} labeled 0, {10,11} labeled 10; rest absent
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster")
+    val out = Curation.groupSplit(docs, "doc_id", clusters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(out.size === 50)
+    // every member of a cluster gets the representative's split
+    assert(Set(out(0L), out(1L), out(2L)).size === 1)
+    assert(out(0L)._1 === 0L)
+    assert(Set(out(10L), out(11L)).size === 1)
+    // docs outside any cluster degrade to the per-doc hash split
+    val solo = Curation.hashSplit(docs.filter(col("doc_id") >= 20), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    solo.foreach { case (id, split) => assert(out(id)._2 === split, s"doc $id") }
+  }
 }
