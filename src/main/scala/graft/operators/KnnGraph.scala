@@ -87,4 +87,52 @@ object KnnGraph {
     directed.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
   }
+
+  /** Neighborhood score propagation over a `(id, nbr, cos)` graph —
+    * label spreading (Zhou et al. NIPS'04) as a curation primitive: push
+    * sparse quality/classifier scores onto embedding neighbors, so docs
+    * that LOOK like high-quality docs inherit credit before a threshold
+    * filter runs. `s_{t+1}(i) = [(1-α)·s_0(i) + α·avg_w(s_t(nbrs))]`,
+    * restart term anchored at the seed (the PPR flavor), `α =
+    * alphaNum/alphaDen`.
+    *
+    * ALL-INTEGER arithmetic, so the trajectory is bit-replicable in SQL
+    * (the exact-rational HALF_UP convention): scores are micro-units
+    * (`s0` a BIGINT in [0, 1e6]), edge weights milli-cosines
+    * (`round(cos·1000)`, non-positive edges dropped), and every division
+    * is the rational HALF_UP `(2N + D) div 2D`. Per iteration the plan is
+    * one N·k-row join shuffle (neighbor scores) + one groupBy(id) —
+    * nothing corpus-quadratic; `iters` is small by contract (the
+    * spreading fixpoint is geometric in α).
+    *
+    * Nodes with no positive-weight neighbors keep their current score
+    * (the left-join fallback), so isolated docs pass through unchanged.
+    */
+  def propagate(graph: DataFrame, seeds: DataFrame, idCol: String,
+                scoreCol: String, alphaNum: Int = 4, alphaDen: Int = 5,
+                iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    require(alphaNum >= 0 && alphaDen > 0 && alphaNum <= alphaDen,
+      s"alpha $alphaNum/$alphaDen outside [0,1]")
+    val edges = graph.select(col("id"), col("nbr"),
+        round(col("cos") * 1000, 0).cast("long").as("w"))
+      .filter(col("w") > 0)
+    var cur = seeds.select(col(idCol).as("id"),
+        col(scoreCol).cast("long").as("s0"))
+      .withColumn("s", col("s0"))
+    for (_ <- 1 to iters) {
+      val agg = edges
+        .join(cur.select(col("id").as("nbr"), col("s").as("sn")), "nbr")
+        .groupBy("id")
+        .agg(sum(col("w") * col("sn")).as("num"), sum(col("w")).as("den"))
+      cur = cur.join(agg, Seq("id"), "left")
+        .withColumn("avg", when(col("den").isNotNull,
+          expr("(2 * num + den) div (2 * den)")).otherwise(col("s")))
+        .withColumn("s", expr(
+          s"(2 * (${alphaDen - alphaNum} * s0 + $alphaNum * avg) + " +
+            s"$alphaDen) div (2 * $alphaDen)"))
+        .drop("num", "den", "avg")
+    }
+    cur
+  }
 }

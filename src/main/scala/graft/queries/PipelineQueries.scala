@@ -3732,6 +3732,54 @@ object PipelineQueries {
       Some(auditOracleSql(Seq("k_rows", "head_is_relevance_top1",
         "subset_of_candidates")))),
 
+    // ---- score propagation over the exact KNN graph (label spreading,
+    // Zhou et al. NIPS'04): seeds are content-addressed micro-unit
+    // scores, two all-integer iterations (rational HALF_UP divisions),
+    // so the whole trajectory hash-matches SQL. The exact graph is the
+    // oracle-able baseline; production propagates over KnnGraph.build's
+    // IVF graph (identical operator, graph swapped). ----
+    ("ns_ann_score_propagation",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        val dir = IndexCatalog.ensure(s, "knn-exact",
+          Seq(s"$d/embeddings.parquet"), "k=5") { staging =>
+          Similarity.bruteForceTopKBatch(embs, "vec_id", "embedding",
+              embs, "vec_id", "embedding", k = 5)
+            .select(col("qid").as("id"), col("id").as("nbr"), col("cos"))
+            .write.parquet(staging)
+        }
+        val graph = s.read.parquet(dir)
+        val seeds = embs.select(col("vec_id"),
+          pmod(graft.functions.md5_lower64(col("vec_id").cast("string")),
+            lit(1000001L)).as("s0"))
+        graft.operators.KnnGraph.propagate(graph, seeds, "vec_id", "s0",
+            alphaNum = 4, alphaDen = 5, iters = 2)
+          .orderBy("id")
+      },
+      Some("WITH pr AS (SELECT a.vec_id AS id, b.vec_id AS nbr, " +
+        dCos("a.embedding", "b.embedding") + " AS cos " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), " +
+        "rk AS (SELECT id, nbr, cos, row_number() OVER " +
+        "(PARTITION BY id ORDER BY cos DESC, nbr) AS rank FROM pr), " +
+        "g AS (SELECT id, nbr, CAST(round(cos*1000) AS BIGINT) AS w " +
+        "FROM rk WHERE rank <= 5 AND CAST(round(cos*1000) AS BIGINT) > 0), " +
+        "seeds AS (SELECT vec_id AS id, " +
+        dHashMod("md5_number_lower(CAST(vec_id AS VARCHAR))", 1000001L) +
+        " AS s0 FROM embeddings), " +
+        "a1 AS (SELECT g.id, sum(g.w * s.s0) AS num, sum(g.w) AS den " +
+        "FROM g JOIN seeds s ON g.nbr = s.id GROUP BY g.id), " +
+        "s1 AS (SELECT s.id, s.s0, (2 * (1 * s.s0 + 4 * " +
+        "CASE WHEN a1.den IS NOT NULL THEN (2*a1.num + a1.den) // (2*a1.den) " +
+        "ELSE s.s0 END) + 5) // 10 AS s " +
+        "FROM seeds s LEFT JOIN a1 ON s.id = a1.id), " +
+        "a2 AS (SELECT g.id, sum(g.w * s1.s) AS num, sum(g.w) AS den " +
+        "FROM g JOIN s1 ON g.nbr = s1.id GROUP BY g.id), " +
+        "s2 AS (SELECT s1.id, s1.s0, (2 * (1 * s1.s0 + 4 * " +
+        "CASE WHEN a2.den IS NOT NULL THEN (2*a2.num + a2.den) // (2*a2.den) " +
+        "ELSE s1.s END) + 5) // 10 AS s " +
+        "FROM s1 LEFT JOIN a2 ON s1.id = a2.id) " +
+        "SELECT id, s0, s FROM s2 ORDER BY id")),
+
     // ---- Z-order layout: Morton z-values over (user_id, event_id) with
     // power-of-two cells — integer-only bucket law, so the oracle
     // replicates every bit (Layout.scala scaladoc has the contract) ----

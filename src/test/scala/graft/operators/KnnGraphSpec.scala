@@ -62,4 +62,34 @@ class KnnGraphSpec extends SparkSpec {
     val recall = (exact & got).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall@5 over sample = $recall")
   }
+
+  test("propagate: hand-computed integer trajectory, isolated node unchanged") {
+    // edges: 1->2 (w 500), 1->3 (w 250), 2->1 (w 500); 3 has no out-edges
+    val graph = Seq((1L, 2L, 0.5), (1L, 3L, 0.25), (2L, 1L, 0.5))
+      .toDF("id", "nbr", "cos")
+    val seeds = Seq((1L, 1000000L), (2L, 0L), (3L, 600000L))
+      .toDF("vec_id", "s0")
+    val out = KnnGraph.propagate(graph, seeds, "vec_id", "s0",
+        alphaNum = 4, alphaDen = 5, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // iter1: s=(360000, 800000, 600000); iter2 from those
+    assert(out(1L) === ((1000000L, 786666L)))
+    assert(out(2L) === ((0L, 288000L)))
+    assert(out(3L) === ((600000L, 600000L)))
+  }
+
+  test("propagate is partitioning-invariant (integer arithmetic end-to-end)") {
+    val n = 300
+    val graph = (0 until n).flatMap { i =>
+      Seq((i.toLong, ((i + 1) % n).toLong, 0.8),
+        (i.toLong, ((i + 7) % n).toLong, 0.3))
+    }.toDF("id", "nbr", "cos")
+    val seeds = (0 until n).map(i => (i.toLong, (i * 3331L) % 1000001L))
+      .toDF("vec_id", "s0")
+    def run(parts: Int) =
+      KnnGraph.propagate(graph.repartition(parts), seeds.repartition(parts),
+          "vec_id", "s0", iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(run(1) === run(16))
+  }
 }
