@@ -102,6 +102,46 @@ object Layout {
     df.groupBy(col(binCol).as("bin")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Physically cluster and write: `repartitionByRange(z_bin)` + an
+    * in-partition sort by the full z-value, emitted as a
+    * `z_bin=K/`-partitioned parquet layout under `path/data` with the
+    * per-bin footer stats ([[binStats]]) materialized once under
+    * `path/stats` (≤ 2^log2Bins rows — planning state, like the IVF
+    * centroid table). The sort means even WITHIN a bin's files, parquet
+    * row-group min/max stats stay tight on every layout column.
+    */
+  def writeClustered(df: DataFrame, cols: Seq[String], bits: Int,
+                     log2Bins: Int, path: String): Unit = {
+    val z = zorderBy(df, cols, bits, log2Bins)
+    z.repartitionByRange(col("z_bin"))
+      .sortWithinPartitions("z_value")
+      .write.partitionBy("z_bin").mode("overwrite").parquet(s"$path/data")
+    binStats(z, "z_bin", cols).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Read a clustered layout under a per-dimension bound box, touching
+    * only the bins whose stats intersect it: the stats table (tiny)
+    * selects candidate bins driver-side, the `z_bin IN (...)` predicate
+    * prunes DIRECTORIES at planning time (asserted via scan metrics in
+    * LayoutSpec), and the residual bound filter runs only over surviving
+    * files. This is the read path the skipping numbers in
+    * `ns_layout_skip_audit` model.
+    */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+                 bounds: Seq[(String, Long, Long)]): DataFrame = {
+    require(bounds.nonEmpty, "need at least one bound")
+    val stats = spark.read.parquet(s"$path/stats")
+    val hit = bounds.map { case (c, lo, hi) =>
+      col(s"${c}_min") <= lit(hi) && col(s"${c}_max") >= lit(lo)
+    }.reduce(_ && _)
+    val bins = stats.filter(hit).select("bin").collect().map(_.getLong(0))
+    spark.read.parquet(s"$path/data")
+      .filter(col("z_bin").isin(bins.map(Long.box): _*))
+      .filter(bounds.map { case (c, lo, hi) =>
+        col(c) >= lit(lo) && col(c) <= lit(hi)
+      }.reduce(_ && _))
+  }
+
   /** How many "files" a min/max-pruning reader must scan per layout for
     * each predicate box: one row per (layout, predicate) with the bin
     * totals. `layouts` maps a layout name to a binned DataFrame;

@@ -87,4 +87,35 @@ class LayoutSpec extends SparkSpec {
     // 11-wide x band touches 2 of 4 x-tile columns = 8 bins
     assert(got(("zorder", "x_band"))._2 === 8L)
   }
+
+  test("writeClustered + prunedRead: directory pruning bites, result exact") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong * 64 + y, x.toLong, y.toLong)).toDF("id", "x", "y")
+    val path = Files.createTempDirectory("zlayout").toString
+    Layout.writeClustered(grid, Seq("x", "y"), bits = 6, log2Bins = 4, path)
+    val bounds = Seq(("x", 10L, 20L), ("y", 0L, 63L))
+    val pruned = Layout.prunedRead(spark, path, bounds)
+    // collect THIS DataFrame (a .select would execute a different
+    // QueryExecution and leave pruned's scan metrics at zero)
+    val got = pruned.collect().map(_.getAs[Long]("id")).toSet
+    val want = grid.filter(col("x").between(10, 20))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    // the scan touched fewer files than the layout holds (8/16 bins)
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val total = spark.read.parquet(s"$path/data").inputFiles.length
+    val scanned = scans(pruned.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    assert(scanned > 0 && scanned < total,
+      s"scan read $scanned of $total files — no directory pruning")
+  }
 }
