@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup}
+import graft.operators.{Curation, Dedup, KnnGraph, Layout}
 
 /** Scale-validation harness (manual; not part of `sbt test` or the driver
   * gates): drives the dedup/curation chain over a DETERMINISTIC synthetic
@@ -46,7 +46,7 @@ object ScaleSmoke {
     val stages = if (args.length > 1) args(1) else "all"
     require(Set("all", "lexical", "semantic", "recall", "pipeline",
       "streaming", "classifier", "curation", "streamlearn", "semdedup",
-      "embed", "bm25", "minhashindex")(stages),
+      "embed", "bm25", "minhashindex", "layout", "propagate")(stages),
       s"unknown stage set '$stages'")
     def on(s: String) = stages == "all" || stages == s
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -1093,6 +1093,88 @@ object ScaleSmoke {
       s"(${if (rI.getLong(0) == expEx && rI.getLong(1) == totalToks &&
                rI.getLong(2) == n) "OK" else "MISS"})")
     docs.unpersist()
+    }
+
+    if (on("layout")) {
+    // ---- z-order layout at corpus scale: cluster n rows on two
+    // independent long dims, write the partitioned layout + stats, read
+    // a 1/16-wide band on EACH dim through prunedRead; assert exact
+    // results and report the file-skip fraction — the number that decides
+    // scan cost on a selective 100 TB query. ----
+    val rows = spark.range(n.toLong).toDF("id")
+      .withColumn("u", pmod(xxhash64(col("id")), lit(1000000L)))
+      .withColumn("e", col("id"))
+      .repartition(spark.sparkContext.defaultParallelism.toInt)
+      .cache()
+    t("layout_materialize")(rows.count())
+    val path = java.nio.file.Files.createTempDirectory("scale_zlayout").toString
+    t("layout_write_clustered")(
+      Layout.writeClustered(rows, Seq("u", "e"), bits = 12, log2Bins = 8, path))
+    val total = spark.read.parquet(s"$path/data").inputFiles.length
+    // unwrap AQE stages — a plain executedPlan traversal sees no scans
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fileScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans)
+    }
+    for ((dim, lo, hi) <- Seq(("u", 250000L, 312500L),
+        ("e", n / 4L, n / 4L + n / 16L))) {
+      val bounds = Seq((dim, lo, hi))
+      var readFiles = 0L
+      val cnt = t(s"layout_pruned_read_$dim") {
+        val pr = Layout.prunedRead(spark, path, bounds)
+        // collect THIS DataFrame: count() would execute a different
+        // QueryExecution and leave pr's scan metrics unset
+        val c = pr.collect().length.toLong
+        readFiles = fileScans(pr.queryExecution.executedPlan)
+          .map(_.metrics("numFiles").value).sum
+        c
+      }
+      val want = rows.filter(col(dim) >= lo && col(dim) <= hi).count()
+      println(s"SCALE   layout_${dim}_band rows=$cnt want=$want " +
+        s"files=$readFiles/$total " +
+        s"(${if (cnt == want && readFiles < total / 2) "OK" else "MISS"})")
+    }
+    rows.unpersist()
+    }
+
+    if (on("propagate")) {
+    // ---- label spreading at corpus scale: n nodes x 8 deterministic
+    // neighbors (8n edges), 3 all-integer iterations; measures the
+    // per-iteration join+groupBy cost and asserts scores stay in the
+    // micro-unit range with isolated nodes untouched. ----
+    val k = 8
+    val nodes = spark.range(n.toLong).toDF("vec_id")
+      .withColumn("s0", pmod(xxhash64(col("vec_id")), lit(1000001L)))
+      .cache()
+    // node n-1 isolated: no out-edges, and (by construction below)
+    // in-edges only from its predecessors' windows
+    val graph = spark.range(n.toLong - 1).toDF("id")
+      .withColumn("nbr", explode(transform(sequence(lit(1), lit(k)),
+        i => pmod(col("id") + i, lit(n.toLong - 1)))))
+      .withColumn("cos",
+        round(pmod(xxhash64(col("id"), col("nbr")), lit(900L))
+          .cast("double") / 1000 + 0.1, 3))
+      .repartition(spark.sparkContext.defaultParallelism.toInt)
+      .cache()
+    t("propagate_edges_materialize")(graph.count())
+    t("propagate_3_iters") {
+      val out = KnnGraph.propagate(graph, nodes, "vec_id", "s0", iters = 3)
+        .cache()
+      val r = out.agg(count(lit(1)), min("s"), max("s")).collect().head
+      val iso = out.filter(col("id") === n.toLong - 1)
+        .select(col("s") === col("s0")).collect().head.getBoolean(0)
+      println(s"SCALE   propagate n=${r.getLong(0)} " +
+        s"s_range=[${r.getLong(1)}, ${r.getLong(2)}] isolated_unchanged=$iso " +
+        s"(${if (r.getLong(0) == n.toLong && r.getLong(1) >= 0 &&
+          r.getLong(2) <= 1000000L && iso) "OK" else "MISS"})")
+      out.unpersist()
+    }
+    nodes.unpersist(); graph.unpersist()
     }
 
     spark.stop()
