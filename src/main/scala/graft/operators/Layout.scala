@@ -112,11 +112,75 @@ object Layout {
     */
   def writeClustered(df: DataFrame, cols: Seq[String], bits: Int,
                      log2Bins: Int, path: String): Unit = {
-    val z = zorderBy(df, cols, bits, log2Bins)
+    val ranges = columnRanges(df, cols)
+    val z = zorderWith(df, cols, ranges.map(_._1),
+      cols.zip(ranges).map { case (_, (mn, mx)) => shiftFor(mn, mx, bits) },
+      bits, log2Bins, clamp = false)
     z.repartitionByRange(col("z_bin"))
       .sortWithinPartitions("z_value")
       .write.partitionBy("z_bin").mode("overwrite").parquet(s"$path/data")
     binStats(z, "z_bin", cols).write.mode("overwrite").parquet(s"$path/stats")
+    // the bucket law frozen at first write — what incremental merges must
+    // reuse, or their z-values land in a different space
+    val spark = df.sparkSession
+    import spark.implicits._
+    cols.zip(ranges).zipWithIndex.map { case ((c, (mn, mx)), i) =>
+      (i, c, mn, shiftFor(mn, mx, bits), bits, log2Bins)
+    }.toDF("pos", "col", "min", "shift", "bits", "log2bins")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** z-value + z_bin under an EXPLICIT bucket law (mins/shifts given, not
+    * derived) — the shared core of [[writeClustered]] (fresh law) and
+    * [[mergeClustered]] (frozen law; `clamp` pins out-of-range newcomers
+    * to the edge cells so they stay inside the original z-space).
+    */
+  private def zorderWith(df: DataFrame, cols: Seq[String], mins: Seq[Long],
+                         shifts: Seq[Int], bits: Int, log2Bins: Int,
+                         clamp: Boolean): DataFrame = {
+    val buckets = cols.indices.map { i =>
+      val raw = shiftright(col(cols(i)) - lit(mins(i)), shifts(i))
+      if (clamp) least(greatest(raw, lit(0L)), lit((1L << bits) - 1)) else raw
+    }
+    df.withColumn("z_value", interleave(buckets, bits))
+      .withColumn("z_bin",
+        shiftright(col("z_value"), cols.size * bits - log2Bins))
+  }
+
+  /** Incrementally merge new rows into an existing clustered layout:
+    * the FROZEN bucket law from `path/meta` places newcomers in the same
+    * z-space (out-of-range values clamp to edge cells — their bins' stats
+    * widen honestly, pruning just gets weaker there), data appends in the
+    * same `z_bin=K/` directories, and the stats table re-merges
+    * associatively (min/min, max/max, rows+rows — exact, the
+    * mergeable-summaries shape). Same economics as `Bm25Index.merge`:
+    * O(delta) work, never a rewrite of the resident layout.
+    */
+  def mergeClustered(spark: org.apache.spark.sql.SparkSession,
+                     path: String, df: DataFrame): Unit = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .orderBy("pos").collect()
+    val cols = meta.map(_.getAs[String]("col")).toSeq
+    val mins = meta.map(_.getAs[Long]("min")).toSeq
+    val shifts = meta.map(_.getAs[Int]("shift")).toSeq
+    val bits = meta.head.getAs[Int]("bits")
+    val log2Bins = meta.head.getAs[Int]("log2bins")
+    val z = zorderWith(df, cols, mins, shifts, bits, log2Bins, clamp = true)
+    z.repartitionByRange(col("z_bin"))
+      .sortWithinPartitions("z_value")
+      .write.partitionBy("z_bin").mode("append").parquet(s"$path/data")
+    // stats re-merge: both sides are <= 2^log2Bins rows — planning state
+    val aggs = sum(col("n_rows")).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(s"${c}_min")).as(s"${c}_min"),
+        max(col(s"${c}_max")).as(s"${c}_max")))
+    val merged = spark.read.parquet(s"$path/stats")
+      .unionByName(binStats(z, "z_bin", cols))
+      .groupBy("bin").agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val schema = spark.read.parquet(s"$path/stats").schema
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(merged.toIndexedSeq, 1), schema)
+      .write.mode("overwrite").parquet(s"$path/stats")
   }
 
   /** Read a clustered layout under a per-dimension bound box, touching

@@ -118,4 +118,34 @@ class LayoutSpec extends SparkSpec {
     assert(scanned > 0 && scanned < total,
       s"scan read $scanned of $total files — no directory pruning")
   }
+
+  test("mergeClustered: frozen bucket law, exact reads, associative stats") {
+    import java.nio.file.Files
+    val a = (for (x <- 0 until 64; y <- 0 until 64; if x < 48)
+      yield (x.toLong * 64 + y, x.toLong, y.toLong)).toDF("id", "x", "y")
+    // delta includes out-of-range values (x up to 80) that must clamp
+    val b = (for (x <- 40 until 81; y <- 0 until 8)
+      yield (100000L + x * 64 + y, x.toLong, y.toLong)).toDF("id", "x", "y")
+    val path = Files.createTempDirectory("zmerge").toString
+    Layout.writeClustered(a, Seq("x", "y"), bits = 6, log2Bins = 4, path)
+    Layout.mergeClustered(spark, path, b)
+    // reads over the merged layout are exact, including the clamped tail
+    val got = Layout.prunedRead(spark, path, Seq(("x", 44L, 90L)))
+      .collect().map(_.getAs[Long]("id")).toSet
+    val want = a.unionByName(b).filter(col("x").between(44, 90))
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(got === want)
+    // stats re-merge is exact: equals stats recomputed from scratch over
+    // the union under the SAME frozen law (a's min/max, clamped)
+    val stats = spark.read.parquet(s"$path/stats")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val all = spark.read.parquet(s"$path/data")
+    val fresh = Layout.binStats(all, "z_bin", Seq("x", "y"))
+      .collect().map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("x_min"), r.getAs[Long]("x_max"),
+          r.getAs[Long]("y_min"), r.getAs[Long]("y_max"))).toMap
+    assert(stats === fresh)
+  }
 }
