@@ -3732,6 +3732,47 @@ object PipelineQueries {
       Some(auditOracleSql(Seq("k_rows", "head_is_relevance_top1",
         "subset_of_candidates")))),
 
+    // ---- fuzzy (edit-distance) self-join: q-gram prefix filtering +
+    // exact Levenshtein verify; keys are 24-char doc prefixes with
+    // content-addressed planted typos on odd ids, so true pairs exist at
+    // distances 0/1/2. The oracle is BRUTE FORCE over all pairs — every
+    // run re-proves the prefix filter lossless on real data. ----
+    ("ns_text_fuzzy_join",
+      (s: SparkSession, d: String) => {
+        val keyed = Tables.documents(s, d).select(col("doc_id"),
+            substring(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+              1, 24).as("k"),
+            (pmod(graft.functions.md5_lower64(col("doc_id").cast("string")),
+              lit(20L)) + 1).cast("int").as("p"),
+            pmod(graft.functions.md5_lower64(
+              concat(col("doc_id").cast("string"), lit("t"))),
+              lit(26L)).cast("int").as("cm"))
+          .select(col("doc_id"),
+            when(col("doc_id") % 2 === 1,
+              expr("concat(substring(k, 1, p - 1), char(97 + cm), " +
+                "substring(k, p + 1, 24))"))
+              .otherwise(col("k")).as("key"))
+        graft.operators.FuzzyJoin.selfJoin(keyed, "doc_id", "key",
+            maxDist = 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some("WITH k0 AS (SELECT doc_id, " +
+        "substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 24) AS k " +
+        "FROM documents), " +
+        "tp AS (SELECT doc_id, k, 1 + " +
+        dHashMod("md5_number_lower(CAST(doc_id AS VARCHAR))", 20L) + " AS p, " +
+        dHashMod("md5_number_lower(CAST(doc_id AS VARCHAR) || 't')", 26L) +
+        " AS cm FROM k0), " +
+        "ky AS (SELECT doc_id, CASE WHEN doc_id % 2 = 1 THEN " +
+        "concat(substr(k, 1, CAST(p-1 AS INT)), chr(CAST(97 + cm AS INT)), " +
+        "substr(k, CAST(p+1 AS INT), 24)) ELSE k END AS key FROM tp), " +
+        "pd AS (SELECT doc_id, rpad(key, 24, '#') AS key FROM ky) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(levenshtein(a.key, b.key) AS INT) AS dist " +
+        "FROM pd a JOIN pd b ON a.doc_id < b.doc_id " +
+        "WHERE levenshtein(a.key, b.key) <= 2 " +
+        "ORDER BY id_a, id_b")),
+
     // ---- score propagation over the exact KNN graph (label spreading,
     // Zhou et al. NIPS'04): seeds are content-addressed micro-unit
     // scores, two all-integer iterations (rational HALF_UP divisions),
