@@ -46,7 +46,7 @@ object ScaleSmoke {
     val stages = if (args.length > 1) args(1) else "all"
     require(Set("all", "lexical", "semantic", "recall", "pipeline",
       "streaming", "classifier", "curation", "streamlearn", "semdedup",
-      "embed", "bm25", "minhashindex", "layout", "propagate")(stages),
+      "embed", "bm25", "minhashindex", "layout", "propagate", "fuzzy")(stages),
       s"unknown stage set '$stages'")
     def on(s: String) = stages == "all" || stages == s
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -1140,6 +1140,45 @@ object ScaleSmoke {
         s"(${if (cnt == want && readFiles < total / 2) "OK" else "MISS"})")
     }
     rows.unpersist()
+    }
+
+    if (on("fuzzy")) {
+    // ---- edit-distance self-join at corpus scale: n keys, every 10th a
+    // 1-substitution typo twin of its predecessor; the prefix filter
+    // must find EVERY planted pair (losslessness at scale, not just
+    // under the sf0.01 oracle) at equi-join-on-rare-grams cost. ----
+    val keys = spark.range(n.toLong).toDF("id")
+      .withColumn("base",
+        when(col("id") % 10 === 9, col("id") - 1).otherwise(col("id")))
+      .withColumn("k0", concat(lit("k"),
+        lpad(pmod(xxhash64(col("base")), lit(10000000000L)).cast("string"),
+          10, "0"), lit("-"),
+        lpad(pmod(xxhash64(col("base"), lit(1)), lit(10000000000L))
+          .cast("string"), 10, "0")))
+      // twins substitute one deterministic inner character
+      .withColumn("key", when(col("id") % 10 === 9,
+          expr("concat(substring(k0, 1, 11), 'x', substring(k0, 13, 24))"))
+        .otherwise(col("k0")))
+      .select("id", "key")
+      .repartition(spark.sparkContext.defaultParallelism.toInt)
+      .cache()
+    t("fuzzy_keys_materialize")(keys.count())
+    val plantedPairs = n / 10L
+    t("fuzzy_self_join_d2_q7") {
+      // q=7, not the natural-text default 3: digit keys have a ~10^3
+      // 3-gram alphabet, so every gram group holds ~10^4 members and the
+      // prefix join goes quadratic; 7-grams (10^7 alphabet) are selective
+      val pairs = graft.operators.FuzzyJoin.selfJoin(keys, "id", "key",
+          maxDist = 2, q = 7, keyLen = 22)
+        .cache()
+      val found = pairs.count()
+      val planted = pairs.filter(col("id_b") === col("id_a") + 1 &&
+        col("id_b") % 10 === 9).count()
+      println(s"SCALE   fuzzy pairs=$found planted_found=$planted/" +
+        s"$plantedPairs (${if (planted == plantedPairs) "OK" else "MISS"})")
+      pairs.unpersist()
+    }
+    keys.unpersist()
     }
 
     if (on("propagate")) {

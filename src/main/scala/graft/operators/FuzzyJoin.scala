@@ -28,10 +28,18 @@ import org.apache.spark.sql.functions._
   * Spark's codegen'd `levenshtein`. Scale shape: one corpus-sized gram
   * count (map-side combined), one window per key over its ≤ L-q+1 grams,
   * an equi-join on `(gram, occ)` whose build side is prefix grams only
-  * (q·d+1 per key), then the exact verify on the deduped candidates —
-  * nothing quadratic unless the DATA is (near-identical corpora), and the
-  * full-oracle query proves losslessness against brute force on every
-  * run.
+  * (q·d+1 per key), then the exact verify on the deduped candidates.
+  *
+  * CHOOSING q — the candidate volume is `Σ C(cnt,2)` over tagged prefix
+  * grams, so q must make grams selective relative to N. Natural-language
+  * keys (alphabet ~40, Zipf tails) are selective at the literature
+  * default q=3; HIGH-UNIFORMITY keys over a tiny alphabet (ids, digit
+  * strings) are not — at 1 M digit keys every 3-gram group holds ~10⁴
+  * members and the join goes quadratic (measured: the ScaleSmoke `fuzzy`
+  * stage hung at q=3 and runs in seconds at q=7). Raise q toward the
+  * feasibility bound `q <= (L-d) div (d+1)` (keeps t >= 1): longer grams
+  * shrink every group geometrically while the prefix fraction grows only
+  * linearly.
   */
 object FuzzyJoin {
 

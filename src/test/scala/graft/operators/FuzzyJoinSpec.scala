@@ -41,6 +41,11 @@ class FuzzyJoinSpec extends SparkSpec {
       (7L, "zz"), (8L, "zz")) // tiny keys, heavy padding
     for (d <- 1 to 2)
       assert(run(rows, d) === brute(rows, d, 24), s"maxDist $d")
+    // larger grams (the high-uniformity-key setting) stay lossless too
+    val q5 = FuzzyJoin.selfJoin(rows.toDF("id", "key"), "id", "key",
+        maxDist = 2, q = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(q5 === brute(rows, 2, 24))
   }
 
   test("hot shared grams do not defeat the rare-prefix pruning") {
