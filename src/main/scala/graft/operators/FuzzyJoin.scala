@@ -59,27 +59,9 @@ object FuzzyJoin {
 
     val keyed = df.select(col(idCol).as("id"),
       rpad(col(keyCol), keyLen, "#").as("key"))
-
-    // tagged positional grams: (gram, occurrence-within-key) — the
-    // multiset element the prefix theorem orders (substring with a
-    // column start position needs the SQL form)
-    val gramRows = keyed.select(col("id"), col("key"),
-        posexplode(expr(
-          s"transform(sequence(1, $nGrams), i -> substring(key, i, $q))"))
-          .as(Seq("gpos", "gram")))
-      .withColumn("occ",
-        row_number().over(Window.partitionBy("id", "gram").orderBy("gpos")))
-
-    // global rarity order: corpus document-frequency per gram
+    val gramRows = taggedGrams(keyed, nGrams, q)
     val dfreq = gramRows.groupBy("gram").agg(count(lit(1)).as("gdf"))
-
-    // each key's first (q·d+1) tagged grams under (gdf asc, gram, occ)
-    val w = Window.partitionBy("id")
-      .orderBy(col("gdf"), col("gram"), col("occ"))
-    val prefix = gramRows.join(dfreq, "gram")
-      .withColumn("grank", row_number().over(w))
-      .filter(col("grank") <= prefixLen)
-      .select(col("id"), col("key"), col("gram"), col("occ"))
+    val prefix = prefixGrams(gramRows, dfreq, prefixLen)
 
     // candidates: prefix ∩ prefix on the tagged gram; verify exactly
     val cand = prefix.select(col("id").as("id_a"), col("key").as("ka"),
@@ -91,5 +73,70 @@ object FuzzyJoin {
     cand.withColumn("dist", levenshtein(col("ka"), col("kb")))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+  }
+
+  /** Two-table variant — the reference-data cleanup shape: every
+    * (left, right) id pair with `levenshtein <= maxDist` (dirty keys
+    * matched against a canonical dictionary). Same lossless prefix
+    * theorem, with ONE shared rarity order computed over BOTH sides'
+    * grams — per-side orders would rank the same gram differently and
+    * the two prefixes could legally miss each other.
+    */
+  def join(left: DataFrame, lidCol: String, lkeyCol: String,
+           right: DataFrame, ridCol: String, rkeyCol: String,
+           maxDist: Int, q: Int = 3, keyLen: Int = 24): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(q > 0, s"q must be positive, got $q")
+    val nGrams = keyLen - q + 1
+    val t = nGrams - q * maxDist
+    require(t > 0,
+      s"count bound (L-q+1)-q*d = $t <= 0: keyLen $keyLen too short for " +
+        s"maxDist $maxDist at q=$q — the filter would admit all pairs")
+    val prefixLen = q * maxDist + 1
+
+    val lKeyed = left.select(col(lidCol).as("id"),
+      rpad(col(lkeyCol), keyLen, "#").as("key"))
+    val rKeyed = right.select(col(ridCol).as("id"),
+      rpad(col(rkeyCol), keyLen, "#").as("key"))
+    val lGrams = taggedGrams(lKeyed, nGrams, q)
+    val rGrams = taggedGrams(rKeyed, nGrams, q)
+    val dfreq = lGrams.unionByName(rGrams)
+      .groupBy("gram").agg(count(lit(1)).as("gdf"))
+    val lPrefix = prefixGrams(lGrams, dfreq, prefixLen)
+    val rPrefix = prefixGrams(rGrams, dfreq, prefixLen)
+
+    val cand = lPrefix.select(col("id").as("id_l"), col("key").as("kl"),
+        col("gram"), col("occ"))
+      .join(rPrefix.select(col("id").as("id_r"), col("key").as("kr"),
+        col("gram"), col("occ")), Seq("gram", "occ"))
+      .select("id_l", "id_r", "kl", "kr").distinct()
+    cand.withColumn("dist", levenshtein(col("kl"), col("kr")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_l"), col("id_r"), col("dist").cast("int").as("dist"))
+  }
+
+  /** Tagged positional grams `(id, key, gram, occ)` — the multiset
+    * element the prefix theorem orders (substring with a column start
+    * position needs the SQL form).
+    */
+  private def taggedGrams(keyed: DataFrame, nGrams: Int, q: Int): DataFrame =
+    keyed.select(col("id"), col("key"),
+        posexplode(expr(
+          s"transform(sequence(1, $nGrams), i -> substring(key, i, $q))"))
+          .as(Seq("gpos", "gram")))
+      .withColumn("occ",
+        row_number().over(Window.partitionBy("id", "gram").orderBy("gpos")))
+
+  /** Each key's first `prefixLen` tagged grams under the shared
+    * (gdf asc, gram, occ) rarity order.
+    */
+  private def prefixGrams(gramRows: DataFrame, dfreq: DataFrame,
+                          prefixLen: Int): DataFrame = {
+    val w = Window.partitionBy("id")
+      .orderBy(col("gdf"), col("gram"), col("occ"))
+    gramRows.join(dfreq, "gram")
+      .withColumn("grank", row_number().over(w))
+      .filter(col("grank") <= prefixLen)
+      .select(col("id"), col("key"), col("gram"), col("occ"))
   }
 }

@@ -3773,6 +3773,46 @@ object PipelineQueries {
         "WHERE levenshtein(a.key, b.key) <= 2 " +
         "ORDER BY id_a, id_b")),
 
+    // ---- fuzzy LOOKUP (two-table): typo'd keys (odd ids) matched
+    // against the clean dictionary (even ids) — the reference-data
+    // cleanup shape, same brute-force oracle proof ----
+    ("ns_text_fuzzy_lookup",
+      (s: SparkSession, d: String) => {
+        val keyed = Tables.documents(s, d).select(col("doc_id"),
+            substring(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+              1, 24).as("k"),
+            (pmod(graft.functions.md5_lower64(col("doc_id").cast("string")),
+              lit(20L)) + 1).cast("int").as("p"),
+            pmod(graft.functions.md5_lower64(
+              concat(col("doc_id").cast("string"), lit("t"))),
+              lit(26L)).cast("int").as("cm"))
+        val dirty = keyed.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"),
+            expr("concat(substring(k, 1, p - 1), char(97 + cm), " +
+              "substring(k, p + 1, 24))").as("key"))
+        val dict = keyed.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("k").as("key"))
+        graft.operators.FuzzyJoin.join(dirty, "doc_id", "key",
+            dict, "doc_id", "key", maxDist = 2)
+          .orderBy("id_l", "id_r")
+      },
+      Some("WITH k0 AS (SELECT doc_id, " +
+        "substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 24) AS k " +
+        "FROM documents), " +
+        "tp AS (SELECT doc_id, k, 1 + " +
+        dHashMod("md5_number_lower(CAST(doc_id AS VARCHAR))", 20L) + " AS p, " +
+        dHashMod("md5_number_lower(CAST(doc_id AS VARCHAR) || 't')", 26L) +
+        " AS cm FROM k0), " +
+        "dirty AS (SELECT doc_id, rpad(concat(substr(k, 1, CAST(p-1 AS INT)), " +
+        "chr(CAST(97 + cm AS INT)), substr(k, CAST(p+1 AS INT), 24)), 24, '#') AS key " +
+        "FROM tp WHERE doc_id % 2 = 1), " +
+        "dict AS (SELECT doc_id, rpad(k, 24, '#') AS key FROM tp " +
+        "WHERE doc_id % 2 = 0) " +
+        "SELECT a.doc_id AS id_l, b.doc_id AS id_r, " +
+        "CAST(levenshtein(a.key, b.key) AS INT) AS dist " +
+        "FROM dirty a JOIN dict b ON levenshtein(a.key, b.key) <= 2 " +
+        "ORDER BY id_l, id_r")),
+
     // ---- score propagation over the exact KNN graph (label spreading,
     // Zhou et al. NIPS'04): seeds are content-addressed micro-unit
     // scores, two all-integer iterations (rational HALF_UP divisions),

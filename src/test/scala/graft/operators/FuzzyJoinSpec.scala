@@ -63,6 +63,34 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.exists { case (a, b, _) => a == 99L && b == 901L })
   }
 
+  test("two-table join: dirty keys match the canonical dictionary exactly") {
+    val dict = Seq((1L, "the quick brown fox jump"),
+      (2L, "a completely different k"), (3L, "third canonical entry ok"))
+    val dirty = Seq((10L, "the quick brewn fox junp"), // 2 subs from 1
+      (11L, "a completely different x"), // 1 sub from 2
+      (12L, "no match at all here zzz"),
+      (13L, "third canonical entry ok")) // exact
+    def pad(s: String) = (s + "#" * 24).take(24)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (il, kl) <- dirty; (ir, kr) <- dict
+      d = lev(pad(kl), pad(kr)) if d <= 2
+    } yield (il, ir, d)).toSet
+    val got = FuzzyJoin.join(dirty.toDF("id", "key"), "id", "key",
+        dict.toDF("id", "key"), "id", "key", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === want)
+    assert(got.exists(_._1 == 10L) && got.exists(_._1 == 13L))
+    assert(!got.exists(_._1 == 12L))
+  }
+
   test("t <= 0 (filter would admit all pairs) is rejected loudly") {
     val rows = Seq((1L, "abc"), (2L, "abd"))
     val e = intercept[IllegalArgumentException] {
