@@ -102,6 +102,45 @@ object Layout {
     df.groupBy(col(binCol).as("bin")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Skew-robust variant: per-dimension buckets from KLL QUANTILE
+    * boundaries (equal-POPULATION cells) instead of equal-width cells —
+    * the production choice when a layout column is Zipf/exponential and
+    * min-max cells would dump most of the corpus into one bin (pruning
+    * dies with the balance). The trade is exactness: sketch boundaries
+    * are approximate and run-varying, so this path forfeits the bit
+    * oracle [[zorderBy]] has and is verified by the BALANCE AUDIT
+    * (`ns_layout_skew_audit`) instead — max bin share bounded under
+    * quantile bucketing, provably degenerate under min-max on the same
+    * data. Boundary extraction is one KLL aggregate per column (a few KB
+    * of planning state); duplicates collapse so heavy singleton values
+    * share one cell rather than faking balance.
+    */
+  def zorderByQuantiles(df: DataFrame, cols: Seq[String], bits: Int,
+                        log2Bins: Int): DataFrame = {
+    require(log2Bins > 0 && log2Bins <= cols.size * bits,
+      s"log2Bins $log2Bins out of range for ${cols.size} cols x $bits bits")
+    val nb = 1 << bits
+    val sketchRow = df.agg(
+      graft.functions.kll_agg(col(cols.head).cast("double")).as("s0"),
+      cols.tail.zipWithIndex.map { case (c, i) =>
+        graft.functions.kll_agg(col(c).cast("double")).as(s"s${i + 1}") }: _*)
+      .head()
+    val buckets = cols.indices.map { i =>
+      val sk = sketchRow.getAs[Array[Byte]](i)
+      val qs = graft.functions.KllKernels.deserialize(sk)
+      val bounds = (1 until nb)
+        .map(j => qs.getQuantile(j.toDouble / nb)).distinct.sorted.toArray
+      // bucket = #boundaries <= x (counting scan over the tiny literal
+      // boundary array — codegen'd, no join)
+      aggregate(typedLit(bounds), lit(0L),
+        (acc, b) => acc + when(col(cols(i)).cast("double") >= b, 1L)
+          .otherwise(0L))
+    }
+    df.withColumn("z_value", interleave(buckets, bits))
+      .withColumn("z_bin",
+        shiftright(col("z_value"), cols.size * bits - log2Bins))
+  }
+
   /** Physically cluster and write: `repartitionByRange(z_bin)` + an
     * in-partition sort by the full z-value, emitted as a
     * `z_bin=K/`-partitioned parquet layout under `path/data` with the

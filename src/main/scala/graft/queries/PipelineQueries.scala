@@ -3732,6 +3732,47 @@ object PipelineQueries {
       Some(auditOracleSql(Seq("k_rows", "head_is_relevance_top1",
         "subset_of_candidates")))),
 
+    // ---- skew-robust z-order: KLL-quantile (equal-population) cells on
+    // an exponentially-skewed dim. Sketch boundaries are approximate, so
+    // this path has no bit oracle (rows-only) — the audit below is the
+    // driver-visible proof. ----
+    ("ns_layout_zorder_skew",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+          pow(lit(2.0),
+            pmod(graft.functions.md5_lower64(col("event_id").cast("string")),
+              lit(20L))).cast("long").as("sk"))
+        graft.operators.Layout.zorderByQuantiles(ev,
+            Seq("sk", "user_id"), bits = 6, log2Bins = 6)
+          .select("event_id", "z_bin").orderBy("event_id")
+      },
+      None),
+
+    // ---- the balance audit: min-max cells on the skewed dim dump most
+    // rows into one bin (pruning dies); quantile cells bound the max bin
+    // share. Constant oracle — both claims re-proven every gate run. ----
+    ("ns_layout_skew_audit",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d).select(col("event_id"),
+          pow(lit(2.0),
+            pmod(graft.functions.md5_lower64(col("event_id").cast("string")),
+              lit(20L))).cast("long").as("sk"))
+        val n = ev.count().toDouble
+        def maxShare(binned: DataFrame): Double =
+          binned.groupBy("z_bin").agg(count(lit(1)).as("c"))
+            .agg(max("c")).head().getLong(0) / n
+        val mm = maxShare(graft.operators.Layout.zorderBy(ev,
+          Seq("sk"), bits = 6, log2Bins = 6))
+        val qt = maxShare(graft.operators.Layout.zorderByQuantiles(ev,
+          Seq("sk"), bits = 6, log2Bins = 6))
+        auditDf(s, Seq(
+          "minmax_degenerates_on_skew" -> (mm >= 0.5),
+          "quantile_cells_stay_balanced" -> (qt <= 0.2),
+          "quantile_beats_minmax" -> (qt < mm)))
+      },
+      Some(auditOracleSql(Seq("minmax_degenerates_on_skew",
+        "quantile_cells_stay_balanced", "quantile_beats_minmax")))),
+
     // ---- fuzzy (edit-distance) self-join: q-gram prefix filtering +
     // exact Levenshtein verify; keys are 24-char doc prefixes with
     // content-addressed planted typos on odd ids, so true pairs exist at

@@ -119,6 +119,24 @@ class LayoutSpec extends SparkSpec {
       s"scan read $scanned of $total files — no directory pruning")
   }
 
+  test("zorderByQuantiles balances exponential skew that min-max cells cannot") {
+    // 20 distinct values 2^0..2^19, ~equal mass each: min-max 64-cell
+    // widths put the 14 smallest values (70% of rows) into cell 0
+    val df = (0 until 10000).map(i => (i.toLong, 1L << (i % 20)))
+      .toDF("id", "sk")
+    def maxShare(binned: org.apache.spark.sql.DataFrame): Double =
+      binned.groupBy("z_bin").agg(count(lit(1)).as("c"))
+        .agg(max("c")).head().getLong(0) / 10000.0
+    val mm = maxShare(Layout.zorderBy(df, Seq("sk"), 6, 6))
+    val qt = maxShare(Layout.zorderByQuantiles(df, Seq("sk"), 6, 6))
+    assert(mm >= 0.5, s"min-max should degenerate, max share $mm")
+    assert(qt <= 0.2, s"quantile cells should balance, max share $qt")
+    // every bucket stays inside the bit budget
+    val zmax = Layout.zorderByQuantiles(df, Seq("sk"), 6, 6)
+      .agg(max("z_value")).head().getLong(0)
+    assert(zmax < (1L << 6))
+  }
+
   test("mergeClustered: frozen bucket law, exact reads, associative stats") {
     import java.nio.file.Files
     val a = (for (x <- 0 until 64; y <- 0 until 64; if x < 48)
