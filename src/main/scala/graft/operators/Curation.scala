@@ -368,6 +368,39 @@ object Curation {
         .otherwise("test").as("split"))
   }
 
+  /** Per-domain Tukey-fence outlier report over a numeric column — the
+    * data-quality screen run before a corpus release (truncated scrapes,
+    * concatenation blowups, unit bugs all surface as fence violations):
+    * fences `[q1 - k·iqr, q3 + k·iqr]`, one row per domain with the
+    * fence values and the count outside each side.
+    *
+    * Determinism: interpolated quartiles of INTEGER values are exact
+    * binary rationals (quarters), so `k = 1.5` fences land on eighths and
+    * the strict comparisons cannot tie-break differently cross-engine.
+    * Plan: one percentile aggregate per domain (small), broadcast back
+    * over one counting scan — two scans, no corpus-sized shuffle beyond
+    * the per-domain groupBys.
+    */
+  def outlierReport(docs: DataFrame, domainCol: String, valueCol: String,
+                    k: Double = 1.5): DataFrame = {
+    val fences = docs.groupBy(col(domainCol).as("domain")).agg(
+      count(lit(1)).as("n"),
+      expr(s"percentile($valueCol, 0.25)").as("q1"),
+      expr(s"percentile($valueCol, 0.75)").as("q3"))
+      .withColumn("lo", col("q1") - lit(k) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(k) * (col("q3") - col("q1")))
+    docs.select(col(domainCol).as("domain"), col(valueCol).as("v"))
+      .join(broadcast(fences), "domain")
+      .groupBy("domain")
+      .agg(first(col("n")).as("n"),
+        round(first(col("q1")), 4).as("q1"),
+        round(first(col("q3")), 4).as("q3"),
+        round(first(col("lo")), 4).as("lo"),
+        round(first(col("hi")), 4).as("hi"),
+        count(when(col("v") < col("lo"), 1)).as("n_low"),
+        count(when(col("v") > col("hi"), 1)).as("n_high"))
+  }
+
   /** LEAKAGE-FREE split: every member of a near-dup cluster lands in the
     * SAME split. Per-document hash splits leak — a train doc's near-twin
     * in the eval split inflates every metric it touches — so the split

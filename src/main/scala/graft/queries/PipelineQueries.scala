@@ -3732,6 +3732,27 @@ object PipelineQueries {
       Some(auditOracleSql(Seq("k_rows", "head_is_relevance_top1",
         "subset_of_candidates")))),
 
+    // ---- per-domain Tukey-fence outlier report (pre-release data
+    // screen): quartiles of integer lengths are exact binary rationals,
+    // so the fences and strict comparisons are cross-engine safe ----
+    ("ns_curate_outliers",
+      (s: SparkSession, d: String) =>
+        Curation.outlierReport(Tables.documents(s, d), "source", "n_chars")
+          .orderBy("domain"),
+      Some("WITH f AS (SELECT source AS domain, count(*) AS n, " +
+        "quantile_cont(n_chars, 0.25) AS q1, " +
+        "quantile_cont(n_chars, 0.75) AS q3 FROM documents GROUP BY source), " +
+        "fx AS (SELECT *, q1 - 1.5*(q3 - q1) AS lo, q3 + 1.5*(q3 - q1) AS hi " +
+        "FROM f) " +
+        "SELECT d.source AS domain, " +
+        "CAST(min(fx.n) AS BIGINT) AS n, " +
+        "round(min(fx.q1), 4) AS q1, round(min(fx.q3), 4) AS q3, " +
+        "round(min(fx.lo), 4) AS lo, round(min(fx.hi), 4) AS hi, " +
+        "CAST(count(CASE WHEN d.n_chars < fx.lo THEN 1 END) AS BIGINT) AS n_low, " +
+        "CAST(count(CASE WHEN d.n_chars > fx.hi THEN 1 END) AS BIGINT) AS n_high " +
+        "FROM documents d JOIN fx ON d.source = fx.domain " +
+        "GROUP BY d.source ORDER BY domain")),
+
     // ---- skew-robust z-order: KLL-quantile (equal-population) cells on
     // an exponentially-skewed dim. Sketch boundaries are approximate, so
     // this path has no bit oracle (rows-only) — the audit below is the

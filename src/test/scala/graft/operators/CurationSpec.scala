@@ -483,6 +483,20 @@ class CurationSpec extends SparkSpec {
     assert(!out(999L), "gibberish survived the floor")
   }
 
+  test("outlierReport: Tukey fences catch the planted blowup and truncation") {
+    // web: 100 docs of length ~1000 (q1=1000, q3=1009 -> iqr small), plus
+    // one 50-char truncation and one 100k concatenation blowup
+    val web = (0 until 100).map(i => (i.toLong, "web", 1000L + (i % 10))) ++
+      Seq((200L, "web", 50L), (201L, "web", 100000L))
+    val clean = (0 until 50).map(i => (1000L + i, "ref", 500L + (i % 3)))
+    val out = Curation.outlierReport((web ++ clean).toDF("id", "src", "len"),
+        "src", "len")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(6), r.getLong(7))).toMap
+    assert(out("web") === ((102L, 1L, 1L))) // one low, one high
+    assert(out("ref") === ((50L, 0L, 0L)))
+  }
+
   test("groupSplit: cluster members share a split; singletons match hashSplit") {
     val docs = (0L until 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // clusters: {0,1,2} labeled 0, {10,11} labeled 10; rest absent
