@@ -558,6 +558,40 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Topic labels for document clusters — "what is in my corpus": per
+    * cluster (≥ 2 members), the `topK` most DISTINCTIVE tokens by the
+    * cluster-vs-corpus document-frequency ratio. Distinctiveness is
+    * ranked in exact integers (`dfc·10⁶ div dfg`, ties to the smaller
+    * token), so the report is bit-replicable in SQL. One distinct-token
+    * explode (the corpus-sized pass), two bounded groupBys, a per-cluster
+    * top-k window over cluster-token rows.
+    *
+    * `clusters` is an `(id, cluster)` labeling ([[Dedup.dupClusters]] /
+    * the semantic cluster table); `dfc >= 2` filters singleton noise.
+    */
+  def clusterLabels(docs: DataFrame, idCol: String, textCol: String,
+                    clusters: DataFrame, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+    val dfg = toks.groupBy("token").agg(count(lit(1)).as("dfg"))
+    val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("members"))
+      .filter(col("members") >= 2)
+    val dfc = toks.join(clusters, Seq("id"))
+      .join(broadcast(sizes), Seq("cluster"))
+      .groupBy("cluster", "token").agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") >= 2)
+    val scored = dfc.join(dfg, "token")
+      .withColumn("score", expr("(dfc * 1000000) div dfg"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col("cluster"), col("rank"), col("token"),
+        col("dfc"), col("dfg"), col("score"))
+  }
+
   def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val s = lower(col(textCol))
     // split on "" emits a trailing "" (regex split, limit -1) — drop it

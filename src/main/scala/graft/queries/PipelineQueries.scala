@@ -3732,6 +3732,44 @@ object PipelineQueries {
       Some(auditOracleSql(Seq("k_rows", "head_is_relevance_top1",
         "subset_of_candidates")))),
 
+    // ---- topic labels per lexical dup-cluster: top-3 most-distinctive
+    // tokens by exact-integer cluster-vs-corpus df ratio ----
+    ("ns_dedup_cluster_labels",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.clusterLabels(Tables.documents(s, d), "doc_id", "text",
+            dupClusterTable(s, d))
+          .orderBy("cluster", "rank"),
+      Some(shingleCte +
+        ", dup AS (SELECT id_a, id_b FROM pairs " +
+        "JOIN sizes s1 ON id_a = s1.doc_id JOIN sizes s2 ON id_b = s2.doc_id " +
+        "WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.8), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM dup " +
+        "UNION ALL SELECT id_b, id_a FROM dup), " +
+        "closure AS (WITH RECURSIVE reach(id, r) AS (" +
+        "SELECT a, a FROM (SELECT DISTINCT a FROM edges) " +
+        "UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id) " +
+        "SELECT id, min(r) AS cluster FROM reach GROUP BY id), " +
+        "lab AS (SELECT d.doc_id AS id, coalesce(c.cluster, d.doc_id) AS cluster " +
+        "FROM documents d LEFT JOIN closure c ON d.doc_id = c.id), " +
+        "tk AS (SELECT DISTINCT doc_id AS id, unnest(" +
+        "string_split_regex(lower(trim(text)), '\\s+')) AS token " +
+        "FROM documents), " +
+        "tk2 AS (SELECT id, token FROM tk WHERE token <> ''), " +
+        "dfg AS (SELECT token, count(*) AS dfg FROM tk2 GROUP BY token), " +
+        "szs AS (SELECT cluster, count(*) AS members FROM lab " +
+        "GROUP BY cluster HAVING count(*) >= 2), " +
+        "dfc AS (SELECT l.cluster, t.token, count(*) AS dfc FROM tk2 t " +
+        "JOIN lab l ON l.id = t.id " +
+        "JOIN szs z ON z.cluster = l.cluster " +
+        "GROUP BY l.cluster, t.token HAVING count(*) >= 2), " +
+        "sc2 AS (SELECT c2.cluster, c2.token, c2.dfc, g.dfg, " +
+        "(c2.dfc * 1000000) // g.dfg AS score, " +
+        "row_number() OVER (PARTITION BY c2.cluster " +
+        "ORDER BY (c2.dfc * 1000000) // g.dfg DESC, c2.token) AS rank " +
+        "FROM dfc c2 JOIN dfg g ON g.token = c2.token) " +
+        "SELECT cluster, CAST(rank AS INT) AS rank, token, dfc, dfg, score " +
+        "FROM sc2 WHERE rank <= 3 ORDER BY cluster, rank")),
+
     // ---- per-domain Tukey-fence outlier report (pre-release data
     // screen): quartiles of integer lengths are exact binary rationals,
     // so the fences and strict comparisons are cross-engine safe ----

@@ -221,4 +221,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getLong(8) === 2L)        // dup_docs (both copies)
     assert(row.getDouble(9) === 0.5)     // dup_frac
   }
+
+  test("clusterLabels surfaces the cluster's distinctive tokens, not stopwords") {
+    import spark.implicits._
+    // cluster 0 = {0,1,2}: "orbit" appears in all three AND nowhere else;
+    // "the" appears everywhere in the corpus (non-distinctive)
+    val docs = Seq(
+      (0L, "the satellite orbit decays fast"),
+      (1L, "the orbit of the satellite shifts"),
+      (2L, "a stable orbit requires the thrust"),
+      (3L, "the recipe needs flour and water"),
+      (4L, "the cat sat on the warm mat")).toDF("doc_id", "text")
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 4L))
+      .toDF("id", "cluster")
+    val out = TextAnalysis.clusterLabels(docs, "doc_id", "text", clusters)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // only cluster 0 has >= 2 members; its top token is the exclusive one
+    assert(out.keySet.forall(_._1 == 0L))
+    assert(out((0L, 1)) === "orbit") // dfc 3 / dfg 3 -> score 1e6
+    // "the" (dfc 3 / dfg 5) ranks below "orbit" and "satellite" (2/2)
+    assert(out.values.toSeq.count(_ == "the") === 0 ||
+      out((0L, 3)) === "the")
+  }
 }
