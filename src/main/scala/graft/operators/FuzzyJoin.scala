@@ -70,8 +70,10 @@ object FuzzyJoin {
         col("gram"), col("occ")), Seq("gram", "occ"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "ka", "kb").distinct()
-    cand.withColumn("dist", levenshtein(col("ka"), col("kb")))
-      .filter(col("dist") <= maxDist)
+    // banded threshold DP (returns -1 above maxDist): O(d·L) per verify
+    // instead of the O(L²) full matrix — ~4x at d=2, L=24
+    cand.withColumn("dist", levenshtein(col("ka"), col("kb"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
   }
 
@@ -110,8 +112,8 @@ object FuzzyJoin {
       .join(rPrefix.select(col("id").as("id_r"), col("key").as("kr"),
         col("gram"), col("occ")), Seq("gram", "occ"))
       .select("id_l", "id_r", "kl", "kr").distinct()
-    cand.withColumn("dist", levenshtein(col("kl"), col("kr")))
-      .filter(col("dist") <= maxDist)
+    cand.withColumn("dist", levenshtein(col("kl"), col("kr"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("id_l"), col("id_r"), col("dist").cast("int").as("dist"))
   }
 

@@ -3852,8 +3852,12 @@ object PipelineQueries {
               expr("concat(substring(k, 1, p - 1), char(97 + cm), " +
                 "substring(k, p + 1, 24))"))
               .otherwise(col("k")).as("key"))
+        // q=6, not the default 3: this synthetic corpus has only ~375
+        // distinct 3-grams, so 3-gram prefix groups go hot (4.9M
+        // candidates measured at sf0.1 vs 1.0M at q=6) — the scaladoc's
+        // q-selection law applied
         graft.operators.FuzzyJoin.selfJoin(keyed, "doc_id", "key",
-            maxDist = 2)
+            maxDist = 2, q = 6)
           .orderBy("id_a", "id_b")
       },
       Some("WITH k0 AS (SELECT doc_id, " +
@@ -3893,7 +3897,7 @@ object PipelineQueries {
         val dict = keyed.filter(col("doc_id") % 2 === 0)
           .select(col("doc_id"), col("k").as("key"))
         graft.operators.FuzzyJoin.join(dirty, "doc_id", "key",
-            dict, "doc_id", "key", maxDist = 2)
+            dict, "doc_id", "key", maxDist = 2, q = 6)
           .orderBy("id_l", "id_r")
       },
       Some("WITH k0 AS (SELECT doc_id, " +
