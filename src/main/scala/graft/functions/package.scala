@@ -147,6 +147,10 @@ package object functions {
   def mg_merge_agg(sketch: Column, capacity: Int = 256): Column =
     col(MgMergeAgg(ex(sketch), capacity).toAggregateExpression())
 
+  /** Per-row character counts + Σ p·ln p fold in one JVM pass
+    * (struct<n, n_distinct, sum_plnp>; input must be pre-lowered). */
+  def char_entropy_stats(c: Column): Column = col(CharEntropyStats(ex(c)))
+
   /** Per-group top-n `value`s by (score desc, value asc), best-first —
     * mergeable bounded buffer: partials carry ≤ n entries per group per
     * task (a window would shuffle every candidate row). */

@@ -593,16 +593,33 @@ object TextAnalysis {
   }
 
   def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.char_entropy_stats
+    // One JVM code-point pass per row (CharEntropyStats): counts into
+    // ascending code-point order — the same sorted-unique sequence the
+    // previous split→array_sort→struct-fold Catalyst shape visited, with
+    // the same IEEE fold `acc + p·ln p`, so the result (and the oracle
+    // hash) is bit-identical (equality spec-pinned against the old fold;
+    // history: the original per-distinct-char re-split was 15.3 s at
+    // sf0.1, the Catalyst fold ~3 s, this kernel sub-second).
+    // 0 - x, not -x: a one-symbol doc sums to ±0.0 and unary minus would
+    // emit -0.0, which is NOT value-equal to 0.0 once boxed/hashed.
+    docs.select(col(idCol),
+        char_entropy_stats(lower(col(textCol))).as("__st"))
+      .select(col(idCol), col("__st.n").as("n_chars"),
+        col("__st.n_distinct").as("n_distinct_chars"),
+        round((lit(0.0) - col("__st.sum_plnp")) / log(lit(2.0)), 4)
+          .as("char_entropy_bits"))
+  }
+
+  /** The pre-kernel Catalyst formulation of [[charEntropy]] — kept as the
+    * equality REFERENCE the spec pins [[graft.functions.CharEntropyStats]]
+    * against (split → array_sort → equal-run struct fold).
+    */
+  private[graft] def charEntropyFoldReference(docs: DataFrame, idCol: String,
+                                              textCol: String): DataFrame = {
     val s = lower(col(textCol))
     // split on "" emits a trailing "" (regex split, limit -1) — drop it
     val chars = filter(split(s, ""), c => c =!= lit(""))
-    // Materialize once, then fold Σ p·ln p over the SORTED char array's
-    // equal-runs: each run closes with exactly the term the old
-    // per-distinct-char count produced, in the same (sorted-unique)
-    // order, so the float partial-sum sequence — and the oracle hash —
-    // is bit-identical. The old shape re-ran the O(n) char split inside
-    // the per-distinct-char lambda (no CSE through higher-order
-    // functions): 15.3 s at sf0.1 under the honest bench, vs ~1 s now.
     val pre = docs.select(col(idCol), length(s).as("__n"),
       array_sort(chars).as("__sc"))
     def term(run: Column, acc: Column) = {
@@ -622,8 +639,6 @@ object TextAnalysis {
       },
       acc => when(acc.getField("run") === 0L, acc.getField("s"))
         .otherwise(term(acc.getField("run"), acc.getField("s"))))
-    // 0 - x, not -x: a one-symbol doc sums to ±0.0 and unary minus would
-    // emit -0.0, which is NOT value-equal to 0.0 once boxed/hashed
     pre.select(col(idCol), col("__n").as("n_chars"),
       size(array_distinct(col("__sc"))).as("n_distinct_chars"),
       round((lit(0.0) - sumPLnP) / log(lit(2.0)), 4).as("char_entropy_bits"))

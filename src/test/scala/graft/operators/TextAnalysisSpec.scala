@@ -166,6 +166,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === ((4, 2, 1.0)))
   }
 
+  test("charEntropy kernel is BIT-identical to the Catalyst fold reference") {
+    val docs = Seq(
+      (0L, ""), (1L, "aaaa"), (2L, "The quick brown fox!  \t 123"),
+      (3L, "ünïcode ünïcode mixed"), (4L, "zz  yy  xx  ww"),
+      (5L, (0 until 500).map(i => ('a' + i % 23).toChar).mkString))
+      .toDF("doc_id", "text")
+    val kernel = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    val ref = TextAnalysis.charEntropyFoldReference(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(kernel === ref)
+  }
+
   test("trigramBackoff: each backoff branch matches the hand computation") {
     def r(x: Double, s: Int) =
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
