@@ -151,29 +151,60 @@ object Layout {
     */
   def writeClustered(df: DataFrame, cols: Seq[String], bits: Int,
                      log2Bins: Int, path: String): Unit = {
-    val ranges = columnRanges(df, cols)
-    val z = zorderWith(df, cols, ranges.map(_._1),
-      cols.zip(ranges).map { case (_, (mn, mx)) => shiftFor(mn, mx, bits) },
-      bits, log2Bins, clamp = false)
+    val law = lawFor(df, cols, bits, log2Bins)
+    val z = zorderWith(df, law, clamp = false)
     z.repartitionByRange(col("z_bin"))
       .sortWithinPartitions("z_value")
       .write.partitionBy("z_bin").mode("overwrite").parquet(s"$path/data")
     binStats(z, "z_bin", cols).write.mode("overwrite").parquet(s"$path/stats")
     // the bucket law frozen at first write — what incremental merges must
     // reuse, or their z-values land in a different space
-    val spark = df.sparkSession
+    writeMeta(df.sparkSession, path, law)
+  }
+
+  /** The frozen bucket law of a clustered layout: what `path/meta`
+    * persists and every incremental writer must reuse.
+    */
+  case class LayoutLaw(cols: Seq[String], mins: Seq[Long], shifts: Seq[Int],
+                       bits: Int, log2Bins: Int)
+
+  /** Derive a fresh law from the data's exact ranges. */
+  def lawFor(df: DataFrame, cols: Seq[String], bits: Int,
+             log2Bins: Int): LayoutLaw = {
+    val ranges = columnRanges(df, cols)
+    LayoutLaw(cols, ranges.map(_._1),
+      cols.zip(ranges).map { case (_, (mn, mx)) => shiftFor(mn, mx, bits) },
+      bits, log2Bins)
+  }
+
+  def writeMeta(spark: org.apache.spark.sql.SparkSession, path: String,
+                law: LayoutLaw): Unit = {
     import spark.implicits._
-    cols.zip(ranges).zipWithIndex.map { case ((c, (mn, mx)), i) =>
-      (i, c, mn, shiftFor(mn, mx, bits), bits, log2Bins)
+    law.cols.indices.map { i =>
+      (i, law.cols(i), law.mins(i), law.shifts(i), law.bits, law.log2Bins)
     }.toDF("pos", "col", "min", "shift", "bits", "log2bins")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** z-value + z_bin under an EXPLICIT bucket law (mins/shifts given, not
-    * derived) — the shared core of [[writeClustered]] (fresh law) and
-    * [[mergeClustered]] (frozen law; `clamp` pins out-of-range newcomers
-    * to the edge cells so they stay inside the original z-space).
+  def readMeta(spark: org.apache.spark.sql.SparkSession,
+               path: String): LayoutLaw = {
+    val meta = spark.read.parquet(s"$path/meta").orderBy("pos").collect()
+    LayoutLaw(meta.map(_.getAs[String]("col")).toSeq,
+      meta.map(_.getAs[Long]("min")).toSeq,
+      meta.map(_.getAs[Int]("shift")).toSeq,
+      meta.head.getAs[Int]("bits"), meta.head.getAs[Int]("log2bins"))
+  }
+
+  /** z-value + z_bin under an EXPLICIT bucket law (`clamp` pins
+    * out-of-range newcomers to the edge cells so they stay inside the
+    * original z-space) — the shared core of [[writeClustered]] (fresh
+    * law), [[mergeClustered]], and the streaming maintainer.
     */
+  private[graft] def zorderWith(df: DataFrame, law: LayoutLaw,
+                                clamp: Boolean): DataFrame =
+    zorderWith(df, law.cols, law.mins, law.shifts, law.bits, law.log2Bins,
+      clamp)
+
   private def zorderWith(df: DataFrame, cols: Seq[String], mins: Seq[Long],
                          shifts: Seq[Int], bits: Int, log2Bins: Int,
                          clamp: Boolean): DataFrame = {
@@ -197,14 +228,9 @@ object Layout {
     */
   def mergeClustered(spark: org.apache.spark.sql.SparkSession,
                      path: String, df: DataFrame): Unit = {
-    val meta = spark.read.parquet(s"$path/meta")
-      .orderBy("pos").collect()
-    val cols = meta.map(_.getAs[String]("col")).toSeq
-    val mins = meta.map(_.getAs[Long]("min")).toSeq
-    val shifts = meta.map(_.getAs[Int]("shift")).toSeq
-    val bits = meta.head.getAs[Int]("bits")
-    val log2Bins = meta.head.getAs[Int]("log2bins")
-    val z = zorderWith(df, cols, mins, shifts, bits, log2Bins, clamp = true)
+    val law = readMeta(spark, path)
+    val cols = law.cols
+    val z = zorderWith(df, law, clamp = true)
     z.repartitionByRange(col("z_bin"))
       .sortWithinPartitions("z_value")
       .write.partitionBy("z_bin").mode("append").parquet(s"$path/data")
