@@ -718,6 +718,26 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Incrementally fold a DELTA's near-dup pairs into an existing cluster
+    * labeling — the rolling-ingest shape ([[MinHashIndex]]'s probe emits
+    * exactly these delta pairs): an `(id, cluster)` labeling is a
+    * spanning forest of the resident pair graph (every id one edge to its
+    * root), so connected components over `labeling-as-edges ∪ deltaPairs`
+    * EQUAL components over the full re-derived pair graph — O(resident
+    * ids + delta pairs) edges, never a corpus re-scan — and min-id
+    * representatives are preserved (the min of a merged component is the
+    * min over its parts). Equality with the from-scratch labeling is
+    * spec-pinned and driver-proven (`ns_dedup_clusters_merge` shares the
+    * full-recompute oracle).
+    */
+  def mergeClusters(labels: DataFrame, deltaPairs: DataFrame,
+                    allIds: DataFrame, idCol: String): DataFrame = {
+    val labelEdges = labels.filter(col("id") =!= col("cluster"))
+      .select(col("id").as("id_a"), col("cluster").as("id_b"))
+    dupClusters(labelEdges.unionByName(
+      deltaPairs.select(col("id_a"), col("id_b"))), allIds, idCol)
+  }
+
   /** Reference all-pairs definition of [[embeddingDupPairs]] — O(N²); used
     * by specs to assert the banded operator's output is identical.
     */

@@ -3732,6 +3732,39 @@ object PipelineQueries {
       Some(auditOracleSql(Seq("k_rows", "head_is_relevance_top1",
         "subset_of_candidates")))),
 
+    // ---- incremental cluster maintenance: resident corpus clustered
+    // first, the delta's pairs folded in via the spanning-forest merge —
+    // PROVEN equal to the full recompute by sharing its oracle ----
+    ("ns_dedup_clusters_merge",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val half = docs.agg(max("doc_id")).head().getLong(0) / 2
+        val allPairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8)
+          .select("id_a", "id_b").cache()
+        try {
+          val resident = Dedup.dupClusters(
+            allPairs.filter(col("id_a") <= half && col("id_b") <= half),
+            docs.filter(col("doc_id") <= half), "doc_id")
+          val delta = allPairs.filter(col("id_a") > half ||
+            col("id_b") > half)
+          Dedup.mergeClusters(resident, delta, docs, "doc_id").orderBy("id")
+        } finally allPairs.unpersist()
+      },
+      // the FULL-recompute oracle, verbatim from ns_dedup_clusters: the
+      // driver hash proves merge ≡ from-scratch
+      Some(shingleCte +
+        ", dup AS (SELECT id_a, id_b FROM pairs " +
+        "JOIN sizes s1 ON id_a = s1.doc_id JOIN sizes s2 ON id_b = s2.doc_id " +
+        "WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.8), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM dup " +
+        "UNION ALL SELECT id_b, id_a FROM dup), " +
+        "closure AS (WITH RECURSIVE reach(id, r) AS (" +
+        "SELECT a, a FROM (SELECT DISTINCT a FROM edges) " +
+        "UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id) " +
+        "SELECT id, min(r) AS cluster FROM reach GROUP BY id) " +
+        "SELECT d.doc_id AS id, coalesce(c.cluster, d.doc_id) AS cluster " +
+        "FROM documents d LEFT JOIN closure c ON d.doc_id = c.id ORDER BY id")),
+
     // ---- topic labels per lexical dup-cluster: top-3 most-distinctive
     // tokens by exact-integer cluster-vs-corpus df ratio ----
     ("ns_dedup_cluster_labels",

@@ -248,4 +248,26 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("mergeClusters(resident, delta) equals the from-scratch labeling") {
+    import spark.implicits._
+    // deterministic pair graph with chains that CROSS the resident/delta
+    // boundary (delta pairs bridge two resident components: 48-49-50 and
+    // 52 joining the 10-11-12 chain)
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 48L),
+      (48L, 49L), (49L, 50L), (12L, 52L), (52L, 60L), (70L, 71L))
+      .map { case (a, b) => (a, b, 0.9) }.toDF("id_a", "id_b", "jaccard")
+    val ids = (0L to 80L).toDF("doc_id")
+    val half = 45L
+    val resident = Dedup.dupClusters(
+      pairs.filter(col("id_a") <= half && col("id_b") <= half),
+      ids.filter(col("doc_id") <= half), "doc_id")
+    val delta = pairs.filter(col("id_a") > half || col("id_b") > half)
+    val merged = Dedup.mergeClusters(resident, delta, ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Dedup.dupClusters(pairs, ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === scratch)
+    assert(merged(60L) === 10L) // the bridged chain folded to the min id
+  }
 }
