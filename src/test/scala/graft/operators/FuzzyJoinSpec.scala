@@ -100,6 +100,25 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("count bound"))
   }
 
+  test("property: lossless vs brute force on random tiny-alphabet keys") {
+    // adversarial regime for the prefix filter: alphabet {a,b,c} makes
+    // every gram hot and duplicate grams common (the occ-tagging path),
+    // uneven lengths exercise the padding law. 20 seeded rounds.
+    val rnd = new scala.util.Random(20260815L)
+    for (round <- 1 to 20) {
+      val n = 10 + rnd.nextInt(30)
+      val rows = (0 until n).map { i =>
+        val len = 1 + rnd.nextInt(10)
+        (i.toLong, Seq.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString)
+      }
+      val d = rnd.nextInt(3)
+      val got = FuzzyJoin.selfJoin(rows.toDF("id", "key"), "id", "key",
+          maxDist = d, q = 2, keyLen = 12)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === brute(rows, d, 12), s"round $round (n=$n, d=$d)")
+    }
+  }
+
   test("partitioning-invariant") {
     val rows = (0L until 100L).map(i => (i, s"key number ${i % 37} tail"))
     def go(parts: Int) =

@@ -24,6 +24,16 @@ class LayoutSpec extends SparkSpec {
     assert(z === 39L)
   }
 
+  test("interleave is a bijection on the full bucket grid") {
+    // every (bu, be) in [0,16)^2 maps to a distinct z in [0, 256)
+    val grid = (for (bu <- 0L until 16L; be <- 0L until 16L)
+      yield (bu, be)).toDF("bu", "be")
+    val zs = grid.select(Layout.interleave(Seq(col("bu"), col("be")), 4))
+      .collect().map(_.getLong(0))
+    assert(zs.distinct.length === 256)
+    assert(zs.min === 0L && zs.max === 255L)
+  }
+
   test("zorderBy: buckets cover, z_bin is the z prefix, partitioning-invariant") {
     val df = (0 until 4096).map { i =>
       (i.toLong, ((i * 2654435761L) % 1000) + 50, (i * 3L) + 7)
