@@ -46,7 +46,7 @@ object ScaleSmoke {
     val stages = if (args.length > 1) args(1) else "all"
     require(Set("all", "lexical", "semantic", "recall", "pipeline",
       "streaming", "classifier", "curation", "streamlearn", "semdedup",
-      "embed", "bm25", "minhashindex", "layout", "propagate", "fuzzy")(stages),
+      "embed", "bm25", "minhashindex", "layout", "propagate", "fuzzy", "slayout")(stages),
       s"unknown stage set '$stages'")
     def on(s: String) = stages == "all" || stages == s
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -1140,6 +1140,38 @@ object ScaleSmoke {
         s"(${if (cnt == want && readFiles < total / 2) "OK" else "MISS"})")
     }
     rows.unpersist()
+    }
+
+    if (on("slayout")) {
+    // ---- streaming z-layout at production admission: 10 batches of
+    // n/10 rows (one redelivered), per-batch apply measured; reads stay
+    // exact and pruned mid-stream. ----
+    val base = java.nio.file.Files.createTempDirectory("scale_slayout").toString
+    val lcols = Seq("u", "e")
+    def lbatch(b: Int) = spark.range(b.toLong * (n / 10), (b + 1).toLong * (n / 10))
+      .toDF("id")
+      .withColumn("u", pmod(xxhash64(col("id")), lit(1000000L)))
+      .withColumn("e", col("id"))
+    for (b <- 0 until 10) {
+      val df = lbatch(b)
+      t(f"slayout_batch$b") {
+        graft.streaming.StreamingLayout.applyBatch(spark, df, lcols,
+          bits = 12, log2Bins = 8, base, b.toLong)
+      }
+    }
+    t("slayout_redeliver_b4") {
+      graft.streaming.StreamingLayout.applyBatch(spark, lbatch(4), lcols,
+        bits = 12, log2Bins = 8, base, 4L)
+    }
+    val cnt = t("slayout_pruned_read") {
+      graft.streaming.StreamingLayout.prunedRead(spark, base,
+        Seq(("u", 250000L, 312500L))).count()
+    }
+    val want = spark.range(n.toLong).toDF("id")
+      .withColumn("u", pmod(xxhash64(col("id")), lit(1000000L)))
+      .filter(col("u").between(250000L, 312500L)).count()
+    println(s"SCALE   slayout rows=$cnt want=$want " +
+      s"(${if (cnt == want) "OK" else "MISS"})")
     }
 
     if (on("fuzzy")) {
