@@ -37,8 +37,11 @@ object Verify {
       // ORDER BY for the driver's order-sensitive compare.
       try {
         val res = fn(spark, sfDir).cache()
-        res.count()
-        res.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        try {
+          res.count()
+          res.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } finally res.unpersist() // this query's blocks, eagerly —
+        // clearCache below additionally sweeps caches built INSIDE fn
       }
       catch { case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)

@@ -179,6 +179,10 @@ object Classifier {
               positive: Column): DataFrame = {
     val g = scored
       .select(col(scoreCol).as("thr"), positive.cast("boolean").as("pos"))
+      // match rocAuc: a null label belongs to neither class — counting
+      // its threshold row (in neither np nor nn) would make the two
+      // curves disagree about which thresholds exist on the same input
+      .filter(col("pos").isNotNull)
       .groupBy("thr").agg(
         count(when(col("pos"), 1)).as("np"),
         count(when(!col("pos"), 1)).as("nn"))

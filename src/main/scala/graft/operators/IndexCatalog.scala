@@ -48,6 +48,37 @@ object IndexCatalog {
     spark.conf.getOption("spark.graft.index.root")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft-index-cache")
 
+  /** Algorithm-version token per index kind — part of the cache identity
+    * alongside params and the input fingerprint. BUMP a kind's entry
+    * whenever its BUILDER's output contract changes (artifact schema,
+    * layout, arithmetic), so an artifact built by OLDER code is never
+    * served to newer probe code: the bumped version changes every key of
+    * that kind, old entries simply stop resolving and age out via
+    * [[prune]]. Central registry rather than per-call-site strings
+    * because the version is a property of the BUILDER (the operator
+    * whose `build` lambda each call site invokes), and N call sites
+    * sharing a kind must move together — a forgotten call site would
+    * silently keep serving the stale artifact, which is exactly the bug
+    * class this table exists to kill. Unlisted kinds (test fixtures)
+    * default to "v1".
+    */
+  private val algoVersions = Map(
+    "ann-lsh" -> "v1", "ann-ivf" -> "v1", "ann-pq" -> "v1",
+    "ann-ivfpq" -> "v1", "minhash" -> "v1", "bm25" -> "v1",
+    "bm25merge" -> "v1", "bpe" -> "v1", "nb-quality" -> "v1",
+    "unigram" -> "v1", "dup-clusters" -> "v1", "sem-clusters" -> "v1",
+    "semdedup-kmeans" -> "v1", "knn-intdot" -> "v1")
+
+  // test hook: simulate a version bump without editing the registry
+  private val versionOverrides = new ConcurrentHashMap[String, String]()
+  private[graft] def overrideVersionForTest(kind: String, v: String): Unit = {
+    versionOverrides.put(kind, v); ()
+  }
+  private[graft] def clearVersionOverrides(): Unit = versionOverrides.clear()
+  private[operators] def versionFor(kind: String): String =
+    Option(versionOverrides.get(kind))
+      .getOrElse(algoVersions.getOrElse(kind, "v1"))
+
   // JVM-local memo: cache key -> resolved dir. Purely an FS-roundtrip saver;
   // the FS directory is the source of truth (other JVMs build/read the same
   // entries). Keyed including the root so tests with distinct roots don't
@@ -112,7 +143,8 @@ object IndexCatalog {
   def ensure(spark: SparkSession, kind: String, inputs: Seq[String],
              params: String)(build: String => Unit): String = {
     // layout tag in the identity: pre-manifest caches never alias new keys
-    val identity = "layout=manifest-v2 " + params + " " + fingerprint(spark, inputs)
+    val identity = "layout=manifest-v2 algo=" + versionFor(kind) + " " +
+      params + " " + fingerprint(spark, inputs)
     // md5 of the identity string: collision-safe enough for a cache key and
     // stable across JVMs (unlike hashCode, which is unspecified)
     val key = kind + "-" + java.security.MessageDigest.getInstance("MD5")

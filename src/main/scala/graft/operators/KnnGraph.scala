@@ -110,13 +110,28 @@ object KnnGraph {
     */
   def propagate(graph: DataFrame, seeds: DataFrame, idCol: String,
                 scoreCol: String, alphaNum: Int = 4, alphaDen: Int = 5,
-                iters: Int = 2): DataFrame = {
+                iters: Int = 2): DataFrame =
+    propagateWeighted(
+      graph.select(col("id"), col("nbr"),
+          round(col("cos") * 1000, 0).cast("long").as("w"))
+        .filter(col("w") > 0),
+      seeds, idCol, scoreCol, alphaNum, alphaDen, iters)
+
+  /** [[propagate]] over PRE-DERIVED integer edge weights `(id, nbr, w)`,
+    * `w > 0` — the fully integer-exact entry point: when the caller
+    * derives `w` from an exact integer quantity (e.g. the
+    * [[Similarity.intDot]] fixed-point dot product), NO float exists
+    * anywhere in the trajectory and the whole computation is
+    * bit-replicable on any engine. The cosine wrapper above keeps the
+    * convenient `(id, nbr, cos)` shape for graphs whose weights are
+    * display/threshold values rather than hash-audited state.
+    */
+  def propagateWeighted(edges: DataFrame, seeds: DataFrame, idCol: String,
+                        scoreCol: String, alphaNum: Int = 4,
+                        alphaDen: Int = 5, iters: Int = 2): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(alphaNum >= 0 && alphaDen > 0 && alphaNum <= alphaDen,
       s"alpha $alphaNum/$alphaDen outside [0,1]")
-    val edges = graph.select(col("id"), col("nbr"),
-        round(col("cos") * 1000, 0).cast("long").as("w"))
-      .filter(col("w") > 0)
     var cur = seeds.select(col(idCol).as("id"),
         col(scoreCol).cast("long").as("s0"))
       .withColumn("s", col("s0"))

@@ -58,6 +58,13 @@ object Layout {
   def interleave(buckets: Seq[Column], bits: Int): Column = {
     require(buckets.nonEmpty, "need at least one layout column")
     val d = buckets.size
+    // JVM shiftleft masks the shift count mod 64: at d·bits > 63 the
+    // high bit-groups would silently WRAP onto low positions (colliding
+    // z-values, wrong bins, no error) — refuse instead. Every zorder*
+    // entry point funnels through here, so this guards them all.
+    require(d * bits <= 63,
+      s"$d columns x $bits bits = ${d * bits} z-bits > 63: a 64-bit " +
+        "Morton code cannot hold them; lower bits or split the layout")
     val terms = for {
       i <- 0 until bits
       (b, j) <- buckets.zipWithIndex
@@ -69,7 +76,11 @@ object Layout {
     * planning state to the driver.
     */
   def columnRanges(df: DataFrame, cols: Seq[String]): Seq[(Long, Long)] = {
-    val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    // cast in the aggregate, not the driver: "integral" includes int /
+    // smallint columns, and an uncast min(int) would make the getLong
+    // below throw an opaque ClassCastException
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     cols.indices.map(i => (row.getLong(2 * i), row.getLong(2 * i + 1)))
   }

@@ -162,6 +162,58 @@ object Similarity {
       queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec")),
       if (excludeSelf) col(idCol) =!= col("qid") else lit(true), k, Nil)
 
+  /** Fixed-point quantization of a float embedding to BIGINT components:
+    * `q_i = floor(double(e_i) · 2^20 + 0.5)`. Every step is EXACT IEEE
+    * arithmetic — float→double widening is lossless, multiplying by a
+    * power of two only shifts the exponent (no rounding), adding 0.5 to a
+    * value < 2^21 is exact, and floor is exact — so ANY IEEE-754 engine
+    * (any Spark build, any DuckDB build, numpy) produces the identical
+    * integers from the identical parquet bits. This is the foundation of
+    * the integer-exact similarity contracts: a scale of 10^k would
+    * instead put a 1-ulp product error next to a round() boundary, which
+    * is exactly the cross-engine fragility this kernel exists to remove.
+    */
+  def fixedPointQuantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1048576.0) + lit(0.5)))
+
+  /** Exact INTEGER dot product of two [[fixedPointQuantize]]d vectors —
+    * `Σ qa_i·qb_i` as pure int64 (dim·2^40-bounded for unit-ish inputs,
+    * nowhere near overflow), codegen'd zip_with/aggregate, no shuffle.
+    * On unit-norm embeddings `dot / 2^40` IS the cosine to quantization
+    * precision (~1e-6), but unlike a rounded double it is bit-identical
+    * across engines — two engines can disagree about a float sum, never
+    * about an integer one.
+    */
+  def intDot(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, p) => acc + p)
+
+  /** BATCH exact top-k by INTEGER dot product — [[bruteForceTopKBatch]]
+    * with the float cosine replaced by the [[fixedPointQuantize]] /
+    * [[intDot]] contract, for consumers that fold similarity into
+    * downstream integer arithmetic (graph edge weights, propagation
+    * trajectories) where a rounded double within 1 ulp of its rounding
+    * boundary would make the result depend on the engine build. Ranking
+    * is (dot DESC, id ASC) — a total order on integers, so the graph is
+    * a pure function of the parquet bits. Same plan shape: broadcast
+    * query side, one codegen'd corpus scan, one per-query top-k window.
+    */
+  def intDotTopKBatch(embs: DataFrame, idCol: String, vecCol: String,
+                      queries: DataFrame, qidCol: String, qvecCol: String,
+                      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val corpus = embs.select(col(idCol).as("id"),
+      fixedPointQuantize(col(vecCol)).as("qv"))
+    val q = queries.select(col(qidCol).as("qid"),
+      fixedPointQuantize(col(qvecCol)).as("qqv"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("id") =!= col("qid") else lit(true))
+      .withColumn("dot", intDot(col("qv"), col("qqv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dot").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("dot"), col("rank"))
+  }
+
   /** Shared core of the batch scorers: broadcast the query table, score
     * the corpus map-side (codegen'd cosine), keep rows passing `keep`,
     * rank per query. The ONE shuffle is the per-query top-k window.
@@ -328,12 +380,17 @@ object Similarity {
     */
   def binarize(vec: Column): Column = {
     val pow2 = lit((0 until 32).map(1L << _).toArray)
-    transform(sequence(lit(0),
-      ((size(vec) + 31) / lit(32)).cast("int") - 1), w =>
-      aggregate(
-        zip_with(slice(vec, w * 32 + 1, lit(32)), sequence(lit(0), lit(31)),
-          (x, j) => when(x > 0f, element_at(pow2, j + 1)).otherwise(lit(0L))),
-        lit(0L), (acc, b) => acc + b))
+    // empty input must yield an empty bit array: unguarded, the word
+    // sequence(0, -1) is the DESCENDING [0, -1] and would emit two
+    // phantom zero words (slice reading from the array end at w = -1)
+    when(size(vec) > 0,
+      transform(sequence(lit(0),
+        ((size(vec) + 31) / lit(32)).cast("int") - 1), w =>
+        aggregate(
+          zip_with(slice(vec, w * 32 + 1, lit(32)), sequence(lit(0), lit(31)),
+            (x, j) => when(x > 0f, element_at(pow2, j + 1)).otherwise(lit(0L))),
+          lit(0L), (acc, b) => acc + b)))
+      .when(size(vec) === 0, typedLit(Array.empty[Long])) // null stays null
   }
 
   /** Hamming distance between two packed bit arrays ([[binarize]]

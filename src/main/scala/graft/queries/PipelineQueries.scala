@@ -3953,34 +3953,56 @@ object PipelineQueries {
     // ---- score propagation over the exact KNN graph (label spreading,
     // Zhou et al. NIPS'04): seeds are content-addressed micro-unit
     // scores, two all-integer iterations (rational HALF_UP divisions),
-    // so the whole trajectory hash-matches SQL. The exact graph is the
-    // oracle-able baseline; production propagates over KnnGraph.build's
-    // IVF graph (identical operator, graph swapped). ----
+    // so the whole trajectory hash-matches SQL. INTEGER-EXACT END TO
+    // END (the r11 lesson): the graph itself is derived from the
+    // fixed-point integer dot product (Similarity.intDotTopKBatch —
+    // exact IEEE quantization, exact int64 ranking, w = HALF_UP
+    // rational of the dot), because the previous rounded-double cosine
+    // ranking sat within 3.6e-9 of a .0005 rounding boundary over the
+    // all-pairs relation — any engine-build float deviation flipped an
+    // edge weight and broke the hash. Here no double ever crosses the
+    // engine boundary. The exact graph is the oracle-able baseline;
+    // production propagates over KnnGraph.build's IVF graph (identical
+    // operator, graph swapped). ----
     ("ns_ann_score_propagation",
       (s: SparkSession, d: String) => {
         val embs = Tables.embeddings(s, d)
-        val dir = IndexCatalog.ensure(s, "knn-exact",
-          Seq(s"$d/embeddings.parquet"), "k=5") { staging =>
-          Similarity.bruteForceTopKBatch(embs, "vec_id", "embedding",
+        val dir = IndexCatalog.ensure(s, "knn-intdot",
+          Seq(s"$d/embeddings.parquet"), "k=5 qscale=2^20") { staging =>
+          Similarity.intDotTopKBatch(embs, "vec_id", "embedding",
               embs, "vec_id", "embedding", k = 5)
-            .select(col("qid").as("id"), col("id").as("nbr"), col("cos"))
+            .select(col("qid").as("id"), col("id").as("nbr"), col("dot"))
             .write.parquet(staging)
         }
-        val graph = s.read.parquet(dir)
+        // milli-weights from the exact dot: w = HALF_UP(1000·dot / 2^40)
+        // = (2000·dot + 2^40) div 2^41 — exact integer rational, the
+        // same magnitude round(cos·1000) produced on unit-norm vectors
+        val edges = s.read.parquet(dir)
+          .filter(col("dot") > 0)
+          .withColumn("w",
+            expr("(2000 * dot + 1099511627776) div 2199023255552"))
+          .filter(col("w") > 0)
+          .select("id", "nbr", "w")
         val seeds = embs.select(col("vec_id"),
           pmod(graft.functions.md5_lower64(col("vec_id").cast("string")),
             lit(1000001L)).as("s0"))
-        graft.operators.KnnGraph.propagate(graph, seeds, "vec_id", "s0",
-            alphaNum = 4, alphaDen = 5, iters = 2)
+        graft.operators.KnnGraph.propagateWeighted(edges, seeds, "vec_id",
+            "s0", alphaNum = 4, alphaDen = 5, iters = 2)
           .orderBy("id")
       },
-      Some("WITH pr AS (SELECT a.vec_id AS id, b.vec_id AS nbr, " +
-        dCos("a.embedding", "b.embedding") + " AS cos " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), " +
-        "rk AS (SELECT id, nbr, cos, row_number() OVER " +
-        "(PARTITION BY id ORDER BY cos DESC, nbr) AS rank FROM pr), " +
-        "g AS (SELECT id, nbr, CAST(round(cos*1000) AS BIGINT) AS w " +
-        "FROM rk WHERE rank <= 5 AND CAST(round(cos*1000) AS BIGINT) > 0), " +
+      Some("WITH q AS (SELECT vec_id, " +
+        "[CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT) " +
+        "FOR x IN embedding] AS qv FROM embeddings), " +
+        "pr AS (SELECT a.vec_id AS id, b.vec_id AS nbr, " +
+        "CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN " +
+        "range(1, len(a.qv) + 1)]) AS BIGINT) AS dot " +
+        "FROM q a JOIN q b ON a.vec_id <> b.vec_id), " +
+        "rk AS (SELECT id, nbr, dot, row_number() OVER " +
+        "(PARTITION BY id ORDER BY dot DESC, nbr) AS rank FROM pr), " +
+        "g AS (SELECT id, nbr, " +
+        "(2000 * dot + 1099511627776) // 2199023255552 AS w " +
+        "FROM rk WHERE rank <= 5 AND dot > 0 AND " +
+        "(2000 * dot + 1099511627776) // 2199023255552 > 0), " +
         "seeds AS (SELECT vec_id AS id, " +
         dHashMod("md5_number_lower(CAST(vec_id AS VARCHAR))", 1000001L) +
         " AS s0 FROM embeddings), " +

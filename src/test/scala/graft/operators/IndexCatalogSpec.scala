@@ -45,6 +45,32 @@ class IndexCatalogSpec extends SparkSpec {
     }
   }
 
+  test("algorithm-version bump forces a rebuild; same version never does") {
+    withRoot { _ =>
+      val in = writeInput(Seq((1L, "a"), (2L, "b")))
+      val builds = new AtomicInteger(0)
+      def ensure() = IndexCatalog.ensure(spark, "t", Seq(in), "p=1") { dir =>
+        builds.incrementAndGet()
+        spark.read.parquet(in).write.parquet(dir + "/data")
+      }
+      try {
+        val d1 = ensure()
+        assert(builds.get() == 1)
+        // the operator's output contract "changes": bump the version —
+        // the OLD artifact must stop resolving even though inputs and
+        // params are identical (the stale-code-artifact seam)
+        IndexCatalog.overrideVersionForTest("t", "v2")
+        IndexCatalog.invalidateMemo()
+        val d2 = ensure()
+        assert(builds.get() == 2, "version bump must force a rebuild")
+        assert(d1 != d2, "bumped version must be a distinct entry")
+        // re-resolving at v2 serves the v2 artifact without rebuilding
+        val d3 = ensure()
+        assert(builds.get() == 2 && d3 == d2)
+      } finally IndexCatalog.clearVersionOverrides()
+    }
+  }
+
   test("FS entry survives a memo wipe (new-JVM analog): still no rebuild") {
     withRoot { _ =>
       val in = writeInput(Seq((1L, "a")))

@@ -78,6 +78,22 @@ class KnnGraphSpec extends SparkSpec {
     assert(out(3L) === ((600000L, 600000L)))
   }
 
+  test("propagateWeighted on pre-derived weights equals the cosine wrapper") {
+    val graph = Seq((1L, 2L, 0.5), (1L, 3L, 0.25), (2L, 1L, 0.5),
+        (4L, 1L, 0.0004)) // rounds to w=0: wrapper must drop it
+      .toDF("id", "nbr", "cos")
+    val seeds = Seq((1L, 1000000L), (2L, 0L), (3L, 600000L), (4L, 77L))
+      .toDF("vec_id", "s0")
+    val viaCos = KnnGraph.propagate(graph, seeds, "vec_id", "s0", 4, 5, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val edges = Seq((1L, 2L, 500L), (1L, 3L, 250L), (2L, 1L, 500L))
+      .toDF("id", "nbr", "w")
+    val viaW = KnnGraph.propagateWeighted(edges, seeds, "vec_id", "s0", 4, 5, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(viaCos === viaW)
+    assert(viaW(4L) === 77L, "w=0 edge dropped: node 4 is isolated")
+  }
+
   test("propagate is partitioning-invariant (integer arithmetic end-to-end)") {
     val n = 300
     val graph = (0 until n).flatMap { i =>

@@ -333,6 +333,49 @@ class SimilaritySpec extends SparkSpec {
     assert(rerun.toSeq === mmr.toSeq)
   }
 
+  test("intDotTopKBatch matches a serial BigInt reference bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    val embs = Tables.embeddings(spark, sfDir)
+    val queries = embs.filter(col("vec_id") < 4)
+    val out = Similarity.intDotTopKBatch(embs, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // serial reference: same quantization law, arbitrary-precision dot —
+    // proves the distributed int64 arithmetic never overflowed or diverged
+    def quant(v: Seq[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1048576.0 + 0.5).toLong).toArray
+    val all = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> quant(r.getSeq[Float](1)))
+    val qs = all.filter(_._1 < 4)
+    for ((qid, qv) <- qs) {
+      val ranked = all.filter(_._1 != qid).map { case (id, v) =>
+        val dot = v.zip(qv).map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+        (id, dot)
+      }.sortBy { case (id, dot) => (-dot, id) }.take(5)
+      ranked.zipWithIndex.foreach { case ((id, dot), i) =>
+        assert(out((qid, i + 1)) == (id, dot.toLong),
+          s"query $qid rank ${i + 1}")
+      }
+    }
+  }
+
+  test("binarize of an empty vector is an empty bit array, not phantom words") {
+    import org.apache.spark.sql.functions.{col, size => asize, typedLit}
+    import spark.implicits._
+    val df = Seq((1L, Seq.empty[Float]), (2L, Seq(1f, -1f, 2f)))
+      .toDF("id", "v")
+      .select(col("id"), Similarity.binarize(col("v")).as("bits"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getSeq[Long](1).isEmpty, "empty in, empty out")
+    assert(rows(1).getSeq[Long](1) == Seq(5L)) // bits 0 and 2 set
+    // null stays null
+    val n = Seq((3L, null.asInstanceOf[Seq[Float]])).toDF("id", "v")
+      .select(Similarity.binarize(col("v")).as("bits")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("binarize packs sign bits 32 per word; hammingDist counts flips") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
