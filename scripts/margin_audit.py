@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Rounding-margin audit for the rounded-cosine oracle families.
+
+Every oracle that emits or thresholds `round(cos, 3)` doubles is
+cross-engine-safe only if no influencing cosine sits so close to a
+rounding boundary (odd multiples of 0.0005) that a 1-ulp engine
+difference could flip the rounded value. This script measures, for each
+query family's actual influencing pair population, the minimum distance
+of the unrounded cosine to its nearest boundary, at sf0.01 and sf0.1.
+
+Families and their influencing populations (query vectors and centroids
+are corpus rows, so every population is a subset of corpus pairs):
+  - threshold membership (ns_dedup_embedding / _clusters / _semdedup /
+    ns_curate_semantic_decon, all at >= 0.4 on the rounded value):
+    ALL pairs vs the single 0.3995 boundary (membership flips there);
+  - threshold emitted values: pairs that PASS (cos >= 0.3985, one grid
+    step of slack) vs the nearest grid boundary (a passing pair's
+    emitted rounded cos is hashed);
+  - top-k / batch / assignment families (query or centroid vectors
+    vec_id in {0..9, 11, 42, 123} and centroids vec_id < 8): all
+    (q, corpus) cosines vs the nearest grid boundary (a flip anywhere
+    in the candidate set can change rank order or top-k membership);
+  - matryoshka prefix-16 top-k (query vec_id = 0): prefix-16 cosines.
+
+Anything under ~1e-9 is flagged FRAGILE: it gets the integer-dot
+treatment (see Similarity.intDotTopKBatch) or a fixture nudge.
+Run: python3 scripts/margin_audit.py [testdata_root]
+"""
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+
+
+def grid_margin(cos):
+    """Distance to the nearest round-3 boundary (odd multiple of 5e-4)."""
+    m = cos * 1000.0
+    return np.abs(m - np.floor(m) - 0.5) / 1000.0
+
+
+def audit(sf_dir):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = np.array(t["vec_id"])
+    order = np.argsort(ids)
+    ids = ids[order]
+    e = np.array([t["embedding"][i] for i in order], dtype=np.float64)
+    n = e / np.linalg.norm(e, axis=1, keepdims=True)
+    cos = n @ n.T                       # all-pairs, float64
+    iu = np.triu_indices(len(ids), k=1)
+    pair_cos = cos[iu]
+
+    rows = []
+    # threshold membership: the 0.3995 boundary over ALL pairs
+    rows.append(("threshold 0.4 membership (all pairs)",
+                 np.abs(pair_cos - 0.3995).min(), len(pair_cos)))
+    # threshold emitted values: passing pairs (one grid step of slack)
+    passing = pair_cos[pair_cos >= 0.3985]
+    rows.append(("threshold emitted values (passing pairs)",
+                 grid_margin(passing).min() if len(passing) else float("inf"),
+                 len(passing)))
+    # top-k / batch / centroid-assignment query populations
+    qsel = np.isin(ids, list(range(10)) + [11, 42, 123])
+    qpop = cos[qsel, :].ravel()
+    qpop = qpop[np.abs(qpop - 1.0) > 1e-12]   # drop self pairs
+    rows.append(("top-k/batch/assignment (q in 0..9,11,42,123 + cents<8)",
+                 grid_margin(qpop).min(), len(qpop)))
+    # matryoshka prefix-16, query 0
+    p = e[:, :16]
+    pn = p / np.linalg.norm(p, axis=1, keepdims=True)
+    pcos = pn @ pn[0]
+    pcos = pcos[1:]
+    rows.append(("matryoshka prefix-16 top-k (q=0)",
+                 grid_margin(pcos).min(), len(pcos)))
+    # reference: the all-pairs grid margin (the propagation query's OLD
+    # exposure, retired by the integer-dot derivation)
+    rows.append(("[retired] all-pairs grid (old propagation exposure)",
+                 grid_margin(pair_cos).min(), len(pair_cos)))
+    return rows
+
+
+def main():
+    root = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata"
+    print(f"{'population':<55} {'sf0.01':>12} {'sf0.1':>12}")
+    r1 = audit(f"{root}/sf0.01")
+    r2 = audit(f"{root}/sf0.1")
+    worst_active = 1.0
+    for (name, m1, n1), (_, m2, n2) in zip(r1, r2):
+        flag = ""
+        if not name.startswith("[retired]"):
+            worst_active = min(worst_active, m1, m2)
+            if min(m1, m2) < 1e-9:
+                flag = "  FRAGILE"
+        print(f"{name:<55} {m1:>12.3e} {m2:>12.3e}{flag}")
+    print(f"\nworst active margin: {worst_active:.3e} "
+          f"({'OK: > 1e-9' if worst_active > 1e-9 else 'ACTION NEEDED'})")
+
+
+if __name__ == "__main__":
+    main()
