@@ -36,6 +36,39 @@ import org.apache.spark.sql.functions._
   */
 object Bm25Index {
 
+  /** The tombstone set `(doc_id)` — the LOGICAL-delete side of the CDC
+    * update path. Absent directory = empty set (fresh builds write no
+    * tombstones), so pre-delete artifacts stay readable unchanged.
+    */
+  private[operators] def tombstones(spark: SparkSession,
+                                    indexDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(s"$indexDir/tombstones")
+    else spark.range(0).select(col("id").as("doc_id"))
+  }
+
+  /** doclen minus tombstoned docs — the live corpus the probes rank. */
+  private def liveDoclen(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/doclen")
+      .join(broadcast(tombstones(spark, indexDir)), Seq("doc_id"),
+        "left_anti")
+
+  /** `stats` (n, avgdl) from a doclen relation by build's own aggregate —
+    * long count/sum are exact, so every maintenance op that recomputes
+    * stats over the same live rows lands the identical doubles.
+    */
+  private def writeStats(spark: SparkSession, doclen: DataFrame,
+                         indexDir: String): Unit = {
+    val Array(n2, avgdl2) = doclen
+      .agg(count(lit(1)).cast("double").as("n"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    import spark.implicits._
+    Seq((n2, avgdl2)).toDF("n", "avgdl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
   def build(docs: DataFrame, idCol: String, textCol: String,
             indexDir: String, numBuckets: Int = 64): Unit = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
@@ -73,10 +106,11 @@ object Bm25Index {
     * pins probe-after-merge ≡ probe-on-full-build ≡ full scan, and
     * `ns_text_bm25_merge` proves it through the driver's oracle.
     *
-    * Contract: `docs` must carry doc_ids NOT already in the index (the
-    * CDC append case). Updating an existing document needs
-    * delete-then-merge compaction — a documented seam, not silently
-    * wrong-answered here, because duplicate ids would double-count df.
+    * Contract: `docs` must carry doc_ids not present in doclen — live OR
+    * tombstoned (duplicate ids would double-count df; a tombstoned id's
+    * re-added postings would be masked along with its old ones). The CDC
+    * update path is [[delete]] (correct immediately) → [[compact]]
+    * (amortized) → merge of the new version.
     */
   def merge(docs: DataFrame, idCol: String, textCol: String,
             indexDir: String, numBuckets: Int = 64): Unit = {
@@ -96,15 +130,68 @@ object Bm25Index {
       .parquet(s"$indexDir/postings")
     base.select("doc_id", "dl")
       .write.mode("append").parquet(s"$indexDir/doclen")
-    // recompute the corpus constants from the now-complete doclen with
-    // build's aggregate; materialize before overwriting the dir read from
-    val Array(n2, avgdl2) = spark.read.parquet(s"$indexDir/doclen")
-      .agg(count(lit(1)).cast("double").as("n"),
-        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-      .head().toSeq.map(_.asInstanceOf[Double]).toArray
-    import spark.implicits._
-    Seq((n2, avgdl2)).toDF("n", "avgdl")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+    // recompute the corpus constants from the now-complete LIVE doclen
+    // (tombstone-aware: a delete between merges must keep stats on the
+    // live corpus) with build's aggregate; writeStats materializes before
+    // overwriting the dir read from
+    writeStats(spark, liveDoclen(spark, indexDir), indexDir)
+  }
+
+  /** LOGICAL delete — the O(delta) half of the CDC update path
+    * ([[graft.streaming.CdcIngest]]'s delete-through semantics carried to
+    * the retrieval index): append the ids to `tombstones/` and recompute
+    * `stats` over the remaining live doclen. Every probe masks tombstoned
+    * docs and counts df over live postings only, so a probe after
+    * delete(D) is BIT-IDENTICAL to a probe on an index built without D —
+    * no postings rewrite on the delete path at all.
+    *
+    * The tombstone set rides probes as a broadcast anti-join: keep it
+    * bounded by running [[compact]] once deletes accumulate (the LSM
+    * discipline — cheap logical deletes, amortized physical reclaim).
+    * Deleting ids not in the index is a no-op. Updating a document is
+    * `delete(old)` (correct immediately) then, after a [[compact]],
+    * [[merge]] of the new version — merge ids must stay disjoint from
+    * ALL ids present in doclen, live or dead, because postings carry no
+    * version column that could distinguish re-added rows from masked
+    * ones.
+    */
+  def delete(spark: SparkSession, indexDir: String, ids: DataFrame,
+             idCol: String): Unit = {
+    ids.select(col(idCol).as("doc_id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+    writeStats(spark, liveDoclen(spark, indexDir), indexDir)
+  }
+
+  /** PHYSICAL reclaim: rewrite `postings`/`doclen` without the
+    * tombstoned rows (same bucket layout), recompute `stats` with
+    * build's aggregate, truncate the tombstone set. After compact the
+    * index is byte-layout-equivalent to a fresh build of the live
+    * corpus, and previously-deleted ids may be re-merged. O(index) —
+    * the amortized maintenance op, run from the single-maintainer path
+    * ([[IndexCatalog.replaceDir]]'s contract).
+    */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    val dead = tombstones(spark, indexDir)
+    if (dead.head(1).isEmpty) return
+    val cleanPostings = spark.read.parquet(s"$indexDir/postings")
+      .join(broadcast(dead), Seq("doc_id"), "left_anti")
+    cleanPostings.repartition(col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$indexDir/.postings-compact")
+    IndexCatalog.replaceDir(spark, s"$indexDir/.postings-compact",
+      s"$indexDir/postings")
+    val cleanDoclen = spark.read.parquet(s"$indexDir/doclen")
+      .join(broadcast(dead), Seq("doc_id"), "left_anti")
+    cleanDoclen.write.mode("overwrite").parquet(s"$indexDir/.doclen-compact")
+    IndexCatalog.replaceDir(spark, s"$indexDir/.doclen-compact",
+      s"$indexDir/doclen")
+    writeStats(spark, spark.read.parquet(s"$indexDir/doclen"), indexDir)
+    // truncate tombstones: an empty same-schema relation built from the
+    // schema alone (never from the source dir being overwritten)
+    spark.createDataFrame(java.util.Collections.emptyList[
+        org.apache.spark.sql.Row](), dead.schema)
+      .write.mode("overwrite").parquet(s"$indexDir/tombstones")
   }
 
   /** Probe: exact BM25 top-k for `terms` against the materialized index.
@@ -120,9 +207,14 @@ object Bm25Index {
     val buckets = terms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(numBuckets.toLong)).cast("int"))
       .collect().map(_.getInt(0)).distinct.sorted
+    // tombstone mask BEFORE df: a probed term's postings — dead or live
+    // — all live in that term's bucket, so masking the pruned slice
+    // yields the exact LIVE df with no extra bucket reads
     val postings = spark.read.parquet(s"$indexDir/postings")
       .filter(col("__bucket").isin(buckets.map(Integer.valueOf).toSeq: _*) &&
         col("term").isin(terms: _*))
+      .join(broadcast(tombstones(spark, indexDir)), Seq("doc_id"),
+        "left_anti")
     // per-term document frequency = postings row count (tf > 0 by
     // construction): ≤ |terms| rows, collected as literals
     val dfMap = postings.groupBy("term").agg(count(lit(1)).as("df"))
@@ -150,7 +242,7 @@ object Bm25Index {
         // underfill / zero-rounded candidates: the scan ranks zero-score
         // docs by ascending doc_id — backfill the k smallest non-candidate
         // ids at score 0.0 (any id beyond those cannot enter the top-k)
-        val zeros = spark.read.parquet(s"$indexDir/doclen")
+        val zeros = liveDoclen(spark, indexDir)
           .join(scored.select("doc_id"), Seq("doc_id"), "left_anti")
           .select(col("doc_id"), lit(0.0).as("score"))
           .orderBy("doc_id").limit(k)
@@ -199,6 +291,8 @@ object Bm25Index {
     val postings = spark.read.parquet(s"$indexDir/postings")
       .filter(col("__bucket").isin(buckets.map(Integer.valueOf).toSeq: _*) &&
         col("term").isin(allTerms: _*))
+      .join(broadcast(tombstones(spark, indexDir)), Seq("doc_id"),
+        "left_anti") // live df + live candidates, as in topK
     val dfMap = postings.groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
     val statsRow = spark.read.parquet(s"$indexDir/stats").head()

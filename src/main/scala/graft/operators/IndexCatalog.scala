@@ -64,7 +64,8 @@ object IndexCatalog {
     */
   private val algoVersions = Map(
     "ann-lsh" -> "v1", "ann-ivf" -> "v1", "ann-pq" -> "v1",
-    "ann-ivfpq" -> "v1", "minhash" -> "v1", "bm25" -> "v1",
+    "ann-ivfpq" -> "v1", "minhash" -> "v1", "minhashupd" -> "v1",
+    "bm25" -> "v1", "bm25upd" -> "v1",
     "bm25merge" -> "v1", "bpe" -> "v1", "nb-quality" -> "v1",
     "unigram" -> "v1", "dup-clusters" -> "v1", "sem-clusters" -> "v1",
     "semdedup-kmeans" -> "v1", "knn-intdot" -> "v1")
@@ -260,4 +261,31 @@ object IndexCatalog {
 
   /** Test hook: forget JVM-local resolutions (FS entries survive). */
   private[graft] def invalidateMemo(): Unit = resolved.clear()
+
+  /** Replace `dst` with `tmp` (delete + rename) — the compaction swap
+    * used by the materialized indexes' [[Bm25Index.compact]] /
+    * [[MinHashIndex.compact]]. Single-maintainer contract, like
+    * [[ensureCurrent]]: the swap is NOT crash-atomic on object stores
+    * (a crash between delete and rename leaves `dst` absent and the
+    * compacted data parked at `tmp`) — run it from the maintenance
+    * path and re-run compaction after a crash, never from concurrent
+    * readers. Index dirs managed by [[ensure]] are immutable by
+    * contract; in-place maintenance applies only to self-managed dirs
+    * (or inside a build lambda, before the manifest commit).
+    */
+  private[operators] def replaceDir(spark: SparkSession, tmp: String,
+                                    dst: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dstP = new Path(dst)
+    val fs = dstP.getFileSystem(conf)
+    fs.delete(dstP, true)
+    if (!fs.rename(new Path(tmp), dstP))
+      throw new IllegalStateException(
+        s"compaction swap failed: could not rename $tmp over $dst")
+    // Spark's shared FileStatusCache keys listings by path: without this,
+    // the next read of `dst` would serve the PRE-swap file names and fail
+    // with FILE_NOT_EXIST (observed) — or worse, silently read stale data
+    // on an object store that kept the old objects
+    spark.catalog.refreshByPath(dst)
+  }
 }

@@ -32,9 +32,12 @@ import graft.CacheScope
   * `build(A); merge(B)` is byte-identical in layout semantics to
   * `build(A ∪ B)` — no stats recomputation step at all.
   *
-  * Delta contract: probe/merge ids must be disjoint from indexed ids (the
-  * CDC-append case); updating a document is delete-then-merge, the same
-  * documented seam as [[Bm25Index.merge]].
+  * Delta contract: probe/merge ids must be disjoint from indexed ids —
+  * live OR tombstoned (band rows carry no version column, so a re-added
+  * id's new bands would be masked along with its old ones). The CDC
+  * update path mirrors [[Bm25Index]]: [[delete]] is an O(delta) logical
+  * tombstone that every probe masks immediately; [[compact]] is the
+  * amortized physical reclaim after which deleted ids may be re-merged.
   */
 object MinHashIndex {
 
@@ -92,6 +95,54 @@ object MinHashIndex {
     writeTables(sigs, indexDir, numHashes, bands, numBuckets, "append")
   }
 
+  /** The tombstone set `(id)` — absent directory = empty set, so
+    * pre-delete artifacts stay readable unchanged.
+    */
+  private[operators] def tombstones(spark: SparkSession,
+                                    indexDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(s"$indexDir/tombstones")
+    else spark.range(0).select(col("id"))
+  }
+
+  /** LOGICAL delete: append ids to `tombstones/` — O(delta), the
+    * [[Bm25Index.delete]] contract without the stats step (this index
+    * has no corpus-global constants). Probes mask tombstoned ids at the
+    * band-candidate stage, so a probe after delete(D) emits exactly the
+    * pairs of an index built without D. Keep the set broadcast-bounded
+    * with [[compact]].
+    */
+  def delete(spark: SparkSession, indexDir: String, ids: DataFrame,
+             idCol: String): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+
+  /** PHYSICAL reclaim: rewrite `bands`/`docs` without tombstoned ids
+    * (same bucket layouts), truncate the tombstone set. After compact
+    * the index equals a fresh build of the live corpus and deleted ids
+    * may be re-merged. Single-maintainer contract
+    * ([[IndexCatalog.replaceDir]]).
+    */
+  def compact(spark: SparkSession, indexDir: String,
+              numBuckets: Int = 64): Unit = {
+    val dead = tombstones(spark, indexDir)
+    if (dead.head(1).isEmpty) return
+    Seq("bands", "docs").foreach { sub =>
+      val cleaned = spark.read.parquet(s"$indexDir/$sub")
+        .join(broadcast(dead), Seq("id"), "left_anti")
+      cleaned.repartition(col("__bucket"))
+        .write.mode("overwrite").partitionBy("__bucket")
+        .parquet(s"$indexDir/.$sub-compact")
+      IndexCatalog.replaceDir(spark, s"$indexDir/.$sub-compact",
+        s"$indexDir/$sub")
+    }
+    spark.createDataFrame(java.util.Collections.emptyList[
+        org.apache.spark.sql.Row](), dead.schema)
+      .write.mode("overwrite").parquet(s"$indexDir/tombstones")
+  }
+
   /** Near-dup pairs between `newDocs` and the indexed corpus:
     * `(id_new, id_old, jaccard)` with exact Jaccard ≥ `threshold`.
     *
@@ -117,6 +168,10 @@ object MinHashIndex {
       .distinct().collect().map(_.getInt(0)).sorted
     val idxBands = spark.read.parquet(s"$indexDir/bands")
       .filter(col("__bucket").isin(bandBuckets.map(Integer.valueOf).toSeq: _*))
+      // tombstone mask at the candidate stage: a dead id can never
+      // surface as id_old, so the downstream docs/ reads and verifies
+      // stay live-only with no extra bucket opened
+      .join(broadcast(tombstones(spark, indexDir)), Seq("id"), "left_anti")
 
     val candidates = scope.own(bandNew.as("q").join(idxBands.as("i"),
         col("q.band") === col("i.band") && col("q.bkey") === col("i.bkey"))

@@ -275,13 +275,15 @@ object PipelineQueries {
       "FROM documents d JOIN sp USING (doc_id) LEFT JOIN sc USING (doc_id) " +
       "WHERE NOT is_train) "
 
-  /** The BM25 oracle for terms (join, stream, dup), k=10 — shared
-    * verbatim by the full-scan query and the inverted-index probe
-    * (the index contract is bit-equality with the scan).
+  /** The BM25 oracle for terms (join, stream, dup), k=10, over an
+    * arbitrary corpus relation — shared verbatim by the full-scan query,
+    * the inverted-index probe (the index contract is bit-equality with
+    * the scan), and the delete/merge maintenance query (whose live
+    * corpus is a filtered `documents`).
     */
-  private val bm25OracleSql =
+  private def bm25OracleSqlOver(corpus: String) =
     "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
-      "FROM documents), " +
+      s"FROM $corpus), " +
       "d AS (SELECT doc_id, len(t) AS dl, " +
       "CAST(len(list_filter(t, x -> x = 'join')) AS DOUBLE) AS tf0, " +
       "CAST(len(list_filter(t, x -> x = 'stream')) AS DOUBLE) AS tf1, " +
@@ -301,6 +303,8 @@ object PipelineQueries {
       "SELECT doc_id, score, " +
       "CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank " +
       "FROM sc ORDER BY score DESC, doc_id LIMIT 10"
+
+  private val bm25OracleSql = bm25OracleSqlOver("documents")
 
   /** The batch-retrieval query set: common terms so every query has
     * well over k positive-score candidates at both driver SFs (the
@@ -628,6 +632,42 @@ object PipelineQueries {
         "JOIN sizes s2 ON id_b = s2.doc_id " +
         "WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.8 " +
         "AND ((id_a % 10 = 0) <> (id_b % 10 = 0)) " +
+        "ORDER BY id_new, id_old")),
+
+    // ---- near-dup index under CDC DELETES: tombstone a fifth of the
+    // indexed corpus (doc_id % 5 = 1), then probe the same delta — the
+    // pairs must equal the exact cross-pair relation against the LIVE
+    // corpus only, with no physical rewrite (probes mask candidates at
+    // the band stage; MinHashIndexSpec additionally pins compact and
+    // re-merge-after-compact). Mutations run inside the build lambda so
+    // the memoized artifact is the final state. ----
+    ("ns_dedup_minhash_update",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val indexed = docs.filter(col("doc_id") % 10 =!= 0)
+        val dir = IndexCatalog.ensure(s, "minhashupd",
+          Seq(s"$d/documents.parquet"),
+          "mod10ne0|del=5k+1|n=3|h=32|b=16")(staging => {
+          graft.operators.MinHashIndex.build(indexed, "doc_id", "text",
+            staging)
+          graft.operators.MinHashIndex.delete(s, staging,
+            indexed.filter(col("doc_id") % 5 === 1).select("doc_id"),
+            "doc_id")
+        })
+        graft.operators.MinHashIndex.probe(s, dir,
+            docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+            threshold = 0.8)
+          .orderBy("id_new", "id_old")
+      },
+      Some(shingleCte +
+        "SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS id_new, " +
+        "CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS id_old, " +
+        "CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) AS jaccard " +
+        "FROM pairs JOIN sizes s1 ON id_a = s1.doc_id " +
+        "JOIN sizes s2 ON id_b = s2.doc_id " +
+        "WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.8 " +
+        "AND ((id_a % 10 = 0) <> (id_b % 10 = 0)) " +
+        "AND (CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END) % 5 <> 1 " +
         "ORDER BY id_new, id_old")),
 
     // ---- near-dup clusters: connected components over the 0.8-Jaccard
@@ -2177,6 +2217,32 @@ object PipelineQueries {
           terms = Seq("join", "stream", "dup"), k = 10)
       },
       Some(bm25OracleSql)),
+
+    // ---- CDC UPDATE path against the materialized index: build on the
+    // evens, tombstone-DELETE half of them (doc_id % 4 = 2), merge the
+    // odds — the probe must equal the scan over the LIVE corpus with NO
+    // physical rewrite (logical delete masks candidates, corrects df,
+    // and restates n/avgdl; BM25IndexSpec additionally pins compact and
+    // re-merge-after-compact). The mutation sequence runs INSIDE the
+    // build lambda so the catalog memoizes the final artifact — probes
+    // stay pure and re-runs are idempotent. ----
+    ("ns_text_bm25_update",
+      (s: SparkSession, d: String) => {
+        val dir = IndexCatalog.ensure(s, "bm25upd",
+          Seq(s"$d/documents.parquet"), "buckets=64 del=4k+2")(staging => {
+          val docs = Tables.documents(s, d)
+          graft.operators.Bm25Index.build(
+            docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", staging)
+          graft.operators.Bm25Index.delete(s, staging,
+            docs.filter(col("doc_id") % 4 === 2).select("doc_id"), "doc_id")
+          graft.operators.Bm25Index.merge(
+            docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", staging)
+        })
+        graft.operators.Bm25Index.topK(s, dir,
+          terms = Seq("join", "stream", "dup"), k = 10)
+      },
+      Some(bm25OracleSqlOver(
+        "(SELECT * FROM documents WHERE doc_id % 4 <> 2)"))),
 
     // ---- hybrid retrieval: reciprocal-rank fusion of the lexical BM25
     // top-20 and the dense cosine top-20 for one query (terms + doc-0's

@@ -67,6 +67,68 @@ class Bm25IndexSpec extends SparkSpec {
       TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, 10)))
   }
 
+  test("delete masks immediately, compact reclaims, deleted ids re-merge") {
+    val docs = Tables.documents(spark, sfDir)
+    val deadIds = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val live = docs.filter(col("doc_id") % 7 =!= 3)
+    val dir = Files.createTempDirectory("bm25_del").toString
+    val ref = Files.createTempDirectory("bm25_del_ref").toString
+    Bm25Index.build(docs, "doc_id", "text", dir, numBuckets = 16)
+    Bm25Index.build(live, "doc_id", "text", ref, numBuckets = 16)
+    val terms = Seq("join", "stream", "dup")
+
+    // LOGICAL delete: probe ≡ probe on an index built without the docs,
+    // bit for bit — live df, live stats, masked candidates
+    Bm25Index.delete(spark, dir, deadIds, "doc_id")
+    assert(rows(Bm25Index.topK(spark, dir, terms, 10, numBuckets = 16)) ===
+      rows(Bm25Index.topK(spark, ref, terms, 10, numBuckets = 16)))
+    val (sDel, sRef) = (spark.read.parquet(s"$dir/stats").head(),
+      spark.read.parquet(s"$ref/stats").head())
+    assert(sDel.getDouble(0) === sRef.getDouble(0))
+    assert(sDel.getDouble(1) === sRef.getDouble(1))
+    // batch path masks identically
+    val qs = Seq("qa" -> Seq("join", "stream"), "qb" -> Seq("hash", "scan"))
+    assert(Bm25Index.batchTopK(spark, dir, qs, 5, numBuckets = 16)
+      .collect().toSeq ===
+      Bm25Index.batchTopK(spark, ref, qs, 5, numBuckets = 16)
+        .collect().toSeq)
+
+    // PHYSICAL compact: same answers, rows actually gone, tombstones empty
+    Bm25Index.compact(spark, dir)
+    assert(rows(Bm25Index.topK(spark, dir, terms, 10, numBuckets = 16)) ===
+      rows(Bm25Index.topK(spark, ref, terms, 10, numBuckets = 16)))
+    assert(spark.read.parquet(s"$dir/postings")
+      .join(deadIds, "doc_id").count() === 0L)
+    assert(spark.read.parquet(s"$dir/doclen")
+      .join(deadIds, "doc_id").count() === 0L)
+    assert(Bm25Index.tombstones(spark, dir).count() === 0L)
+
+    // the update path completes: re-merge the deleted docs after compact
+    // — the index must equal the original full build again
+    Bm25Index.merge(docs.filter(col("doc_id") % 7 === 3), "doc_id", "text",
+      dir, numBuckets = 16)
+    assert(rows(Bm25Index.topK(spark, dir, terms, 10, numBuckets = 16)) ===
+      rows(TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, 10)))
+  }
+
+  test("deleted docs never backfill as zero-score candidates") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha alpha"), (3L, "gamma delta"),
+      (4L, "epsilon zeta"), (5L, "eta theta")
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("bm25_del_zero").toString
+    Bm25Index.build(docs, "doc_id", "text", dir, numBuckets = 4)
+    Bm25Index.delete(spark, dir, Seq(3L).toDF("doc_id"), "doc_id")
+    val live = docs.filter(col("doc_id") =!= 3L)
+    // k=4 over one matching term: backfill must pick live ids (4, 5),
+    // skipping the tombstoned 3 the old doclen would have offered
+    val probe = rows(Bm25Index.topK(spark, dir, Seq("alpha"), 4,
+      numBuckets = 4))
+    assert(probe === rows(
+      TextAnalysis.bm25TopK(live, "doc_id", "text", Seq("alpha"), 4)))
+    assert(probe.filter(_._2 == 0.0).map(_._1) === Seq(4L, 5L))
+  }
+
   test("batch retrieval equals per-query probes, query by query") {
     val docs = Tables.documents(spark, sfDir)
     val dir = Files.createTempDirectory("bm25_batch").toString

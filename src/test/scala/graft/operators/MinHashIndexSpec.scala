@@ -65,6 +65,45 @@ class MinHashIndexSpec extends SparkSpec {
     assert(pInc.nonEmpty)
   }
 
+  test("delete masks pairs immediately; compact reclaims and re-merges") {
+    val (indexed, delta) = split()
+    // delete the three docs whose verbatim copies the delta plants —
+    // the jaccard-1.0 pairs MUST vanish, so masking cannot pass vacuously
+    val deadIds = Seq(1L, 11L, 21L)
+    val live = indexed.filter(!col("doc_id").isin(deadIds.map(Long.box): _*))
+    val dir = Files.createTempDirectory("mh_del").toString
+    val ref = Files.createTempDirectory("mh_del_ref").toString
+    MinHashIndex.build(indexed, "doc_id", "text", dir)
+    MinHashIndex.build(live, "doc_id", "text", ref)
+
+    val before = rows(
+      MinHashIndex.probe(spark, dir, delta, "doc_id", "text", 0.8))
+    assert(deadIds.forall(d => before.exists(_._2 == d)),
+      "planted copies must pair with their originals pre-delete")
+    MinHashIndex.delete(spark, dir, deadIds.toDF("doc_id"), "doc_id")
+    val after = rows(
+      MinHashIndex.probe(spark, dir, delta, "doc_id", "text", 0.8))
+    assert(after === rows(
+      MinHashIndex.probe(spark, ref, delta, "doc_id", "text", 0.8)))
+    assert(deadIds.forall(d => !after.exists(_._2 == d)))
+
+    MinHashIndex.compact(spark, dir)
+    assert(rows(MinHashIndex.probe(spark, dir, delta, "doc_id", "text", 0.8))
+      === after)
+    assert(spark.read.parquet(s"$dir/bands")
+      .filter(col("id").isin(deadIds.map(Long.box): _*)).count() === 0L)
+    assert(spark.read.parquet(s"$dir/docs")
+      .filter(col("id").isin(deadIds.map(Long.box): _*)).count() === 0L)
+    assert(MinHashIndex.tombstones(spark, dir).count() === 0L)
+
+    // update path: re-merge the deleted docs post-compact — the planted
+    // pairs come back exactly as in the original full index
+    MinHashIndex.merge(indexed.filter(
+      col("doc_id").isin(deadIds.map(Long.box): _*)), "doc_id", "text", dir)
+    assert(rows(MinHashIndex.probe(spark, dir, delta, "doc_id", "text", 0.8))
+      === before)
+  }
+
   test("probe reads only the band buckets the delta's keys hash into") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
