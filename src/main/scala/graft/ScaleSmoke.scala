@@ -991,6 +991,21 @@ object ScaleSmoke {
     probeScope.close()
     println(s"SCALE   mhidx probe pairs=$hits planted=$planted " +
       s"(recall ${if (hits >= planted) "OK" else "MISS"})")
+    // the CDC steady-state shape: a SMALL delta (0.5% of corpus — every
+    // 200th doc, all of them planted variants) where bucket pruning and
+    // the candidate-id semi-join actually bite; the 10% probe above is
+    // the bulk-backfill end of the delta-fraction law
+    val smallDelta = docs.filter(col("doc_id") % 200 === 9)
+    val smallExpect = smallDelta.count()
+    val smallScope = graft.CacheScope()
+    val smallHits = t("mhidx_probe_small_delta") {
+      MinHashIndex.probe(spark, dir, smallDelta, "doc_id", "text", 0.8)(
+        smallScope).count()
+    }
+    smallScope.close()
+    println(s"SCALE   mhidx small-delta pairs=$smallHits " +
+      s"planted=$smallExpect " +
+      s"(recall ${if (smallHits >= smallExpect) "OK" else "MISS"})")
     // non-indexed contrast: the full-corpus pair scan (re-shingles all n
     // docs; the probe shingled only the n/10 delta + pruned bucket reads)
     val scanScope = graft.CacheScope()
@@ -1243,6 +1258,34 @@ object ScaleSmoke {
         s"s_range=[${r.getLong(1)}, ${r.getLong(2)}] isolated_unchanged=$iso " +
         s"(${if (r.getLong(0) == n.toLong && r.getLong(1) >= 0 &&
           r.getLong(2) <= 1000000L && iso) "OK" else "MISS"})")
+      out.unpersist()
+    }
+    // PageRank over the same 8n-edge graph (same per-iteration join+agg
+    // shape, different trajectory): every node sends and receives its
+    // full mass up to HALF_UP truncation on this regular graph, so
+    // scores must stay near base — and the isolated node (no in-edges)
+    // must settle at exactly (1-d)·base = 150000.
+    val edges = graph.select(col("id"), col("nbr"),
+        (col("cos") * 1000).cast("long").as("w"))
+      .filter(col("w") > 0)
+    t("pagerank_2_iters") {
+      val out = KnnGraph.pageRank(edges, nodes, "vec_id", iters = 2).cache()
+      val r = out.agg(count(lit(1)), min("s"), max("s"), avg("s"))
+        .collect().head
+      val iso = out.filter(col("id") === n.toLong - 1)
+        .select(col("s")).collect().head.getLong(0)
+      // invariants: min >= the restart floor (1-d)·base; mean ~ base
+      // (each iteration re-emits (1-d)·base·n and flows ~d·total mass,
+      // so total mass is conserved up to HALF_UP truncation and dangling
+      // loss — here only the one isolated node); individual maxima ARE
+      // tail-heavy (inflow is a sum of w/W ratios), so the max is
+      // reported, not bounded.
+      println(s"SCALE   pagerank n=${r.getLong(0)} " +
+        s"s_range=[${r.getLong(1)}, ${r.getLong(2)}] " +
+        f"mean=${r.getDouble(3)}%.0f isolated=$iso " +
+        s"(${if (r.getLong(0) == n.toLong && r.getLong(1) >= 150000L &&
+          math.abs(r.getDouble(3) - 1000000.0) < 50000 &&
+          iso == 150000L) "OK" else "MISS"})")
       out.unpersist()
     }
     nodes.unpersist(); graph.unpersist()

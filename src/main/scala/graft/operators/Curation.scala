@@ -1072,4 +1072,100 @@ object Curation {
             / col("__share12").cast("double"), 6))
           .otherwise(0.0).as("weight"))
   }
+
+  /** Snapshot diff — the dataset-versioning primitive: classify every
+    * doc id across two corpus snapshots as `added` / `removed` /
+    * `changed` / `unchanged` by content hash. One full-outer join on the
+    * id with 32-byte md5 payloads — audit-scale regardless of document
+    * size, the same "compare manifests, not bytes" shape as
+    * [[shardManifest]] (whose per-shard rollup consumes exactly this
+    * classification when deciding which shards to rewrite).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val a = oldSnap.select(col(idCol).as("id"), md5(col(textCol)).as("h_old"))
+    val b = newSnap.select(col(idCol).as("id"), md5(col(textCol)).as("h_new"))
+    a.join(b, Seq("id"), "full")
+      .withColumn("status",
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed"))
+      .select("id", "status")
+  }
+
+  /** Token-distribution drift between two corpora (train vs new crawl —
+    * the pre-ingest drift monitor): one row with corpus sizes, vocab
+    * overlap, and the total-variation distance
+    * `TV = Σ_tok |c_a/N_a − c_b/N_b| / 2` in micro-units, INTEGER-EXACT:
+    * the per-token cross products `c_a·N_b` are decimal(38,0) (exact to
+    * 10^38 — int64 would overflow past ~2·10^9 tokens/side), their
+    * absolute-difference sum S is a decimal sum of integers (order-free),
+    * and the single final division `HALF_UP(10^6·S / (2·N_a·N_b))` runs
+    * in driver BigInt off the 1-row aggregate (bounded planning state,
+    * the whitening convention) — so any engine with exact integers
+    * (DuckDB: HUGEINT) reproduces the value bit-for-bit.
+    *
+    * Plan shape: one groupBy(token) per side, one full-outer join on the
+    * token, one global aggregate — vocab-sized shuffles, corpus-sized
+    * scans, nothing quadratic.
+    */
+  def corpusDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    def counts(df: DataFrame, c: String) =
+      df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as(c))
+    // consumed by two aggregates (totals first — the cross products need
+    // them — then the diff sum): cache the vocab-sized join between them
+    val j = counts(a, "ca").join(counts(b, "cb"), Seq("tok"), "full")
+      .na.fill(0L, Seq("ca", "cb"))
+      .cache()
+    val agg = j.agg(
+        sum("ca").as("n_a"), sum("cb").as("n_b"),
+        sum(when(col("ca") > 0, 1L).otherwise(0L)).as("vocab_a"),
+        sum(when(col("cb") > 0, 1L).otherwise(0L)).as("vocab_b"),
+        sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L))
+          .as("vocab_shared"))
+      .collect().head
+    val (na, nb) = (agg.getLong(0), agg.getLong(1))
+    require(na > 0 && nb > 0,
+      s"corpusDrift needs non-empty corpora, got n_a=$na n_b=$nb")
+    val s = j.agg(sum(abs(col("ca").cast(dec) * lit(nb).cast(dec) -
+        col("cb").cast(dec) * lit(na).cast(dec))).as("s"))
+      .collect().head.getDecimal(0).toBigInteger
+    j.unpersist()
+    val tv = (BigInt(s) * 2000000 + BigInt(na) * nb * 2) /
+      (BigInt(na) * nb * 4)
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq((na, nb, agg.getLong(2), agg.getLong(3), agg.getLong(4),
+      tv.toLong))
+      .toDF("n_a", "n_b", "vocab_a", "vocab_b", "vocab_shared", "tv_micro")
+  }
+
+  /** Per-token drift report behind [[corpusDrift]]'s scalar: each side's
+    * share quantized to micro-units on its own int64-exact grid
+    * (`HALF_UP(10^6·c/N)`, exact while `N ≤ ~4.6·10^12`), delta =
+    * `share_a − share_b` — the top movers list a drift alarm pages on.
+    * Ties break on the token for a total order.
+    */
+  def driftTokens(a: DataFrame, b: DataFrame, textCol: String,
+                  topK: Int = 20): DataFrame = {
+    def counts(df: DataFrame, c: String) =
+      df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as(c))
+    val j = counts(a, "ca").join(counts(b, "cb"), Seq("tok"), "full")
+      .na.fill(0L, Seq("ca", "cb"))
+    val tot = j.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("share_a_micro",
+        expr("(2 * 1000000 * ca + na) div (2 * na)"))
+      .withColumn("share_b_micro",
+        expr("(2 * 1000000 * cb + nb) div (2 * nb)"))
+      .withColumn("delta_micro", col("share_a_micro") - col("share_b_micro"))
+      .orderBy(abs(col("delta_micro")).desc, col("tok"))
+      .limit(topK)
+      .select("tok", "ca", "cb", "share_a_micro", "share_b_micro",
+        "delta_micro")
+  }
 }

@@ -156,4 +156,128 @@ object KnnGraph {
     }
     cur
   }
+
+  /** Weighted PageRank over `(id, nbr, w)` integer edges (`w > 0`),
+    * ALL-INTEGER like [[propagateWeighted]] — centrality-based data
+    * valuation on the KNN graph (a doc whose neighborhood keeps pointing
+    * back at it is a prototype; leaves are outliers), the importance
+    * prior behind graph-ranked curation the way [[propagateWeighted]] is
+    * the label-spreading posterior.
+    *
+    * `s_{t+1}(i) = (1-d)·base + d·Σ_{j→i} s_t(j)·w_{ji}/W_j`, `W_j` the
+    * total out-weight of `j`, `d = dampNum/dampDen`. Fixed-point
+    * conventions (the grid rule): scores are micro-units starting at
+    * `base`; each edge's flow is the rational HALF_UP
+    * `(2·s·w + W) div (2·W)`; the damped update is HALF_UP over
+    * `dampDen`. Mass on DANGLING nodes (no out-edges) is dropped, not
+    * redistributed — redistribution needs a global Σ_dangling s_t each
+    * iteration (one more all-node agg + broadcast for a constant that
+    * every engine must fold identically); the truncated variant keeps
+    * the trajectory a pure local function of (edges, nodes) and is the
+    * documented contract, not an approximation. Isolated nodes therefore
+    * settle at `(1-d)·base` + inflow only.
+    *
+    * Per iteration: one join of edges with the score vector on the
+    * SOURCE id (N·k rows, k bounded) + one groupBy(nbr) — shuffle is
+    * edge-count-shaped, nothing corpus-quadratic; out-weights are
+    * computed ONCE before the loop. `iters` small by contract
+    * (geometric damping). Overflow headroom: `2·s·w` needs
+    * `s·w < 2^62`; with milli-weights (`w ≤ ~1000`) and micro-unit
+    * scores that holds until a single node's score exceeds ~4.6e15 —
+    * inflow concentration of ~10^9 nodes' full mass into one, far past
+    * any bounded-degree KNN graph.
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, idCol: String,
+               dampNum: Int = 85, dampDen: Int = 100, iters: Int = 2,
+               base: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
+      s"damping $dampNum/$dampDen outside [0,1]")
+    require(base > 0, s"need base > 0, got $base")
+    val outw = edges.groupBy("id").agg(sum("w").as("wt"))
+    val e = edges.join(outw, "id")
+    var cur = nodes.select(col(idCol).as("id"))
+      .withColumn("s", lit(base))
+    for (_ <- 1 to iters) {
+      val inflow = e
+        .join(cur.select(col("id"), col("s")), "id")
+        .select(col("nbr"),
+          expr("(2 * s * w + wt) div (2 * wt)").as("flow"))
+        .groupBy("nbr").agg(sum("flow").as("infl"))
+      cur = nodes.select(col(idCol).as("id"))
+        .join(inflow.withColumnRenamed("nbr", "id"), Seq("id"), "left")
+        .withColumn("s", expr(
+          s"(2 * (${dampDen - dampNum} * ${base}L + " +
+            s"$dampNum * coalesce(infl, 0L)) + $dampDen) div " +
+            s"(2 * $dampDen)"))
+        .drop("infl")
+        // same lineage-truncation contract as propagateWeighted: cur is
+        // the loop-carried state, keep the plan per-iteration-sized
+        .localCheckpoint()
+    }
+    cur
+  }
+
+  /** HITS hubs-and-authorities (Kleinberg '99) over `(id, nbr, w)`
+    * integer edges — the DIRECTION-AWARE complement of [[pageRank]]: on
+    * an asymmetric KNN graph (i ranks j highly, j doesn't rank i) a good
+    * hub POINTS AT prototypes without being one, and a good authority is
+    * pointed at — retrieval-seed selection wants authorities, coverage
+    * sampling wants hubs, and one score cannot say both.
+    *
+    * All-integer mutual recursion on the micro-unit grid:
+    * `a'(i) = Σ_{j→i} h(j)·w` then renormalized to max = `base` via
+    * HALF_UP `(2·a·base + max) div (2·max)`; `h'(j) = Σ_{j→i} a'(i)·w`,
+    * same renorm. The max-renorm (not L2) keeps the trajectory integer —
+    * the global max is ONE 1-row aggregate broadcast back per half-step
+    * (the repo's 1-row attachment idiom), which any engine folds
+    * identically because it's a max, not a sum of doubles. Nodes outside
+    * the edge relation hold score 0 after the first half-step (they
+    * receive and send nothing).
+    *
+    * Overflow: `a ≤ indeg·h_max·w_max ≤ k·base·1000 ≈ 2^43` at k=100
+    * before renorm; `2·a·base` then needs ~2^63 — so `base` stays 1e6
+    * and weights milli by contract (documented, `require`d loosely via
+    * base).
+    */
+  def hits(edges: DataFrame, nodes: DataFrame, idCol: String,
+           iters: Int = 2, base: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    require(base > 0 && base <= 1000000000L,
+      s"base outside (0, 1e9], got $base")
+    val ids = nodes.select(col(idCol).as("id"))
+    def renorm(df: DataFrame, c: String): DataFrame = {
+      val mx = df.agg(max(col(c)).as("mx"))
+      // guard: an all-zero half-step (possible on an empty edge set)
+      // divides by zero otherwise; keep zeros as zeros
+      df.crossJoin(broadcast(mx))
+        .withColumn(c, when(col("mx") > 0,
+          expr(s"(2 * $c * ${base}L + mx) div (2 * mx)"))
+          .otherwise(lit(0L)))
+        .drop("mx")
+    }
+    var hub = ids.withColumn("h", lit(base))
+    var auth = ids.withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      auth = renorm(
+        ids.join(
+          edges.join(hub.withColumnRenamed("id", "src")
+              .withColumnRenamed("h", "hs"),
+            edges("id") === col("src"))
+            .groupBy(col("nbr").as("id")).agg(sum(expr("hs * w")).as("a")),
+          Seq("id"), "left")
+          .withColumn("a", coalesce(col("a"), lit(0L))), "a")
+        .localCheckpoint()
+      hub = renorm(
+        ids.join(
+          edges.join(auth.withColumnRenamed("id", "dst")
+              .withColumnRenamed("a", "as_"),
+            edges("nbr") === col("dst"))
+            .groupBy(col("id")).agg(sum(expr("as_ * w")).as("h")),
+          Seq("id"), "left")
+          .withColumn("h", coalesce(col("h"), lit(0L))), "h")
+        .localCheckpoint()
+    }
+    hub.join(auth, "id")
+  }
 }

@@ -182,8 +182,18 @@ object MinHashIndex {
       .select(pmod(xxhash64(col("id_old")), lit(numBuckets.toLong))
         .cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).sorted
+    // two-stage docs prune: bucket isin (partition-level, skips unprobed
+    // buckets entirely) THEN a candidate-id semi-join (row-level). The
+    // semi-join matters when the delta is large enough to touch every
+    // bucket — a 10% delta at 5 M rows opens all 64, and without it the
+    // FULL ~KB-per-row shingle payload of the index is cached and built
+    // into both verify hash relations while only candidate rows are ever
+    // used (measured: the 5 M probe read 115 s vs 97 s for the full
+    // rescan; candidates are the contract's working set, not the index).
     val idxDocs = scope.own(spark.read.parquet(s"$indexDir/docs")
-      .filter(col("__bucket").isin(candBuckets.map(Integer.valueOf).toSeq: _*)))
+      .filter(col("__bucket").isin(candBuckets.map(Integer.valueOf).toSeq: _*))
+      .join(candidates.select(col("id_old").as("id")).distinct(),
+        Seq("id"), "left_semi"))
 
     val margin =
       if (sigPrefilterMargin < 0) Dedup.sigMarginForMissBound(numHashes)

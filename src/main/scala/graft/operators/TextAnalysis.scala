@@ -643,4 +643,72 @@ object TextAnalysis {
       size(array_distinct(col("__sc"))).as("n_distinct_chars"),
       round((lit(0.0) - sumPLnP) / log(lit(2.0)), 4).as("char_entropy_bits"))
   }
+
+  /** Count-min sketch (Cormode & Muthukrishnan '05) over the token
+    * stream: a `depth × width` counter grid where token occurrences
+    * increment cell `(i, h_i(tok) mod width)` for each of the `depth`
+    * hash rows; a point estimate is the MIN over the term's `depth`
+    * cells — never an underestimate, over by at most `ε·N` (ε = e/width)
+    * with probability `1 − e^−depth`.
+    *
+    * Complements the Misra–Gries sketch behind [[heavyHitters]]: MG
+    * answers "which items are frequent" (survivor set, bounded
+    * candidates); the CMS answers "how frequent is THIS item" for any
+    * item, including ones MG evicted — the shape retrieval mixing and
+    * per-domain token-budget accounting need when the probe set isn't
+    * known at build time.
+    *
+    * Scale posture: the grid is the WHOLE state — `depth·width` rows
+    * regardless of corpus size, reached through one hash-agg whose
+    * map-side partials are bounded by the same `depth·width` (the
+    * standard sum-combinable sketch property). Grids over shards add
+    * pointwise ([[countMinMerge]]), so shard profiles re-merge freely
+    * like the KLL/MG/theta sketches. Hashes are `md5_lower64(tok#i)`
+    * (DuckDB `md5_number_lower` compatible), so the grid AND every
+    * estimate are integer-exact cross-engine.
+    */
+  def countMinGrid(docs: DataFrame, textCol: String, depth: Int = 4,
+                   width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth outside [1,16], got $depth")
+    require(width >= 2, s"need width >= 2, got $width")
+    docs.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col("tok"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row_i"))
+      .select(col("row_i"),
+        pmod(md5_lower64(concat(col("tok"), lit("#"),
+            col("row_i").cast("string"))),
+          lit(width.toLong)).cast("int").as("col_j"))
+      .groupBy("row_i", "col_j").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Pointwise sum of two grids built with the same `(depth, width)` —
+    * the shard-merge path. Cells absent from a grid are zero.
+    */
+  def countMinMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("row_i", "col_j").agg(sum("cnt").as("cnt"))
+
+  /** Point-frequency estimates for `terms` against a grid: min over the
+    * term's `depth` cells, absent cells = 0. The probe is a
+    * `terms·depth`-row broadcast join against the grid — estimate cost
+    * is probe-set-shaped, corpus-size-independent.
+    */
+  def countMinEstimate(grid: DataFrame, terms: Seq[String], depth: Int,
+                       width: Int): DataFrame = {
+    require(terms.nonEmpty, "need at least one probe term")
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val probe = terms.toDF("term")
+      .select(col("term"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row_i"))
+      .select(col("term"), col("row_i"),
+        pmod(md5_lower64(concat(col("term"), lit("#"),
+            col("row_i").cast("string"))),
+          lit(width.toLong)).cast("int").as("col_j"))
+    // the GRID is the broadcast side: depth·width rows by construction,
+    // while the probe set is the caller's (a right-outer with a broadcast
+    // right side isn't plannable anyway — the hint would be dropped)
+    probe.join(broadcast(grid), Seq("row_i", "col_j"), "left")
+      .groupBy("term")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

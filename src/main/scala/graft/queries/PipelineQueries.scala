@@ -118,6 +118,52 @@ object PipelineQueries {
   private def dCos(a: String, b: String) =
     s"round(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])), 3)"
 
+  /** Exact integer-dot k=5 KNN edges `(id, nbr, w)` over the embeddings
+    * table — the INTEGER-EXACT graph (r12-1 discipline: fixed-point
+    * 2^20 quantization, int64 dot ranking with ties to the smaller id,
+    * milli-weights `w = HALF_UP(1000·dot/2^40)`) shared by every
+    * graph-analytics query (propagation, PageRank, HITS, the hashed
+    * graph dump). Built once through the IndexCatalog; all consumers
+    * read the same cached artifact.
+    */
+  private def intdotEdges(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val dir = IndexCatalog.ensure(s, "knn-intdot",
+      Seq(s"$d/embeddings.parquet"), "k=5 qscale=2^20") { staging =>
+      Similarity.intDotTopKBatch(embs, "vec_id", "embedding",
+          embs, "vec_id", "embedding", k = 5)
+        .select(col("qid").as("id"), col("id").as("nbr"), col("dot"))
+        .write.parquet(staging)
+    }
+    // milli-weights from the exact dot: w = HALF_UP(1000·dot / 2^40)
+    // = (2000·dot + 2^40) div 2^41 — exact integer rational, the
+    // same magnitude round(cos·1000) produced on unit-norm vectors
+    s.read.parquet(dir)
+      .filter(col("dot") > 0)
+      .withColumn("w",
+        expr("(2000 * dot + 1099511627776) div 2199023255552"))
+      .filter(col("w") > 0)
+      .select("id", "nbr", "w")
+  }
+
+  /** DuckDB mirror of [[intdotEdges]], ending at CTE `g(id, nbr, w)` —
+    * consumers append further CTEs with a leading comma.
+    */
+  private val intdotGraphCte =
+    "WITH q AS (SELECT vec_id, " +
+      "[CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT) " +
+      "FOR x IN embedding] AS qv FROM embeddings), " +
+      "pr AS (SELECT a.vec_id AS id, b.vec_id AS nbr, " +
+      "CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN " +
+      "range(1, len(a.qv) + 1)]) AS BIGINT) AS dot " +
+      "FROM q a JOIN q b ON a.vec_id <> b.vec_id), " +
+      "rk AS (SELECT id, nbr, dot, row_number() OVER " +
+      "(PARTITION BY id ORDER BY dot DESC, nbr) AS rank FROM pr), " +
+      "g AS (SELECT id, nbr, " +
+      "(2000 * dot + 1099511627776) // 2199023255552 AS w " +
+      "FROM rk WHERE rank <= 5 AND dot > 0 AND " +
+      "(2000 * dot + 1099511627776) // 2199023255552 > 0)"
+
   /** Signed-long positive-modulo bucket of a `md5_number_lower` value `u`
     * — DuckDB's UBIGINT md5 converted to the two's-complement long
     * `md5_lower64` yields, then `pmod(·, m)`.
@@ -2965,6 +3011,48 @@ object PipelineQueries {
         "HAVING count(*) > (SELECT n FROM nt) / 17.0 " +
         "ORDER BY cnt DESC, tok")),
 
+    // ---- count-min sketch point-frequency estimates vs exact counts —
+    // the "how frequent is THIS item" complement of the Misra-Gries
+    // heavy hitters; d=3/w=16 is deliberately under-sized for the 31-
+    // token vocabulary so hash collisions actually occur and the
+    // sketch's one-sided error (est >= exact, never under) is exercised,
+    // not vacuous. Integer-exact cross-engine (md5 rows, integer min). ----
+    ("ns_text_cms_freq",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val terms = Seq("join", "hash", "row", "scan", "the", "dup",
+          "zebra", "quantum")
+        val grid = TextAnalysis.countMinGrid(docs, "text",
+          depth = 3, width = 16)
+        val est = TextAnalysis.countMinEstimate(grid, terms,
+          depth = 3, width = 16)
+        val exact = docs.select(explode(
+            split(lower(trim(col("text"))), "\\s+")).as("term"))
+          .filter(col("term").isin(terms: _*))
+          .groupBy("term").agg(count(lit(1)).as("exact"))
+        est.join(exact, Seq("term"), "left")
+          .withColumn("exact", coalesce(col("exact"), lit(0L)))
+          .orderBy("term")
+      },
+      Some("WITH toks AS (SELECT unnest(string_split_regex(" +
+        "lower(trim(text)), '\\s+')) AS tok FROM documents), " +
+        "grid AS (SELECT i AS row_i, " +
+        dHashMod("md5_number_lower(tok || '#' || CAST(i AS VARCHAR))",
+          16L) + " AS col_j, count(*) AS cnt " +
+        "FROM toks CROSS JOIN generate_series(0, 2) g(i) GROUP BY 1, 2), " +
+        "terms AS (SELECT unnest(['join', 'hash', 'row', 'scan', 'the', " +
+        "'dup', 'zebra', 'quantum']) AS term), " +
+        "probe AS (SELECT term, i AS row_i, " +
+        dHashMod("md5_number_lower(term || '#' || CAST(i AS VARCHAR))",
+          16L) + " AS col_j " +
+        "FROM terms CROSS JOIN generate_series(0, 2) g(i)), " +
+        "est AS (SELECT term, min(coalesce(grid.cnt, 0)) AS est " +
+        "FROM probe LEFT JOIN grid USING (row_i, col_j) GROUP BY term), " +
+        "ex AS (SELECT tok AS term, count(*) AS exact FROM toks " +
+        "GROUP BY 1) " +
+        "SELECT est.term, est.est, coalesce(ex.exact, 0) AS exact " +
+        "FROM est LEFT JOIN ex ON est.term = ex.term ORDER BY est.term")),
+
     // ---- trigram LM with stupid backoff, fit on the train split and
     // scored on held-out docs so unseen trigrams exercise the full
     // backoff chain (a self-fitted model never backs off). ----
@@ -3050,6 +3138,102 @@ object PipelineQueries {
         "SELECT n_a, n_b, n_common, n_only_a, " +
         "round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) " +
         "AS jaccard FROM c")),
+
+    // ---- snapshot diff — dataset versioning: two simulated snapshot
+    // states of the documents table (drops on each side + edited texts)
+    // classified added/removed/changed/unchanged by content hash; one
+    // full-outer join on 32-byte md5s, doc-size-independent. ----
+    ("ns_corpus_snapshot_diff",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+          .withColumn("text", when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        Curation.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+          .orderBy("id")
+      },
+      Some("WITH o AS (SELECT doc_id AS id, md5(text) AS h " +
+        "FROM documents WHERE doc_id % 7 <> 0), " +
+        "n AS (SELECT doc_id AS id, md5(CASE WHEN doc_id % 3 = 0 " +
+        "THEN text || ' v2' ELSE text END) AS h " +
+        "FROM documents WHERE doc_id % 5 <> 0) " +
+        "SELECT coalesce(o.id, n.id) AS id, " +
+        "CASE WHEN o.id IS NULL THEN 'added' " +
+        "WHEN n.id IS NULL THEN 'removed' " +
+        "WHEN o.h = n.h THEN 'unchanged' ELSE 'changed' END AS status " +
+        "FROM o FULL JOIN n ON o.id = n.id ORDER BY id")),
+
+    // ---- token-distribution drift between two md5-bucket halves of the
+    // corpus — the pre-ingest drift monitor: one-row TV distance in
+    // micro-units, integer-exact end-to-end (decimal cross products,
+    // HUGEINT in the oracle, driver-BigInt final HALF_UP). ----
+    ("ns_corpus_drift",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val b = Curation.hashBucket(col("doc_id"), 100)
+        Curation.corpusDrift(docs.filter(b < 50), docs.filter(b >= 50),
+          "text")
+      },
+      Some("WITH bk AS (SELECT " +
+        dHashMod("md5_number_lower(CAST(doc_id AS VARCHAR))", 100L) +
+        " AS bu, text FROM documents), " +
+        "ta AS (SELECT unnest(string_split_regex(lower(trim(text)), " +
+        "'\\s+')) AS tok FROM bk WHERE bu < 50), " +
+        "tb AS (SELECT unnest(string_split_regex(lower(trim(text)), " +
+        "'\\s+')) AS tok FROM bk WHERE bu >= 50), " +
+        "ga AS (SELECT tok, count(*) AS c FROM ta GROUP BY 1), " +
+        "gb AS (SELECT tok, count(*) AS c FROM tb GROUP BY 1), " +
+        "j AS (SELECT coalesce(ga.c, 0) AS ca, coalesce(gb.c, 0) AS cb " +
+        "FROM ga FULL JOIN gb ON ga.tok = gb.tok), " +
+        "tt AS (SELECT sum(ca) AS na, sum(cb) AS nb, " +
+        "sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS vocab_a, " +
+        "sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS vocab_b, " +
+        "sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) " +
+        "AS vocab_shared FROM j), " +
+        "sm AS (SELECT sum(abs(ca * (SELECT nb FROM tt) - " +
+        "cb * (SELECT na FROM tt))) AS s FROM j) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "CAST(vocab_a AS BIGINT) AS vocab_a, " +
+        "CAST(vocab_b AS BIGINT) AS vocab_b, " +
+        "CAST(vocab_shared AS BIGINT) AS vocab_shared, " +
+        "CAST((2000000 * sm.s + 2 * na * nb) // (4 * na * nb) AS BIGINT) " +
+        "AS tv_micro FROM tt, sm")),
+
+    // ---- the per-token movers behind the drift scalar: each side's
+    // share on its own micro-grid, top-20 by |delta| (ties to the
+    // token) — integer-exact, so the report hashes. ----
+    ("ns_corpus_drift_tokens",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val b = Curation.hashBucket(col("doc_id"), 100)
+        Curation.driftTokens(docs.filter(b < 50), docs.filter(b >= 50),
+          "text", topK = 20)
+      },
+      Some("WITH bk AS (SELECT " +
+        dHashMod("md5_number_lower(CAST(doc_id AS VARCHAR))", 100L) +
+        " AS bu, text FROM documents), " +
+        "ta AS (SELECT unnest(string_split_regex(lower(trim(text)), " +
+        "'\\s+')) AS tok FROM bk WHERE bu < 50), " +
+        "tb AS (SELECT unnest(string_split_regex(lower(trim(text)), " +
+        "'\\s+')) AS tok FROM bk WHERE bu >= 50), " +
+        "ga AS (SELECT tok, count(*) AS c FROM ta GROUP BY 1), " +
+        "gb AS (SELECT tok, count(*) AS c FROM tb GROUP BY 1), " +
+        "j AS (SELECT coalesce(ga.tok, gb.tok) AS tok, " +
+        "coalesce(ga.c, 0) AS ca, coalesce(gb.c, 0) AS cb " +
+        "FROM ga FULL JOIN gb ON ga.tok = gb.tok), " +
+        "tt AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM j), " +
+        "sh AS (SELECT tok, ca, cb, " +
+        "(2 * 1000000 * ca + (SELECT na FROM tt)) // " +
+        "(2 * (SELECT na FROM tt)) AS share_a_micro, " +
+        "(2 * 1000000 * cb + (SELECT nb FROM tt)) // " +
+        "(2 * (SELECT nb FROM tt)) AS share_b_micro FROM j) " +
+        "SELECT tok, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb, " +
+        "CAST(share_a_micro AS BIGINT) AS share_a_micro, " +
+        "CAST(share_b_micro AS BIGINT) AS share_b_micro, " +
+        "CAST(share_a_micro - share_b_micro AS BIGINT) AS delta_micro " +
+        "FROM sh ORDER BY abs(share_a_micro - share_b_micro) DESC, tok " +
+        "LIMIT 20")),
 
     // Binary logistic regression (lang='en' vs rest) — iterative gradient
     // descent is not SQL-expressible; rows-only by design. The trainer is
@@ -4033,43 +4217,15 @@ object PipelineQueries {
     ("ns_ann_score_propagation",
       (s: SparkSession, d: String) => {
         val embs = Tables.embeddings(s, d)
-        val dir = IndexCatalog.ensure(s, "knn-intdot",
-          Seq(s"$d/embeddings.parquet"), "k=5 qscale=2^20") { staging =>
-          Similarity.intDotTopKBatch(embs, "vec_id", "embedding",
-              embs, "vec_id", "embedding", k = 5)
-            .select(col("qid").as("id"), col("id").as("nbr"), col("dot"))
-            .write.parquet(staging)
-        }
-        // milli-weights from the exact dot: w = HALF_UP(1000·dot / 2^40)
-        // = (2000·dot + 2^40) div 2^41 — exact integer rational, the
-        // same magnitude round(cos·1000) produced on unit-norm vectors
-        val edges = s.read.parquet(dir)
-          .filter(col("dot") > 0)
-          .withColumn("w",
-            expr("(2000 * dot + 1099511627776) div 2199023255552"))
-          .filter(col("w") > 0)
-          .select("id", "nbr", "w")
         val seeds = embs.select(col("vec_id"),
           pmod(graft.functions.md5_lower64(col("vec_id").cast("string")),
             lit(1000001L)).as("s0"))
-        graft.operators.KnnGraph.propagateWeighted(edges, seeds, "vec_id",
-            "s0", alphaNum = 4, alphaDen = 5, iters = 2)
+        graft.operators.KnnGraph.propagateWeighted(intdotEdges(s, d), seeds,
+            "vec_id", "s0", alphaNum = 4, alphaDen = 5, iters = 2)
           .orderBy("id")
       },
-      Some("WITH q AS (SELECT vec_id, " +
-        "[CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT) " +
-        "FOR x IN embedding] AS qv FROM embeddings), " +
-        "pr AS (SELECT a.vec_id AS id, b.vec_id AS nbr, " +
-        "CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN " +
-        "range(1, len(a.qv) + 1)]) AS BIGINT) AS dot " +
-        "FROM q a JOIN q b ON a.vec_id <> b.vec_id), " +
-        "rk AS (SELECT id, nbr, dot, row_number() OVER " +
-        "(PARTITION BY id ORDER BY dot DESC, nbr) AS rank FROM pr), " +
-        "g AS (SELECT id, nbr, " +
-        "(2000 * dot + 1099511627776) // 2199023255552 AS w " +
-        "FROM rk WHERE rank <= 5 AND dot > 0 AND " +
-        "(2000 * dot + 1099511627776) // 2199023255552 > 0), " +
-        "seeds AS (SELECT vec_id AS id, " +
+      Some(intdotGraphCte +
+        ", seeds AS (SELECT vec_id AS id, " +
         dHashMod("md5_number_lower(CAST(vec_id AS VARCHAR))", 1000001L) +
         " AS s0 FROM embeddings), " +
         "a1 AS (SELECT g.id, sum(g.w * s.s0) AS num, sum(g.w) AS den " +
@@ -4085,6 +4241,86 @@ object PipelineQueries {
         "ELSE s1.s END) + 5) // 10 AS s " +
         "FROM s1 LEFT JOIN a2 ON s1.id = a2.id) " +
         "SELECT id, s0, s FROM s2 ORDER BY id")),
+
+    // ---- the exact integer-dot KNN graph itself, fully hashed: the
+    // graph every ns_ann_* graph-analytics query consumes, dumped as
+    // (id, nbr, w) — promotes the family's graph derivation from
+    // rows-only (the IVF ns_ann_knn_graph stays the scale path, audited
+    // by ns_ann_knn_recall) to a driver-hashed artifact. ----
+    ("ns_ann_knn_graph_exact",
+      (s: SparkSession, d: String) =>
+        intdotEdges(s, d).orderBy("id", "nbr"),
+      Some(intdotGraphCte +
+        " SELECT id, nbr, w FROM g ORDER BY id, nbr")),
+
+    // ---- weighted PageRank over the exact KNN graph — centrality as a
+    // curation signal (prototypes rank high, leaves low), two
+    // all-integer damped iterations (per-edge HALF_UP flows, dangling
+    // mass dropped by contract), so the full trajectory hash-matches
+    // SQL like the propagation twin. ----
+    ("ns_ann_pagerank",
+      (s: SparkSession, d: String) =>
+        graft.operators.KnnGraph.pageRank(intdotEdges(s, d),
+            Tables.embeddings(s, d), "vec_id",
+            dampNum = 85, dampDen = 100, iters = 2)
+          .orderBy("id"),
+      Some(intdotGraphCte +
+        ", nodes AS (SELECT vec_id AS id FROM embeddings), " +
+        "ow AS (SELECT id, sum(w) AS wt FROM g GROUP BY id), " +
+        "c1 AS (SELECT g.nbr AS id, " +
+        "sum((2 * 1000000 * g.w + ow.wt) // (2 * ow.wt)) AS infl " +
+        "FROM g JOIN ow ON g.id = ow.id GROUP BY g.nbr), " +
+        "s1 AS (SELECT n.id, (2 * (15 * 1000000 + " +
+        "85 * coalesce(c1.infl, 0)) + 100) // 200 AS s " +
+        "FROM nodes n LEFT JOIN c1 ON n.id = c1.id), " +
+        "c2 AS (SELECT g.nbr AS id, " +
+        "sum((2 * s1.s * g.w + ow.wt) // (2 * ow.wt)) AS infl " +
+        "FROM g JOIN ow ON g.id = ow.id JOIN s1 ON g.id = s1.id " +
+        "GROUP BY g.nbr), " +
+        "s2 AS (SELECT n.id, (2 * (15 * 1000000 + " +
+        "85 * coalesce(c2.infl, 0)) + 100) // 200 AS s " +
+        "FROM nodes n LEFT JOIN c2 ON n.id = c2.id) " +
+        "SELECT id, s FROM s2 ORDER BY id")),
+
+    // ---- HITS hubs/authorities over the same graph — the
+    // direction-aware complement (the exact-KNN relation is asymmetric:
+    // rank-5 membership is not mutual), integer mutual recursion with
+    // max-renorm to the micro-unit grid per half-step. ----
+    ("ns_ann_hits",
+      (s: SparkSession, d: String) =>
+        graft.operators.KnnGraph.hits(intdotEdges(s, d),
+            Tables.embeddings(s, d), "vec_id", iters = 2)
+          .orderBy("id"),
+      Some(intdotGraphCte +
+        ", nodes AS (SELECT vec_id AS id FROM embeddings), " +
+        // iteration 1: a1 from h0 = base, then h1 from a1, each
+        // max-renormed to base (zeros preserved)
+        "a1r AS (SELECT n.id, coalesce(sum(1000000 * g.w), 0) AS a " +
+        "FROM nodes n LEFT JOIN g ON g.nbr = n.id GROUP BY n.id), " +
+        "a1 AS (SELECT id, CASE WHEN (SELECT max(a) FROM a1r) > 0 THEN " +
+        "(2 * a * 1000000 + (SELECT max(a) FROM a1r)) // " +
+        "(2 * (SELECT max(a) FROM a1r)) ELSE 0 END AS a FROM a1r), " +
+        "h1r AS (SELECT n.id, coalesce(sum(a1.a * g.w), 0) AS h " +
+        "FROM nodes n LEFT JOIN g ON g.id = n.id " +
+        "LEFT JOIN a1 ON g.nbr = a1.id GROUP BY n.id), " +
+        "h1 AS (SELECT id, CASE WHEN (SELECT max(h) FROM h1r) > 0 THEN " +
+        "(2 * h * 1000000 + (SELECT max(h) FROM h1r)) // " +
+        "(2 * (SELECT max(h) FROM h1r)) ELSE 0 END AS h FROM h1r), " +
+        // iteration 2
+        "a2r AS (SELECT n.id, coalesce(sum(h1.h * g.w), 0) AS a " +
+        "FROM nodes n LEFT JOIN g ON g.nbr = n.id " +
+        "LEFT JOIN h1 ON g.id = h1.id GROUP BY n.id), " +
+        "a2 AS (SELECT id, CASE WHEN (SELECT max(a) FROM a2r) > 0 THEN " +
+        "(2 * a * 1000000 + (SELECT max(a) FROM a2r)) // " +
+        "(2 * (SELECT max(a) FROM a2r)) ELSE 0 END AS a FROM a2r), " +
+        "h2r AS (SELECT n.id, coalesce(sum(a2.a * g.w), 0) AS h " +
+        "FROM nodes n LEFT JOIN g ON g.id = n.id " +
+        "LEFT JOIN a2 ON g.nbr = a2.id GROUP BY n.id), " +
+        "h2 AS (SELECT id, CASE WHEN (SELECT max(h) FROM h2r) > 0 THEN " +
+        "(2 * h * 1000000 + (SELECT max(h) FROM h2r)) // " +
+        "(2 * (SELECT max(h) FROM h2r)) ELSE 0 END AS h FROM h2r) " +
+        "SELECT h2.id, h2.h, a2.a FROM h2 JOIN a2 ON h2.id = a2.id " +
+        "ORDER BY h2.id")),
 
     // ---- Z-order layout: Morton z-values over (user_id, event_id) with
     // power-of-two cells — integer-only bucket law, so the oracle

@@ -514,4 +514,48 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     solo.foreach { case (id, split) => assert(out(id)._2 === split, s"doc $id") }
   }
+
+  test("snapshotDiff classifies all four transitions") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val out = Curation.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("corpusDrift: identical corpora have zero TV, disjoint have 1e6") {
+    import spark.implicits._
+    val a = Seq((1L, "x y z"), (2L, "x x w")).toDF("doc_id", "text")
+    val same = Curation.corpusDrift(a, a, "text").collect().head
+    assert(same.getLong(5) === 0L)
+    assert(same.getLong(0) === 6L && same.getLong(4) === 4L)
+    val b = Seq((1L, "p q"), (2L, "r p")).toDF("doc_id", "text")
+    val disj = Curation.corpusDrift(a, b, "text").collect().head
+    assert(disj.getLong(5) === 1000000L)
+    assert(disj.getLong(4) === 0L)
+  }
+
+  test("corpusDrift TV matches a hand-computed mixed case") {
+    import spark.implicits._
+    // A: a=2, b=1, n=3; B: a=1, c=1, n=2
+    // TV = (|2/3-1/2| + |1/3-0| + |0-1/2|)/2 = (1/6 + 1/3 + 1/2)/2 = 1/2
+    val a = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val b = Seq((1L, "a c")).toDF("doc_id", "text")
+    val r = Curation.corpusDrift(a, b, "text").collect().head
+    assert(r.getLong(5) === 500000L)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((2L, 2L, 1L)))
+  }
+
+  test("driftTokens ranks movers by absolute micro-share delta") {
+    import spark.implicits._
+    val a = Seq((1L, "a a a b")).toDF("doc_id", "text") // a 3/4, b 1/4
+    val b = Seq((1L, "b b c d")).toDF("doc_id", "text") // b 1/2, c/d 1/4
+    val rows = Curation.driftTokens(a, b, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(5)))
+    // a: +750000; b: 250000-500000 = -250000; c,d: -250000 (ties -> token)
+    assert(rows.head === (("a", 750000L)))
+    assert(rows.map(_._1).toSeq === Seq("a", "b", "c", "d"))
+  }
 }

@@ -108,4 +108,69 @@ class KnnGraphSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(run(1) === run(16))
   }
+
+  // shared hand graph for the centrality tests: 4 = isolated (no edges)
+  private def handEdges =
+    Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 3L))
+      .toDF("id", "nbr", "w")
+  private def handNodes = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
+
+  test("pageRank matches the hand-computed integer trajectory") {
+    // wt: 1->3, 2->1, 3->3; flows (HALF_UP s·w/wt at s=base):
+    //   1->2: 666667, 1->3: 333333, 2->1: 1000000, 3->1: 1000000
+    // s1 = HALF_UP((15e6 + 85·infl)/100):
+    //   1: infl 2e6 -> 1850000;  2: 666667 -> 716667
+    //   3: 333333 -> 433333;     4: 0 -> 150000
+    val out = KnnGraph.pageRank(handEdges, handNodes, "vec_id", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1850000L, 2L -> 716667L, 3L -> 433333L,
+      4L -> 150000L))
+  }
+
+  test("pageRank is partitioning-invariant and conserves the score range") {
+    val n = 200
+    val edges = (0 until n).flatMap { i =>
+      Seq((i.toLong, ((i + 1) % n).toLong, 700L),
+        (i.toLong, ((i * 13 + 5) % n).toLong, 300L))
+    }.toDF("id", "nbr", "w")
+    val nodes = (0 until n).map(_.toLong).toDF("vec_id")
+    def run(parts: Int) =
+      KnnGraph.pageRank(edges.repartition(parts), nodes.repartition(parts),
+          "vec_id", iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run(1)
+    assert(a === run(16))
+    // every node both sends and receives its full mass each iteration up
+    // to HALF_UP truncation, so scores stay near base
+    assert(a.values.forall(s => s > 900000L && s < 1100000L))
+  }
+
+  test("hits matches the hand-computed integer trajectory") {
+    // a_raw = (4e6, 2e6, 1e6, 0), max 4e6 -> a = (1e6, 5e5, 25e4, 0)
+    // h_raw = (1.25e6, 1e6, 3e6, 0), max 3e6 -> h = (416667, 333333, 1e6, 0)
+    val out = KnnGraph.hits(handEdges, handNodes, "vec_id", iters = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(
+      1L -> ((416667L, 1000000L)),
+      2L -> ((333333L, 500000L)),
+      3L -> ((1000000L, 250000L)),
+      4L -> ((0L, 0L))))
+  }
+
+  test("hits is partitioning-invariant with max pinned to base") {
+    val n = 200
+    val edges = (0 until n).flatMap { i =>
+      Seq((i.toLong, ((i + 3) % n).toLong, 500L),
+        (i.toLong, ((i * 7 + 1) % n).toLong, 200L))
+    }.toDF("id", "nbr", "w")
+    val nodes = (0 until n).map(_.toLong).toDF("vec_id")
+    def run(parts: Int) =
+      KnnGraph.hits(edges.repartition(parts), nodes.repartition(parts),
+          "vec_id", iters = 2)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val a = run(1)
+    assert(a === run(16))
+    assert(a.values.map(_._1).max === 1000000L)
+    assert(a.values.map(_._2).max === 1000000L)
+  }
 }

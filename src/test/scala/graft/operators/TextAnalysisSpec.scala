@@ -258,4 +258,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.values.toSeq.count(_ == "the") === 0 ||
       out((0L, 3)) === "the")
   }
+
+  test("count-min estimates are one-sided: est >= exact, exact at wide width") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a c a b"), (1L, "b d d e a")).toDF("doc_id", "text")
+    val terms = Seq("a", "b", "c", "d", "e", "zz")
+    val exact = Map("a" -> 4L, "b" -> 3L, "c" -> 1L, "d" -> 2L,
+      "e" -> 1L, "zz" -> 0L)
+    // tight grid: collisions likely, but never an underestimate
+    val tight = TextAnalysis.countMinEstimate(
+        TextAnalysis.countMinGrid(docs, "text", depth = 2, width = 4),
+        terms, depth = 2, width = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.foreach(t => assert(tight(t) >= exact(t), s"under at $t"))
+    // wide grid: 5 distinct tokens into 1024 cells x 4 rows — a collision
+    // on ALL rows of a term is (5/1024)^4-improbable and the fixture is
+    // deterministic, so estimates are exact
+    val wide = TextAnalysis.countMinEstimate(
+        TextAnalysis.countMinGrid(docs, "text", depth = 4, width = 1024),
+        terms, depth = 4, width = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide === exact)
+  }
+
+  test("count-min shard grids merge to the full-corpus grid") {
+    import spark.implicits._
+    val a = Seq((0L, "x y x z w"), (1L, "y y v x")).toDF("doc_id", "text")
+    val b = Seq((2L, "z z w x q"), (3L, "v q q y")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val merged = rows(TextAnalysis.countMinMerge(
+      TextAnalysis.countMinGrid(a, "text", 3, 8),
+      TextAnalysis.countMinGrid(b, "text", 3, 8)))
+    val full = rows(TextAnalysis.countMinGrid(
+      a.unionByName(b), "text", 3, 8))
+    assert(merged === full)
+  }
 }
