@@ -190,24 +190,43 @@ object KnnGraph {
   def pageRank(edges: DataFrame, nodes: DataFrame, idCol: String,
                dampNum: Int = 85, dampDen: Int = 100, iters: Int = 2,
                base: Long = 1000000L): DataFrame = {
+    require(base > 0, s"need base > 0, got $base")
+    pageRankFrom(edges,
+      nodes.select(col(idCol), lit(base).as("__r")), idCol, "__r",
+      dampNum, dampDen, iters)
+  }
+
+  /** PERSONALIZED [[pageRank]]: the restart mass is a per-node vector
+    * instead of the uniform `base` — concentrate it on a trusted seed
+    * set (curated docs, a golden eval slice) and the scores become
+    * random-walk-with-restart proximity TO THE SEEDS, the
+    * "find more like my best data" selection signal (vs uniform
+    * PageRank's global prototypicality). `s_0 = r`,
+    * `s_{t+1}(i) = (1-d)·r(i) + d·Σ_{j→i} s_t(j)·w_{ji}/W_j` — same
+    * integer conventions, same per-iteration plan, and uniform `r`
+    * recovers [[pageRank]] exactly (the delegation above).
+    */
+  def pageRankFrom(edges: DataFrame, restarts: DataFrame, idCol: String,
+                   restartCol: String, dampNum: Int = 85,
+                   dampDen: Int = 100, iters: Int = 2): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"damping $dampNum/$dampDen outside [0,1]")
-    require(base > 0, s"need base > 0, got $base")
     val outw = edges.groupBy("id").agg(sum("w").as("wt"))
     val e = edges.join(outw, "id")
-    var cur = nodes.select(col(idCol).as("id"))
-      .withColumn("s", lit(base))
+    val nodes = restarts.select(col(idCol).as("id"),
+      col(restartCol).cast("long").as("r"))
+    var cur = nodes.withColumn("s", col("r"))
     for (_ <- 1 to iters) {
       val inflow = e
         .join(cur.select(col("id"), col("s")), "id")
         .select(col("nbr"),
           expr("(2 * s * w + wt) div (2 * wt)").as("flow"))
         .groupBy("nbr").agg(sum("flow").as("infl"))
-      cur = nodes.select(col(idCol).as("id"))
+      cur = nodes
         .join(inflow.withColumnRenamed("nbr", "id"), Seq("id"), "left")
         .withColumn("s", expr(
-          s"(2 * (${dampDen - dampNum} * ${base}L + " +
+          s"(2 * (${dampDen - dampNum} * r + " +
             s"$dampNum * coalesce(infl, 0L)) + $dampDen) div " +
             s"(2 * $dampDen)"))
         .drop("infl")
@@ -215,7 +234,7 @@ object KnnGraph {
         // the loop-carried state, keep the plan per-iteration-sized
         .localCheckpoint()
     }
-    cur
+    cur.drop("r")
   }
 
   /** HITS hubs-and-authorities (Kleinberg '99) over `(id, nbr, w)`

@@ -3912,6 +3912,22 @@ object PipelineQueries {
           val (bm, bp) = Classifier.nbTrain(docs, "doc_id", "text", "lang", 512)
           (bm.collect().map(_.toSeq).toSet, bp.collect().map(_.toSeq).toSet)
         }
+        // 4. streaming count-min grid vs the batch grid — sum-combinable
+        // sketch equality, batching-insensitive like NB, so micro-batch
+        // boundaries are free; independent stack, rides its own Future
+        val cmsFut = Future {
+          parts.zipWithIndex.foreach { case (p, i) =>
+            graft.streaming.StreamingCms.upsertBatch(s, p, i,
+              s"$tmp/cms", "text", depth = 3, width = 32)
+          }
+          val streamed = graft.streaming.StreamingCms.read(s, s"$tmp/cms")
+            .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+            .toSet
+          val batch = TextAnalysis.countMinGrid(docs, "text", 3, 32)
+            .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+            .toSet
+          streamed == batch
+        }
         val annFut = Future {
           val embs = Tables.embeddings(s, d).filter(col("vec_id") < 600)
           val eParts = Seq(embs.filter(col("vec_id") % 2 === 0),
@@ -3942,6 +3958,8 @@ object PipelineQueries {
 
         val annEq = Await.result(annFut,
           scala.concurrent.duration.Duration.Inf)
+        val cmsEq = Await.result(cmsFut,
+          scala.concurrent.duration.Duration.Inf)
         __mark("ann_done")
 
         // stream done by now (or we wait out its tail), then compare
@@ -3958,10 +3976,12 @@ object PipelineQueries {
         auditDf(s, Seq(
           "streaming_nb_equals_batch" -> nbEq,
           "streaming_dedup_keeps_min_id" -> ddEq,
-          "streaming_ann_probe_equals_batch" -> annEq))
+          "streaming_ann_probe_equals_batch" -> annEq,
+          "streaming_cms_grid_equals_batch" -> cmsEq))
       },
       Some(auditOracleSql(Seq("streaming_nb_equals_batch",
-        "streaming_dedup_keeps_min_id", "streaming_ann_probe_equals_batch")))),
+        "streaming_dedup_keeps_min_id", "streaming_ann_probe_equals_batch",
+        "streaming_cms_grid_equals_batch")))),
 
     // MMR (diversifying lambda): k rows, the first pick is the relevance
     // top-1, and every pick comes from the top-k·factor candidate pool.
@@ -4278,6 +4298,39 @@ object PipelineQueries {
         "FROM g JOIN ow ON g.id = ow.id JOIN s1 ON g.id = s1.id " +
         "GROUP BY g.nbr), " +
         "s2 AS (SELECT n.id, (2 * (15 * 1000000 + " +
+        "85 * coalesce(c2.infl, 0)) + 100) // 200 AS s " +
+        "FROM nodes n LEFT JOIN c2 ON n.id = c2.id) " +
+        "SELECT id, s FROM s2 ORDER BY id")),
+
+    // ---- personalized PageRank: restart mass concentrated on a seed
+    // slice (every 50th vector carries the full micro-unit), scores =
+    // random-walk-with-restart proximity to the seeds — the "find more
+    // like my curated data" signal; same integer conventions. ----
+    ("ns_ann_ppr",
+      (s: SparkSession, d: String) => {
+        val restarts = Tables.embeddings(s, d).select(col("vec_id"),
+          when(col("vec_id") % 50 === 0, lit(1000000L)).otherwise(lit(0L))
+            .as("r"))
+        graft.operators.KnnGraph.pageRankFrom(intdotEdges(s, d), restarts,
+            "vec_id", "r", dampNum = 85, dampDen = 100, iters = 2)
+          .orderBy("id")
+      },
+      Some(intdotGraphCte +
+        ", nodes AS (SELECT vec_id AS id, CASE WHEN vec_id % 50 = 0 " +
+        "THEN 1000000 ELSE 0 END AS r FROM embeddings), " +
+        "ow AS (SELECT id, sum(w) AS wt FROM g GROUP BY id), " +
+        "c1 AS (SELECT g.nbr AS id, " +
+        "sum((2 * n.r * g.w + ow.wt) // (2 * ow.wt)) AS infl " +
+        "FROM g JOIN ow ON g.id = ow.id JOIN nodes n ON g.id = n.id " +
+        "GROUP BY g.nbr), " +
+        "s1 AS (SELECT n.id, n.r, (2 * (15 * n.r + " +
+        "85 * coalesce(c1.infl, 0)) + 100) // 200 AS s " +
+        "FROM nodes n LEFT JOIN c1 ON n.id = c1.id), " +
+        "c2 AS (SELECT g.nbr AS id, " +
+        "sum((2 * s1.s * g.w + ow.wt) // (2 * ow.wt)) AS infl " +
+        "FROM g JOIN ow ON g.id = ow.id JOIN s1 ON g.id = s1.id " +
+        "GROUP BY g.nbr), " +
+        "s2 AS (SELECT n.id, (2 * (15 * n.r + " +
         "85 * coalesce(c2.infl, 0)) + 100) // 200 AS s " +
         "FROM nodes n LEFT JOIN c2 ON n.id = c2.id) " +
         "SELECT id, s FROM s2 ORDER BY id")),

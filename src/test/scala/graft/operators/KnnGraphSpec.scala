@@ -145,6 +145,30 @@ class KnnGraphSpec extends SparkSpec {
     assert(a.values.forall(s => s > 900000L && s < 1100000L))
   }
 
+  test("pageRankFrom concentrates restart mass on the seed") {
+    // restarts: node 1 = 1e6, rest 0. s0 = r; flows only from node 1:
+    //   1->2: 666667, 1->3: 333333. s1 = HALF_UP((15·r + 85·infl)/100):
+    //   1: 150000 (restart only), 2: HALF_UP(85·666667/100) = 566667,
+    //   3: HALF_UP(85·333333/100) = 283333, 4: 0
+    val restarts = Seq((1L, 1000000L), (2L, 0L), (3L, 0L), (4L, 0L))
+      .toDF("vec_id", "r")
+    val out = KnnGraph.pageRankFrom(handEdges, restarts, "vec_id", "r",
+        iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 150000L, 2L -> 566667L, 3L -> 283333L,
+      4L -> 0L))
+  }
+
+  test("uniform pageRankFrom equals pageRank") {
+    val restarts = handNodes.withColumn("r", lit(1000000L))
+    val a = KnnGraph.pageRankFrom(handEdges, restarts, "vec_id", "r",
+        iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = KnnGraph.pageRank(handEdges, handNodes, "vec_id", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
   test("hits matches the hand-computed integer trajectory") {
     // a_raw = (4e6, 2e6, 1e6, 0), max 4e6 -> a = (1e6, 5e5, 25e4, 0)
     // h_raw = (1.25e6, 1e6, 3e6, 0), max 3e6 -> h = (416667, 333333, 1e6, 0)
