@@ -46,7 +46,8 @@ object ScaleSmoke {
     val stages = if (args.length > 1) args(1) else "all"
     require(Set("all", "lexical", "semantic", "recall", "pipeline",
       "streaming", "classifier", "curation", "streamlearn", "semdedup",
-      "embed", "bm25", "minhashindex", "layout", "propagate", "fuzzy", "slayout")(stages),
+      "embed", "bm25", "minhashindex", "layout", "propagate", "fuzzy",
+      "slayout", "drift")(stages),
       s"unknown stage set '$stages'")
     def on(s: String) = stages == "all" || stages == s
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -1289,6 +1290,46 @@ object ScaleSmoke {
       out.unpersist()
     }
     nodes.unpersist(); graph.unpersist()
+    }
+
+    if (on("drift")) {
+    // ---- corpus drift at scale with an ANALYTIC planted signal: the
+    // two halves derive IDENTICAL token streams from a shared base id
+    // (baseline TV exactly 0 — two independently-sampled halves would
+    // bury any plant under ~1% sampling TV), then side B replaces token
+    // position 0 with an out-of-vocabulary marker in every 10th doc.
+    // Moved mass = (n/2/10)/(n/2·60) = 1/600 each way, so
+    // tv_micro = HALF_UP(1e6/600) = 1667 EXACTLY at any n, and the
+    // marker must be the unique top mover at delta −1667 (every other
+    // token's loss rounds to 0 on the micro grid). ----
+    val n2 = n.toLong / 2
+    def half(drifted: Boolean) = spark.range(n2).toDF("doc_id")
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), lit(59)), i =>
+          when(lit(drifted) && col("doc_id") % 10 === 0 && (i === 0),
+            lit("driftmark"))
+            .otherwise(concat(lit("w"),
+              pmod(xxhash64(col("doc_id"), i), lit(50000L)))))))
+      .repartition(spark.sparkContext.defaultParallelism.toInt)
+      .cache()
+    val a = half(drifted = false)
+    val b = half(drifted = true)
+    t("drift_materialize") { a.count(); b.count() }
+    t("drift_tv") {
+      val r = Curation.corpusDrift(a, b, "text").collect().head
+      println(s"SCALE   drift tv_micro=${r.getLong(5)} expect=1667 " +
+        s"n_a=${r.getLong(0)} shared_vocab=${r.getLong(4)} " +
+        s"(${if (r.getLong(5) == 1667L && r.getLong(0) == n2 * 60) "OK"
+        else "MISS"})")
+    }
+    t("drift_tokens") {
+      val top = Curation.driftTokens(a, b, "text", topK = 5).collect()
+      val ok = top.head.getString(0) == "driftmark" &&
+        top.head.getLong(5) == -1667L
+      println(s"SCALE   drift top_mover=${top.head.getString(0)} " +
+        s"delta_micro=${top.head.getLong(5)} (${if (ok) "OK" else "MISS"})")
+    }
+    a.unpersist(); b.unpersist()
     }
 
     spark.stop()

@@ -1073,6 +1073,25 @@ object Curation {
           .otherwise(0.0).as("weight"))
   }
 
+  /** Canary scan — benchmark-canary / contamination-string detection:
+    * every `(doc, needle)` pair where the document CONTAINS the needle
+    * verbatim (eval-set canary GUIDs, license markers, PII tripwires).
+    * One zero-shuffle scan testing every needle per row inside a single
+    * codegen'd higher-order filter — needle-count-many `contains` per
+    * document, no join, no explode-before-filter blowup; docs with no
+    * match emit nothing. Scales as scan bandwidth at any corpus size;
+    * for needle sets too large for a per-row loop, the shingle-bloom
+    * decontamination path ([[contaminationReportScalable]]) is the
+    * intended escalation.
+    */
+  def canaryScan(docs: DataFrame, idCol: String, textCol: String,
+                 needles: Seq[String]): DataFrame = {
+    require(needles.nonEmpty, "need at least one needle")
+    docs.select(col(idCol), explode(
+        filter(array(needles.map(lit): _*),
+          n => col(textCol).contains(n))).as("needle"))
+  }
+
   /** Snapshot diff — the dataset-versioning primitive: classify every
     * doc id across two corpus snapshots as `added` / `removed` /
     * `changed` / `unchanged` by content hash. One full-outer join on the

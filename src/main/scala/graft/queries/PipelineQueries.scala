@@ -522,6 +522,9 @@ object PipelineQueries {
       graft.operators.MinHashIndex.build(
         Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0),
         "doc_id", "text", staging))
+    // knn-intdot: the exact integer-dot graph shared by propagation,
+    // PageRank, PPR, HITS, and the hashed graph dump
+    intdotEdges(s, d)
   }
 
   /** The learned BPE model for `d`'s documents (merge table + word
@@ -3138,6 +3141,20 @@ object PipelineQueries {
         "SELECT n_a, n_b, n_common, n_only_a, " +
         "round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) " +
         "AS jaccard FROM c")),
+
+    // ---- canary scan: which docs contain which contamination needles
+    // verbatim — one zero-shuffle codegen'd scan, every needle tested
+    // per row ("dup" is a real marker in the corpus; the GUID needle is
+    // deliberately absent so the no-hit path is exercised). ----
+    ("ns_curate_canary_scan",
+      (s: SparkSession, d: String) =>
+        Curation.canaryScan(Tables.documents(s, d), "doc_id", "text",
+            Seq("dup", "slow merge", "canary-guid-1337"))
+          .orderBy("doc_id", "needle"),
+      Some("SELECT doc_id, needle FROM documents CROSS JOIN " +
+        "(SELECT unnest(['dup', 'slow merge', 'canary-guid-1337']) " +
+        "AS needle) " +
+        "WHERE contains(text, needle) ORDER BY doc_id, needle")),
 
     // ---- snapshot diff — dataset versioning: two simulated snapshot
     // states of the documents table (drops on each side + edited texts)

@@ -515,6 +515,16 @@ class CurationSpec extends SparkSpec {
     solo.foreach { case (id, split) => assert(out(id)._2 === split, s"doc $id") }
   }
 
+  test("canaryScan emits every (doc, needle) containment, nothing else") {
+    import spark.implicits._
+    val docs = Seq((1L, "the secret canary-X lives here"),
+      (2L, "plain text"), (3L, "canary-X and canary-Y")).toDF("doc_id", "text")
+    val out = Curation.canaryScan(docs, "doc_id", "text",
+        Seq("canary-X", "canary-Y", "absent"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((1L, "canary-X"), (3L, "canary-X"), (3L, "canary-Y")))
+  }
+
   test("snapshotDiff classifies all four transitions") {
     import spark.implicits._
     val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
