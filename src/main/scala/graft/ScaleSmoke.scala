@@ -47,7 +47,7 @@ object ScaleSmoke {
     require(Set("all", "lexical", "semantic", "recall", "pipeline",
       "streaming", "classifier", "curation", "streamlearn", "semdedup",
       "embed", "bm25", "minhashindex", "layout", "propagate", "fuzzy",
-      "slayout", "drift")(stages),
+      "slayout", "drift", "graphstruct")(stages),
       s"unknown stage set '$stages'")
     def on(s: String) = stages == "all" || stages == s
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -1290,6 +1290,67 @@ object ScaleSmoke {
       out.unpersist()
     }
     nodes.unpersist(); graph.unpersist()
+    }
+
+    if (on("graphstruct")) {
+    // ---- graph STRUCTURE operators at corpus scale, each against an
+    // ANALYTIC plant (exact closed-form invariants at any n, so scale
+    // runs re-prove correctness, not just runtime):
+    //  - ring-with-chords (i -> i+1 mod n, i -> i+2 mod n): every node
+    //    has undirected degree exactly 4, sits in exactly 3 triangles
+    //    ({v-2..v}, {v-1..v+1}, {v..v+2}), lcc = 2·3/(4·3) = 500000 µ
+    //  - LPA with w(i,i+1)=900 >> w(i,i+2)=100: the label field is a
+    //    pure rotation, l_t(i) = (i+t) mod n — checked node-exactly
+    //  - peel(k=2) on ring+chords ∪ n/10 pendants: pendants (deg 1)
+    //    are exactly layer 1, every ring node survives (layer 0)
+    val ring = spark.range(n.toLong).toDF("id")
+      .withColumn("nbr1", pmod(col("id") + 1, lit(n.toLong)))
+      .withColumn("nbr2", pmod(col("id") + 2, lit(n.toLong)))
+    val chordEdges = ring.select(col("id"), col("nbr1").as("nbr"),
+        lit(900L).as("w"))
+      .unionByName(ring.select(col("id"), col("nbr2").as("nbr"),
+        lit(100L).as("w")))
+      .repartition(spark.sparkContext.defaultParallelism.toInt)
+      .cache()
+    val ringNodes = spark.range(n.toLong).toDF("vec_id").cache()
+    t("graphstruct_edges_materialize")(chordEdges.count())
+    t("triangles") {
+      val out = KnnGraph.triangles(chordEdges, ringNodes, "vec_id").cache()
+      val ok = out.filter(col("deg") === 4 && col("tri") === 3 &&
+        col("lcc_micro") === 500000L).count()
+      println(s"SCALE   triangles exact_nodes=$ok/$n " +
+        s"(${if (ok == n.toLong) "OK" else "MISS"})")
+      out.unpersist()
+    }
+    t("label_propagation_3") {
+      val out = KnnGraph.labelPropagation(chordEdges, ringNodes,
+        "vec_id", iters = 3).cache()
+      val ok = out.filter(col("lbl") === pmod(col("id") + 3,
+        lit(n.toLong))).count()
+      println(s"SCALE   lpa rotation_exact=$ok/$n " +
+        s"(${if (ok == n.toLong) "OK" else "MISS"})")
+      out.unpersist()
+    }
+    // pendants n..n+n/10-1, each hanging off ring node 10·j
+    val pend = spark.range(n / 10L).toDF("j")
+      .select((col("j") + n.toLong).as("id"), (col("j") * 10).as("nbr"),
+        lit(500L).as("w"))
+    val peelEdges = chordEdges.unionByName(pend)
+    val peelNodes = spark.range(n.toLong + n / 10L).toDF("vec_id")
+    t("peel_layers_2") {
+      val out = KnnGraph.peelLayers(peelEdges, peelNodes, "vec_id",
+        k = 2, rounds = 2).cache()
+      val pendOk = out.filter(col("id") >= n.toLong &&
+        col("layer") === 1).count()
+      val ringOk = out.filter(col("id") < n.toLong &&
+        col("layer") === 0).count()
+      println(s"SCALE   peel pendants_layer1=$pendOk/${n / 10} " +
+        s"ring_survives=$ringOk/$n " +
+        s"(${if (pendOk == n / 10L && ringOk == n.toLong) "OK"
+        else "MISS"})")
+      out.unpersist()
+    }
+    chordEdges.unpersist(); ringNodes.unpersist()
     }
 
     if (on("drift")) {

@@ -439,4 +439,63 @@ object Classifier {
           6).as("p"))
       .withColumn("predicted", (col("p") >= 0.5).cast("int"))
   }
+
+  /** Cohen's kappa — CHANCE-CORRECTED agreement between two label
+    * columns (classifier-vs-truth for a model QC gate, or
+    * annotator-vs-annotator for label QC — the statistic that separates
+    * "94% accurate" from "94% accurate on a 94%-majority-class corpus"):
+    * `κ = (p_o − p_e) / (1 − p_e)` with `p_o` the observed agreement and
+    * `p_e = Σ_l row_l·col_l / n²` the marginal-product chance agreement.
+    * One row `(n, diag, po_micro, pe_micro, kappa_micro)`, INTEGER-EXACT
+    * on the HALF_UP micro-unit grid: the marginal cross products
+    * `row_l·col_l` sum as decimal(38,0) (int64 overflows past ~3e9
+    * rows), the three divisions run in driver BigInt off 1-row
+    * aggregates (the corpusDrift convention), and a below-chance kappa
+    * rounds half-AWAY-FROM-ZERO (`sign·HALF_UP(|num|/den)`) so the
+    * floor-vs-truncate divergence between engines' integer division
+    * never arises. Rows with a null on either side are dropped (the
+    * prCurve convention: an unlabeled row belongs to no agreement
+    * class); a degenerate `p_e = 1` table (both sides constant and
+    * equal) reports κ = 0.
+    *
+    * Plan shape: one corpus aggregate + two label-sized groupBys joined
+    * on the label — corpus-sized scans, label-cardinality shuffles,
+    * nothing quadratic.
+    */
+  def cohenKappa(labeled: DataFrame, predCol: String,
+                 actualCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val pairs = labeled
+      .select(col(predCol).cast("string").as("p"),
+        col(actualCol).cast("string").as("a"))
+      .filter(col("p").isNotNull && col("a").isNotNull)
+      .cache()
+    val head = pairs.agg(count(lit(1)).as("n"),
+        sum(when(col("p") === col("a"), 1L).otherwise(0L)).as("diag"))
+      .collect().head
+    val (n, diag) = (head.getLong(0), head.getLong(1))
+    require(n > 0, "cohenKappa needs at least one non-null labeled row")
+    val chance = BigInt(pairs.groupBy("p").agg(count(lit(1)).as("r"))
+      .join(pairs.groupBy(col("a").as("p")).agg(count(lit(1)).as("c")),
+        "p")
+      .agg(coalesce(sum(col("r").cast(dec) * col("c").cast(dec)),
+        lit(0).cast(dec)).as("ch"))
+      .collect().head.getDecimal(0).toBigInteger)
+    pairs.unpersist()
+    val n2 = BigInt(n) * n
+    val po = ((BigInt(diag) * 2000000 + n) / (BigInt(n) * 2)).toLong
+    val pe = ((chance * 2000000 + n2) / (n2 * 2)).toLong
+    val num = BigInt(n) * diag - chance
+    val den = n2 - chance
+    val kappa =
+      if (den == 0) 0L
+      else {
+        val mag = ((num.abs * 2000000 + den) / (den * 2)).toLong
+        if (num < 0) -mag else mag
+      }
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    Seq((n, diag, po, pe, kappa))
+      .toDF("n", "diag", "po_micro", "pe_micro", "kappa_micro")
+  }
 }

@@ -299,4 +299,183 @@ object KnnGraph {
     }
     hub.join(auth, "id")
   }
+
+  /** Undirected simple edge set `(a, b)` with `a < b` of a directed
+    * `(id, nbr, …)` graph — self-loops dropped, the two directions of a
+    * mutual pair collapsed to one row. The neighborhood-structure
+    * primitive [[triangles]] and [[kcorePeel]] share.
+    */
+  def undirect(edges: DataFrame): DataFrame =
+    edges.filter(col("id") =!= col("nbr"))
+      .select(least(col("id"), col("nbr")).as("a"),
+        greatest(col("id"), col("nbr")).as("b"))
+      .distinct()
+
+  /** Per-node triangle count and local clustering coefficient over the
+    * UNDIRECTED simple graph of `edges` — neighborhood-density as a
+    * curation signal: a doc whose neighbors are also each other's
+    * neighbors sits inside a tight near-duplicate/topic clump (candidate
+    * for diversity pruning); a triangle-free node bridges clumps or is an
+    * outlier. Classic compact-forward enumeration (Schank & Wagner '05):
+    * each triangle is materialized ONCE as its ordered corner triple
+    * `a < b < c` — wedges `(a<b<c)` from `(a,b)⋈(b,c)` closed by `(a,c)`
+    * — so the join volume is Σ_v deg(v)², bounded by N·(2k)² on a k-NN
+    * graph, never corpus². Both joins are plain hash equi-joins that
+    * shuffle on the shared endpoint.
+    *
+    * Output `(id, deg, tri, lcc_micro)` for every node in `nodes`:
+    * `deg` = undirected degree, `tri` = incident triangles, `lcc_micro`
+    * = HALF_UP micro-unit local clustering coefficient
+    * `1e6 · 2·tri / (deg·(deg−1))` (0 when `deg < 2`) — all-integer on
+    * the repo's rational-HALF_UP grid, so the result is bit-replicable
+    * in any engine. Overflow: `2·(2e6·tri)` needs `tri < 2^61/4e6`
+    * (~5.8e11 triangles PER NODE) — unreachable on bounded-degree
+    * graphs.
+    */
+  def triangles(edges: DataFrame, nodes: DataFrame,
+                idCol: String): DataFrame = {
+    val und = undirect(edges)
+    val deg = und.select(col("a").as("id"))
+      .unionByName(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val wedges = und.join(
+      und.select(col("a").as("b"), col("b").as("c")), "b")
+    val tris = wedges.join(und.select(col("a"), col("b").as("c")),
+        Seq("a", "c"))
+      .select("a", "b", "c")
+    val perNode = tris.select(col("a").as("id"))
+      .unionByName(tris.select(col("b").as("id")))
+      .unionByName(tris.select(col("c").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    nodes.select(col(idCol).as("id"))
+      .join(deg, Seq("id"), "left")
+      .join(perNode, Seq("id"), "left")
+      .na.fill(0L, Seq("deg", "tri"))
+      .withColumn("lcc_micro", when(col("deg") >= 2,
+        expr("(2 * 2000000 * tri + deg * (deg - 1)) div " +
+          "(2 * deg * (deg - 1))"))
+        .otherwise(lit(0L)))
+  }
+
+  /** Synchronous weighted label propagation (Raghavan et al. '07, the
+    * deterministic synchronous variant) over `(id, nbr, w)` integer
+    * edges — community detection on the k-NN graph: labels start at the
+    * node id; each round every node adopts the label with the LARGEST
+    * total edge weight among its out-neighbors (its k nearest — the
+    * natural "vote of my nearest neighbors" on an asymmetric KNN
+    * relation), ties to the smaller label, neighbor-less nodes keep
+    * their label. Topic-granular grouping between the two extremes the
+    * engine already has: exact/near-dup clusters (connected components —
+    * too fine) and k-means cells (fixed k — shape-blind).
+    *
+    * All-integer and order-free (a weight SUM per candidate label + an
+    * argmax under a total order), so the full `iters`-round trajectory
+    * is bit-replicable in SQL. Per round: one N·k join (labels onto edge
+    * targets) + one groupBy(id, lbl) + one per-id argmax window — all
+    * edge-count-shaped; loop-carried state is localCheckpoint-truncated
+    * like [[propagateWeighted]]. `iters` small by contract: label fronts
+    * move one hop per round, and curation wants the 2-3-round
+    * neighborhood consensus, not the (oscillation-prone) fixpoint.
+    */
+  def labelPropagation(edges: DataFrame, nodes: DataFrame, idCol: String,
+                       iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val ids = nodes.select(col(idCol).as("id"))
+    var lab = ids.withColumn("lbl", col("id"))
+    for (_ <- 1 to iters) {
+      val votes = edges
+        .join(lab.select(col("id").as("nbr"), col("lbl")), "nbr")
+        .groupBy("id", "lbl").agg(sum("w").as("ws"))
+      val win = Window.partitionBy("id")
+        .orderBy(col("ws").desc, col("lbl"))
+      val best = votes.withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("lbl").as("nl"))
+      lab = lab.join(best, Seq("id"), "left")
+        .withColumn("lbl", coalesce(col("nl"), col("lbl")))
+        .drop("nl")
+        .localCheckpoint()
+    }
+    lab
+  }
+
+  /** Bounded synchronous k-core peeling over the UNDIRECTED simple graph
+    * of `edges`: `rounds` sweeps of "drop every node whose degree among
+    * survivors is < k", then the survivors with their in-core degrees —
+    * the dense-backbone extractor (nodes a curation pass can trust to be
+    * deeply embedded in their topic) complementing [[triangles]]'s local
+    * view. The FIXED round count is the contract, not an approximation
+    * cap: each sweep is one degree aggregate over the filtered edge set,
+    * the trajectory is a pure function of (edges, k, rounds), and
+    * convergence at a given corpus is checked by equality with
+    * `rounds+1` (asserted in the spec at the query's parameters) —
+    * loop-until-fixpoint would make the ORACLE's unroll depth
+    * data-dependent.
+    *
+    * Per round: two semi-join filters of the edge set against the
+    * survivor list (broadcast-able once survivors shrink) + one degree
+    * groupBy — edge-count-shaped. A node outside the edge relation has
+    * degree 0 and is peeled in round 1 (for any k ≥ 1).
+    */
+  def kcorePeel(edges: DataFrame, nodes: DataFrame, idCol: String,
+                k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val und = undirect(edges)
+    def coreDeg(alive: DataFrame): DataFrame = {
+      val live = und
+        .join(alive.select(col("id").as("a")), "a")
+        .join(alive.select(col("id").as("b")), "b")
+      live.select(col("a").as("id"))
+        .unionByName(live.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+    }
+    var alive = nodes.select(col(idCol).as("id"))
+    for (_ <- 1 to rounds) {
+      alive = coreDeg(alive).filter(col("deg") >= k)
+        .select("id").localCheckpoint()
+    }
+    alive.join(coreDeg(alive), Seq("id"), "left")
+      .na.fill(0L, Seq("deg"))
+  }
+
+  /** Onion-decomposition peel layers (Hébert-Dufresne et al. '16) of the
+    * k-peel process: `(id, layer)` where `layer` = the sweep (1-based)
+    * at which the node fell out of the [[kcorePeel]] iteration, 0 if
+    * still alive after `rounds`. The INFORMATIVE signal when the graph
+    * has no non-trivial stable core — exactly the k-NN case: every node
+    * has out-degree k, so the k-core is the whole graph, the (k+1)-core
+    * is typically EMPTY (the peel cascades), and coreness is the
+    * constant k; the cascade's per-node DEPTH is what actually orders
+    * nodes from periphery (layer 1: nobody else ranks them a neighbor)
+    * to structural center (high layer / survivor). Same per-sweep plan
+    * and bounded-round contract as [[kcorePeel]]; layers already peeled
+    * never rejoin, so the union of per-round anti-joins partitions the
+    * node set.
+    */
+  def peelLayers(edges: DataFrame, nodes: DataFrame, idCol: String,
+                 k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val und = undirect(edges)
+    def coreDeg(alive: DataFrame): DataFrame = {
+      val live = und
+        .join(alive.select(col("id").as("a")), "a")
+        .join(alive.select(col("id").as("b")), "b")
+      live.select(col("a").as("id"))
+        .unionByName(live.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+    }
+    var alive = nodes.select(col(idCol).as("id"))
+    var layers = Seq.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val next = coreDeg(alive).filter(col("deg") >= k)
+        .select("id").localCheckpoint()
+      layers :+= alive.join(next, Seq("id"), "left_anti")
+        .withColumn("layer", lit(r))
+      alive = next
+    }
+    (layers :+ alive.withColumn("layer", lit(0)))
+      .reduce(_ unionByName _)
+  }
 }

@@ -164,6 +164,31 @@ object PipelineQueries {
       "FROM rk WHERE rank <= 5 AND dot > 0 AND " +
       "(2000 * dot + 1099511627776) // 2199023255552 > 0)"
 
+  /** One synchronous label-propagation round as DuckDB CTEs: `next` from
+    * `prev` — weighted vote over the directed KNN out-edges of CTE `g`,
+    * argmax with ties to the smaller label, neighbor-less nodes carry
+    * their label (mirrors [[graft.operators.KnnGraph.labelPropagation]]).
+    */
+  private def lpRound(prev: String, next: String): String =
+    s", v_$next AS (SELECT g.id, l.lbl, sum(g.w) AS ws FROM g " +
+      s"JOIN $prev l ON g.nbr = l.id GROUP BY g.id, l.lbl), " +
+      s"b_$next AS (SELECT id, lbl FROM v_$next QUALIFY row_number() " +
+      "OVER (PARTITION BY id ORDER BY ws DESC, lbl) = 1), " +
+      s"$next AS (SELECT p.id, coalesce(b.lbl, p.lbl) AS lbl " +
+      s"FROM $prev p LEFT JOIN b_$next b ON p.id = b.id)"
+
+  /** One synchronous k-core peel sweep as DuckDB CTEs: survivors `next`
+    * = nodes of `prev` whose degree in the `prev`-induced subgraph of
+    * CTE `und` is ≥ k (mirrors [[graft.operators.KnnGraph.kcorePeel]]).
+    */
+  private def kcoreRound(prev: String, next: String, k: Int): String =
+    s"d_$next AS (SELECT id, count(*) AS dg FROM " +
+      s"(SELECT e.a AS id FROM und e JOIN $prev x ON e.a = x.id " +
+      s"JOIN $prev y ON e.b = y.id " +
+      s"UNION ALL SELECT e.b AS id FROM und e JOIN $prev x ON e.a = x.id " +
+      s"JOIN $prev y ON e.b = y.id) u GROUP BY id), " +
+      s"$next AS (SELECT id FROM d_$next WHERE dg >= $k), "
+
   /** Signed-long positive-modulo bucket of a `md5_number_lower` value `u`
     * — DuckDB's UBIGINT md5 converted to the two's-complement long
     * `md5_lower64` yields, then `pmod(·, m)`.
@@ -2853,6 +2878,43 @@ object PipelineQueries {
         "FROM pred p JOIN documents d USING (doc_id) " +
         "GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // ---- Cohen's kappa of the NB language predictor vs truth on the
+    // held-out slice: chance-corrected agreement (the statistic that
+    // separates "accurate" from "accurate on a majority-class corpus"),
+    // one integer-exact micro-unit row; negative kappa rounds
+    // half-away-from-zero in both engines by construction. ----
+    ("ns_quality_kappa",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val b = Curation.hashBucket(col("doc_id"), 100)
+        val (model, priors) = nbModel(s, d)
+        val scored = Classifier.nbScore(docs.filter(b >= 80), "doc_id",
+            "text", model, priors, 4096)
+          .join(docs.select("doc_id", "lang"), "doc_id")
+        Classifier.cohenKappa(scored, "predicted", "lang")
+      },
+      Some(nbCte +
+        ", kpa AS (SELECT p.predicted AS p, d.lang AS a FROM pred p " +
+        "JOIN documents d USING (doc_id)), " +
+        "ktot AS (SELECT count(*) AS n, " +
+        "count(*) FILTER (WHERE p = a) AS diag FROM kpa), " +
+        "krc AS (SELECT p AS l, count(*) AS r FROM kpa GROUP BY 1), " +
+        "kcc AS (SELECT a AS l, count(*) AS c FROM kpa GROUP BY 1), " +
+        "kch AS (SELECT coalesce(sum(CAST(r AS HUGEINT) * " +
+        "CAST(c AS HUGEINT)), 0) AS chance FROM krc JOIN kcc USING (l)), " +
+        "k AS (SELECT n, diag, chance, " +
+        "CAST(n AS HUGEINT) * diag - chance AS num, " +
+        "CAST(n AS HUGEINT) * n - chance AS den " +
+        "FROM ktot CROSS JOIN kch) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(diag AS BIGINT) AS diag, " +
+        "CAST((2000000 * diag + n) // (2 * n) AS BIGINT) AS po_micro, " +
+        "CAST((2000000 * chance + CAST(n AS HUGEINT) * n) // " +
+        "(2 * CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_micro, " +
+        "CAST(CASE WHEN den = 0 THEN 0 WHEN num >= 0 THEN " +
+        "(2000000 * num + den) // (2 * den) " +
+        "ELSE -((2000000 * (-num) + den) // (2 * den)) END AS BIGINT) " +
+        "AS kappa_micro FROM k")),
+
     // ---- classifier calibration: threshold-sweep precision/recall/F1
     // over the held-out 'en'-class NB log-posteriors — the report read
     // before picking a keep threshold. One row per distinct score; the
@@ -4391,6 +4453,78 @@ object PipelineQueries {
         "(2 * (SELECT max(h) FROM h2r)) ELSE 0 END AS h FROM h2r) " +
         "SELECT h2.id, h2.h, a2.a FROM h2 JOIN a2 ON h2.id = a2.id " +
         "ORDER BY h2.id")),
+
+    // ---- triangle count + local clustering coefficient over the exact
+    // KNN graph's undirected simple edge set — neighborhood-density
+    // curation signal (high LCC = inside a near-dup/topic clump, zero =
+    // bridge/outlier); ordered-triple enumeration, integer HALF_UP
+    // micro-unit coefficient, fully hashed. ----
+    ("ns_ann_triangles",
+      (s: SparkSession, d: String) =>
+        graft.operators.KnnGraph.triangles(intdotEdges(s, d),
+            Tables.embeddings(s, d), "vec_id")
+          .orderBy("id"),
+      Some(intdotGraphCte +
+        ", und AS (SELECT DISTINCT least(id, nbr) AS a, " +
+        "greatest(id, nbr) AS b FROM g WHERE id <> nbr), " +
+        "dg AS (SELECT id, count(*) AS deg FROM " +
+        "(SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und) u " +
+        "GROUP BY id), " +
+        "wg AS (SELECT e1.a, e1.b, e2.b AS c FROM und e1 " +
+        "JOIN und e2 ON e1.b = e2.a), " +
+        "tr AS (SELECT wg.a, wg.b, wg.c FROM wg " +
+        "JOIN und e3 ON wg.a = e3.a AND wg.c = e3.b), " +
+        "tn AS (SELECT id, count(*) AS tri FROM " +
+        "(SELECT a AS id FROM tr UNION ALL SELECT b AS id FROM tr " +
+        "UNION ALL SELECT c AS id FROM tr) u GROUP BY id) " +
+        "SELECT n.vec_id AS id, coalesce(dg.deg, 0) AS deg, " +
+        "coalesce(tn.tri, 0) AS tri, " +
+        "CASE WHEN coalesce(dg.deg, 0) >= 2 THEN " +
+        "(2 * 2000000 * coalesce(tn.tri, 0) + dg.deg * (dg.deg - 1)) // " +
+        "(2 * dg.deg * (dg.deg - 1)) ELSE 0 END AS lcc_micro " +
+        "FROM embeddings n LEFT JOIN dg ON n.vec_id = dg.id " +
+        "LEFT JOIN tn ON n.vec_id = tn.id ORDER BY id")),
+
+    // ---- weighted label-propagation communities over the exact KNN
+    // graph: 3 synchronous rounds of "adopt the heaviest label among my
+    // k nearest" (ties to the smaller label) — topic-granular grouping
+    // between near-dup components (too fine) and k-means cells (fixed
+    // k); integer weight sums + total-order argmax = full trajectory
+    // hashed. ----
+    ("ns_ann_communities",
+      (s: SparkSession, d: String) =>
+        graft.operators.KnnGraph.labelPropagation(intdotEdges(s, d),
+            Tables.embeddings(s, d), "vec_id", iters = 3)
+          .orderBy("id"),
+      Some(intdotGraphCte +
+        ", l0 AS (SELECT vec_id AS id, vec_id AS lbl FROM embeddings)" +
+        lpRound("l0", "l1") + lpRound("l1", "l2") + lpRound("l2", "l3") +
+        " SELECT id, lbl FROM l3 ORDER BY id")),
+
+    // ---- onion-decomposition peel layers of the 6-peel: the k-NN graph
+    // has NO stable core above the trivial out-degree (the 6-peel
+    // cascades to empty at every SF — measured 847/941/212→0 at sf0.1),
+    // so the per-node CASCADE DEPTH is the ordering signal, periphery
+    // (layer 1) → structural center (late layers); bounded-round
+    // contract, fixpoint-at-3 asserted in the spec. ----
+    ("ns_ann_onion_layers",
+      (s: SparkSession, d: String) =>
+        graft.operators.KnnGraph.peelLayers(intdotEdges(s, d),
+            Tables.embeddings(s, d), "vec_id", k = 6, rounds = 3)
+          .orderBy("id"),
+      Some(intdotGraphCte +
+        ", und AS (SELECT DISTINCT least(id, nbr) AS a, " +
+        "greatest(id, nbr) AS b FROM g WHERE id <> nbr), " +
+        "a0 AS (SELECT vec_id AS id FROM embeddings), " +
+        kcoreRound("a0", "a1", 6) + kcoreRound("a1", "a2", 6) +
+        kcoreRound("a2", "a3", 6) +
+        "lay AS (SELECT n.id, CASE WHEN x1.id IS NULL THEN 1 " +
+        "WHEN x2.id IS NULL THEN 2 WHEN x3.id IS NULL THEN 3 " +
+        "ELSE 0 END AS layer FROM a0 n " +
+        "LEFT JOIN a1 x1 ON n.id = x1.id " +
+        "LEFT JOIN a2 x2 ON n.id = x2.id " +
+        "LEFT JOIN a3 x3 ON n.id = x3.id) " +
+        "SELECT id, layer FROM lay ORDER BY id")),
 
     // ---- Z-order layout: Morton z-values over (user_id, event_id) with
     // power-of-two cells — integer-only bucket law, so the oracle

@@ -282,4 +282,31 @@ class ClassifierSpec extends SparkSpec {
       .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
     assert(rev === got)
   }
+
+  test("cohenKappa: hand-computed table, perfect, degenerate, below-chance") {
+    def pairs(rows: Seq[(String, String, Int)]) =
+      rows.flatMap { case (p, a, k) => Seq.fill(k)((p, a)) }
+        .toDF("pred", "truth")
+    def kappa(df: org.apache.spark.sql.DataFrame) =
+      Classifier.cohenKappa(df, "pred", "truth")
+        .as[(Long, Long, Long, Long, Long)].collect().head
+    // 20 aa + 5 ab + 10 ba + 15 bb: po=0.7, pe=(25·30+25·20)/2500=0.5,
+    // kappa=(0.7−0.5)/0.5=0.4
+    assert(kappa(pairs(Seq(("a", "a", 20), ("a", "b", 5),
+      ("b", "a", 10), ("b", "b", 15)))) ===
+      ((50L, 35L, 700000L, 500000L, 400000L)))
+    // perfect agreement with 2 classes: kappa = 1
+    assert(kappa(pairs(Seq(("a", "a", 3), ("b", "b", 7))))._5 === 1000000L)
+    // both sides constant and equal: pe = 1, defined as 0
+    assert(kappa(pairs(Seq(("a", "a", 5)))) ===
+      ((5L, 5L, 1000000L, 1000000L, 0L)))
+    // below-chance (systematic disagreement on a balanced table):
+    // po=0, pe=0.5, kappa=−1 — sign·HALF_UP magnitude
+    assert(kappa(pairs(Seq(("a", "b", 5), ("b", "a", 5))))._5 ===
+      -1000000L)
+    // null rows drop (the prCurve convention)
+    val withNull = Seq((Some("a"), Some("a")), (None, Some("a")),
+      (Some("a"), None)).toDF("pred", "truth")
+    assert(kappa(withNull)._1 === 1L)
+  }
 }

@@ -197,4 +197,116 @@ class KnnGraphSpec extends SparkSpec {
     assert(a.values.map(_._1).max === 1000000L)
     assert(a.values.map(_._2).max === 1000000L)
   }
+
+  // undirected triangle 1-2-3 (as directed edges, one mutual pair to
+  // exercise the two-directions collapse) + pendant 4->1 + isolated 5
+  private def triEdges = Seq(
+    (1L, 2L, 10L), (2L, 1L, 10L), (2L, 3L, 10L), (3L, 1L, 10L),
+    (4L, 1L, 10L)).toDF("id", "nbr", "w")
+  private def triNodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("vec_id")
+
+  test("triangles: hand-computed counts, HALF_UP lcc, isolated node zeroed") {
+    val out = KnnGraph.triangles(triEdges, triNodes, "vec_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // node 1: deg 3 (2,3,4), tri 1, lcc = HALF_UP(2e6/6) = 333333
+    assert(out === Map(
+      1L -> ((3L, 1L, 333333L)),
+      2L -> ((2L, 1L, 1000000L)),
+      3L -> ((2L, 1L, 1000000L)),
+      4L -> ((1L, 0L, 0L)),
+      5L -> ((0L, 0L, 0L))))
+  }
+
+  test("triangles counts each ordered triple once regardless of partitioning") {
+    // K4 on {1,2,3,4}: every node deg 3, tri C(3,2)=3, lcc = 1e6
+    val k4 = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b, 5L)).toDF("id", "nbr", "w")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
+    for (parts <- Seq(1, 8)) {
+      val out = KnnGraph.triangles(k4.repartition(parts), nodes, "vec_id")
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(out === Set((3L, 3L, 1000000L)))
+    }
+  }
+
+  test("labelPropagation: weighted-majority trajectory with smaller-label ties") {
+    // 1<->2 heavy; 3 votes {2:w3, 4:w2}; 4 -> 3
+    val edges = Seq((1L, 2L, 5L), (2L, 1L, 5L), (3L, 2L, 3L),
+      (3L, 4L, 2L), (4L, 3L, 9L)).toDF("id", "nbr", "w")
+    val nodes = Seq(1L, 2L, 3L, 4L, 9L).toDF("vec_id")
+    def labels(iters: Int) =
+      KnnGraph.labelPropagation(edges, nodes, "vec_id", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: each node adopts its (only/heaviest) neighbor's id
+    assert(labels(1) === Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      9L -> 9L))
+    // round 2 re-votes over round-1 labels; neighbor-less 9 never moves
+    assert(labels(2) === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L,
+      9L -> 9L))
+    // equal-weight tie goes to the smaller label: 5 sees {6:w7, 7:w7}
+    val tie = Seq((5L, 6L, 7L), (5L, 7L, 7L)).toDF("id", "nbr", "w")
+    val t = KnnGraph.labelPropagation(tie,
+        Seq(5L, 6L, 7L).toDF("vec_id"), "vec_id", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t(5L) === 6L)
+  }
+
+  test("kcorePeel: pendant peeled, core kept, over-k empties the graph") {
+    val out = KnnGraph.kcorePeel(triEdges, triNodes, "vec_id",
+        k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=3: only node 1 has deg 3 in round 1, then its neighbors are
+    // gone, so round 2 peels it too
+    assert(KnnGraph.kcorePeel(triEdges, triNodes, "vec_id",
+      k = 3, rounds = 2).count() === 0L)
+  }
+
+  test("peelLayers: layers partition the nodes and match manual peeling") {
+    // triangle 1-2-3 + pendant 4 + isolated 5, k=2: round 1 peels 4 and
+    // 5 (deg 1, 0), the triangle survives every later round
+    val out = KnnGraph.peelLayers(triEdges, triNodes, "vec_id",
+        k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1))
+    // k=3 cascades: 2,3,4,5 fall in round 1 (deg < 3), stranding 1 for
+    // round 2 — the onion signal the real graph's query relies on
+    val casc = KnnGraph.peelLayers(triEdges, triNodes, "vec_id",
+        k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(casc === Map(1L -> 2, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 1))
+  }
+
+  test("peel layers and label propagation converge on the real intdot graph") {
+    // the query-parameter convergence assertion the scaladocs promise:
+    // at sf0.001 rounds=3 equals rounds=4 for peelLayers(k=6), so the
+    // bounded-round contract has reached its fixpoint at the query's
+    // parameters (labelPropagation intentionally has no such claim —
+    // synchronous LPA may oscillate; the query pins iters=3)
+    val embs = Tables.embeddings(spark, sfDir)
+    val edges = Similarity.intDotTopKBatch(embs, "vec_id", "embedding",
+        embs, "vec_id", "embedding", k = 5)
+      .select(col("qid").as("id"), col("id").as("nbr"), col("dot"))
+      .filter(col("dot") > 0)
+      .withColumn("w",
+        expr("(2000 * dot + 1099511627776) div 2199023255552"))
+      .filter(col("w") > 0)
+      .select("id", "nbr", "w")
+      .localCheckpoint()
+    def layers(r: Int) =
+      KnnGraph.peelLayers(edges, embs, "vec_id", k = 6, rounds = r)
+        .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val l3 = layers(3)
+    assert(l3 === layers(4))
+    assert(l3.values.toSet.size > 1,
+      "every node in one layer — parameters vacuous")
+    val lp = KnnGraph.labelPropagation(edges, embs, "vec_id", 3)
+      .select("lbl").distinct().count()
+    assert(lp > 1 && lp < 500,
+      s"label propagation degenerated to $lp communities")
+  }
 }
