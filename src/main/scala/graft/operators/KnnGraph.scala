@@ -478,4 +478,84 @@ object KnnGraph {
     (layers :+ alive.withColumn("layer", lit(0)))
       .reduce(_ unionByName _)
   }
+
+  /** EXACT incremental insert into a materialized `(id, nbr, dot)`
+    * top-k edge state (the `knn-intdot` IndexCatalog artifact) — the CDC
+    * update path for the graph-analytics family, extending the
+    * BM25/MinHash index maintenance contract to the KNN graph: merging
+    * a vector batch is O(|resident|·|delta|) dots, NOT the O(N²)
+    * rebuild, and the result is BIT-EQUAL to a rebuild over
+    * `resident ∪ delta` (spec-asserted, and driver-hashed via
+    * `ns_ann_knn_update`), because top-k is mergeable under insertion:
+    * for a resident node i, top-k over (C∪D)\\{i} = top-k of
+    * (its current top-k over C\\{i}) ∪ (its dots to every delta vector)
+    * — candidates outside the current top-k were already beaten by all
+    * k residents and a new vector can only displace, never resurrect.
+    *
+    * Plan: delta rows take one broadcast-delta scan over the union
+    * corpus ([[Similarity.intDotTopKBatch]]); resident updates are one
+    * broadcast-delta map-side dot pass + a per-id re-rank window over
+    * ≤ (k + |delta|) rows/id. Contract: `delta` ids are disjoint from
+    * `resident` ids (an id upsert is delete-then-insert, like the text
+    * indexes).
+    */
+  def insertExact(edges: DataFrame, resident: DataFrame, delta: DataFrame,
+                  idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val all = resident.select(col(idCol), col(vecCol))
+      .unionByName(delta.select(col(idCol), col(vecCol)))
+    val deltaRows = Similarity.intDotTopKBatch(all, idCol, vecCol,
+        delta, idCol, vecCol, k)
+      .select(col("qid").as("id"), col("id").as("nbr"), col("dot"))
+    val rq = resident.select(col(idCol).as("id"),
+      Similarity.fixedPointQuantize(col(vecCol)).as("qv"))
+    val dq = delta.select(col(idCol).as("nbr"),
+      Similarity.fixedPointQuantize(col(vecCol)).as("dv"))
+    val cand = rq.crossJoin(broadcast(dq))
+      .withColumn("dot", Similarity.intDot(col("qv"), col("dv")))
+      .select("id", "nbr", "dot")
+    val w = Window.partitionBy("id").orderBy(col("dot").desc, col("nbr"))
+    edges.unionByName(cand)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+      .unionByName(deltaRows)
+  }
+
+  /** EXACT incremental delete from the same edge state: removed nodes'
+    * own rows drop; a survivor that LOST an edge (its rank ≤ k included
+    * a removed id) cannot know its new rank-k from bounded state — the
+    * one unavoidable exact repair — so exactly those AFFECTED ids are
+    * re-scanned against the post-delete corpus
+    * ([[Similarity.intDotTopKBatch]], broadcast affected queries).
+    * Every other survivor keeps its rows verbatim: deleting vectors it
+    * never ranked can only remove candidates it had already beaten.
+    * Result is BIT-EQUAL to a rebuild over `resident \\ removeIds`
+    * (spec-asserted). Repair cost is |affected|·N dots with
+    * |affected| ≤ k·|removed| — delta-proportional for the CDC
+    * steady state, never corpus-quadratic.
+    *
+    * `resident` is the PRE-delete corpus (the vectors the state was
+    * built over); `removeIds` is one id column named `idCol`.
+    */
+  def deleteExact(edges: DataFrame, resident: DataFrame,
+                  removeIds: DataFrame, idCol: String, vecCol: String,
+                  k: Int): DataFrame = {
+    val rm = removeIds.select(col(idCol).as("__rid"))
+    val kept = edges
+      .join(rm, edges("id") === col("__rid"), "left_anti")
+    val affected = kept
+      .join(rm, kept("nbr") === col("__rid"), "left_semi")
+      .select("id").distinct()
+    val survivors = resident
+      .join(rm, resident(idCol) === col("__rid"), "left_anti")
+    val repairQ = survivors
+      .join(affected.withColumnRenamed("id", idCol), Seq(idCol),
+        "left_semi")
+    val repaired = Similarity.intDotTopKBatch(survivors, idCol, vecCol,
+        repairQ, idCol, vecCol, k)
+      .select(col("qid").as("id"), col("id").as("nbr"), col("dot"))
+    kept.join(affected, Seq("id"), "left_anti")
+      .unionByName(repaired)
+  }
 }

@@ -164,6 +164,22 @@ object PipelineQueries {
       "FROM rk WHERE rank <= 5 AND dot > 0 AND " +
       "(2000 * dot + 1099511627776) // 2199023255552 > 0)"
 
+  /** Raw top-5 integer-dot rank CTE over a FILTERED embeddings slice —
+    * the [[intdotGraphCte]] shape stopped at `rk` (no weight derivation,
+    * no dot>0 filter: the INDEX state, not the consumer graph), for the
+    * incremental-maintenance rebuild-equivalence oracle.
+    */
+  private def intdotRkCte(where: String): String =
+    "WITH q AS (SELECT vec_id, " +
+      "[CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT) " +
+      s"FOR x IN embedding] AS qv FROM embeddings WHERE $where), " +
+      "pr AS (SELECT a.vec_id AS id, b.vec_id AS nbr, " +
+      "CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN " +
+      "range(1, len(a.qv) + 1)]) AS BIGINT) AS dot " +
+      "FROM q a JOIN q b ON a.vec_id <> b.vec_id), " +
+      "rk AS (SELECT id, nbr, dot, row_number() OVER " +
+      "(PARTITION BY id ORDER BY dot DESC, nbr) AS rank FROM pr) "
+
   /** One synchronous label-propagation round as DuckDB CTEs: `next` from
     * `prev` — weighted vote over the directed KNN out-edges of CTE `g`,
     * argmax with ties to the smaller label, neighbor-less nodes carry
@@ -4525,6 +4541,32 @@ object PipelineQueries {
         "LEFT JOIN a2 x2 ON n.id = x2.id " +
         "LEFT JOIN a3 x3 ON n.id = x3.id) " +
         "SELECT id, layer FROM lay ORDER BY id")),
+
+    // ---- EXACT incremental maintenance of the KNN edge state: build
+    // over the resident 90%, insertExact the 10% delta, deleteExact the
+    // vec_id%20==7 slice — and the final state must hash-match a from-
+    // scratch rebuild over the post-delete corpus (the text indexes'
+    // delete-then-merge ≡ rebuild contract, now on the graph family;
+    // merge cost |resident|·|delta| dots + repair |affected|·N, never
+    // the N² rebuild). ----
+    ("ns_ann_knn_update",
+      (s: SparkSession, d: String) => {
+        val all = Tables.embeddings(s, d)
+        val resident = all.filter(col("vec_id") % 10 =!= 0)
+        val delta = all.filter(col("vec_id") % 10 === 0)
+        val edges0 = graft.operators.Similarity.intDotTopKBatch(
+            resident, "vec_id", "embedding", resident, "vec_id",
+            "embedding", k = 5)
+          .select(col("qid").as("id"), col("id").as("nbr"), col("dot"))
+        val afterIns = graft.operators.KnnGraph.insertExact(edges0,
+          resident, delta, "vec_id", "embedding", k = 5)
+        val afterDel = graft.operators.KnnGraph.deleteExact(afterIns,
+          all, all.filter(col("vec_id") % 20 === 7).select("vec_id"),
+          "vec_id", "embedding", k = 5)
+        afterDel.orderBy("id", "nbr")
+      },
+      Some(intdotRkCte("vec_id % 20 <> 7") +
+        "SELECT id, nbr, dot FROM rk WHERE rank <= 5 ORDER BY id, nbr")),
 
     // ---- Z-order layout: Morton z-values over (user_id, event_id) with
     // power-of-two cells — integer-only bucket law, so the oracle

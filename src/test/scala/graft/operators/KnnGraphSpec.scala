@@ -309,4 +309,52 @@ class KnnGraphSpec extends SparkSpec {
     assert(lp > 1 && lp < 500,
       s"label propagation degenerated to $lp communities")
   }
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("id", "nbr", "dot").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def rebuild(corpus: org.apache.spark.sql.DataFrame, k: Int) =
+    Similarity.intDotTopKBatch(corpus, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", k)
+      .select(col("qid").as("id"), col("id").as("nbr"), col("dot"))
+
+  test("insertExact on real embeddings is bit-equal to a full rebuild") {
+    val all = Tables.embeddings(spark, sfDir)
+    val resident = all.filter(col("vec_id") % 10 =!= 0)
+    val delta = all.filter(col("vec_id") % 10 === 0)
+    val merged = KnnGraph.insertExact(rebuild(resident, 5), resident,
+      delta, "vec_id", "embedding", k = 5)
+    assert(edgeSet(merged) === edgeSet(rebuild(all, 5)))
+  }
+
+  test("deleteExact repairs exactly the affected ids, bit-equal to rebuild") {
+    val all = Tables.embeddings(spark, sfDir)
+    val rm = all.filter(col("vec_id") % 5 === 0).select("vec_id")
+    val after = KnnGraph.deleteExact(rebuild(all, 5), all, rm,
+      "vec_id", "embedding", k = 5)
+    val remaining = all.filter(col("vec_id") % 5 =!= 0)
+    assert(edgeSet(after) === edgeSet(rebuild(remaining, 5)))
+    // and the removed ids are really gone from both roles
+    val ids = after.select("id")
+      .unionByName(after.select(col("nbr").as("id")))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(ids.forall(_ % 5 != 0))
+  }
+
+  test("deleteExact hand case: survivor's lost rank-1 is repaired from rank-2") {
+    // vectors on axes: 1 ~ 2 (near-identical), 3 further from 1, 4 far
+    def v(a: Double, b: Double): Seq[Float] =
+      Seq(a.toFloat, b.toFloat, 0f, 0f)
+    val embs = Seq(
+      (1L, v(1.0, 0.0)), (2L, v(0.99, 0.1)),
+      (3L, v(0.7, 0.7)), (4L, v(0.0, 1.0))).toDF("vec_id", "embedding")
+    val st = rebuild(embs, 1)
+    // node 1's top-1 is 2; removing 2 must promote 3, not leave a hole
+    val after = KnnGraph.deleteExact(st, embs,
+      Seq(2L).toDF("vec_id"), "vec_id", "embedding", k = 1)
+    val top1 = after.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1(1L) === 3L)
+    assert(!top1.contains(2L))
+  }
 }
