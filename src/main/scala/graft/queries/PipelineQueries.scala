@@ -4568,6 +4568,36 @@ object PipelineQueries {
       Some(intdotRkCte("vec_id % 20 <> 7") +
         "SELECT id, nbr, dot FROM rk WHERE rank <= 5 ORDER BY id, nbr")),
 
+    // ---- the STREAMING fold of the same maintenance: three vector
+    // micro-batches applied through StreamingKnn's idempotent
+    // versioned-state body (batch 1 redelivered mid-run to exercise the
+    // version-tag skip), final committed state hashed against the
+    // full-corpus rebuild oracle — streamed ≡ batch, driver-visible
+    // (replay/crash-window semantics are specced in StreamingKnnSpec).
+    ("ns_ann_knn_stream_fold",
+      (s: SparkSession, d: String) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("sknn_q").toString + "/knn"
+        val embs = Tables.embeddings(s, d)
+        val slices = Seq(
+          embs.filter(col("vec_id") % 3 === 0),
+          embs.filter(col("vec_id") % 3 === 1),
+          embs.filter(col("vec_id") % 3 === 2))
+        graft.streaming.StreamingKnn.applyBatch(s, slices(0), "vec_id",
+          "embedding", 5, path, 0L)
+        graft.streaming.StreamingKnn.applyBatch(s, slices(1), "vec_id",
+          "embedding", 5, path, 1L)
+        // at-least-once redelivery of batch 1: must be a no-op
+        graft.streaming.StreamingKnn.applyBatch(s, slices(1), "vec_id",
+          "embedding", 5, path, 1L)
+        graft.streaming.StreamingKnn.applyBatch(s, slices(2), "vec_id",
+          "embedding", 5, path, 2L)
+        graft.streaming.StreamingKnn.currentEdges(s, path)
+          .orderBy("id", "nbr")
+      },
+      Some(intdotRkCte("TRUE") +
+        "SELECT id, nbr, dot FROM rk WHERE rank <= 5 ORDER BY id, nbr")),
+
     // ---- Z-order layout: Morton z-values over (user_id, event_id) with
     // power-of-two cells — integer-only bucket law, so the oracle
     // replicates every bit (Layout.scala scaladoc has the contract) ----

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.{KnnGraph, Similarity}
+
+/** The exact KNN edge state maintained UNDER A VECTOR STREAM — every
+  * graph-analytics consumer (propagation, PageRank, communities,
+  * triangles) reads a graph that is ALWAYS the exact top-k relation over
+  * the vectors ingested so far, with per-batch cost
+  * O(|resident|·|batch|) dots ([[KnnGraph.insertExact]]'s mergeable-
+  * top-k contract), never the O(N²) rebuild a batch pipeline would
+  * re-pay per refresh.
+  *
+  * State layout under `path/`:
+  *  - `vectors/__batch=bN/` — the ingested vectors, each batch
+  *    DYNAMICALLY OVERWRITING its own partition (the [[StreamingLayout]]
+  *    idempotency shape), so redelivery rewrites rather than duplicates;
+  *  - `edges/v=N/` — full edge-state versions: batch N writes the new
+  *    state to `v=N` (parquet `_SUCCESS` = commit mark), then prunes
+  *    older versions. The VERSION TAG is the idempotency arbiter, the
+  *    [[MaterializedAgg]] fold-tag rule: a redelivered batch whose tag
+  *    already exists complete is SKIPPED, and a crash between the state
+  *    write and the prune leaves only extra complete versions that the
+  *    replay prunes — readers always resolve the max complete version,
+  *    so every crash window reads as either fully-before or fully-after.
+  *
+  * Batch 0 bootstraps with a self top-k over its own vectors; later
+  * batches resolve their resident set as the vector partitions `≤` the
+  * current edge version (vectors written by an uncommitted successor
+  * batch are excluded by construction, closing the crash-between-writes
+  * window).
+  *
+  * Contract: stream ids are NEW ids (insert-only — the
+  * [[KnnGraph.insertExact]] disjointness contract); upstream id dedup is
+  * [[StreamingDedup]]'s job, and vector DELETES are a batch-side
+  * operation ([[KnnGraph.deleteExact]] against the current version, the
+  * text indexes' convention).
+  */
+object StreamingKnn {
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Complete (committed) edge-state versions, ascending. */
+  private def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val root = new Path(s"$path/edges")
+    val f = fs(spark, root)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s => f.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .sorted
+  }
+
+  /** Idempotent micro-batch apply — the `foreachBatch` body. */
+  def applyBatch(spark: SparkSession, batch: DataFrame, idCol: String,
+                 vecCol: String, k: Int, path: String,
+                 batchId: Long): Unit = {
+    val vers = versions(spark, path)
+    if (vers.exists(_ >= batchId)) return // redelivery of a committed batch
+    val delta = batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    delta.withColumn("__batch", lit(s"b$batchId"))
+      .write.partitionBy("__batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$path/vectors")
+    val next = vers.lastOption match {
+      case None =>
+        Similarity.intDotTopKBatch(delta, "id", "vec", delta, "id", "vec",
+            k)
+          .select(col("qid").as("id"), col("id").as("nbr"), col("dot"))
+      case Some(m) =>
+        val resident = spark.read.parquet(s"$path/vectors")
+          .withColumn("__bn",
+            regexp_extract(col("__batch"), "^b(\\d+)$", 1).cast("long"))
+          .filter(col("__bn") <= m)
+          .select("id", "vec")
+        KnnGraph.insertExact(spark.read.parquet(s"$path/edges/v=$m"),
+          resident, delta, "id", "vec", k)
+    }
+    next.write.parquet(s"$path/edges/v=$batchId")
+    val root = new Path(s"$path/edges")
+    val f = fs(spark, root)
+    vers.foreach(v => f.delete(new Path(root, s"v=$v"), true))
+  }
+
+  /** Start the checkpointed streaming maintenance. */
+  def start(stream: DataFrame, idCol: String, vecCol: String, k: Int,
+            path: String, checkpointDir: String,
+            availableNow: Boolean = true): StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Retry.withBackoff() {
+          applyBatch(batch.sparkSession, batch, idCol, vecCol, k, path,
+            batchId)
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** The current committed edge state `(id, nbr, dot)`. */
+  def currentEdges(spark: SparkSession, path: String): DataFrame = {
+    val vers = versions(spark, path)
+    require(vers.nonEmpty, s"no committed edge state under $path/edges")
+    spark.read.parquet(s"$path/edges/v=${vers.last}")
+  }
+}
