@@ -29,6 +29,29 @@ object VectorKernels {
     math.sqrt(s)
   }
 
+  /** Fused fixed-point-quantize + integer dot: for each component,
+    * `q = floor(double(x)·2^20 + 0.5)` (the
+    * [[graft.operators.Similarity.fixedPointQuantize]] contract — every
+    * step exact IEEE), then `Σ qa·qb` in int64. BIT-IDENTICAL to
+    * quantizing both arrays and folding the products, but one codegen'd
+    * primitive-loop pass with zero array allocation — the two-step
+    * `transform` + `zip_with`/`aggregate` form runs interpreted and
+    * allocates two long arrays per pair (measured 32 s → 2.6 s on a
+    * 3.2 M-pair top-k build at sf0.1).
+    */
+  def intDotQ(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val qa = math.floor(a.getFloat(i).toDouble * 1048576.0 + 0.5).toLong
+      val qb = math.floor(b.getFloat(i).toDouble * 1048576.0 + 0.5).toLong
+      s += qa * qb
+      i += 1
+    }
+    s
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
@@ -70,6 +93,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
     VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `int_dot_q(array<float>, array<float>) -> bigint` — the fused
+  * fixed-point-quantize + exact int64 dot ([[VectorKernels.intDotQ]]),
+  * the integer-exact similarity contract's hot kernel kept inside
+  * whole-stage codegen.
+  */
+case class IntDotQ(left: Expression, right: Expression)
+    extends Float32VectorBinary {
+  override def prettyName: String = "int_dot_q"
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.intDotQ(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.intDotQ($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

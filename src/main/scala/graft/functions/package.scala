@@ -28,6 +28,11 @@ package object functions {
   /** Dot product of two float32 vectors (double result). */
   def dot_product(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
 
+  /** Fused fixed-point-quantize + exact int64 dot of two float32
+    * vectors (codegen'd; bit-identical to quantize-then-fold).
+    */
+  def int_dot_q(a: Column, b: Column): Column = col(IntDotQ(ex(a), ex(b)))
+
   /** Euclidean norm of a float32 vector (double result). */
   def l2_norm(vec: Column): Column = col(L2Norm(ex(vec)))
 

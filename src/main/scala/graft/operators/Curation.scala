@@ -1187,4 +1187,66 @@ object Curation {
       .select("tok", "ca", "cb", "share_a_micro", "share_b_micro",
         "delta_micro")
   }
+
+  /** Population Stability Index bins over a bounded integer feature —
+    * the CONTINUOUS-feature drift monitor next to [[corpusDrift]]'s
+    * token TV: equal-width bins on `[lo, hi]` (out-of-range clamps to
+    * the edge bins, the Layout convention), per-bin
+    * `term = (p̂ − q̂)·ln(p̂/q̂)` with add-0.5-smoothed proportions
+    * `p̂ = (c + 0.5)/(N + 0.5·bins)` so empty bins stay finite
+    * (the NB smoothing convention). PSI reads: < 0.1 stable, 0.1–0.25
+    * drifting, > 0.25 shifted.
+    *
+    * Determinism follows the repo's ln-grid rule (NB/DSIR/BM25): the
+    * smoothed proportions and their log-ratio are single correctly-
+    * rounded IEEE divisions over exact integer counts, the ln is
+    * rounded to 6 BEFORE the product, and the term rounds to 6 — the
+    * [[psi]] scalar then folds the ≤`bins` terms in bin order. Binning
+    * itself is pure integer arithmetic: `(x − lo)·bins div (hi − lo + 1)`
+    * clamped to `[0, bins)`.
+    *
+    * Plan shape: one groupBy(bin) scan per side, a `bins`-row full-outer
+    * join, a broadcast 1-row totals attach — corpus-sized scans,
+    * constant-sized everything else.
+    */
+  def psiBins(a: DataFrame, b: DataFrame, feature: Column, lo: Long,
+              hi: Long, bins: Int = 10): DataFrame = {
+    require(bins > 0 && hi > lo, s"need bins > 0 and hi > lo")
+    def binned(df: DataFrame, c: String) =
+      df.select(feature.cast("long").as("x"))
+        .filter(col("x").isNotNull)
+        .select(least(lit(bins - 1L), greatest(lit(0L),
+          expr(s"(x - ${lo}L) * ${bins}L div ${hi - lo + 1}L")))
+          .as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(c))
+    val grid = a.sparkSession.range(bins).select(col("id").as("bin"))
+    val j = grid
+      .join(binned(a, "ca"), Seq("bin"), "left")
+      .join(binned(b, "cb"), Seq("bin"), "left")
+      .na.fill(0L, Seq("ca", "cb"))
+    val tot = j.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("p", (col("ca") + 0.5) / (col("na") + 0.5 * bins))
+      .withColumn("q", (col("cb") + 0.5) / (col("nb") + 0.5 * bins))
+      .withColumn("term",
+        round((col("p") - col("q")) * round(log(col("p") / col("q")), 6),
+          6))
+      .select("bin", "ca", "cb", "term")
+  }
+
+  /** The PSI scalar: [[psiBins]] folded in bin order (≤ `bins` rounded-6
+    * terms — the fold runs driver-side off the tiny bin relation, the
+    * whitening/corpusDrift bounded-planning-state convention).
+    */
+  def psi(a: DataFrame, b: DataFrame, feature: Column, lo: Long,
+          hi: Long, bins: Int = 10): DataFrame = {
+    val terms = psiBins(a, b, feature, lo, hi, bins)
+      .orderBy("bin").select("term")
+      .collect().map(_.getDouble(0))
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq(BigDecimal(terms.sum).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .toDF("psi")
+  }
 }

@@ -507,12 +507,10 @@ object KnnGraph {
     val deltaRows = Similarity.intDotTopKBatch(all, idCol, vecCol,
         delta, idCol, vecCol, k)
       .select(col("qid").as("id"), col("id").as("nbr"), col("dot"))
-    val rq = resident.select(col(idCol).as("id"),
-      Similarity.fixedPointQuantize(col(vecCol)).as("qv"))
-    val dq = delta.select(col(idCol).as("nbr"),
-      Similarity.fixedPointQuantize(col(vecCol)).as("dv"))
+    val rq = resident.select(col(idCol).as("id"), col(vecCol).as("qv"))
+    val dq = delta.select(col(idCol).as("nbr"), col(vecCol).as("dv"))
     val cand = rq.crossJoin(broadcast(dq))
-      .withColumn("dot", Similarity.intDot(col("qv"), col("dv")))
+      .withColumn("dot", graft.functions.int_dot_q(col("qv"), col("dv")))
       .select("id", "nbr", "dot")
     val w = Window.partitionBy("id").orderBy(col("dot").desc, col("nbr"))
     edges.unionByName(cand)
@@ -542,11 +540,17 @@ object KnnGraph {
                   removeIds: DataFrame, idCol: String, vecCol: String,
                   k: Int): DataFrame = {
     val rm = removeIds.select(col(idCol).as("__rid"))
+    // kept feeds the affected scan AND the untouched anti-join, and the
+    // caller's `edges` lineage may itself be an expensive merge — without
+    // truncation the upstream plan re-executes per consumer (measured
+    // 44 s -> 5 s on the rebuild-equivalence query at sf0.1)
     val kept = edges
       .join(rm, edges("id") === col("__rid"), "left_anti")
+      .localCheckpoint()
     val affected = kept
       .join(rm, kept("nbr") === col("__rid"), "left_semi")
       .select("id").distinct()
+      .localCheckpoint()
     val survivors = resident
       .join(rm, resident(idCol) === col("__rid"), "left_anti")
     val repairQ = survivors

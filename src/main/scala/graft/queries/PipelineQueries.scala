@@ -180,6 +180,34 @@ object PipelineQueries {
       "rk AS (SELECT id, nbr, dot, row_number() OVER " +
       "(PARTITION BY id ORDER BY dot DESC, nbr) AS rank FROM pr) "
 
+  /** DuckDB mirror of [[graft.operators.Curation.psiBins]] over document
+    * char length (src0 vs rest, 16 bins on [0, 2047]), ending at CTE
+    * `t(bin, ca, cb, term)` — integer binning, add-0.5 smoothing,
+    * round-6 ln term (expression shapes match the Spark side so every
+    * double op is the identical correctly-rounded IEEE step).
+    */
+  private val psiCte =
+    "WITH ax AS (SELECT length(text) AS x FROM documents " +
+      "WHERE source = 'src0'), " +
+      "bx AS (SELECT length(text) AS x FROM documents " +
+      "WHERE source <> 'src0'), " +
+      "ac AS (SELECT least(15, greatest(0, (x * 16) // 2048)) AS bin, " +
+      "count(*) AS c FROM ax GROUP BY 1), " +
+      "bc AS (SELECT least(15, greatest(0, (x * 16) // 2048)) AS bin, " +
+      "count(*) AS c FROM bx GROUP BY 1), " +
+      "gr AS (SELECT CAST(i AS BIGINT) AS bin FROM " +
+      "generate_series(0, 15) s(i)), " +
+      "j AS (SELECT gr.bin, coalesce(ac.c, 0) AS ca, " +
+      "coalesce(bc.c, 0) AS cb FROM gr " +
+      "LEFT JOIN ac ON gr.bin = ac.bin LEFT JOIN bc ON gr.bin = bc.bin), " +
+      "tt AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM j), " +
+      "t AS (SELECT bin, CAST(ca AS BIGINT) AS ca, " +
+      "CAST(cb AS BIGINT) AS cb, " +
+      "round(((ca + 0.5) / (na + 0.5 * 16) - (cb + 0.5) / " +
+      "(nb + 0.5 * 16)) * round(ln(((ca + 0.5) / (na + 0.5 * 16)) / " +
+      "((cb + 0.5) / (nb + 0.5 * 16))), 6), 6) AS term " +
+      "FROM j CROSS JOIN tt) "
+
   /** One synchronous label-propagation round as DuckDB CTEs: `next` from
     * `prev` — weighted vote over the directed KNN out-edges of CTE `g`,
     * argmax with ties to the smaller label, neighbor-less nodes carry
@@ -3330,6 +3358,34 @@ object PipelineQueries {
         "FROM sh ORDER BY abs(share_a_micro - share_b_micro) DESC, tok " +
         "LIMIT 20")),
 
+    // ---- PSI (population stability index) over document char length,
+    // src0 slice vs the rest — the continuous-feature drift monitor
+    // next to the token-TV scalar: 16 equal-width bins on [0, 2047]
+    // (edge-clamped), add-0.5-smoothed proportions, round-6 ln terms
+    // (the NB/DSIR ln-grid conventions). Per-bin table + the folded
+    // scalar, both hashed. ----
+    ("ns_corpus_psi_bins",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        Curation.psiBins(docs.filter(col("source") === "src0"),
+            docs.filter(col("source") =!= "src0"),
+            length(col("text")), lo = 0L, hi = 2047L, bins = 16)
+          .orderBy("bin")
+      },
+      Some(psiCte +
+        "SELECT bin, ca, cb, term FROM t ORDER BY bin")),
+
+    ("ns_corpus_psi",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        Curation.psi(docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"),
+          length(col("text")), lo = 0L, hi = 2047L, bins = 16)
+      },
+      Some(psiCte +
+        "SELECT round(list_sum(list(term ORDER BY bin)), 6) AS psi " +
+        "FROM t")),
+
     // Binary logistic regression (lang='en' vs rest) — iterative gradient
     // descent is not SQL-expressible; rows-only by design. The trainer is
     // integer-exact and bit-identical to a serial reference under any
@@ -4552,14 +4608,23 @@ object PipelineQueries {
     ("ns_ann_knn_update",
       (s: SparkSession, d: String) => {
         val all = Tables.embeddings(s, d)
+        // the embeddings table is one small file = one input partition;
+        // spread the N-squared build's scan side across cores (query-
+        // side concern: a real corpus arrives pre-partitioned)
         val resident = all.filter(col("vec_id") % 10 =!= 0)
+          .repartition(32)
         val delta = all.filter(col("vec_id") % 10 === 0)
+        // localCheckpoint between the stages: each is consumed by more
+        // than one downstream subtree, and the N-squared build must run
+        // once, not once per consumer (44 s -> ~5 s at sf0.1)
         val edges0 = graft.operators.Similarity.intDotTopKBatch(
             resident, "vec_id", "embedding", resident, "vec_id",
             "embedding", k = 5)
           .select(col("qid").as("id"), col("id").as("nbr"), col("dot"))
+          .localCheckpoint()
         val afterIns = graft.operators.KnnGraph.insertExact(edges0,
-          resident, delta, "vec_id", "embedding", k = 5)
+            resident, delta, "vec_id", "embedding", k = 5)
+          .localCheckpoint()
         val afterDel = graft.operators.KnnGraph.deleteExact(afterIns,
           all, all.filter(col("vec_id") % 20 === 7).select("vec_id"),
           "vec_id", "embedding", k = 5)

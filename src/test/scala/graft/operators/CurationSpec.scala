@@ -568,4 +568,32 @@ class CurationSpec extends SparkSpec {
     assert(rows.head === (("a", 750000L)))
     assert(rows.map(_._1).toSeq === Seq("a", "b", "c", "d"))
   }
+
+  test("psi: identical corpora score exactly 0; a shift reads as shifted") {
+    import spark.implicits._
+    val xs = Seq(10L, 200L, 700L, 1500L, 1500L, 3000L).toDF("v")
+    // identical sides: every bin has p = q, so every term and the scalar
+    // are exactly 0.0 (no float residue — the ln argument is exactly 1)
+    val same = Curation.psiBins(xs, xs, col("v"), 0L, 2047L, bins = 16)
+      .collect()
+    assert(same.length === 16)
+    assert(same.forall(_.getDouble(3) === 0.0))
+    assert(Curation.psi(xs, xs, col("v"), 0L, 2047L, 16)
+      .head().getDouble(0) === 0.0)
+    // binning law: x div 128 with out-of-range clamped to the edge bin —
+    // 3000 > hi lands in bin 15, the two 1500s in bin 11
+    val byBin = same.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBin(15L) === 1L)
+    assert(byBin(11L) === 2L)
+    // a hard distribution shift scores above the 0.25 "shifted" bar
+    val lo = Seq.fill(50)(100L).toDF("v")
+    val hi = Seq.fill(50)(1900L).toDF("v")
+    val shifted = Curation.psi(lo, hi, col("v"), 0L, 2047L, 16)
+      .head().getDouble(0)
+    assert(shifted > 0.25, s"psi=$shifted")
+    // direction-symmetric up to the round-6 term grid
+    val rev = Curation.psi(hi, lo, col("v"), 0L, 2047L, 16)
+      .head().getDouble(0)
+    assert(math.abs(rev - shifted) < 1e-4, s"$rev vs $shifted")
+  }
 }
