@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, KnnGraph, Layout}
+import graft.operators.{Curation, Dedup, KnnGraph, Layout, Similarity}
 
 /** Scale-validation harness (manual; not part of `sbt test` or the driver
   * gates): drives the dedup/curation chain over a DETERMINISTIC synthetic
@@ -47,13 +47,15 @@ object ScaleSmoke {
     require(Set("all", "lexical", "semantic", "recall", "pipeline",
       "streaming", "classifier", "curation", "streamlearn", "semdedup",
       "embed", "bm25", "minhashindex", "layout", "propagate", "fuzzy",
-      "slayout", "drift", "graphstruct")(stages),
+      "slayout", "drift", "graphstruct", "graphupdate")(stages),
       s"unknown stage set '$stages'")
     def on(s: String) = stages == "all" || stages == s
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "10000000") // TypedImperativeAggregate (top_n_by) groups per task
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -1351,6 +1353,66 @@ object ScaleSmoke {
       out.unpersist()
     }
     chordEdges.unpersist(); ringNodes.unpersist()
+    }
+
+    if (on("graphupdate")) {
+    // ---- exact incremental KNN maintenance at corpus scale: resident
+    // n vectors (deterministic 16-dim), insert a 0.5% delta, delete
+    // 0.1% — and verify EXACTNESS on a 100-id sample against a direct
+    // top-k over the final corpus (the operator's rebuild-equivalence
+    // contract, spot-checked where the full N² rebuild is unaffordable;
+    // the full-equality proof lives in KnnGraphSpec + ns_ann_knn_update).
+    val dim = 16
+    def vecs(ids: org.apache.spark.sql.DataFrame) = ids
+      .withColumn("embedding", transform(sequence(lit(0), lit(dim - 1)),
+        i => ((pmod(xxhash64(col("vec_id"), i), lit(2000L)) - 1000L) /
+          lit(1000.0)).cast("float")))
+    val nRes = n.toLong
+    val nDelta = math.max(1000L, n / 200L)
+    val nRm = math.max(200L, n / 1000L)
+    val resident = vecs(spark.range(nRes).toDF("vec_id")).cache()
+    val delta = vecs(spark.range(nRes, nRes + nDelta).toDF("vec_id"))
+      .cache()
+    // the state must cover every resident, so the stage pays the honest
+    // cost of ONE full exact build at n (quadratic — the IVF path is
+    // the production builder; this stage measures the MAINTENANCE
+    // deltas the build then amortizes into)
+    val edges0 = t("graphupdate_build_knn") {
+      Similarity.intDotTopKBatch(resident, "vec_id", "embedding",
+          resident, "vec_id", "embedding", 5)
+        .select(col("qid").as("id"), col("id").as("nbr"), col("dot"))
+        .localCheckpoint()
+    }
+    val afterIns = t("graphupdate_insert") {
+      KnnGraph.insertExact(edges0, resident, delta,
+        "vec_id", "embedding", 5).localCheckpoint()
+    }
+    val rmIds = spark.range(0, nRm * 97, 97).toDF("vec_id")
+      .filter(col("vec_id") < nRes)
+    val afterDel = t("graphupdate_delete") {
+      KnnGraph.deleteExact(afterIns,
+        resident.unionByName(delta), rmIds,
+        "vec_id", "embedding", 5).localCheckpoint()
+    }
+    t("graphupdate_sample_verify") {
+      val finalCorpus = resident.unionByName(delta)
+        .join(rmIds, Seq("vec_id"), "left_anti").localCheckpoint()
+      val sample = finalCorpus.filter(col("vec_id") % 1999 === 3)
+        .limit(100).localCheckpoint()
+      val wantSet = Similarity.intDotTopKBatch(finalCorpus, "vec_id",
+          "embedding", sample, "vec_id", "embedding", 5)
+        .select(col("qid"), col("id"), col("dot"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val gotSet = afterDel
+        .join(sample.select(col("vec_id").as("id")), "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      println(s"SCALE   graphupdate sample_exact=" +
+        s"${(wantSet & gotSet).size}/${wantSet.size} " +
+        s"(${if (wantSet == gotSet) "OK" else "MISS"})")
+    }
+    resident.unpersist(); delta.unpersist()
     }
 
     if (on("drift")) {

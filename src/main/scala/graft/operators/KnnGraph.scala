@@ -479,6 +479,33 @@ object KnnGraph {
       .reduce(_ unionByName _)
   }
 
+  /** Shared-nearest-neighbor strength for every directed edge of a
+    * `(id, nbr, w)` k-NN graph: `shared(a→b) = |N(a) ∩ N(b)|`, the
+    * out-neighborhood overlap (Jarvis–Patrick '73 / SNN clustering's
+    * edge weight) — a similarity signal more robust than the raw dot in
+    * high dimensions, where distance concentration makes raw ranks
+    * noisy but AGREEMENT of neighbor sets stays discriminative: an edge
+    * into a true topic clump shares most of its endpoint's neighbors,
+    * an edge to a hub-by-accident shares none.
+    *
+    * Plan: one self-join of the edge list on the shared neighbor
+    * (volume Σ_x indeg(x)² — bounded by the in-degree profile, which
+    * the k-NN construction keeps near k on non-degenerate corpora; an
+    * adversarial hub inflates it, the standard SNN caveat — cap
+    * in-degree upstream if the corpus has one), one groupBy(a, b), one
+    * join back to the edges. All integer, fully oracle-able.
+    */
+  def sharedNeighbors(edges: DataFrame): DataFrame = {
+    val n1 = edges.select(col("id").as("a"), col("nbr").as("x"))
+    val n2 = edges.select(col("id").as("b"), col("nbr").as("x"))
+    val common = n1.join(n2, "x")
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+    edges.select(col("id").as("a"), col("nbr").as("b"), col("w"))
+      .join(common, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("shared"))
+  }
+
   /** EXACT incremental insert into a materialized `(id, nbr, dot)`
     * top-k edge state (the `knn-intdot` IndexCatalog artifact) — the CDC
     * update path for the graph-analytics family, extending the
@@ -512,8 +539,24 @@ object KnnGraph {
     val cand = rq.crossJoin(broadcast(dq))
       .withColumn("dot", graft.functions.int_dot_q(col("qv"), col("dv")))
       .select("id", "nbr", "dot")
+    // LOSSLESS candidate prefilter before the re-rank shuffle: a
+    // candidate strictly below its node's current rank-k dot cannot
+    // enter the top-k (all k incumbents beat it on the primary key of
+    // the total order), so only candidates >= that threshold — plus
+    // every candidate of a node with < k incumbents — ride the window.
+    // The map-side dot scan still scores N·|delta| pairs (unavoidable:
+    // every pair must be LOOKED AT), but the shuffle shrinks from
+    // N·|delta| rows to ~N·k + displacing candidates. Ties (==) are
+    // kept: an equal-dot candidate can still displace on the nbr
+    // tiebreak, and over-keeping is merely unpruned, never wrong.
+    val thr = edges.groupBy("id")
+      .agg(count(lit(1)).as("__n"), min("dot").as("__min"))
+    val candKept = cand.join(thr, Seq("id"), "left")
+      .filter(col("__n").isNull || col("__n") < k ||
+        col("dot") >= col("__min"))
+      .select("id", "nbr", "dot")
     val w = Window.partitionBy("id").orderBy(col("dot").desc, col("nbr"))
-    edges.unionByName(cand)
+    edges.unionByName(candKept)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .drop("rn")

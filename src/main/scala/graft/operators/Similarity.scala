@@ -200,23 +200,36 @@ object Similarity {
   def intDotTopKBatch(embs: DataFrame, idCol: String, vecCol: String,
                       queries: DataFrame, qidCol: String, qvecCol: String,
                       k: Int, excludeSelf: Boolean = true): DataFrame = {
-    // the fused codegen'd kernel (quantize + int64 fold in one primitive
-    // loop, [[graft.functions.int_dot_q]]) — bit-identical to
-    // fixedPointQuantize + intDot, but the interpreted higher-order form
-    // allocated two long arrays per pair and ran outside codegen
-    // (measured 32 s -> 2.6 s on the 3.2M-pair sf0.1 build); projecting
-    // to the 3 skinny columns before the window keeps the vector arrays
-    // off the top-k exchange
+    // Two scale decisions, both load-bearing at N² candidate volume:
+    //  - the dot is the fused codegen'd kernel (quantize + int64 fold in
+    //    one primitive loop, [[graft.functions.int_dot_q]]) — bit-equal
+    //    to fixedPointQuantize + intDot, but the interpreted
+    //    higher-order form allocated two long arrays per pair and ran
+    //    outside codegen (32 s -> 2.6 s on the 3.2M-pair sf0.1 build);
+    //  - ranking is the BOUNDED [[graft.functions.TopNBy]] aggregate,
+    //    NOT a window: a window shuffles every candidate row (N·|Q| —
+    //    a terabyte at 200 k², where this build became unrunnable),
+    //    while top-n partials carry ≤ k entries per query per task and
+    //    combine map-side, so the shuffle is |Q|·k. The aggregate ranks
+    //    on the dot cast to double — EXACT while |dot| < 2^53
+    //    (unit-norm-ish quantized vectors up to dim 8192; the family
+    //    contract) — and ties break to the smaller id, the same total
+    //    order as the window form. The exact int64 dot is then
+    //    recomputed for only the |Q|·k selected pairs via a join-back.
     val corpus = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qqv"))
-    val scored = corpus.crossJoin(broadcast(q))
+    val picked = corpus.crossJoin(broadcast(q))
       .filter(if (excludeSelf) col("id") =!= col("qid") else lit(true))
+      .groupBy("qid")
+      .agg(graft.functions.top_n_by(col("id"),
+        graft.functions.int_dot_q(col("v"), col("qqv")).cast("double"),
+        k).as("ids"))
+      .select(col("qid"), posexplode(col("ids")).as(Seq("p", "id")))
+      .select(col("qid"), col("id"), (col("p") + 1).cast("int").as("rank"))
+    picked
+      .join(corpus, "id")
+      .join(q, "qid")
       .withColumn("dot", graft.functions.int_dot_q(col("v"), col("qqv")))
-      .select(col("qid"), col("id"), col("dot"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("dot").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("dot"), col("rank"))
   }
 

@@ -4598,6 +4598,23 @@ object PipelineQueries {
         "LEFT JOIN a3 x3 ON n.id = x3.id) " +
         "SELECT id, layer FROM lay ORDER BY id")),
 
+    // ---- shared-nearest-neighbor strength per KNN edge (Jarvis-
+    // Patrick): |N(a) ∩ N(b)| over the out-neighborhoods — the
+    // distance-concentration-robust similarity the SNN clustering
+    // family weights edges by; all-integer, fully hashed. ----
+    ("ns_ann_snn",
+      (s: SparkSession, d: String) =>
+        graft.operators.KnnGraph.sharedNeighbors(intdotEdges(s, d))
+          .orderBy("a", "b"),
+      Some(intdotGraphCte +
+        ", cm AS (SELECT g1.id AS a, g2.id AS b, count(*) AS shared " +
+        "FROM g g1 JOIN g g2 ON g1.nbr = g2.nbr AND g1.id <> g2.id " +
+        "GROUP BY 1, 2) " +
+        "SELECT g.id AS a, g.nbr AS b, g.w, " +
+        "coalesce(cm.shared, 0) AS shared FROM g " +
+        "LEFT JOIN cm ON g.id = cm.a AND g.nbr = cm.b " +
+        "ORDER BY a, b")),
+
     // ---- EXACT incremental maintenance of the KNN edge state: build
     // over the resident 90%, insertExact the 10% delta, deleteExact the
     // vec_id%20==7 slice — and the final state must hash-match a from-

@@ -16,6 +16,8 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "10000000") // TypedImperativeAggregate (top_n_by) groups per task
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // managed tables (ColocateSpec) must not land in the repo tree

@@ -342,6 +342,19 @@ class KnnGraphSpec extends SparkSpec {
     assert(ids.forall(_ % 5 != 0))
   }
 
+  test("sharedNeighbors counts out-neighborhood overlap per edge") {
+    // N(1)={2,3}, N(2)={1,3}, N(3)={4}, N(4)={3}
+    val g = Seq((1L, 2L, 9L), (1L, 3L, 8L), (2L, 1L, 9L), (2L, 3L, 7L),
+      (3L, 4L, 6L), (4L, 3L, 6L)).toDF("id", "nbr", "w")
+    val got = KnnGraph.sharedNeighbors(g)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    assert(got === Map(
+      (1L, 2L) -> 1L, (1L, 3L) -> 0L, // N(1)∩N(2)={3}; N(1)∩N(3)=∅
+      (2L, 1L) -> 1L, (2L, 3L) -> 0L,
+      (3L, 4L) -> 0L, (4L, 3L) -> 0L))
+  }
+
   test("deleteExact hand case: survivor's lost rank-1 is repaired from rank-2") {
     // vectors on axes: 1 ~ 2 (near-identical), 3 further from 1, 4 far
     def v(a: Double, b: Double): Seq[Float] =
