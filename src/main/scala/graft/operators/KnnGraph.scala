@@ -479,6 +479,54 @@ object KnnGraph {
       .reduce(_ unionByName _)
   }
 
+  /** Newman modularity of a labeled partition over `(id, nbr, w)`
+    * integer edges (directed, weighted form):
+    * `Q = Σ_c e_c/m − Σ_c d_c^out·d_c^in / m²` — the standard "is this
+    * community structure better than chance" score that turns
+    * [[labelPropagation]]'s output from a grouping into a MEASURED
+    * grouping (compare parameter choices, alarm when a corpus's
+    * neighborhood structure degrades). One row
+    * `(communities, m, intra_w, q_micro)`, INTEGER-EXACT: the
+    * community cross products `d^out·d^in` sum as decimal(38,0)
+    * (`m ≤ N·k·w_max` passes int64 at ~10^9 nodes, `m²` does not), the
+    * final division runs in driver BigInt off 1-row aggregates
+    * (the corpusDrift convention), negative Q rounds half-away-from-
+    * zero (the cohenKappa rule, so engine floor-vs-truncate divergence
+    * never arises).
+    *
+    * Plan shape: two label joins onto the edge list (N·k rows), one
+    * global 1-row agg, two label-sized groupBys joined on the label —
+    * nothing quadratic. `labels` is `(id, lbl)`.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val lab = labels.select(col("id"), col("lbl"))
+    val j = edges
+      .join(lab.select(col("id"), col("lbl").as("lc")), "id")
+      .join(lab.select(col("id").as("nbr"), col("lbl").as("ln")), "nbr")
+      .localCheckpoint()
+    val head = j.agg(sum("w").as("m"),
+        sum(when(col("lc") === col("ln"), col("w")).otherwise(0L))
+          .as("intra"))
+      .collect().head
+    val (m, intra) = (head.getLong(0), head.getLong(1))
+    require(m > 0, "modularity needs a non-empty positive-weight graph")
+    val cross = BigInt(j.groupBy(col("lc").as("c")).agg(sum("w").as("dout"))
+      .join(j.groupBy(col("ln").as("c")).agg(sum("w").as("din")), "c")
+      .agg(coalesce(sum(col("dout").cast(dec) * col("din").cast(dec)),
+        lit(0).cast(dec)).as("x"))
+      .collect().head.getDecimal(0).toBigInteger)
+    val nCommunities = lab.select("lbl").distinct().count()
+    val num = BigInt(m) * intra - cross
+    val den = BigInt(m) * m
+    val mag = ((num.abs * 2000000 + den) / (den * 2)).toLong
+    val q = if (num < 0) -mag else mag
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((nCommunities, m, intra, q))
+      .toDF("communities", "m", "intra_w", "q_micro")
+  }
+
   /** Shared-nearest-neighbor strength for every directed edge of a
     * `(id, nbr, w)` k-NN graph: `shared(a→b) = |N(a) ∩ N(b)|`, the
     * out-neighborhood overlap (Jarvis–Patrick '73 / SNN clustering's

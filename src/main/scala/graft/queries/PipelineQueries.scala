@@ -4598,6 +4598,40 @@ object PipelineQueries {
         "LEFT JOIN a3 x3 ON n.id = x3.id) " +
         "SELECT id, layer FROM lay ORDER BY id")),
 
+    // ---- modularity of the 3-round LPA partition over the exact KNN
+    // graph — the "is this community structure better than chance"
+    // scalar that makes ns_ann_communities a measured grouping; one
+    // integer-exact micro-unit row (decimal cross products, driver
+    // BigInt HALF_UP, negative away-from-zero). ----
+    ("ns_ann_modularity",
+      (s: SparkSession, d: String) => {
+        val edges = intdotEdges(s, d)
+        val labels = graft.operators.KnnGraph.labelPropagation(edges,
+            Tables.embeddings(s, d), "vec_id", iters = 3)
+        graft.operators.KnnGraph.modularity(edges, labels)
+      },
+      Some(intdotGraphCte +
+        ", l0 AS (SELECT vec_id AS id, vec_id AS lbl FROM embeddings)" +
+        lpRound("l0", "l1") + lpRound("l1", "l2") + lpRound("l2", "l3") +
+        ", ej AS (SELECT g.id, g.nbr, g.w, a.lbl AS lc, b.lbl AS ln " +
+        "FROM g JOIN l3 a ON g.id = a.id JOIN l3 b ON g.nbr = b.id), " +
+        "mt AS (SELECT sum(w) AS m, " +
+        "sum(CASE WHEN lc = ln THEN w ELSE 0 END) AS intra FROM ej), " +
+        "co AS (SELECT lc AS c, sum(w) AS dout FROM ej GROUP BY 1), " +
+        "ci AS (SELECT ln AS c, sum(w) AS din FROM ej GROUP BY 1), " +
+        "cx AS (SELECT coalesce(sum(CAST(dout AS HUGEINT) * " +
+        "CAST(din AS HUGEINT)), 0) AS x FROM co JOIN ci USING (c)), " +
+        "nc AS (SELECT count(DISTINCT lbl) AS communities FROM l3), " +
+        "fin AS (SELECT nc.communities, mt.m, mt.intra, " +
+        "CAST(mt.m AS HUGEINT) * mt.intra - cx.x AS num, " +
+        "CAST(mt.m AS HUGEINT) * mt.m AS den " +
+        "FROM mt CROSS JOIN cx CROSS JOIN nc) " +
+        "SELECT CAST(communities AS BIGINT) AS communities, " +
+        "CAST(m AS BIGINT) AS m, CAST(intra AS BIGINT) AS intra_w, " +
+        "CAST(CASE WHEN num >= 0 THEN (2000000 * num + den) // (2 * den) " +
+        "ELSE -((2000000 * (-num) + den) // (2 * den)) END AS BIGINT) " +
+        "AS q_micro FROM fin")),
+
     // ---- shared-nearest-neighbor strength per KNN edge (Jarvis-
     // Patrick): |N(a) ∩ N(b)| over the out-neighborhoods — the
     // distance-concentration-robust similarity the SNN clustering

@@ -342,6 +342,26 @@ class KnnGraphSpec extends SparkSpec {
     assert(ids.forall(_ % 5 != 0))
   }
 
+  test("modularity: hand-computed partition score, sign conventions") {
+    // two clean communities {1,2} and {3,4} plus one cross edge:
+    // m=42, intra=40, dout_c=(22,20), din_c=(20,22), cross=880,
+    // Q = (42·40 − 880)/42² = 800/1764 → HALF_UP micro 453515
+    val g = Seq((1L, 2L, 10L), (2L, 1L, 10L), (3L, 4L, 10L),
+      (4L, 3L, 10L), (1L, 3L, 2L)).toDF("id", "nbr", "w")
+    val lab = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("id", "lbl")
+    val r = KnnGraph.modularity(g, lab).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 42L, 40L, 453515L)))
+    // everything in ONE community: intra=m and cross=m², so Q = 0
+    val one = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)).toDF("id", "lbl")
+    assert(KnnGraph.modularity(g, one).head().getLong(3) === 0L)
+    // anti-community labels (cut both heavy pairs): Q goes NEGATIVE,
+    // rounded half-away-from-zero
+    val anti = Seq((1L, 1L), (2L, 3L), (3L, 1L), (4L, 3L)).toDF("id", "lbl")
+    assert(KnnGraph.modularity(g, anti).head().getLong(3) < 0L)
+  }
+
   test("sharedNeighbors counts out-neighborhood overlap per edge") {
     // N(1)={2,3}, N(2)={1,3}, N(3)={4}, N(4)={3}
     val g = Seq((1L, 2L, 9L), (1L, 3L, 8L), (2L, 1L, 9L), (2L, 3L, 7L),
