@@ -78,11 +78,39 @@ def audit(sf_dir):
     return rows
 
 
+def margin6(x):
+    """Distance to the nearest round-6 boundary (odd multiple of 5e-7)."""
+    m = np.asarray(x, dtype=float) * 1e6
+    return np.abs(m - np.floor(m) - 0.5) / 1e6
+
+
+def audit_psi(sf_dir):
+    """PSI (ns_corpus_psi*) margins — the r12 ln-grid family: per-bin
+    round-6 ln and round-6 term over the real char-length populations."""
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    src = np.asarray(t.column("source"))
+    ln_ = np.char.str_len(np.asarray(t.column("text"), dtype=str))
+    a, b = ln_[src == "src0"], ln_[src != "src0"]
+    bins = 16
+
+    def binc(x):
+        bn = np.clip((x.astype(np.int64) * 16) // 2048, 0, 15)
+        return np.bincount(bn, minlength=bins).astype(np.int64)
+
+    ca, cb = binc(a), binc(b)
+    p = (ca + 0.5) / (ca.sum() + 0.5 * bins)
+    q = (cb + 0.5) / (cb.sum() + 0.5 * bins)
+    lnr = np.log(p / q)
+    term = (p - q) * np.round(lnr, 6)
+    return [("psi per-bin ln (round-6 grid)", margin6(lnr).min(), bins),
+            ("psi per-bin term (round-6 grid)", margin6(term).min(), bins)]
+
+
 def main():
     root = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata"
     print(f"{'population':<55} {'sf0.01':>12} {'sf0.1':>12}")
-    r1 = audit(f"{root}/sf0.01")
-    r2 = audit(f"{root}/sf0.1")
+    r1 = audit(f"{root}/sf0.01") + audit_psi(f"{root}/sf0.01")
+    r2 = audit(f"{root}/sf0.1") + audit_psi(f"{root}/sf0.1")
     worst_active = 1.0
     for (name, m1, n1), (_, m2, n2) in zip(r1, r2):
         flag = ""
