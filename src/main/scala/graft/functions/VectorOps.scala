@@ -32,12 +32,18 @@ object VectorKernels {
   /** Fused fixed-point-quantize + integer dot: for each component,
     * `q = floor(double(x)·2^20 + 0.5)` (the
     * [[graft.operators.Similarity.fixedPointQuantize]] contract — every
-    * step exact IEEE), then `Σ qa·qb` in int64. BIT-IDENTICAL to
-    * quantizing both arrays and folding the products, but one codegen'd
-    * primitive-loop pass with zero array allocation — the two-step
+    * step exact IEEE), then `Σ qa·qb` in int64. On the embedding-family
+    * contract inputs — equal-dimension vectors with non-null elements —
+    * this is BIT-IDENTICAL to quantizing both arrays and folding the
+    * products (spec-pinned in SimilaritySpec), but one codegen'd
+    * primitive-loop pass with zero array allocation: the two-step
     * `transform` + `zip_with`/`aggregate` form runs interpreted and
     * allocates two long arrays per pair (measured 32 s → 2.6 s on a
-    * 3.2 M-pair top-k build at sf0.1).
+    * 3.2 M-pair top-k build at sf0.1). OFF-contract inputs differ
+    * deliberately: ragged lengths fold over min(len) and a null element
+    * reads as its slot's raw bits instead of poisoning the sum to NULL
+    * the way `zip_with` padding did — a malformed embedding should be
+    * rejected at ingest, not silently change one pair's similarity.
     */
   def intDotQ(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())

@@ -509,8 +509,12 @@ object KnnGraph {
         sum(when(col("lc") === col("ln"), col("w")).otherwise(0L))
           .as("intra"))
       .collect().head
+    // an empty (or fully label-filtered) edge set aggregates to NULL
+    // sums — diagnose it here, not as an NPE inside getLong
+    require(!head.isNullAt(0) && head.getLong(0) > 0,
+      "modularity needs a non-empty positive-weight graph whose " +
+        "endpoints all carry labels")
     val (m, intra) = (head.getLong(0), head.getLong(1))
-    require(m > 0, "modularity needs a non-empty positive-weight graph")
     val cross = BigInt(j.groupBy(col("lc").as("c")).agg(sum("w").as("dout"))
       .join(j.groupBy(col("ln").as("c")).agg(sum("w").as("din")), "c")
       .agg(coalesce(sum(col("dout").cast(dec) * col("din").cast(dec)),

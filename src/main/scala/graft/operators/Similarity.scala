@@ -173,6 +173,11 @@ object Similarity {
     * instead put a 1-ulp product error next to a round() boundary, which
     * is exactly the cross-engine fragility this kernel exists to remove.
     */
+  // NOTE: fixedPointQuantize/intDot are the REFERENCE implementation of
+  // the quantized-dot contract — the hot paths run the fused codegen'd
+  // graft.functions.int_dot_q, whose bit-equality to this composition
+  // is spec-pinned (SimilaritySpec); any change to the scale or rounding
+  // must land in BOTH.
   def fixedPointQuantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * lit(1048576.0) + lit(0.5)))
 
@@ -188,14 +193,20 @@ object Similarity {
     aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, p) => acc + p)
 
   /** BATCH exact top-k by INTEGER dot product — [[bruteForceTopKBatch]]
-    * with the float cosine replaced by the [[fixedPointQuantize]] /
-    * [[intDot]] contract, for consumers that fold similarity into
-    * downstream integer arithmetic (graph edge weights, propagation
-    * trajectories) where a rounded double within 1 ulp of its rounding
-    * boundary would make the result depend on the engine build. Ranking
-    * is (dot DESC, id ASC) — a total order on integers, so the graph is
-    * a pure function of the parquet bits. Same plan shape: broadcast
-    * query side, one codegen'd corpus scan, one per-query top-k window.
+    * with the float cosine replaced by the fixed-point-quantize /
+    * int64-dot contract ([[fixedPointQuantize]]/[[intDot]] are the
+    * reference implementation; the hot path fuses them into the
+    * codegen'd [[graft.functions.int_dot_q]], bit-equality spec-pinned),
+    * for consumers that fold similarity into downstream integer
+    * arithmetic (graph edge weights, propagation trajectories) where a
+    * rounded double within 1 ulp of its rounding boundary would make
+    * the result depend on the engine build. Ranking is (dot DESC,
+    * id ASC) — a total order on integers, so the graph is a pure
+    * function of the parquet bits. Plan shape: broadcast query side,
+    * one codegen'd corpus scan, ranking through the BOUNDED
+    * [[graft.functions.TopNBy]] aggregate (|Q|·k shuffle — see the body
+    * comment for why a window is catastrophic here), exact dots
+    * recomputed for the selected pairs via join-back.
     */
   def intDotTopKBatch(embs: DataFrame, idCol: String, vecCol: String,
                       queries: DataFrame, qidCol: String, qvecCol: String,

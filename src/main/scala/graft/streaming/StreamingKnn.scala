@@ -63,6 +63,14 @@ object StreamingKnn {
                  vecCol: String, k: Int, path: String,
                  batchId: Long): Unit = {
     val vers = versions(spark, path)
+    // prune superseded versions FIRST, so a crash that landed between a
+    // state write and its prune is healed by ANY later call — including
+    // the redelivery of the already-committed batch that then skips
+    if (vers.size > 1) {
+      val root = new Path(s"$path/edges")
+      val f = fs(spark, root)
+      vers.dropRight(1).foreach(v => f.delete(new Path(root, s"v=$v"), true))
+    }
     if (vers.exists(_ >= batchId)) return // redelivery of a committed batch
     val delta = batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
     delta.withColumn("__batch", lit(s"b$batchId"))
@@ -83,7 +91,11 @@ object StreamingKnn {
         KnnGraph.insertExact(spark.read.parquet(s"$path/edges/v=$m"),
           resident, delta, "id", "vec", k)
     }
-    next.write.parquet(s"$path/edges/v=$batchId")
+    // overwrite, not the default ErrorIfExists: a failed/crashed write
+    // leaves v=N WITHOUT _SUCCESS (uncommitted to readers), and the
+    // retry / restart replay must be able to rewrite that directory —
+    // ErrorIfExists would wedge the stream on its own leftovers
+    next.write.mode("overwrite").parquet(s"$path/edges/v=$batchId")
     val root = new Path(s"$path/edges")
     val f = fs(spark, root)
     vers.foreach(v => f.delete(new Path(root, s"v=$v"), true))

@@ -4,6 +4,7 @@ import graft.{SparkSpec, Tables}
 import graft.functions.VectorKernels
 
 import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.col
 
 class SimilaritySpec extends SparkSpec {
 
@@ -430,5 +431,24 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got === (1L to 5L).toSet,
       "planted high-cosine neighbors must survive the binary shortlist")
+  }
+
+  test("fused int_dot_q bit-equals the quantize-then-fold reference") {
+    // the reference composition (fixedPointQuantize + intDot) and the
+    // codegen'd kernel must never drift apart — every real pair of the
+    // sf fixture, both orders
+    val embs = graft.Tables.embeddings(spark, sfDir).limit(40)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = embs.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(embs.select(col("vec_id").as("b"),
+        col("embedding").as("vb")))
+    val diff = pairs
+      .withColumn("fused", graft.functions.int_dot_q(col("va"), col("vb")))
+      .withColumn("ref", Similarity.intDot(
+        Similarity.fixedPointQuantize(col("va")),
+        Similarity.fixedPointQuantize(col("vb"))))
+      .filter(col("fused") =!= col("ref"))
+      .count()
+    assert(diff === 0L)
   }
 }

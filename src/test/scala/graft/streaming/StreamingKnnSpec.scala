@@ -79,6 +79,32 @@ class StreamingKnnSpec extends SparkSpec {
     assert(stateEdges(path) === rebuildEdges(
       Tables.embeddings(spark, sfDir).filter(col("vec_id") < 50)
         .select("vec_id", "embedding")))
+
+    // crash DURING the v=3 write: the directory exists without _SUCCESS
+    // (uncommitted) — the replay must overwrite it, not wedge on
+    // ErrorIfExists
+    val junk = new java.io.File(s"$path/edges/v=3")
+    junk.mkdirs()
+    new java.io.FileWriter(s"$path/edges/v=3/part-junk").close()
+    val b3 = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= 50 && col("vec_id") < 55)
+      .select("vec_id", "embedding")
+    StreamingKnn.applyBatch(spark, b3, "vec_id", "embedding", 5, path, 3L)
+    assert(stateEdges(path) === rebuildEdges(
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") < 55)
+        .select("vec_id", "embedding")))
+
+    // crash BETWEEN a state write and its prune: a stale complete older
+    // version survives on disk — the NEXT call (here a redelivery that
+    // otherwise skips) must prune it down to the current version
+    val stale = new java.io.File(s"$path/edges/v=1")
+    stale.mkdirs()
+    new java.io.FileWriter(s"$path/edges/v=1/_SUCCESS").close()
+    StreamingKnn.applyBatch(spark, b3, "vec_id", "embedding", 5, path, 3L)
+    assert(!stale.exists(), "superseded version not pruned by the replay")
+    assert(stateEdges(path) === rebuildEdges(
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") < 55)
+        .select("vec_id", "embedding")))
     embs.unpersist()
   }
 }
