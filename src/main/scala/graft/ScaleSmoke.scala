@@ -1331,7 +1331,28 @@ object ScaleSmoke {
         lit(n.toLong))).count()
       println(s"SCALE   lpa rotation_exact=$ok/$n " +
         s"(${if (ok == n.toLong) "OK" else "MISS"})")
+      // modularity of that label field: all labels distinct (a pure
+      // rotation), so intra = 0 and the closed form is
+      // q_micro = −HALF_UP(1e6 / n) — per-community dout = din = 1000
       out.unpersist()
+      val q = KnnGraph.modularity(chordEdges, out).head()
+      val expect = -((2L * 1000000L + n.toLong) / (2L * n.toLong))
+      println(s"SCALE   modularity communities=${q.getLong(0)} " +
+        s"q=${q.getLong(3)} expect=$expect " +
+        s"(${if (q.getLong(0) == n.toLong && q.getLong(3) == expect) "OK"
+        else "MISS"})")
+    }
+    t("shared_neighbors") {
+      // analytic: N(i) = {i+1, i+2}, so shared(i→i+1) = |{i+2}| = 1 and
+      // shared(i→i+2) = 0, at every node of the ring
+      val snn = KnnGraph.sharedNeighbors(chordEdges).cache()
+      val ok1 = snn.filter(col("b") === pmod(col("a") + 1, lit(n.toLong))
+        && col("shared") === 1).count()
+      val ok2 = snn.filter(col("b") === pmod(col("a") + 2, lit(n.toLong))
+        && col("shared") === 0).count()
+      println(s"SCALE   snn chord1_shared1=$ok1/$n chord2_shared0=$ok2/$n " +
+        s"(${if (ok1 == n.toLong && ok2 == n.toLong) "OK" else "MISS"})")
+      snn.unpersist()
     }
     // pendants n..n+n/10-1, each hanging off ring node 10·j
     val pend = spark.range(n / 10L).toDF("j")
