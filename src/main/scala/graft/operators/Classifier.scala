@@ -462,6 +462,53 @@ object Classifier {
     * on the label — corpus-sized scans, label-cardinality shuffles,
     * nothing quadratic.
     */
+  /** Per-class precision / recall / F1 over a (predicted, actual) label
+    * relation — the multi-class completion of the binary [[prCurve]]:
+    * one row per class seen on EITHER side (a class the model never
+    * predicts still reports its recall=0 row — silently dropping it is
+    * how macro averages get inflated), counts exact, the three ratios
+    * on the HALF_UP micro-unit grid with 0 for an empty denominator and
+    * F1 derived from the ROUNDED micro P/R
+    * (`HALF_UP(2·P·R / (P+R))`) so the arithmetic is integer-exact
+    * cross-engine end to end. Null-on-either-side rows drop (the
+    * [[prCurve]]/[[cohenKappa]] convention).
+    *
+    * Plan shape: three label-sized groupBys off one corpus scan, joined
+    * on the label — label-cardinality shuffles only.
+    */
+  def classPrf(labeled: DataFrame, predCol: String,
+               actualCol: String): DataFrame = {
+    val pairs = labeled
+      .select(col(predCol).cast("string").as("p"),
+        col(actualCol).cast("string").as("a"))
+      .filter(col("p").isNotNull && col("a").isNotNull)
+    val classes = pairs.select(col("a").as("label"))
+      .unionByName(pairs.select(col("p").as("label"))).distinct()
+    val tp = pairs.filter(col("p") === col("a"))
+      .groupBy(col("a").as("label")).agg(count(lit(1)).as("tp"))
+    val pc = pairs.groupBy(col("p").as("label"))
+      .agg(count(lit(1)).as("pc"))
+    val ac = pairs.groupBy(col("a").as("label"))
+      .agg(count(lit(1)).as("ac"))
+    classes
+      .join(tp, Seq("label"), "left")
+      .join(pc, Seq("label"), "left")
+      .join(ac, Seq("label"), "left")
+      .na.fill(0L, Seq("tp", "pc", "ac"))
+      .withColumn("fp", col("pc") - col("tp"))
+      .withColumn("fn", col("ac") - col("tp"))
+      .withColumn("prec_micro", when(col("pc") > 0,
+        expr("(2000000 * tp + pc) div (2 * pc)")).otherwise(lit(0L)))
+      .withColumn("rec_micro", when(col("ac") > 0,
+        expr("(2000000 * tp + ac) div (2 * ac)")).otherwise(lit(0L)))
+      .withColumn("f1_micro", when(col("prec_micro") + col("rec_micro") > 0,
+        expr("(2 * (2 * prec_micro * rec_micro) + " +
+          "(prec_micro + rec_micro)) div " +
+          "(2 * (prec_micro + rec_micro))")).otherwise(lit(0L)))
+      .select("label", "tp", "fp", "fn", "prec_micro", "rec_micro",
+        "f1_micro")
+  }
+
   def cohenKappa(labeled: DataFrame, predCol: String,
                  actualCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)

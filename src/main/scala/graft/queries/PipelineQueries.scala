@@ -2922,6 +2922,48 @@ object PipelineQueries {
         "FROM pred p JOIN documents d USING (doc_id) " +
         "GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // ---- per-class precision/recall/F1 of the NB language predictor on
+    // the held-out slice — the multi-class eval row the confusion matrix
+    // (nb_eval) and kappa bracket; ratios on the HALF_UP micro grid, F1
+    // from the ROUNDED micro P/R, all integer-exact. ----
+    ("ns_quality_class_prf",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val b = Curation.hashBucket(col("doc_id"), 100)
+        val (model, priors) = nbModel(s, d)
+        val scored = Classifier.nbScore(docs.filter(b >= 80), "doc_id",
+            "text", model, priors, 4096)
+          .join(docs.select("doc_id", "lang"), "doc_id")
+        Classifier.classPrf(scored, "predicted", "lang")
+          .orderBy("label")
+      },
+      Some(nbCte +
+        ", fpa AS (SELECT p.predicted AS p, d.lang AS a FROM pred p " +
+        "JOIN documents d USING (doc_id)), " +
+        "fcl AS (SELECT DISTINCT a AS label FROM fpa " +
+        "UNION SELECT DISTINCT p FROM fpa), " +
+        "ftp AS (SELECT a AS label, count(*) AS tp FROM fpa " +
+        "WHERE p = a GROUP BY 1), " +
+        "fpc AS (SELECT p AS label, count(*) AS pc FROM fpa GROUP BY 1), " +
+        "fac AS (SELECT a AS label, count(*) AS ac FROM fpa GROUP BY 1), " +
+        "fj AS (SELECT fcl.label, coalesce(ftp.tp, 0) AS tp, " +
+        "coalesce(fpc.pc, 0) AS pc, coalesce(fac.ac, 0) AS ac " +
+        "FROM fcl LEFT JOIN ftp ON fcl.label = ftp.label " +
+        "LEFT JOIN fpc ON fcl.label = fpc.label " +
+        "LEFT JOIN fac ON fcl.label = fac.label), " +
+        "fm AS (SELECT label, tp, pc - tp AS fp, ac - tp AS fn, " +
+        "CASE WHEN pc > 0 THEN (2000000 * tp + pc) // (2 * pc) " +
+        "ELSE 0 END AS prec_micro, " +
+        "CASE WHEN ac > 0 THEN (2000000 * tp + ac) // (2 * ac) " +
+        "ELSE 0 END AS rec_micro FROM fj) " +
+        "SELECT label, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, " +
+        "CAST(fn AS BIGINT) AS fn, CAST(prec_micro AS BIGINT) AS prec_micro, " +
+        "CAST(rec_micro AS BIGINT) AS rec_micro, " +
+        "CAST(CASE WHEN prec_micro + rec_micro > 0 THEN " +
+        "(2 * (2 * prec_micro * rec_micro) + (prec_micro + rec_micro)) // " +
+        "(2 * (prec_micro + rec_micro)) ELSE 0 END AS BIGINT) AS f1_micro " +
+        "FROM fm ORDER BY label")),
+
     // ---- Cohen's kappa of the NB language predictor vs truth on the
     // held-out slice: chance-corrected agreement (the statistic that
     // separates "accurate" from "accurate on a majority-class corpus"),

@@ -283,6 +283,23 @@ class ClassifierSpec extends SparkSpec {
     assert(rev === got)
   }
 
+  test("classPrf: hand-computed per-class rows, never-predicted class kept") {
+    val pairs = (Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(10)(("b", "a")) ++ Seq.fill(15)(("b", "b")) ++
+      Seq.fill(3)(("a", "c"))) // class c exists only as truth
+      .toDF("pred", "truth")
+    val got = Classifier.classPrf(pairs, "pred", "truth")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // a: tp=20 pc=28 ac=30 -> P=714286 R=666667 F1=HALF_UP(2PR/(P+R))
+    assert(got("a") === ((20L, 8L, 10L, 714286L, 666667L, 689655L)))
+    // b: tp=15 pc=25 ac=20 -> P=600000 R=750000 F1=666667
+    assert(got("b") === ((15L, 10L, 5L, 600000L, 750000L, 666667L)))
+    // c: never predicted -> tp=0 fp=0 fn=3, all ratios 0
+    assert(got("c") === ((0L, 0L, 3L, 0L, 0L, 0L)))
+  }
+
   test("cohenKappa: hand-computed table, perfect, degenerate, below-chance") {
     def pairs(rows: Seq[(String, String, Int)]) =
       rows.flatMap { case (p, a, k) => Seq.fill(k)((p, a)) }
