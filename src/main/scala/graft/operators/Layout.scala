@@ -276,7 +276,7 @@ object Layout {
     }.reduce(_ && _)
     val bins = stats.filter(hit).select("bin").collect().map(_.getLong(0))
     spark.read.parquet(s"$path/data")
-      .filter(col("z_bin").isin(bins.map(Long.box): _*))
+      .filter(col("z_bin").isin(bins.toIndexedSeq.map(Long.box): _*))
       .filter(bounds.map { case (c, lo, hi) =>
         col(c) >= lit(lo) && col(c) <= lit(hi)
       }.reduce(_ && _))

@@ -74,7 +74,7 @@ object StreamingLayout {
     }.reduce(_ && _)
     val bins = merged.filter(hit).select("bin").collect().map(_.getLong(0))
     spark.read.parquet(s"$path/data")
-      .filter(col("z_bin").isin(bins.map(Long.box): _*))
+      .filter(col("z_bin").isin(bins.toIndexedSeq.map(Long.box): _*))
       .filter(bounds.map { case (c, lo, hi) =>
         col(c) >= lit(lo) && col(c) <= lit(hi)
       }.reduce(_ && _))
