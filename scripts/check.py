@@ -51,6 +51,36 @@ def norm(v):
     return v
 
 
+def arrow_sig(t):
+    """Canonical signature for an Arrow type, collapsing only the
+    encoding-level variants the driver's typed hash is insensitive to
+    (string vs large_string, list vs large_list). Everything else —
+    notably decimal128 vs int64, the r12 failure mode where DuckDB's
+    sum() promoted BIGINT to HUGEINT — must match exactly."""
+    import pyarrow as pa
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_sig(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{arrow_sig(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def type_mismatches(mine_schema, oracle_schema):
+    """Column-name → (engine, oracle) Arrow-type signature diffs. The
+    driver hashes the Arrow-typed encoding, so value-equal results with
+    different types (int64 vs decimal128) still hash-FAIL there; this
+    makes the local gate fail the same way."""
+    mt = {f.name: arrow_sig(f.type) for f in mine_schema}
+    ot = {f.name: arrow_sig(f.type) for f in oracle_schema}
+    return {c: (mt[c], ot[c]) for c in sorted(set(mt) & set(ot))
+            if mt[c] != ot[c]}
+
+
 def compare(name, sql, con):
     res_dir = Path(OUT_DIR) / name
     if not res_dir.exists():
@@ -73,6 +103,17 @@ def compare(name, sql, con):
         return f"ORACLE FAIL: {e}"
     if mine_cols != o_cols:
         return f"SCHEMA MISMATCH: engine {mine_cols} vs oracle {o_cols}"
+    try:
+        diffs = type_mismatches(
+            con.sql(f"SELECT * FROM '{res_dir}/*.parquet' LIMIT 0")
+               .arrow().schema,
+            con.sql(f"SELECT * FROM ({sql}) LIMIT 0").arrow().schema)
+    except Exception as e:
+        return f"TYPE CHECK FAIL: {e}"
+    if diffs:
+        pretty = ", ".join(f"{c}: engine {a} vs oracle {b}"
+                           for c, (a, b) in diffs.items())
+        return f"TYPE MISMATCH (driver typed-hash would FAIL): {pretty}"
     if len(mine_rows) != len(o_rows):
         return f"ROWCOUNT MISMATCH: engine {len(mine_rows)} vs oracle {len(o_rows)}"
     for i, (a, b) in enumerate(zip(mine_rows, o_rows)):

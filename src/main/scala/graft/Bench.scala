@@ -194,13 +194,26 @@ object Bench {
 
     var pass = 0
     var pending = names
+    // Per-pass canary ledger: which queries each pass sampled (pass 1 =
+    // the whole suite; later passes = re-runs) and the pass's canary
+    // observation profile. Makes "canary_drift" adjudicable from the
+    // artifact alone — a drift flag with a clean ledger means one
+    // inflated startup baseline, while a pass whose canary median is ~4×
+    // the final base is a genuine slow window and names its victims.
+    val passLedger = scala.collection.mutable.ListBuffer[
+      (Int, Seq[String], Seq[Double])]()
     while (pending.nonEmpty && pass < MaxPasses) {
+      val passCanaries = scala.collection.mutable.ListBuffer[Double]()
       pending.foreach { case (name, fn) =>
         val (t, errored, cObs) = sample(fn)
+        passCanaries += cObs
         if (errored) errors(name) += 1
         else samples(name) = (t, cObs) :: samples(name)
       }
       pass += 1
+      passLedger += ((pass,
+        if (pass == 1) Seq.empty else pending.map(_._1),
+        passCanaries.toSeq))
       pending = names.filterNot(q => settled(q._1))
       // an erroring query will never settle — stop burning passes on it
       pending = pending.filterNot(q => errors(q._1) >= 2 && samples(q._1).isEmpty)
@@ -232,7 +245,19 @@ object Bench {
     val drift = canaryStartup > 1.5 * canaryBase
     val pvJson = planViolations
       .map { case (k, vs) => "\"" + k + "\":" + jArr(vs) }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","policy":"min-of-2-separate-passes-canary-gated-rolling","canary_base_sec":${fmt(canaryBase)},"canary_base_startup_sec":${fmt(canaryStartup)},"canary_drift":$drift,"passes":$pass,"skipped":${jArr(skip.toSeq.sorted)},"suspect":${jArr(suspect)},"failed":${jArr(failed)},"errors":$errJson,"plan_violations":$pvJson}"""
+    // canary_drift SEMANTICS (field is a flag, this is its contract):
+    // true means the startup canary baseline was >1.5× the final rolling
+    // min — the run STARTED inside a slow window; all samples were
+    // re-classified against the final (tightest) baseline, so reported
+    // times are still clean unless they appear in "suspect". The ledger
+    // below gives per-pass canary min/med/max and the re-sampled query
+    // names, so the flag is adjudicable from the artifact alone.
+    val ledgerJson = passLedger.map { case (p, resampled, cs) =>
+      val sorted = cs.sorted
+      val med = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
+      s"""{"pass":$p,"sampled":${cs.size},"canary_min":${fmt(if (sorted.isEmpty) 0.0 else sorted.head)},"canary_med":${fmt(med)},"canary_max":${fmt(if (sorted.isEmpty) 0.0 else sorted.last)},"resampled":${jArr(resampled)}}"""
+    }.mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","policy":"min-of-2-separate-passes-canary-gated-rolling","canary_base_sec":${fmt(canaryBase)},"canary_base_startup_sec":${fmt(canaryStartup)},"canary_drift":$drift,"canary_drift_means":"startup baseline >1.5x final rolling min; samples re-classified against final baseline, see canary_ledger","canary_ledger":$ledgerJson,"passes":$pass,"skipped":${jArr(skip.toSeq.sorted)},"suspect":${jArr(suspect)},"failed":${jArr(failed)},"errors":$errJson,"plan_violations":$pvJson}"""
     // Belt and braces against capture truncation: the full line also lands
     // in a committable file.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

@@ -92,6 +92,14 @@ object TopNKernels {
 
 /** `top_n_by(value: bigint, score: double, n) -> array<bigint>` —
   * per-group top-n values by (score desc, value asc), best-first.
+  *
+  * Session conf that matters: raise
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` (the
+  * Bench/Verify builders use 10 000 000) — at the 128-keys-per-task
+  * default Spark silently falls back from ObjectHashAggregate to
+  * sort-based aggregation for TypedImperativeAggregates, which sorts
+  * every candidate row per task and re-introduces the window-shaped
+  * cost this bounded buffer exists to avoid (correctness unaffected).
   */
 case class TopNBy(value: Expression, score: Expression, n: Int,
                   mutableAggBufferOffset: Int = 0,

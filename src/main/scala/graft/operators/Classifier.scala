@@ -440,28 +440,6 @@ object Classifier {
       .withColumn("predicted", (col("p") >= 0.5).cast("int"))
   }
 
-  /** Cohen's kappa — CHANCE-CORRECTED agreement between two label
-    * columns (classifier-vs-truth for a model QC gate, or
-    * annotator-vs-annotator for label QC — the statistic that separates
-    * "94% accurate" from "94% accurate on a 94%-majority-class corpus"):
-    * `κ = (p_o − p_e) / (1 − p_e)` with `p_o` the observed agreement and
-    * `p_e = Σ_l row_l·col_l / n²` the marginal-product chance agreement.
-    * One row `(n, diag, po_micro, pe_micro, kappa_micro)`, INTEGER-EXACT
-    * on the HALF_UP micro-unit grid: the marginal cross products
-    * `row_l·col_l` sum as decimal(38,0) (int64 overflows past ~3e9
-    * rows), the three divisions run in driver BigInt off 1-row
-    * aggregates (the corpusDrift convention), and a below-chance kappa
-    * rounds half-AWAY-FROM-ZERO (`sign·HALF_UP(|num|/den)`) so the
-    * floor-vs-truncate divergence between engines' integer division
-    * never arises. Rows with a null on either side are dropped (the
-    * prCurve convention: an unlabeled row belongs to no agreement
-    * class); a degenerate `p_e = 1` table (both sides constant and
-    * equal) reports κ = 0.
-    *
-    * Plan shape: one corpus aggregate + two label-sized groupBys joined
-    * on the label — corpus-sized scans, label-cardinality shuffles,
-    * nothing quadratic.
-    */
   /** Per-class precision / recall / F1 over a (predicted, actual) label
     * relation — the multi-class completion of the binary [[prCurve]]:
     * one row per class seen on EITHER side (a class the model never
@@ -509,6 +487,28 @@ object Classifier {
         "f1_micro")
   }
 
+  /** Cohen's kappa — CHANCE-CORRECTED agreement between two label
+    * columns (classifier-vs-truth for a model QC gate, or
+    * annotator-vs-annotator for label QC — the statistic that separates
+    * "94% accurate" from "94% accurate on a 94%-majority-class corpus"):
+    * `κ = (p_o − p_e) / (1 − p_e)` with `p_o` the observed agreement and
+    * `p_e = Σ_l row_l·col_l / n²` the marginal-product chance agreement.
+    * One row `(n, diag, po_micro, pe_micro, kappa_micro)`, INTEGER-EXACT
+    * on the HALF_UP micro-unit grid: the marginal cross products
+    * `row_l·col_l` sum as decimal(38,0) (int64 overflows past ~3e9
+    * rows), the three divisions run in driver BigInt off 1-row
+    * aggregates (the corpusDrift convention), and a below-chance kappa
+    * rounds half-AWAY-FROM-ZERO (`sign·HALF_UP(|num|/den)`) so the
+    * floor-vs-truncate divergence between engines' integer division
+    * never arises. Rows with a null on either side are dropped (the
+    * prCurve convention: an unlabeled row belongs to no agreement
+    * class); a degenerate `p_e = 1` table (both sides constant and
+    * equal) reports κ = 0.
+    *
+    * Plan shape: one corpus aggregate + two label-sized groupBys joined
+    * on the label — corpus-sized scans, label-cardinality shuffles,
+    * nothing quadratic.
+    */
   def cohenKappa(labeled: DataFrame, predCol: String,
                  actualCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)

@@ -170,12 +170,13 @@ object KnnGraph {
     * `base`; each edge's flow is the rational HALF_UP
     * `(2·s·w + W) div (2·W)`; the damped update is HALF_UP over
     * `dampDen`. Mass on DANGLING nodes (no out-edges) is dropped, not
-    * redistributed — redistribution needs a global Σ_dangling s_t each
-    * iteration (one more all-node agg + broadcast for a constant that
-    * every engine must fold identically); the truncated variant keeps
-    * the trajectory a pure local function of (edges, nodes) and is the
-    * documented contract, not an approximation. Isolated nodes therefore
-    * settle at `(1-d)·base` + inflow only.
+    * redistributed, BY DEFAULT — the truncated variant keeps the
+    * trajectory a pure local function of (edges, nodes) and is a
+    * documented contract, not an approximation; isolated nodes settle at
+    * `(1-d)·base` + inflow only. `conserveDangling = true` selects the
+    * classic mass-conserving formulation instead — uniform
+    * redistribution of the dangling sum, one extra global 1-row
+    * aggregate per iteration (see [[pageRankFrom]] for the grid rule).
     *
     * Per iteration: one join of edges with the score vector on the
     * SOURCE id (N·k rows, k bounded) + one groupBy(nbr) — shuffle is
@@ -189,11 +190,12 @@ object KnnGraph {
     */
   def pageRank(edges: DataFrame, nodes: DataFrame, idCol: String,
                dampNum: Int = 85, dampDen: Int = 100, iters: Int = 2,
-               base: Long = 1000000L): DataFrame = {
+               base: Long = 1000000L,
+               conserveDangling: Boolean = false): DataFrame = {
     require(base > 0, s"need base > 0, got $base")
     pageRankFrom(edges,
       nodes.select(col(idCol), lit(base).as("__r")), idCol, "__r",
-      dampNum, dampDen, iters)
+      dampNum, dampDen, iters, conserveDangling)
   }
 
   /** PERSONALIZED [[pageRank]]: the restart mass is a per-node vector
@@ -205,10 +207,26 @@ object KnnGraph {
     * `s_{t+1}(i) = (1-d)·r(i) + d·Σ_{j→i} s_t(j)·w_{ji}/W_j` — same
     * integer conventions, same per-iteration plan, and uniform `r`
     * recovers [[pageRank]] exactly (the delegation above).
+    *
+    * `conserveDangling = true` switches from the truncated contract to
+    * the MASS-CONSERVING classic formulation: each iteration, the total
+    * score sitting on dangling nodes (no out-edges) is redistributed
+    * UNIFORMLY over all N nodes inside the damped term —
+    * `s_{t+1}(i) = (1-d)·r(i) + d·(Σ_{j→i} flow_ji + HALF_UP(D_t/N))`
+    * with `D_t = Σ_{dangling j} s_t(j)`. Uniform (not restart-weighted)
+    * redistribution even in the personalized case, matching the
+    * canonical PageRank statement. Cost over the truncated variant: one
+    * global 1-row dangling-sum aggregate per iteration, attached via the
+    * repo's broadcast-1-row idiom — an all-node scan, no extra shuffle
+    * shape; the dangling-node set itself is one loop-invariant anti-join
+    * against the out-weight relation. Everything stays on the integer
+    * grid (share is rational HALF_UP), so the trajectory remains
+    * bit-oracle-able.
     */
   def pageRankFrom(edges: DataFrame, restarts: DataFrame, idCol: String,
                    restartCol: String, dampNum: Int = 85,
-                   dampDen: Int = 100, iters: Int = 2): DataFrame = {
+                   dampDen: Int = 100, iters: Int = 2,
+                   conserveDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"damping $dampNum/$dampDen outside [0,1]")
@@ -216,6 +234,10 @@ object KnnGraph {
     val e = edges.join(outw, "id")
     val nodes = restarts.select(col(idCol).as("id"),
       col(restartCol).cast("long").as("r"))
+    // N is loop-invariant; only needed (and only computed) when
+    // conserving — one bounded driver value, the idiom the 1-row
+    // attachments already follow.
+    lazy val nNodes: Long = nodes.count()
     var cur = nodes.withColumn("s", col("r"))
     for (_ <- 1 to iters) {
       val inflow = e
@@ -223,12 +245,31 @@ object KnnGraph {
         .select(col("nbr"),
           expr("(2 * s * w + wt) div (2 * wt)").as("flow"))
         .groupBy("nbr").agg(sum("flow").as("infl"))
-      cur = nodes
+      val withInfl = nodes
         .join(inflow.withColumnRenamed("nbr", "id"), Seq("id"), "left")
-        .withColumn("s", expr(
-          s"(2 * (${dampDen - dampNum} * r + " +
-            s"$dampNum * coalesce(infl, 0L)) + $dampDen) div " +
-            s"(2 * $dampDen)"))
+      val scored =
+        if (!conserveDangling) {
+          withInfl.withColumn("s", expr(
+            s"(2 * (${dampDen - dampNum} * r + " +
+              s"$dampNum * coalesce(infl, 0L)) + $dampDen) div " +
+              s"(2 * $dampDen)"))
+        } else {
+          require(nNodes > 0, "conserveDangling needs a non-empty node set")
+          // D_t = score mass on nodes with no out-edges; share = its
+          // uniform per-node HALF_UP slice. One 1-row aggregate,
+          // broadcast back — no per-node shuffle added.
+          val share = cur.join(outw, Seq("id"), "left_anti")
+            .agg(coalesce(sum("s"), lit(0L)).as("__dm"))
+            .select(expr(s"(2 * __dm + $nNodes) div (2 * $nNodes)")
+              .as("__share"))
+          withInfl.crossJoin(broadcast(share))
+            .withColumn("s", expr(
+              s"(2 * (${dampDen - dampNum} * r + " +
+                s"$dampNum * (coalesce(infl, 0L) + __share)) + " +
+                s"$dampDen) div (2 * $dampDen)"))
+            .drop("__share")
+        }
+      cur = scored
         .drop("infl")
         // same lineage-truncation contract as propagateWeighted: cur is
         // the loop-carried state, keep the plan per-iteration-sized
@@ -576,7 +617,12 @@ object KnnGraph {
     * broadcast-delta map-side dot pass + a per-id re-rank window over
     * ≤ (k + |delta|) rows/id. Contract: `delta` ids are disjoint from
     * `resident` ids (an id upsert is delete-then-insert, like the text
-    * indexes).
+    * indexes), and `k` MUST equal the k the edge state was built with —
+    * with a larger k, untouched nodes keep only their old-k rows and the
+    * rank-k prefilter threshold is too permissive to repair them, so the
+    * result silently diverges from a rebuild (same failure shape as
+    * probing a BM25 index with the wrong analyzer: the state encodes its
+    * build parameter).
     */
   def insertExact(edges: DataFrame, resident: DataFrame, delta: DataFrame,
                   idCol: String, vecCol: String, k: Int): DataFrame = {
@@ -629,7 +675,11 @@ object KnnGraph {
     * steady state, never corpus-quadratic.
     *
     * `resident` is the PRE-delete corpus (the vectors the state was
-    * built over); `removeIds` is one id column named `idCol`.
+    * built over); `removeIds` is one id column named `idCol`; `k` MUST
+    * equal the k the edge state was built with (see [[insertExact]] —
+    * a larger k leaves untouched survivors with only their old-k rows,
+    * a silently truncated graph). IndexCatalog artifacts carry k in
+    * their build params; pass that value through.
     */
   def deleteExact(edges: DataFrame, resident: DataFrame,
                   removeIds: DataFrame, idCol: String, vecCol: String,

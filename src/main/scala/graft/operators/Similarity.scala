@@ -226,7 +226,22 @@ object Similarity {
     //    (unit-norm-ish quantized vectors up to dim 8192; the family
     //    contract) — and ties break to the smaller id, the same total
     //    order as the window form. The exact int64 dot is then
-    //    recomputed for only the |Q|·k selected pairs via a join-back.
+    //    recomputed for only the |Q|·k selected pairs via a join-back,
+    //    and GUARDED there: a selected pair with |dot| >= 2^53 raises
+    //    at runtime instead of returning a silently mis-ranked top-k.
+    //    Guarding only selected pairs is sound because the double cast
+    //    is monotone (non-strict): a candidate with exact dot >= 2^53
+    //    casts to a double >= 2^53, above every in-contract selected
+    //    score, so it would itself have been selected (positive side);
+    //    dots <= -2^53 rank at the bottom and cannot displace a top-k
+    //    entry. Within the guarded range the cast is injective, so
+    //    ranking stays integer-exact.
+    //  NOTE (library consumers): run with
+    //    spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+    //    raised (Bench/Verify sessions use 10 000 000) — at the 128-key
+    //    default Spark silently collapses the TopNBy ObjectHashAggregate
+    //    to sort-based per task, re-introducing the N·|Q| sort cost the
+    //    bounded aggregate exists to avoid (correctness unaffected).
     val corpus = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qqv"))
     val picked = corpus.crossJoin(broadcast(q))
@@ -241,6 +256,18 @@ object Similarity {
       .join(corpus, "id")
       .join(q, "qid")
       .withColumn("dot", graft.functions.int_dot_q(col("v"), col("qqv")))
+      // off-contract guard (see header comment): |dot| >= 2^53 on a
+      // selected pair proves the double-cast ranking could have
+      // diverged from the integer order — fail loudly, never silently.
+      .withColumn("dot",
+        when(abs(col("dot")) >= lit(1L << 53),
+          raise_error(concat(
+            lit("intDotTopKBatch contract violation: |dot| >= 2^53 "
+              + "(dim too large or components beyond ~unit scale); "
+              + "double-cast ranking is no longer integer-exact. qid="),
+            col("qid").cast("string"), lit(" id="),
+            col("id").cast("string"))).cast("long"))
+          .otherwise(col("dot")))
       .select(col("qid"), col("id"), col("dot"), col("rank"))
   }
 

@@ -180,6 +180,97 @@ object PipelineQueries {
       "rk AS (SELECT id, nbr, dot, row_number() OVER " +
       "(PARTITION BY id ORDER BY dot DESC, nbr) AS rank FROM pr) "
 
+  /** DuckDB mirror of the ENTIRE 20-merge BPE training loop
+    * ([[graft.operators.Bpe.learn]] / `learnLocal`) as `n` UNROLLED CTE
+    * rounds, ending at CTEs `v{n}(word, cnt, seg)` (the final per-word
+    * segmentation) and `b1..b{n}` (each round's argmax pair) — the merge
+    * sequence IS deterministic (ties break on (count desc, left, right)
+    * in binary/UTF-8 order, DuckDB's default collation), so the learned
+    * tokenizer is fully oracle-able, not just spec-pinned.
+    *
+    * Encoding trick: a word's symbol sequence is carried as a STRING
+    * with each symbol wrapped in `{…}` (neither brace occurs in the
+    * corpus alphabet `[a-w,y]` nor in `</w>` — asserted by the brace
+    * guard CTE below, so a corpus drift that introduces a brace fails
+    * the oracle loudly instead of silently mis-merging). One BPE merge
+    * application is then exactly `replace(seg, '{l}{r}', '{lr}')`:
+    * DuckDB's replace scans left-to-right non-overlapping and never
+    * rescans inserted text, which IS the BPE greedy rewrite ("aaaa"
+    * under (a,a) → "aa aa"); a spurious cross-boundary match is
+    * impossible because `{` appears only at symbol starts. Pair counts
+    * re-derive per round from the seg string via regexp_extract_all.
+    * Every `v{t}`/`b{t}` is MATERIALIZED — `v{t}` is referenced twice
+    * per round, and inlined CTEs would re-expand the chain 2^n times.
+    *
+    * Rounds where the best pair's count drops below minPairFreq=2 leave
+    * the state unchanged and emit no merge — once stopped, every later
+    * round recomputes the same sub-threshold best, so the WHERE c >= 2
+    * filter on the b-rows reproduces learnLocal's early-stop exactly.
+    */
+  private def bpeCtes(n: Int): String = {
+    val sb = new StringBuilder(
+      "WITH __braceguard AS (SELECT CASE WHEN EXISTS (" +
+        "SELECT 1 FROM documents WHERE text LIKE '%{%' OR text LIKE '%}%')" +
+        " THEN error('bpe oracle: corpus contains brace delimiter') " +
+        "ELSE 1 END AS ok), " +
+        "w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM (SELECT unnest(string_split_regex(lower(trim(text)), " +
+        "'\\s+')) AS word FROM documents, __braceguard) " +
+        "WHERE length(word) > 0 GROUP BY word), " +
+        "v0 AS MATERIALIZED (SELECT word, cnt, '{' || " +
+        "array_to_string(list_append(string_split(word, ''), '</w>'), " +
+        "'}{') || '}' AS seg FROM w)")
+    for (t <- 1 to n) {
+      sb.append(
+        s", p$t AS (SELECT pr.l AS l, pr.r AS r, " +
+          "CAST(sum(cnt) AS BIGINT) AS c FROM (SELECT cnt, " +
+          "unnest([{'l': s[i], 'r': s[i+1]} FOR i IN " +
+          s"range(1, len(s))]) AS pr FROM (SELECT cnt, " +
+          "regexp_extract_all(seg, '\\{([^}]*)\\}', 1) AS s " +
+          s"FROM v${t - 1})) GROUP BY pr.l, pr.r), " +
+          s"b$t AS MATERIALIZED (SELECT l, r, c FROM p$t " +
+          "ORDER BY c DESC, l, r LIMIT 1), " +
+          s"v$t AS MATERIALIZED (SELECT word, cnt, " +
+          s"CASE WHEN (SELECT c FROM b$t) >= 2 THEN replace(seg, " +
+          s"'{' || (SELECT l FROM b$t) || '}{' || (SELECT r FROM b$t) " +
+          s"|| '}', '{' || (SELECT l FROM b$t) || (SELECT r FROM b$t) " +
+          s"|| '}') ELSE seg END AS seg FROM v${t - 1})")
+    }
+    sb.toString
+  }
+
+  /** Number of merges [[bpeModel]] trains (BpeConfig default) — the
+    * oracles unroll exactly this many rounds.
+    */
+  private val BpeMerges = 20
+
+  /** [[bpeCtes]] continued to the symbol-id assignment: appends
+    * `vid(token, id)` — dense ids by (corpus freq desc, token asc), the
+    * [[graft.operators.Bpe.symbolVocab]] rule — and
+    * `wids(word, ids)`, each word's final subword-id sequence.
+    */
+  private def bpeIdCtes(n: Int): String =
+    bpeCtes(n) +
+      s", wsyms AS MATERIALIZED (SELECT word, " +
+      "regexp_extract_all(seg, '\\{([^}]*)\\}', 1) AS syms " +
+      s"FROM v$n), " +
+      "__symfreq AS (SELECT tok AS token, sum(cnt) AS freq FROM " +
+      "(SELECT cnt, unnest(regexp_extract_all(seg, '\\{([^}]*)\\}', 1)) " +
+      s"AS tok FROM v$n) GROUP BY tok), " +
+      "vid AS MATERIALIZED (SELECT token, " +
+      "CAST(row_number() OVER (ORDER BY freq DESC, token) - 1 " +
+      "AS INTEGER) AS id, CAST(freq AS BIGINT) AS freq FROM __symfreq), " +
+      "wids AS MATERIALIZED (SELECT word, list(id ORDER BY sidx) AS ids " +
+      "FROM (SELECT word, unnest(syms) AS tok, " +
+      "generate_subscripts(syms, 1) AS sidx FROM wsyms) sy " +
+      "JOIN vid ON sy.tok = vid.token GROUP BY word), " +
+      // per-document word stream (position-preserving), shared by the
+      // encode / encode-ids / pack oracles
+      "t AS (SELECT doc_id, string_split_regex(lower(trim(text)), " +
+      "'\\s+') AS toks FROM documents), " +
+      "tw AS (SELECT doc_id, unnest(toks) AS word, " +
+      "generate_subscripts(toks, 1) AS wpos FROM t)"
+
   /** DuckDB mirror of [[graft.operators.Curation.psiBins]] over document
     * char length (src0 vs rest, 16 bins on [0, 2047]), ending at CTE
     * `t(bin, ca, cb, term)` — integer binning, add-0.5 smoothing,
@@ -1466,35 +1557,58 @@ object PipelineQueries {
         " AS quality_score FROM m ORDER BY doc_id")),
 
     // ---- BPE tokenizer training: ranked merge table learned from the
-    // corpus word counts (iterative argmax — not SQL-expressible, so
-    // rows-only here; BpeSpec pins the distributed loop to a serial
-    // reference implementation exactly) ----
+    // corpus word counts. The iterative argmax IS SQL-expressible after
+    // all: [[bpeCtes]] unrolls the 20 rounds as materialized CTEs with
+    // the segmentation state carried as a brace-wrapped string (one
+    // merge application = one replace()), so the full learned merge
+    // sequence — argmaxes, tiebreaks, pair counts — is driver-hashed
+    // against DuckDB, upgrading this family from spec-pinned rows-only.
+    // BpeSpec additionally pins the distributed loop to the serial
+    // reference. ----
     ("ns_text_bpe_vocab",
       (s: SparkSession, d: String) => bpeModel(s, d)._1.orderBy("rank"),
-      None),
+      Some(bpeCtes(BpeMerges) + ", m AS (" +
+        (1 to BpeMerges).map(t =>
+          s"SELECT ${t - 1} AS rank, l, r, c FROM b$t WHERE c >= 2")
+          .mkString(" UNION ALL ") + ") " +
+        "SELECT CAST(rank AS INTEGER) AS rank, l AS \"left\", " +
+        "r AS \"right\", l || r AS merged, CAST(c AS BIGINT) AS " +
+        "pair_count FROM m ORDER BY rank")),
 
     // ---- BPE encode: tokenize the corpus with the learned dictionary
-    // (broadcast word->tokens join; serial-encode-equality in BpeSpec) ----
+    // (broadcast word->tokens join; serial-encode-equality in BpeSpec;
+    // hashed via [[bpeIdCtes]] — the oracle re-learns the dictionary and
+    // re-assembles each document's subword stream in word order) ----
     ("ns_text_bpe_encode",
       (s: SparkSession, d: String) =>
         Bpe.encode(Tables.documents(s, d), "doc_id", "text",
           bpeModel(s, d)._2).orderBy("doc_id"),
-      None),
+      Some(bpeIdCtes(BpeMerges) +
+        ", ds AS (SELECT tw.doc_id, tw.wpos, unnest(ws.syms) AS tok, " +
+        "generate_subscripts(ws.syms, 1) AS sidx FROM tw " +
+        "JOIN wsyms ws ON tw.word = ws.word WHERE length(tw.word) > 0) " +
+        "SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bpe_tokens, " +
+        "string_agg(tok, ' ' ORDER BY wpos, sidx) AS bpe_text " +
+        "FROM ds GROUP BY doc_id ORDER BY doc_id")),
 
     // ---- BPE symbol vocabulary: dense frequency-sorted token ids (the
-    // tokenizer's id assignment; rows-only — derived from the learned
-    // dictionary; density/order/determinism asserted in BpeSpec) ----
+    // tokenizer's id assignment) — hashed via [[bpeIdCtes]]'s `vid`
+    // relation: the oracle re-learns the merges, re-derives the final
+    // per-word symbols, and assigns ids by the same
+    // (freq desc, token asc) rule as [[Bpe.symbolVocab]]. ----
     ("ns_text_bpe_symbols",
       (s: SparkSession, d: String) =>
         Bpe.symbolVocab(bpeModel(s, d)._2).orderBy("id"),
-      None),
+      Some(bpeIdCtes(BpeMerges) +
+        " SELECT token, id, freq FROM vid ORDER BY id")),
 
     // ---- BPE encode to ids: the model-input artifact — flattened
     // subword-id stream per document, map-only via the broadcast
     // dictionaries (id-decode equality with the string encode asserted
-    // in BpeSpec). The declared projection joins the id array to a CSV
-    // string so the driver's harness can sort/hash the rows (arrays are
-    // not pandas-sortable); API consumers get the array form from
+    // in BpeSpec; hashed via [[bpeIdCtes]]'s word->ids relation). The
+    // declared projection joins the id array to a CSV string so the
+    // driver's harness can sort/hash the rows (arrays are not
+    // pandas-sortable); API consumers get the array form from
     // [[Bpe.encodeIds]] directly. ----
     ("ns_text_bpe_encode_ids",
       (s: SparkSession, d: String) =>
@@ -1504,7 +1618,13 @@ object PipelineQueries {
             concat_ws(",", transform(col("ids"), _.cast("string")))
               .as("ids_csv"))
           .orderBy("doc_id"),
-      None),
+      Some(bpeIdCtes(BpeMerges) +
+        ", ds AS (SELECT tw.doc_id, tw.wpos, unnest(wi.ids) AS id, " +
+        "generate_subscripts(wi.ids, 1) AS sidx FROM tw " +
+        "JOIN wids wi ON tw.word = wi.word WHERE length(tw.word) > 0) " +
+        "SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bpe_tokens, " +
+        "string_agg(CAST(id AS VARCHAR), ',' ORDER BY wpos, sidx) " +
+        "AS ids_csv FROM ds GROUP BY doc_id ORDER BY doc_id")),
 
     // ---- text analysis: token counting (whitespace + BPE-ish regex) ----
     ("ns_text_tokens",
@@ -1897,9 +2017,11 @@ object PipelineQueries {
 
     // ---- curation: id-sequence packing — the end-to-end pretraining
     // artifact (corpus -> learned BPE ids -> fixed-length id examples
-    // with attention-reset boundaries; rows-only: the id stage derives
-    // from the learned dictionary; boundary identity with the oracled
-    // text packer is asserted in CurationSpec) ----
+    // with attention-reset boundaries), now FULLY hashed: the oracle
+    // re-learns the tokenizer ([[bpeIdCtes]]), re-encodes every document
+    // to its subword-id stream (word -> wids join, flattened in
+    // (word pos, sym pos) order), and re-packs with the same
+    // hash-ordered carve the `_ws` twin already proved. ----
     // (declared projection joins the id / doc-start arrays to CSV strings
     // so the driver's harness can sort/hash the rows; the operator API
     // keeps returning arrays)
@@ -1916,7 +2038,34 @@ object PipelineQueries {
             col("n_docs_started"))
           .orderBy("example_id")
       },
-      None),
+      Some(bpeIdCtes(BpeMerges) +
+        ", di AS (SELECT tw.doc_id, tw.wpos, wi.ids FROM tw " +
+        "JOIN wids wi ON tw.word = wi.word WHERE length(tw.word) > 0), " +
+        "dstream AS (SELECT doc_id, wpos, unnest(ids) AS id, " +
+        "generate_subscripts(ids, 1) AS sidx FROM di), " +
+        "dpos AS (SELECT doc_id, id, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY wpos, sidx) - 1 AS pos " +
+        "FROM dstream), " +
+        "dtot AS (SELECT doc_id, count(*) AS n FROM dpos GROUP BY doc_id), " +
+        "hh AS (SELECT doc_id, n, " +
+        "md5_number_lower(CAST(doc_id AS VARCHAR)) AS u FROM dtot), " +
+        "ss AS (SELECT doc_id, n, CAST(CASE WHEN u >= " +
+        "9223372036854775808 THEN u - 18446744073709551616 ELSE u END " +
+        "AS BIGINT) AS h64 FROM hh), " +
+        "oo AS (SELECT doc_id, coalesce(sum(n) OVER (ORDER BY h64, " +
+        "doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS pre FROM ss), " +
+        "g AS (SELECT dpos.id, dpos.pos, " +
+        "CAST((oo.pre + dpos.pos) // 64 AS BIGINT) AS example_id, " +
+        "CAST((oo.pre + dpos.pos) % 64 AS INTEGER) AS epos " +
+        "FROM dpos JOIN oo ON dpos.doc_id = oo.doc_id) " +
+        "SELECT example_id, CAST(count(*) AS INTEGER) AS n_tokens, " +
+        "string_agg(CAST(id AS VARCHAR), ',' ORDER BY epos) AS ids_csv, " +
+        "coalesce(string_agg(CASE WHEN pos = 0 THEN " +
+        "CAST(epos AS VARCHAR) END, ',' ORDER BY epos), '') AS " +
+        "doc_starts, CAST(count(*) FILTER (WHERE pos = 0) AS INTEGER) " +
+        "AS n_docs_started FROM g GROUP BY example_id " +
+        "ORDER BY example_id")),
 
     // ---- curation: id-sequence packing under a DETERMINISTIC vocabulary —
     // the carve stage gets a full cross-engine hash oracle. Whitespace
@@ -4453,7 +4602,12 @@ object PipelineQueries {
         "CASE WHEN a2.den IS NOT NULL THEN (2*a2.num + a2.den) // (2*a2.den) " +
         "ELSE s1.s END) + 5) // 10 AS s " +
         "FROM s1 LEFT JOIN a2 ON s1.id = a2.id) " +
-        "SELECT id, s0, s FROM s2 ORDER BY id")),
+        // sum() promotes to HUGEINT in DuckDB and // propagates it; the
+        // engine emits int64, and the driver hashes the Arrow-typed
+        // encoding, so every sum-derived output must be CAST back to
+        // BIGINT (the ns_corpus_drift convention).
+        "SELECT id, CAST(s0 AS BIGINT) AS s0, CAST(s AS BIGINT) AS s " +
+        "FROM s2 ORDER BY id")),
 
     // ---- the exact integer-dot KNN graph itself, fully hashed: the
     // graph every ns_ann_* graph-analytics query consumes, dumped as
@@ -4493,7 +4647,55 @@ object PipelineQueries {
         "s2 AS (SELECT n.id, (2 * (15 * 1000000 + " +
         "85 * coalesce(c2.infl, 0)) + 100) // 200 AS s " +
         "FROM nodes n LEFT JOIN c2 ON n.id = c2.id) " +
-        "SELECT id, s FROM s2 ORDER BY id")),
+        // CAST: sum-derived // output is HUGEINT; engine emits int64.
+        "SELECT id, CAST(s AS BIGINT) AS s FROM s2 ORDER BY id")),
+
+    // ---- MASS-CONSERVING PageRank: the classic formulation a curation
+    // user expects from the name — each iteration the score mass
+    // stranded on dangling nodes (no out-edges) is redistributed
+    // uniformly inside the damped term, HALF_UP on the micro-unit grid
+    // (one global 1-row dangling-sum aggregate per iteration). The
+    // intdot KNN graph has NO dangling nodes (every vector emits top-k
+    // edges), so the edge set drops sources with id % 7 == 0: ~1/7 of
+    // the nodes become dangling and the conservation path is actually
+    // exercised, not vacuously green. ----
+    ("ns_ann_pagerank_conserve",
+      (s: SparkSession, d: String) =>
+        graft.operators.KnnGraph.pageRank(
+            intdotEdges(s, d).filter(col("id") % 7 =!= 0),
+            Tables.embeddings(s, d), "vec_id",
+            dampNum = 85, dampDen = 100, iters = 2,
+            conserveDangling = true)
+          .orderBy("id"),
+      Some(intdotGraphCte +
+        ", g2 AS (SELECT * FROM g WHERE id % 7 <> 0), " +
+        "nodes AS (SELECT vec_id AS id FROM embeddings), " +
+        "ow AS (SELECT id, sum(w) AS wt FROM g2 GROUP BY id), " +
+        // iteration 1: dangling mass at s_0 = base, uniform share
+        "dm1 AS (SELECT coalesce(sum(1000000), 0) AS dm FROM nodes n " +
+        "WHERE NOT EXISTS (SELECT 1 FROM ow WHERE ow.id = n.id)), " +
+        "sh1 AS (SELECT (2 * dm + (SELECT count(*) FROM nodes)) // " +
+        "(2 * (SELECT count(*) FROM nodes)) AS sh FROM dm1), " +
+        "c1 AS (SELECT g2.nbr AS id, " +
+        "sum((2 * 1000000 * g2.w + ow.wt) // (2 * ow.wt)) AS infl " +
+        "FROM g2 JOIN ow ON g2.id = ow.id GROUP BY g2.nbr), " +
+        "s1 AS (SELECT n.id, (2 * (15 * 1000000 + " +
+        "85 * (coalesce(c1.infl, 0) + (SELECT sh FROM sh1))) + 100) " +
+        "// 200 AS s FROM nodes n LEFT JOIN c1 ON n.id = c1.id), " +
+        // iteration 2: dangling mass at s_1
+        "dm2 AS (SELECT coalesce(sum(s1.s), 0) AS dm FROM s1 " +
+        "WHERE NOT EXISTS (SELECT 1 FROM ow WHERE ow.id = s1.id)), " +
+        "sh2 AS (SELECT (2 * dm + (SELECT count(*) FROM nodes)) // " +
+        "(2 * (SELECT count(*) FROM nodes)) AS sh FROM dm2), " +
+        "c2 AS (SELECT g2.nbr AS id, " +
+        "sum((2 * s1.s * g2.w + ow.wt) // (2 * ow.wt)) AS infl " +
+        "FROM g2 JOIN ow ON g2.id = ow.id JOIN s1 ON g2.id = s1.id " +
+        "GROUP BY g2.nbr), " +
+        "s2 AS (SELECT n.id, (2 * (15 * 1000000 + " +
+        "85 * (coalesce(c2.infl, 0) + (SELECT sh FROM sh2))) + 100) " +
+        "// 200 AS s FROM nodes n LEFT JOIN c2 ON n.id = c2.id) " +
+        // CAST: sum-derived // output is HUGEINT; engine emits int64.
+        "SELECT id, CAST(s AS BIGINT) AS s FROM s2 ORDER BY id")),
 
     // ---- personalized PageRank: restart mass concentrated on a seed
     // slice (every 50th vector carries the full micro-unit), scores =
@@ -4526,7 +4728,8 @@ object PipelineQueries {
         "s2 AS (SELECT n.id, (2 * (15 * n.r + " +
         "85 * coalesce(c2.infl, 0)) + 100) // 200 AS s " +
         "FROM nodes n LEFT JOIN c2 ON n.id = c2.id) " +
-        "SELECT id, s FROM s2 ORDER BY id")),
+        // CAST: sum-derived // output is HUGEINT; engine emits int64.
+        "SELECT id, CAST(s AS BIGINT) AS s FROM s2 ORDER BY id")),
 
     // ---- HITS hubs/authorities over the same graph — the
     // direction-aware complement (the exact-KNN relation is asymmetric:
@@ -4565,7 +4768,9 @@ object PipelineQueries {
         "h2 AS (SELECT id, CASE WHEN (SELECT max(h) FROM h2r) > 0 THEN " +
         "(2 * h * 1000000 + (SELECT max(h) FROM h2r)) // " +
         "(2 * (SELECT max(h) FROM h2r)) ELSE 0 END AS h FROM h2r) " +
-        "SELECT h2.id, h2.h, a2.a FROM h2 JOIN a2 ON h2.id = a2.id " +
+        // CAST: sum-derived // outputs are HUGEINT; engine emits int64.
+        "SELECT h2.id, CAST(h2.h AS BIGINT) AS h, " +
+        "CAST(a2.a AS BIGINT) AS a FROM h2 JOIN a2 ON h2.id = a2.id " +
         "ORDER BY h2.id")),
 
     // ---- triangle count + local clustering coefficient over the exact

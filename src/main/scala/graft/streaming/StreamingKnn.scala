@@ -71,6 +71,26 @@ object StreamingKnn {
       val f = fs(spark, root)
       vers.dropRight(1).foreach(v => f.delete(new Path(root, s"v=$v"), true))
     }
+    // At-least-once: redelivery of ANY committed batch skips (spec-pinned
+    // — batch 0 may legitimately redeliver while v=1 is committed). But a
+    // batchId BELOW the max committed version is also what a RESET
+    // checkpoint looks like (batchIds restart at 0) against a surviving
+    // state dir — and in that failure mode the skip silently drops every
+    // new batch forever while currentEdges serves stale state. The two
+    // are indistinguishable from one call, so the skip stays (correct
+    // for the legitimate case) and the suspicious shape logs LOUDLY so a
+    // stuck pipeline names its own cause. Contract (scaladoc on
+    // [[start]]): the checkpoint dir and the state dir live and die
+    // together.
+    vers.lastOption.filter(_ > batchId).foreach { m =>
+      System.err.println(
+        s"[StreamingKnn] WARNING: skipping batchId $batchId below " +
+          s"committed state version $m at $path. Legitimate only as an " +
+          "at-least-once redelivery; if the streaming checkpoint was " +
+          "deleted/reset while this state dir survived, EVERY new batch " +
+          "will be skipped — delete the state dir and checkpoint dir " +
+          "together.")
+    }
     if (vers.exists(_ >= batchId)) return // redelivery of a committed batch
     val delta = batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
     delta.withColumn("__batch", lit(s"b$batchId"))
@@ -101,7 +121,15 @@ object StreamingKnn {
     vers.foreach(v => f.delete(new Path(root, s"v=$v"), true))
   }
 
-  /** Start the checkpointed streaming maintenance. */
+  /** Start the checkpointed streaming maintenance.
+    *
+    * `checkpointDir` and `path` (the state dir) form ONE durable unit:
+    * delete both or neither. A reset checkpoint against a surviving
+    * state dir restarts batchIds at 0 below the committed state version,
+    * so [[applyBatch]] skips every batch (indistinguishable from an
+    * at-least-once redelivery, which MUST skip) — it logs a loud warning
+    * per skipped batch naming this failure mode.
+    */
   def start(stream: DataFrame, idCol: String, vecCol: String, k: Int,
             path: String, checkpointDir: String,
             availableNow: Boolean = true): StreamingQuery = {
