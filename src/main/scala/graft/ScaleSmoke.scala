@@ -1291,6 +1291,24 @@ object ScaleSmoke {
           iso == 150000L) "OK" else "MISS"})")
       out.unpersist()
     }
+    // Mass-conserving PageRank at the same scale: make every 10th node
+    // dangling (drop its out-edges) and check the conservation invariant
+    // analytically — Σs stays n·base up to HALF_UP slack (≤ ~2 µ-units
+    // per node per iteration), where the truncated contract provably
+    // leaks the dangling 10%'s mass. The conserve path's extra cost is
+    // one 1-row dangling-sum aggregate per iteration — this stage proves
+    // that global agg doesn't change the runtime class at corpus scale.
+    t("pagerank_conserve_2_iters") {
+      val dangEdges = edges.filter(col("id") % 10 =!= 0)
+      val total = KnnGraph.pageRank(dangEdges, nodes, "vec_id", iters = 2,
+          conserveDangling = true)
+        .agg(sum("s")).collect().head.getLong(0)
+      val expect = n.toLong * 1000000L
+      val slack = 4L * n
+      println(s"SCALE   pagerank_conserve total=$total expect=$expect " +
+        s"drift=${total - expect} " +
+        s"(${if (math.abs(total - expect) <= slack) "OK" else "MISS"})")
+    }
     nodes.unpersist(); graph.unpersist()
     }
 

@@ -169,6 +169,59 @@ class KnnGraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("conserveDangling pageRank: hand trajectory, dangling mass shared") {
+    // node 4 is dangling with s0 = base = 1e6; N = 4 so the uniform
+    // share is HALF_UP(1e6/4) = 250000, added INSIDE the damped term:
+    //   s1(i) = HALF_UP((15e6 + 85·(infl_i + 250000)) / 100)
+    //   1: infl 2e6   -> 2062500;  2: 666667 -> 929167
+    //   3: 333333     -> 645833;   4: 0      -> 362500
+    val out = KnnGraph.pageRank(handEdges, handNodes, "vec_id", iters = 1,
+        conserveDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2062500L, 2L -> 929167L, 3L -> 645833L,
+      4L -> 362500L))
+  }
+
+  test("conserveDangling equals truncated pageRank when nothing dangles") {
+    // every node has out-edges -> dangling sum 0 -> share 0 -> identical
+    val n = 50
+    val edges = (0 until n).flatMap { i =>
+      Seq((i.toLong, ((i + 1) % n).toLong, 700L),
+        (i.toLong, ((i * 13 + 5) % n).toLong, 300L))
+    }.toDF("id", "nbr", "w")
+    val nodes = (0 until n).map(_.toLong).toDF("vec_id")
+    val a = KnnGraph.pageRank(edges, nodes, "vec_id", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = KnnGraph.pageRank(edges, nodes, "vec_id", iters = 2,
+        conserveDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("conserveDangling keeps total mass near N·base; truncated leaks it") {
+    // a chain 0->1->...->k where the tail is dangling: the truncated
+    // variant drains the tail's mass every iteration, the conserving
+    // variant redistributes it (exact up to HALF_UP rounding, ±1 per
+    // node per iteration)
+    val n = 40
+    val edges = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong, 1000L))
+      .toDF("id", "nbr", "w")
+    val nodes = (0 until n).map(_.toLong).toDF("vec_id")
+    val iters = 3
+    def total(conserve: Boolean) =
+      KnnGraph.pageRank(edges, nodes, "vec_id", iters = iters,
+          conserveDangling = conserve)
+        .agg(sum("s")).head().getLong(0)
+    val base = 1000000L
+    val conserved = total(conserve = true)
+    // HALF_UP slack: ±0.5 per flow, per node update, and per share slice
+    // -> well under 2 micro-units per node per iteration
+    assert(math.abs(conserved - n * base) <= 2L * n * iters,
+      s"conserving variant leaked mass: $conserved vs ${n * base}")
+    assert(total(conserve = false) < conserved,
+      "truncated variant should strictly leak the dangling tail's mass")
+  }
+
   test("hits matches the hand-computed integer trajectory") {
     // a_raw = (4e6, 2e6, 1e6, 0), max 4e6 -> a = (1e6, 5e5, 25e4, 0)
     // h_raw = (1.25e6, 1e6, 3e6, 0), max 3e6 -> h = (416667, 333333, 1e6, 0)

@@ -362,6 +362,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("intDotTopKBatch raises on an off-contract |dot| >= 2^53 pair") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // components ~2^7 quantize to ~2^27, so a dim-2 dot is ~2^55 — past
+    // the point where the double-cast ranking stays integer-exact. The
+    // guard must surface as a runtime error, never a silent wrong top-k.
+    val bad = Seq((1L, Seq(128f, 128f)), (2L, Seq(128f, 128f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.intDotTopKBatch(bad, "vec_id", "embedding",
+        bad, "vec_id", "embedding", k = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("2^53")),
+      s"expected the 2^53 contract violation, got: ${messages(ex)}")
+    // in-contract inputs are untouched by the guard
+    val ok = Seq((1L, Seq(0.5f, -0.25f)), (2L, Seq(0.25f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.intDotTopKBatch(ok, "vec_id", "embedding",
+      ok, "vec_id", "embedding", k = 1).collect()
+    assert(rows.length == 2 && rows.forall(!_.isNullAt(2)))
+  }
+
   test("binarize of an empty vector is an empty bit array, not phantom words") {
     import org.apache.spark.sql.functions.{col, size => asize, typedLit}
     import spark.implicits._
