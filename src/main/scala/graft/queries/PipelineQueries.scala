@@ -244,6 +244,50 @@ object PipelineQueries {
     */
   private val BpeMerges = 20
 
+  /** DuckDB mirror of [[graft.operators.Similarity.mmrTopK]] at
+    * λ = 0.6: the k greedy selection rounds unroll as materialized CTEs
+    * (the [[bpeCtes]] technique — an iterative argmax over a BOUNDED
+    * constant k IS SQL-expressible). Float parity holds because every
+    * value in play is a round-3 cosine (`list_cosine_similarity` ≡ the
+    * engine kernel to round-3, proven by `ns_ann_mmr_lambda1`) and the
+    * score `0.6·rel − 0.4·maxSim` evaluates the identical IEEE ops both
+    * sides — including the constant: Scala's `1 - 0.6` and the SQL
+    * literal `0.4` are the same double bit pattern. Ties break to the
+    * smaller id, the engine's total order.
+    */
+  private def mmrOracle(k: Int, pool: Int): String = {
+    val sb = new StringBuilder(
+      "WITH cand AS MATERIALIZED (SELECT vec_id AS id, " +
+        "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+        "q.qv), 3) AS rel, CAST(embedding AS DOUBLE[]) AS vec " +
+        "FROM embeddings, (SELECT CAST(embedding AS DOUBLE[]) AS qv " +
+        "FROM embeddings WHERE vec_id = 0) q WHERE vec_id <> 0 " +
+        s"ORDER BY rel DESC, id LIMIT $pool), " +
+        "pc AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib, " +
+        "round(list_cosine_similarity(a.vec, b.vec), 3) AS s " +
+        "FROM cand a JOIN cand b ON a.id <> b.id), " +
+        "b1 AS MATERIALIZED (SELECT id, rel FROM cand " +
+        "ORDER BY 0.6 * rel DESC, id LIMIT 1), " +
+        "sel1 AS (SELECT id FROM b1)")
+    for (t <- 2 to k) {
+      sb.append(
+        s", m$t AS (SELECT p.ia AS id, max(p.s) AS ms FROM pc p " +
+          s"JOIN sel${t - 1} s ON p.ib = s.id GROUP BY p.ia), " +
+          s"b$t AS MATERIALIZED (SELECT c.id, c.rel FROM cand c " +
+          s"JOIN m$t m ON c.id = m.id WHERE c.id NOT IN " +
+          s"(SELECT id FROM sel${t - 1}) " +
+          "ORDER BY 0.6 * c.rel - 0.4 * m.ms DESC, c.id LIMIT 1), " +
+          s"sel$t AS (SELECT id FROM sel${t - 1} " +
+          s"UNION ALL SELECT id FROM b$t)")
+    }
+    val union = (1 to k)
+      .map(t => s"SELECT $t AS rank, id, rel FROM b$t")
+      .mkString(" UNION ALL ")
+    sb.append(s" SELECT CAST(rank AS INTEGER) AS rank, id AS vec_id, " +
+      s"rel FROM ($union) ORDER BY rank")
+    sb.toString
+  }
+
   /** [[bpeCtes]] continued to the symbol-id assignment: appends
     * `vid(token, id)` — dense ids by (corpus freq desc, token asc), the
     * [[graft.operators.Bpe.symbolVocab]] rule — and
@@ -1088,9 +1132,10 @@ object PipelineQueries {
     // ---- MMR diversified top-k: distributed candidate scan + driver-side
     // greedy diversification. At lambda=1 the penalty vanishes, so the
     // selection must EQUAL brute-force top-k — a full oracle on the
-    // machinery; the diversifying lambda=0.6 twin is rows-only by design
-    // (iterative greedy selection is not SQL-expressible; DIVERSIFIED
-    // behavior asserted in SimilaritySpec). ----
+    // machinery; the diversifying lambda=0.6 twin is now ALSO fully
+    // hashed via [[mmrOracle]] (the k selection rounds unroll as
+    // materialized CTEs, the BPE-chain technique — greedy argmax IS
+    // SQL-expressible when k is a bounded constant). ----
     ("ns_ann_mmr_lambda1",
       (s: SparkSession, d: String) =>
         Similarity.mmrTopK(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -1104,7 +1149,7 @@ object PipelineQueries {
       (s: SparkSession, d: String) =>
         Similarity.mmrTopK(Tables.embeddings(s, d), "vec_id", "embedding",
           queryId = 0, k = 10, lambda = 0.6),
-      None),
+      Some(mmrOracle(k = 10, pool = 40))),
 
     // ---- ANN: hyperplane-LSH bucketed top-k (scale path; approximate by
     // design, so no cross-engine oracle — recall vs brute force is asserted
