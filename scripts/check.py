@@ -74,7 +74,13 @@ def type_mismatches(mine_schema, oracle_schema):
     """Column-name → (engine, oracle) Arrow-type signature diffs. The
     driver hashes the Arrow-typed encoding, so value-equal results with
     different types (int64 vs decimal128) still hash-FAIL there; this
-    makes the local gate fail the same way."""
+    makes the local gate fail the same way.
+
+    Deliberately STRICTER than the driver on integer width (int32 vs
+    int64 passed the driver's r12 hash but fails here): a width-only
+    diff costs one CAST in the oracle and keeps every oracle
+    byte-faithful, so the safe failure direction — local FAIL, driver
+    pass — is accepted."""
     mt = {f.name: arrow_sig(f.type) for f in mine_schema}
     ot = {f.name: arrow_sig(f.type) for f in oracle_schema}
     return {c: (mt[c], ot[c]) for c in sorted(set(mt) & set(ot))

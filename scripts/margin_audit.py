@@ -71,6 +71,24 @@ def audit(sf_dir):
     pcos = pcos[1:]
     rows.append(("matryoshka prefix-16 top-k (q=0)",
                  grid_margin(pcos).min(), len(pcos)))
+    # MMR lambda=0.6 (r13): the unrolled greedy oracle consumes the
+    # round-3 REL values of query 0's top-40 candidates AND every
+    # PAIRWISE round-3 cosine among those candidates (a 1-ulp flip in
+    # any of them can move maxSim by a grid step and swap an argmax), so
+    # both populations need grid margin. Score-difference ties between
+    # distinct candidates are exact ties of the SAME rounded inputs on
+    # both engines (identical IEEE ops), so only input rounding matters.
+    rel0 = cos[ids == 0, :].ravel()
+    mask = np.abs(rel0 - 1.0) > 1e-12
+    cand_order = np.lexsort((ids[mask], -np.round(rel0[mask], 3)))
+    cand_idx = np.where(mask)[0][cand_order][:40]
+    cc = cos[np.ix_(cand_idx, cand_idx)]
+    cc = cc[np.triu_indices(len(cand_idx), k=1)]
+    rows.append(("mmr candidate rel (q=0, top-40)",
+                 grid_margin(rel0[mask][cand_order][:40]).min(),
+                 min(40, mask.sum())))
+    rows.append(("mmr candidate pairwise (top-40 x top-40)",
+                 grid_margin(cc).min(), len(cc)))
     # reference: the all-pairs grid margin (the propagation query's OLD
     # exposure, retired by the integer-dot derivation)
     rows.append(("[retired] all-pairs grid (old propagation exposure)",

@@ -255,7 +255,13 @@ object Bench {
     val ledgerJson = passLedger.map { case (p, resampled, cs) =>
       val sorted = cs.sorted
       val med = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
-      s"""{"pass":$p,"sampled":${cs.size},"canary_min":${fmt(if (sorted.isEmpty) 0.0 else sorted.head)},"canary_med":${fmt(med)},"canary_max":${fmt(if (sorted.isEmpty) 0.0 else sorted.last)},"resampled":${jArr(resampled)}}"""
+      // cap the name list: a noisy pass can re-sample most of the suite,
+      // and a 170-name array would bloat the one-line artifact past the
+      // driver's tail capture (the r12 full-precision-doubles lesson) —
+      // the count is always exact, the names are a bounded sample
+      val names = if (resampled.size <= 20) resampled
+        else resampled.take(20) :+ s"...+${resampled.size - 20} more"
+      s"""{"pass":$p,"sampled":${cs.size},"canary_min":${fmt(if (sorted.isEmpty) 0.0 else sorted.head)},"canary_med":${fmt(med)},"canary_max":${fmt(if (sorted.isEmpty) 0.0 else sorted.last)},"resampled_n":${resampled.size},"resampled":${jArr(names)}}"""
     }.mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","policy":"min-of-2-separate-passes-canary-gated-rolling","canary_base_sec":${fmt(canaryBase)},"canary_base_startup_sec":${fmt(canaryStartup)},"canary_drift":$drift,"canary_drift_means":"startup baseline >1.5x final rolling min; samples re-classified against final baseline, see canary_ledger","canary_ledger":$ledgerJson,"passes":$pass,"skipped":${jArr(skip.toSeq.sorted)},"suspect":${jArr(suspect)},"failed":${jArr(failed)},"errors":$errJson,"plan_violations":$pvJson}"""
     // Belt and braces against capture truncation: the full line also lands

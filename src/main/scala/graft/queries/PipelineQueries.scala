@@ -3262,7 +3262,10 @@ object PipelineQueries {
         "g AS (SELECT bin, count(*) AS n, count(*) FILTER (WHERE pos) AS n_pos, " +
         "sum(CAST(round(p * 1000000.0, 0) AS BIGINT)) AS psum " +
         "FROM bi GROUP BY bin) " +
-        "SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos, " +
+        // CAST: grouping arithmetic promotes bin to int64 in DuckDB;
+        // the engine emits int32 (width-exact oracle discipline)
+        "SELECT CAST(bin AS INTEGER) AS bin, CAST(n AS BIGINT) AS n, " +
+        "CAST(n_pos AS BIGINT) AS n_pos, " +
         "round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate, " +
         "round(CAST(psum AS DOUBLE) / 1000000.0 / n, 6) AS mean_pred, " +
         "round(round(CAST(psum AS DOUBLE) / 1000000.0 / n, 6) - " +
@@ -3336,7 +3339,8 @@ object PipelineQueries {
         "FROM (SELECT t.*, md5_number_lower(CAST(doc_id AS VARCHAR)) AS u FROM t)), " +
         "rn AS (SELECT doc_id, n_tokens, bin, " +
         "row_number() OVER (PARTITION BY bin ORDER BY h, doc_id) AS rn FROM bt) " +
-        "SELECT doc_id, n_tokens, bin, " +
+        // CAST: int32*64 promotes bin to int64 in DuckDB; engine is int32
+        "SELECT doc_id, n_tokens, CAST(bin AS INTEGER) AS bin, " +
         "CAST((rn - 1) // 8 AS INTEGER) AS batch_id, " +
         "CAST(bin - least(n_tokens, bin) AS BIGINT) AS pad_tokens " +
         "FROM rn ORDER BY doc_id")),
