@@ -1162,6 +1162,75 @@ object Curation {
       .toDF("n_a", "n_b", "vocab_a", "vocab_b", "vocab_shared", "tv_micro")
   }
 
+  /** Source×source shingle-contamination matrix — the copy-flow report
+    * between corpus sources (a crawl slice re-hosting another source's
+    * pages, a dataset vendored into two providers): for every ordered
+    * source pair, the count of shared distinct word-shingles and two
+    * integer HALF_UP micro-unit ratios — containment
+    * `|A∩B| / |A|` (directional: "how much of A also appears in B") and
+    * Jaccard `|A∩B| / |A∪B|`. Complements [[corpusDrift]] (distribution
+    * distance answers "are they alike?"; this answers "did one COPY the
+    * other?" — near-identical distributions score 0 here unless literal
+    * 3-grams are shared).
+    *
+    * Scale shape — ONE corpus pass, ONE corpus-sized shuffle, and no
+    * hot-shingle cap needed (unlike [[Dedup.ngramJaccardPairs]]):
+    * `groupBy(shingle).agg(collect_set(source))` deduplicates and
+    * gathers in a single shingle-keyed aggregation whose per-key state
+    * is bounded by |sources| (map-side partials stay tiny). Each
+    * shingle's source-set then emits its own size marks and ordered
+    * pair marks in one explode — ≤ |sources|² events per shingle, a
+    * constant — and ONE tiny groupBy folds them into both the size and
+    * intersection counts, so the corpus is scanned exactly once however
+    * large it is. The |sources|² pair frame is a broadcast cross of the
+    * source-size relation (no CartesianProductExec). All-integer
+    * output, fully hashed.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, srcCol: String, textCol: String,
+                          shingleK: Int = 3): DataFrame = {
+    val srcSets = docs
+      .select(col(srcCol).cast("string").as("src"),
+        explode(graft.functions.word_shingles(col(textCol), shingleK))
+          .as("s"))
+      .groupBy("s").agg(collect_set(col("src")).as("srcs"))
+    // per shingle: a (src, NULL) size mark per member source plus a
+    // (src_a, src_b) mark per ordered pair — then one bounded groupBy
+    val nullStr = lit(null).cast("string")
+    val counts = srcSets.select(explode(concat(
+        transform(col("srcs"), a => struct(a.as("a"), nullStr.as("b"))),
+        flatten(transform(col("srcs"), a =>
+          transform(col("srcs"), b => struct(a.as("a"), b.as("b")))))))
+        .as("e"))
+      .filter(col("e.b").isNull || col("e.a") =!= col("e.b"))
+      .groupBy(col("e.a").as("src_a"), col("e.b").as("src_b"))
+      .agg(count(lit(1)).as("c"))
+    // ≤ |sources|² + |sources| rows — bounded planning state (the
+    // corpusDrift convention): one collect, matrix assembled driver-side
+    // in exact long arithmetic. Contract: srcCol is a source/provider
+    // tag (cardinality ~dozens), not a document key.
+    val rows = counts.collect()
+    val sizes = rows.filter(_.isNullAt(1))
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val commons = rows.filter(!_.isNullAt(1))
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val out = for {
+      (a, na) <- sizes.toSeq.sortBy(_._1)
+      (b, nb) <- sizes.toSeq.sortBy(_._1) if a != b
+    } yield {
+      val c = commons.getOrElse((a, b), 0L)
+      val union = na + nb - c
+      // n_a > 0 (sources enter via their own shingle counts) and
+      // |A∪B| >= n_a, so both HALF_UP denominators are safe
+      (a, b, na, nb, c,
+        (2000000L * c + na) / (2L * na),
+        (2000000L * c + union) / (2L * union))
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    out.toDF("src_a", "src_b", "n_a", "n_b", "common",
+      "containment_micro", "jaccard_micro")
+  }
+
   /** Per-token drift report behind [[corpusDrift]]'s scalar: each side's
     * share quantized to micro-units on its own int64-exact grid
     * (`HALF_UP(10^6·c/N)`, exact while `N ≤ ~4.6·10^12`), delta =

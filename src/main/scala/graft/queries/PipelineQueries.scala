@@ -3531,6 +3531,45 @@ object PipelineQueries {
     // corpus — the pre-ingest drift monitor: one-row TV distance in
     // micro-units, integer-exact end-to-end (decimal cross products,
     // HUGEINT in the oracle, driver-BigInt final HALF_UP). ----
+    // ---- source×source shingle-contamination matrix: shared distinct
+    // 3-gram counts + directional containment + Jaccard per ordered
+    // source pair, all-integer HALF_UP micro ratios — the "did one
+    // source copy the other" complement of ns_corpus_drift's
+    // distribution distance. Per-key join cardinality is bounded by
+    // |sources| after the (source, shingle) distinct, so the plan needs
+    // no hot-shingle cap at any corpus size. ----
+    ("ns_corpus_overlap_matrix",
+      (s: SparkSession, d: String) =>
+        Curation.sourceOverlapMatrix(Tables.documents(s, d), "source",
+            "text", shingleK = 3)
+          .orderBy("src_a", "src_b"),
+      Some("WITH toks AS (SELECT doc_id, source, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents), " +
+        "tokpos AS (SELECT doc_id, source, len(t) AS n, unnest(t) AS w, " +
+        "generate_subscripts(t, 1) AS pos FROM toks), " +
+        "ssh AS (SELECT DISTINCT source AS src, concat_ws(' ', w, " +
+        "lead(w, 1) OVER win, lead(w, 2) OVER win) AS s FROM tokpos " +
+        "WINDOW win AS (PARTITION BY doc_id ORDER BY pos) " +
+        "QUALIFY pos <= n - 2), " +
+        "sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n " +
+        "FROM ssh GROUP BY src), " +
+        "cm AS (SELECT a.src AS src_a, b.src AS src_b, " +
+        "CAST(count(*) AS BIGINT) AS common FROM ssh a JOIN ssh b " +
+        "ON a.s = b.s AND a.src <> b.src GROUP BY 1, 2), " +
+        "pr AS (SELECT sa.src AS src_a, sa.n AS n_a, sb.src AS src_b, " +
+        "sb.n AS n_b FROM sizes sa JOIN sizes sb ON sa.src <> sb.src) " +
+        "SELECT pr.src_a, pr.src_b, pr.n_a, pr.n_b, " +
+        "coalesce(cm.common, 0) AS common, " +
+        "CAST((2000000 * coalesce(cm.common, 0) + pr.n_a) // " +
+        "(2 * pr.n_a) AS BIGINT) AS containment_micro, " +
+        "CAST((2000000 * coalesce(cm.common, 0) + " +
+        "(pr.n_a + pr.n_b - coalesce(cm.common, 0))) // " +
+        "(2 * (pr.n_a + pr.n_b - coalesce(cm.common, 0))) AS BIGINT) " +
+        "AS jaccard_micro " +
+        "FROM pr LEFT JOIN cm ON pr.src_a = cm.src_a " +
+        "AND pr.src_b = cm.src_b ORDER BY pr.src_a, pr.src_b")),
+
     ("ns_corpus_drift",
       (s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)

@@ -596,4 +596,28 @@ class CurationSpec extends SparkSpec {
       .head().getDouble(0)
     assert(math.abs(rev - shifted) < 1e-4, s"$rev vs $shifted")
   }
+
+  test("sourceOverlapMatrix: hand-computed containment, zero pairs kept") {
+    import spark.implicits._
+    // a: shingles {x y z, y z w}   (two docs, one each)
+    // b: shingles {x y z}          (copied from a) -> common(a,b) = 1
+    // c: shingles {p q r}          (disjoint)      -> common = 0 both ways
+    val docs = Seq(
+      ("a", "x y z"), ("a", "y z w"),
+      ("b", "x y z"),
+      ("c", "p q r")).toDF("source", "text")
+    val out = Curation.sourceOverlapMatrix(docs, "source", "text", 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))
+      .toMap
+    assert(out.size === 6, "all ordered pairs, including zero-overlap")
+    // containment is DIRECTIONAL: half of a appears in b, all of b in a
+    assert(out(("a", "b")) === ((2L, 1L, 1L, 500000L, 500000L)))
+    assert(out(("b", "a")) === ((1L, 2L, 1L, 1000000L, 500000L)))
+    // disjoint source: zero common, zero ratios, pair still present
+    assert(out(("a", "c")) === ((2L, 1L, 0L, 0L, 0L)))
+    assert(out(("c", "b")) === ((1L, 1L, 0L, 0L, 0L)))
+  }
 }
