@@ -209,13 +209,16 @@ object PipelineQueries {
     */
   private def bpeCtes(n: Int): String = {
     val sb = new StringBuilder(
-      "WITH __braceguard AS (SELECT CASE WHEN EXISTS (" +
-        "SELECT 1 FROM documents WHERE text LIKE '%{%' OR text LIKE '%}%')" +
-        " THEN error('bpe oracle: corpus contains brace delimiter') " +
-        "ELSE 1 END AS ok), " +
-        "w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt " +
+      // the brace guard is PER VOCAB WORD and load-bearing in the word
+      // column itself — an earlier standalone-CTE EXISTS guard was
+      // silently column-pruned by DuckDB's optimizer (verified: it never
+      // fired on a planted brace corpus), while this form provably does
+      "WITH w AS MATERIALIZED (SELECT " +
+        "CASE WHEN word LIKE '%{%' OR word LIKE '%}%' THEN " +
+        "error('bpe oracle: corpus contains brace delimiter') " +
+        "ELSE word END AS word, CAST(count(*) AS BIGINT) AS cnt " +
         "FROM (SELECT unnest(string_split_regex(lower(trim(text)), " +
-        "'\\s+')) AS word FROM documents, __braceguard) " +
+        "'\\s+')) AS word FROM documents) " +
         "WHERE length(word) > 0 GROUP BY word), " +
         "v0 AS MATERIALIZED (SELECT word, cnt, '{' || " +
         "array_to_string(list_append(string_split(word, ''), '</w>'), " +
