@@ -1182,9 +1182,16 @@ object Curation {
     * pair marks in one explode — ≤ |sources|² events per shingle, a
     * constant — and ONE tiny groupBy folds them into both the size and
     * intersection counts, so the corpus is scanned exactly once however
-    * large it is. The |sources|² pair frame is a broadcast cross of the
-    * source-size relation (no CartesianProductExec). All-integer
-    * output, fully hashed.
+    * large it is. The ≤ |sources|² + |sources| count rows then collect
+    * and the matrix assembles driver-side in exact long arithmetic
+    * (bounded planning state, the [[corpusDrift]] convention).
+    * All-integer output, fully hashed.
+    *
+    * Null-source documents drop (collect_set skips nulls — the prCurve
+    * convention: an untagged doc belongs to no source); a source whose
+    * documents all have fewer than `shingleK` tokens contributes no
+    * shingles and is absent from the matrix rather than reported with
+    * n = 0.
     */
   def sourceOverlapMatrix(docs: DataFrame, srcCol: String, textCol: String,
                           shingleK: Int = 3): DataFrame = {

@@ -125,6 +125,13 @@ object KnnGraph {
     * bit-replicable on any engine. The cosine wrapper above keeps the
     * convenient `(id, nbr, cos)` shape for graphs whose weights are
     * display/threshold values rather than hash-audited state.
+    *
+    * Seed scores MUST be ≥ 0 (same for [[pageRankFrom]] restarts): the
+    * HALF_UP grid rule `(2·a·b + d) div (2·d)` is stated for
+    * nonnegative flows, and on a negative numerator Spark's `div`
+    * (truncates toward zero) and a SQL oracle's `//` (floors) disagree
+    * by one — a negative seed would silently de-oracle the trajectory,
+    * not error.
     */
   def propagateWeighted(edges: DataFrame, seeds: DataFrame, idCol: String,
                         scoreCol: String, alphaNum: Int = 4,
@@ -206,7 +213,9 @@ object KnnGraph {
     * PageRank's global prototypicality). `s_0 = r`,
     * `s_{t+1}(i) = (1-d)·r(i) + d·Σ_{j→i} s_t(j)·w_{ji}/W_j` — same
     * integer conventions, same per-iteration plan, and uniform `r`
-    * recovers [[pageRank]] exactly (the delegation above).
+    * recovers [[pageRank]] exactly (the delegation above). Restart
+    * masses MUST be ≥ 0 — see [[propagateWeighted]]'s seed contract
+    * (truncating `div` vs flooring `//` diverge on negatives).
     *
     * `conserveDangling = true` switches from the truncated contract to
     * the MASS-CONSERVING classic formulation: each iteration, the total

@@ -257,6 +257,11 @@ object PipelineQueries {
     * sides — including the constant: Scala's `1 - 0.6` and the SQL
     * literal `0.4` are the same double bit pattern. Ties break to the
     * smaller id, the engine's total order.
+    *
+    * Coupling: `k`/`pool` must mirror the declared query's `k` and
+    * `k · candidateFactor`, and the 0.6/0.4 literals its `lambda` — a
+    * drift shows up as a loud driver rows/hash mismatch, never silently,
+    * but change them together.
     */
   private def mmrOracle(k: Int, pool: Int): String = {
     val sb = new StringBuilder(
