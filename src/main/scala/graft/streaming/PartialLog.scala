@@ -56,13 +56,32 @@ private[streaming] object PartialLog {
     * compaction first, skips batches already inside a fold, then
     * overwrites the batch's own partition with `partial` (one file —
     * partials are tiny by contract).
+    *
+    * The streaming checkpoint dir and `targetDir` are ONE durable unit:
+    * delete both or neither. A reset checkpoint restarts batchIds at 0,
+    * and every id at or below the surviving fold's `c<max>` tag is
+    * (correctly, for the at-least-once redelivery case) skipped — which
+    * for a reset means new data is silently dropped until batchIds grow
+    * past the old fold. Indistinguishable from a redelivery at this
+    * call, so the skip stays and the suspicious shape logs loudly (the
+    * [[StreamingKnn.applyBatch]] convention).
     */
   def upsertBatch(spark: SparkSession, targetDir: String, batchId: Long,
                   partial: => DataFrame): Unit = {
     val fs = new Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(fs, targetDir)
-    if (batchId <= compactedMax(fs, targetDir)) return
+    val cm = compactedMax(fs, targetDir)
+    if (batchId <= cm) {
+      System.err.println(
+        s"[PartialLog] WARNING: skipping batchId $batchId at or below " +
+          s"compacted fold c$cm at $targetDir. Legitimate only as an " +
+          "at-least-once redelivery; if the streaming checkpoint was " +
+          "deleted/reset while this state dir survived, new batches " +
+          "will be dropped until batchIds pass the old fold — delete " +
+          "the state dir and checkpoint dir together.")
+      return
+    }
     partial.coalesce(1)
       .write.mode("overwrite").parquet(s"$targetDir/__batch=b$batchId")
   }

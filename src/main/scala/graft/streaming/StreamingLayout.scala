@@ -26,6 +26,12 @@ import graft.operators.Layout
   * [[Layout.mergeClustered]]. A maintenance pass can periodically fold
   * old batches into one via `Layout.writeClustered` over the read-back
   * table (the [[Compaction]] economics).
+  *
+  * The idempotent overwrite makes the checkpoint dir and `path` ONE
+  * durable unit (the [[StreamingKnn.start]] contract): a reset
+  * checkpoint restarts batchIds at 0, and the new `__batch=b0` would
+  * OVERWRITE the surviving old batch 0's data — delete both dirs or
+  * neither.
   */
 object StreamingLayout {
 

@@ -72,6 +72,7 @@ object StreamingLr {
                 learnRate: Double = 0.5): Unit = {
     import spark.implicits._
     import graft.functions.bucket_weight_sum
+    StreamingPack.warnIfRewound(spark, stateDir, batchId, "StreamingLr")
     val w0 = readWeights(spark, stateDir, batchId, buckets)
     val f = graft.operators.Classifier
       .lrFeatureArrays(batch, idCol, textCol, positive, buckets)

@@ -98,6 +98,37 @@ object StreamingPack {
     oldFiles.length
   }
 
+  /** Loud alarm for the reset-checkpoint-vs-surviving-state shape (the
+    * [[StreamingKnn.applyBatch]] / [[PartialLog.upsertBatch]]
+    * convention): a batchId strictly below the state log's max committed
+    * batch_id is legitimate ONLY as an at-least-once redelivery; after a
+    * checkpoint reset it means the restarted stream reads pre-reset state
+    * (or fresh zeros), re-numbers its output from b0, and — once the
+    * compactor keeps only the newest (= old) rows — silently forks or
+    * resets the carried state. Undecidable from one call, so processing
+    * proceeds and the shape is named loudly. Contract everywhere: the
+    * checkpoint dir and the state dir live and die together.
+    */
+  private[streaming] def warnIfRewound(spark: SparkSession, stateDir: String,
+                                       batchId: Long, who: String): Unit = {
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    // an alarm must never break the pipeline: an empty/odd state dir
+    // (no parquet yet) simply has nothing to warn about
+    val mx = scala.util.Try(spark.read.parquet(stateDir)
+        .agg(max(col("batch_id"))).collect().head)
+      .toOption.filterNot(_.isNullAt(0)).map(_.getLong(0))
+    if (mx.exists(_ > batchId))
+      System.err.println(
+        s"[$who] WARNING: batchId $batchId is below the max committed " +
+          s"state batch_id ${mx.get} at $stateDir. Legitimate " +
+          "only as an at-least-once redelivery; if the streaming " +
+          "checkpoint was deleted/reset while this state dir survived, " +
+          "the stream is now forking/rewinding its carried state — " +
+          "delete the state dir and checkpoint dir together.")
+  }
+
   /** Auto-compaction hook: compact once the log exceeds `maxFiles` parts.
     * One `listStatus` per call — the same directory listing `readState`'s
     * parquet scan already pays, so the steady-state overhead is a bounded
@@ -121,6 +152,7 @@ object StreamingPack {
                 toksCol: String, seqLen: Int, stateDir: String,
                 outDir: String, batchId: Long): Unit = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    warnIfRewound(spark, stateDir, batchId, "StreamingPack")
     val st = readState(spark, stateDir, batchId)
     val carryLen = st.carryToks.length
 
@@ -225,6 +257,7 @@ object StreamingPack {
                    idsCol: String, seqLen: Int, stateDir: String,
                    outDir: String, batchId: Long): Unit = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    warnIfRewound(spark, stateDir, batchId, "StreamingPack(ids)")
     val (totalTokens, carryIds, carryStarts) =
       readIdState(spark, stateDir, batchId)
     val carryLen = carryIds.length
