@@ -39,9 +39,12 @@ object Retrieval {
     * only RANKS enter the sum (k0=60 is the paper's constant).
     *
     * Each input must have columns `(qid, id, rank)`; ranks are 1-based
-    * within (list, qid). Returns `(qid, id, rrf, rank)` with `rank <=
-    * topK` per qid. Contributions fold in list order (list 0 first), so
-    * the sum is reproducible cross-engine and across partitionings.
+    * within (list, qid), and each `(qid, id)` must appear AT MOST ONCE
+    * per list (true of any real retriever's output — a duplicate would
+    * contribute twice to the sum, silently, same for [[weightedFuse]]).
+    * Returns `(qid, id, rrf, rank)` with `rank <= topK` per qid.
+    * Contributions fold in list order (list 0 first), so the sum is
+    * reproducible cross-engine and across partitionings.
     */
   def rrfFuse(lists: Seq[DataFrame], k0: Int = 60, topK: Int = 10): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one result list")
