@@ -47,7 +47,7 @@ object ScaleSmoke {
     require(Set("all", "lexical", "semantic", "recall", "pipeline",
       "streaming", "classifier", "curation", "streamlearn", "semdedup",
       "embed", "bm25", "minhashindex", "layout", "propagate", "fuzzy",
-      "slayout", "drift", "graphstruct", "graphupdate")(stages),
+      "slayout", "drift", "graphstruct", "graphupdate", "overlap")(stages),
       s"unknown stage set '$stages'")
     def on(s: String) = stages == "all" || stages == s
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -1492,6 +1492,49 @@ object ScaleSmoke {
         s"delta_micro=${top.head.getLong(5)} (${if (ok) "OK" else "MISS"})")
     }
     a.unpersist(); b.unpersist()
+    }
+
+    if (on("overlap")) {
+    // ---- source-overlap matrix at scale with ANALYTIC plants: tokens
+    // are consecutive integers ("w{60·d+i}"), so each doc's 58 shingles
+    // are globally unique — cross-source overlap is exactly 0 — except
+    // the plant: every s1 doc with d % 20 == 1 copies the text of the
+    // s0 doc d−1 verbatim (sources = d % 4). With 4 | n and 20 | n:
+    //   common(s0,s1) = 58·(n/20) in both directions, all other pairs 0;
+    //   |each source| = 58·(n/4), so containment = HALF_UP(1e6/5)
+    //   = 200000 and jaccard = HALF_UP(1e6/9) = 111111 EXACTLY at any
+    //   such n — scale runs re-prove correctness, not just runtime. ----
+    require(n % 20 == 0, s"overlap stage needs 20 | n, got $n")
+    val docs = spark.range(n.toLong).toDF("doc_id")
+      .withColumn("source",
+        concat(lit("s"), pmod(col("doc_id"), lit(4L))))
+      .withColumn("__base",
+        when(col("doc_id") % 20 === 1, col("doc_id") - 1)
+          .otherwise(col("doc_id")))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), lit(59)), i =>
+          concat(lit("w"), (col("__base") * 60 + i)))))
+      .repartition(spark.sparkContext.defaultParallelism.toInt)
+      .cache()
+    t("overlap_materialize")(docs.count())
+    t("overlap_matrix") {
+      val m = Curation.sourceOverlapMatrix(docs, "source", "text", 3)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toMap
+      val c = 58L * (n / 20)
+      val ok = m.size == 12 &&
+        m(("s0", "s1")) == ((c, 200000L, 111111L)) &&
+        m(("s1", "s0")) == ((c, 200000L, 111111L)) &&
+        m.forall { case (k, v) =>
+          k == ("s0", "s1") || k == ("s1", "s0") || v == ((0L, 0L, 0L)) }
+      println(s"SCALE   overlap pairs=${m.size} common_s0s1=" +
+        s"${m(("s0", "s1"))._1} expect=$c " +
+        s"containment=${m(("s0", "s1"))._2} jaccard=${m(("s0", "s1"))._3} " +
+        s"(${if (ok) "OK" else "MISS"})")
+    }
+    docs.unpersist()
     }
 
     spark.stop()

@@ -1173,21 +1173,24 @@ object Curation {
     * other?" — near-identical distributions score 0 here unless literal
     * 3-grams are shared).
     *
-    * Scale shape — ONE corpus pass, ONE corpus-sized shuffle, and no
-    * hot-shingle cap needed (unlike [[Dedup.ngramJaccardPairs]]):
-    * `groupBy(shingle).agg(collect_set(source))` deduplicates and
-    * gathers in a single shingle-keyed aggregation whose per-key state
-    * is bounded by |sources| (map-side partials stay tiny). Each
-    * shingle's source-set then emits its own size marks and ordered
-    * pair marks in one explode — ≤ |sources|² events per shingle, a
-    * constant — and ONE tiny groupBy folds them into both the size and
-    * intersection counts, so the corpus is scanned exactly once however
-    * large it is. The ≤ |sources|² + |sources| count rows then collect
-    * and the matrix assembles driver-side in exact long arithmetic
-    * (bounded planning state, the [[corpusDrift]] convention).
-    * All-integer output, fully hashed.
+    * Scale shape — ONE corpus pass through PRIMITIVE-ONLY aggregation:
+    * each source maps to a bit (one tiny distinct-sources job; at most
+    * [[MaxOverlapSources]] sources by contract — this is a
+    * provider/crawl tag, not a document key), and the corpus-sized
+    * shuffle is `groupBy(shingle).agg(bit_or(mask))` — a LONG buffer
+    * per group that stays entirely inside Tungsten hash aggregation.
+    * (The first cut used `collect_set(source)` per shingle: at 5 M docs
+    * / 290 M distinct shingles the per-group set objects stalled the
+    * executor heartbeat outright — object buffers at shingle
+    * cardinality are not a 100 TB shape.) A second map-side-collapsing
+    * `groupBy(mask).count()` reduces to ≤ 2^|sources| rows, which
+    * collect, and the matrix assembles driver-side in exact long
+    * arithmetic (bounded planning state, the [[corpusDrift]]
+    * convention): `|A| = Σ cnt over masks containing a`,
+    * `|A∩B| = Σ cnt over masks containing both`. All-integer output,
+    * fully hashed.
     *
-    * Null-source documents drop (collect_set skips nulls — the prCurve
+    * Null-source documents drop (no bit to carry — the prCurve
     * convention: an untagged doc belongs to no source); a source whose
     * documents all have fewer than `shingleK` tokens contributes no
     * shingles and is absent from the matrix rather than reported with
@@ -1195,48 +1198,78 @@ object Curation {
     */
   def sourceOverlapMatrix(docs: DataFrame, srcCol: String, textCol: String,
                           shingleK: Int = 3): DataFrame = {
-    val srcSets = docs
-      .select(col(srcCol).cast("string").as("src"),
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val srcs = docs.select(col(srcCol).cast("string").as("src"))
+      .filter(col("src").isNotNull).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(srcs.length <= MaxOverlapSources,
+      s"sourceOverlapMatrix: ${srcs.length} distinct sources exceeds " +
+        s"$MaxOverlapSources — srcCol must be a provider/crawl tag, and " +
+        "the mask-count relation is 2^|sources|-bounded")
+    if (srcs.isEmpty)
+      return Seq.empty[(String, String, Long, Long, Long, Long, Long)]
+        .toDF("src_a", "src_b", "n_a", "n_b", "common",
+          "containment_micro", "jaccard_micro")
+    val maskOf = typedlit(srcs.zipWithIndex
+      .map { case (s, i) => s -> (1L << i) }.toMap)
+    val k = srcs.length
+    val maskCounts = docs
+      .select(element_at(maskOf, col(srcCol).cast("string")).as("m"),
         explode(graft.functions.word_shingles(col(textCol), shingleK))
           .as("s"))
-      .groupBy("s").agg(collect_set(col("src")).as("srcs"))
-    // per shingle: a (src, NULL) size mark per member source plus a
-    // (src_a, src_b) mark per ordered pair — then one bounded groupBy
-    val nullStr = lit(null).cast("string")
-    val counts = srcSets.select(explode(concat(
-        transform(col("srcs"), a => struct(a.as("a"), nullStr.as("b"))),
-        flatten(transform(col("srcs"), a =>
-          transform(col("srcs"), b => struct(a.as("a"), b.as("b")))))))
-        .as("e"))
-      .filter(col("e.b").isNull || col("e.a") =!= col("e.b"))
-      .groupBy(col("e.a").as("src_a"), col("e.b").as("src_b"))
-      .agg(count(lit(1)).as("c"))
-    // ≤ |sources|² + |sources| rows — bounded planning state (the
-    // corpusDrift convention): one collect, matrix assembled driver-side
-    // in exact long arithmetic. Contract: srcCol is a source/provider
-    // tag (cardinality ~dozens), not a document key.
-    val rows = counts.collect()
-    val sizes = rows.filter(_.isNullAt(1))
-      .map(r => r.getString(0) -> r.getLong(2)).toMap
-    val commons = rows.filter(!_.isNullAt(1))
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      .filter(col("m").isNotNull)
+      .groupBy("s").agg(bit_or(col("m")).as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("cnt"))
+    // expand each mask to its member-bit and ordered-pair events
+    // DISTRIBUTED (the mask relation is min(2^k, #shingles)-sized —
+    // usually tiny, but adversarial co-occurrence could make a
+    // driver-side collect of it large), then collect only the ≤ k and
+    // ≤ k² aggregated counts — bounded planning state by construction.
+    val pow = typedlit((0 until k).map(i => 1L << i).toArray)
+    val bits = filter(sequence(lit(0), lit(k - 1)),
+      i => col("mask").bitwiseAND(element_at(pow, i + 1)) =!= lit(0L))
+    // the mask relation is tiny but its LINEAGE is the full corpus
+    // aggregation — cache it so the two collects below run that chain
+    // once, and unpersist before returning (both consumers are eager)
+    maskCounts.cache()
+    val withBits = maskCounts.select(col("cnt"), bits.as("bs"))
+    val sizeRows = withBits
+      .select(explode(col("bs")).as("i"), col("cnt"))
+      .groupBy("i").agg(sum("cnt").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pairRows = withBits
+      .select(explode(flatten(transform(col("bs"), a =>
+        transform(col("bs"), b => struct(a.as("i"), b.as("j"))))))
+        .as("p"), col("cnt"))
+      .filter(col("p.i") =!= col("p.j"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(sum("cnt").as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    maskCounts.unpersist()
     val out = for {
-      (a, na) <- sizes.toSeq.sortBy(_._1)
-      (b, nb) <- sizes.toSeq.sortBy(_._1) if a != b
+      i <- 0 until k if sizeRows.contains(i)
+      j <- 0 until k if j != i && sizeRows.contains(j)
     } yield {
-      val c = commons.getOrElse((a, b), 0L)
+      val (na, nb) = (sizeRows(i), sizeRows(j))
+      val c = pairRows.getOrElse((i, j), 0L)
       val union = na + nb - c
-      // n_a > 0 (sources enter via their own shingle counts) and
-      // |A∪B| >= n_a, so both HALF_UP denominators are safe
-      (a, b, na, nb, c,
+      // n_a > 0 (present in sizeRows) and |A∪B| >= n_a, so both
+      // HALF_UP denominators are safe
+      (srcs(i), srcs(j), na, nb, c,
         (2000000L * c + na) / (2L * na),
         (2000000L * c + union) / (2L * union))
     }
-    val spark = docs.sparkSession
-    import spark.implicits._
     out.toDF("src_a", "src_b", "n_a", "n_b", "common",
       "containment_micro", "jaccard_micro")
   }
+
+  /** [[sourceOverlapMatrix]] source-cardinality cap: one bit per source
+    * in a long mask. The mask relation itself never collects (bit/pair
+    * expansion is distributed), so the full 64 bits are usable.
+    */
+  val MaxOverlapSources: Int = 64
 
   /** Per-token drift report behind [[corpusDrift]]'s scalar: each side's
     * share quantized to micro-units on its own int64-exact grid
