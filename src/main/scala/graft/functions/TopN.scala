@@ -161,3 +161,82 @@ case class TopNBy(value: Expression, score: Expression, n: Int,
       newChildren: IndexedSeq[Expression]): TopNBy =
     copy(value = newChildren(0), score = newChildren(1))
 }
+
+/** [[TopNBy]] that KEEPS the scores:
+  * `top_n_by_scored(value, score, n) -> array<struct<v: bigint, s: double>>`
+  * best-first (score desc, value asc). Same bounded mergeable buffer —
+  * ≤ n entries per group per task, map-side combinable — for consumers
+  * that need the ranking's score column in the output (e.g. the k-NN
+  * graph's `(nbr, cos, rank)` rows, where a window over the candidate
+  * relation would shuffle every candidate instead of N·k partials).
+  * `posexplode` of the result yields the rank as `pos + 1` under the
+  * identical total order a `row_number() over (orderBy score desc,
+  * value asc)` window would assign.
+  */
+case class TopNByScored(value: Expression, score: Expression, n: Int,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopNKernels.TopNBuffer] {
+
+  require(n > 0, s"n must be positive, got $n")
+
+  override def children: Seq[Expression] = Seq(value, score)
+  override def nullable: Boolean = false
+  override def prettyName: String = "top_n_by_scored"
+  override def dataType: DataType =
+    ArrayType(StructType(Seq(
+      StructField("v", LongType, nullable = false),
+      StructField("s", DoubleType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (value.dataType, score.dataType) match {
+      case (LongType | IntegerType, DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (v, s) => TypeCheckResult.TypeCheckFailure(
+        s"top_n_by_scored expects (bigint|int, double), got " +
+          s"(${v.simpleString(10)}, ${s.simpleString(10)})")
+    }
+
+  override def createAggregationBuffer(): TopNKernels.TopNBuffer =
+    new TopNKernels.TopNBuffer(n)
+
+  override def update(buffer: TopNKernels.TopNBuffer,
+                      input: InternalRow): TopNKernels.TopNBuffer = {
+    val v = value.eval(input)
+    val s = score.eval(input)
+    if (v != null && s != null) {
+      val vl = v match {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }
+      buffer.insert(s.asInstanceOf[Double], vl)
+    }
+    buffer
+  }
+
+  override def merge(b1: TopNKernels.TopNBuffer,
+                     b2: TopNKernels.TopNBuffer): TopNKernels.TopNBuffer = {
+    b1.mergeIn(b2)
+    b1
+  }
+
+  override def eval(buffer: TopNKernels.TopNBuffer): Any = {
+    val idx = (0 until buffer.size)
+      .sortBy(i => (-buffer.scores(i), buffer.values(i)))
+    new GenericArrayData(idx.map(i =>
+      InternalRow(buffer.values(i), buffer.scores(i))).toArray[Any])
+  }
+
+  override def serialize(buffer: TopNKernels.TopNBuffer): Array[Byte] =
+    TopNKernels.serialize(buffer)
+  override def deserialize(bytes: Array[Byte]): TopNKernels.TopNBuffer =
+    TopNKernels.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopNByScored =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopNByScored =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopNByScored =
+    copy(value = newChildren(0), score = newChildren(1))
+}

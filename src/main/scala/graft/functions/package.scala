@@ -162,6 +162,13 @@ package object functions {
   def top_n_by(value: Column, score: Column, n: Int): Column =
     col(TopNBy(ex(value), ex(score), n).toAggregateExpression())
 
+  /** [[top_n_by]] keeping the scores: per-group top-n as
+    * `array<struct<v, s>>` best-first (score desc, value asc) — for
+    * consumers that need the score in the output; `posexplode` yields
+    * the window-equivalent rank as `pos + 1`. */
+  def top_n_by_scored(value: Column, score: Column, n: Int): Column =
+    col(TopNByScored(ex(value), ex(score), n).toAggregateExpression())
+
   /** Decode an MG sketch's survivors as
     * `array<struct<item, est>>` ordered by (est desc, item). */
   def mg_items(sketch: Column): Column = col(MgItems(ex(sketch)))

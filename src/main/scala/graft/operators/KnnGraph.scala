@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosine_similarity, top_n_by}
+import graft.functions.{cosine_similarity, top_n_by, top_n_by_scored}
 
 /** Corpus-wide k-nearest-neighbor graph — the building block of
   * graph-shaped curation (D4-style dedup-then-diversify, agglomerative
@@ -83,9 +83,17 @@ object KnnGraph {
         col("cos"))
       .unionByName(scored.select(col("b").as("id"), col("a").as("nbr"),
         col("cos")))
-    val w = Window.partitionBy("id").orderBy(col("cos").desc, col("nbr"))
-    directed.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
+    // final per-id rank through the bounded top-n aggregate, NOT a window:
+    // a row_number window would shuffle every candidate row (N × per-id
+    // candidates — the shape that filled a disk once in intDotTopKBatch),
+    // where these partials carry ≤ k (nbr, cos) entries per id per task
+    // and combine map-side, so the shuffle is N·k. Identical total order
+    // (cos desc, nbr asc) ⇒ identical rows; rank = posexplode pos + 1.
+    directed.groupBy("id")
+      .agg(top_n_by_scored(col("nbr"), col("cos"), k).as("nn"))
+      .select(col("id"), posexplode(col("nn")).as(Seq("pos", "e")))
+      .select(col("id"), col("e.v").as("nbr"), col("e.s").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Neighborhood score propagation over a `(id, nbr, cos)` graph —

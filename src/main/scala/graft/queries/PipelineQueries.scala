@@ -3358,14 +3358,19 @@ object PipelineQueries {
     // candidates. The output carries no estimate — it equals the exact
     // HAVING-threshold query, so it hash-matches DuckDB even though the
     // prune is approximate. ----
+    // capacity 32 ⇒ threshold N/33: the fixture's hottest tokens sit at
+    // ~3% of the stream (~N/33 clears 30 of them at sf0.01 AND sf0.1),
+    // so the gate row is non-vacuous at both driver SFs — capacity 16's
+    // N/17 threshold cleared NOTHING and the row proved only that both
+    // engines agree on the empty set.
     ("ns_text_heavy_hitters",
       (s: SparkSession, d: String) =>
-        TextAnalysis.heavyHitters(Tables.documents(s, d), "text", capacity = 16),
+        TextAnalysis.heavyHitters(Tables.documents(s, d), "text", capacity = 32),
       Some("WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), " +
         "'\\s+')) AS tok FROM documents), " +
         "nt AS (SELECT count(*) AS n FROM toks) " +
         "SELECT tok, count(*) AS cnt FROM toks GROUP BY 1 " +
-        "HAVING count(*) > (SELECT n FROM nt) / 17.0 " +
+        "HAVING count(*) > (SELECT n FROM nt) / 33.0 " +
         "ORDER BY cnt DESC, tok")),
 
     // ---- count-min sketch point-frequency estimates vs exact counts —
