@@ -79,8 +79,15 @@ def audit(sf_dir):
     # distinct candidates are exact ties of the SAME rounded inputs on
     # both engines (identical IEEE ops), so only input rounding matters.
     rel0 = cos[ids == 0, :].ravel()
-    mask = np.abs(rel0 - 1.0) > 1e-12
-    cand_order = np.lexsort((ids[mask], -np.round(rel0[mask], 3)))
+    # exclude the query by ID, exactly like the engine (id != queryId) — a
+    # rel==1.0 mask would also drop exact-duplicate VECTORS the engine
+    # keeps; and order candidates under the engine's HALF_UP (away from
+    # zero) round-3, not np.round's half-to-even, so a .0005-boundary rel
+    # cannot admit a different vector into the audited top-40
+    mask = ids != 0
+    half_up3 = np.sign(rel0[mask]) * np.floor(
+        np.abs(rel0[mask]) * 1000 + 0.5) / 1000
+    cand_order = np.lexsort((ids[mask], -half_up3))
     cand_idx = np.where(mask)[0][cand_order][:40]
     cc = cos[np.ix_(cand_idx, cand_idx)]
     cc = cc[np.triu_indices(len(cand_idx), k=1)]

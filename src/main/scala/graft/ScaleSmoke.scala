@@ -1293,18 +1293,28 @@ object ScaleSmoke {
     }
     // Mass-conserving PageRank at the same scale: make every 10th node
     // dangling (drop its out-edges) and check the conservation invariant
-    // analytically — Σs stays n·base up to HALF_UP slack (≤ ~2 µ-units
-    // per node per iteration), where the truncated contract provably
-    // leaks the dangling 10%'s mass. The conserve path's extra cost is
-    // one 1-row dangling-sum aggregate per iteration — this stage proves
-    // that global agg doesn't change the runtime class at corpus scale.
+    // analytically — Σs stays n·base up to HALF_UP slack, where the
+    // truncated contract provably leaks the dangling 10%'s mass. The
+    // conserve path's extra cost is one 1-row dangling-sum aggregate per
+    // iteration — this stage proves that global agg doesn't change the
+    // runtime class at corpus scale.
     t("pagerank_conserve_2_iters") {
       val dangEdges = edges.filter(col("id") % 10 =!= 0)
       val total = KnnGraph.pageRank(dangEdges, nodes, "vec_id", iters = 2,
           conserveDangling = true)
         .agg(sum("s")).collect().head.getLong(0)
       val expect = n.toLong * 1000000L
-      val slack = 4L * n
+      // WORST-CASE slack, not empirical concentration: per iteration a
+      // node's outflow splits across its out-edges and each HALF_UP
+      // division is off by ≤ 1/2 µ-unit, so a node of out-degree k can
+      // mis-emit up to k/2 µ-units, plus ≤ 1 µ-unit each for its own
+      // damping and restart terms and ≤ 1/2 for the redistributed
+      // dangling share — Σ over nodes ≤ (|edges|/2 + 2n) per iteration.
+      // (Observed drift concentrates ~0.35 µ/node because fractional
+      // parts cancel, but the GATE must hold on a graph whose flow
+      // fractions don't.)
+      val iters = 2L
+      val slack = iters * (dangEdges.count() / 2L + 2L * n.toLong)
       println(s"SCALE   pagerank_conserve total=$total expect=$expect " +
         s"drift=${total - expect} " +
         s"(${if (math.abs(total - expect) <= slack) "OK" else "MISS"})")

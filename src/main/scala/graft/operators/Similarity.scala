@@ -51,6 +51,27 @@ object Similarity {
     * penalty vanishes and the selection provably equals brute-force
     * top-k (the oracle-equality hook `ns_ann_mmr_lambda1` exploits).
     */
+  /** The MMR greedy loop's cosine — sequential-fold dot/norms in Double,
+    * the SAME op order as the Catalyst kernel
+    * ([[graft.functions.VectorKernels.cosine]]) and DuckDB's
+    * `list_cosine_similarity`, so all three implementations agree
+    * bit-for-bit on identical float inputs. Bit-equality to the Catalyst
+    * kernel is spec-pinned over the fixture vectors (SimilaritySpec
+    * "driverCos ≡ cosine_similarity"); the boundary distance of the
+    * values the λ=0.6 oracle actually consumes is certified by
+    * `scripts/margin_audit.py` (mmr candidate rel + pairwise rows).
+    */
+  private[graft] def driverCos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
   def mmrTopK(embs: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, lambda: Double,
               candidateFactor: Int = 4): DataFrame = {
@@ -66,16 +87,7 @@ object Similarity {
       .limit(k * candidateFactor)
       .as[(Long, Double, Array[Float])].collect()
 
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      val denom = math.sqrt(na) * math.sqrt(nb)
-      if (denom == 0.0) 0.0 else dot / denom
-    }
+    def cos(a: Array[Float], b: Array[Float]): Double = driverCos(a, b)
     def r3(x: Double): Double =
       BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
 

@@ -250,12 +250,18 @@ object PipelineQueries {
   /** DuckDB mirror of [[graft.operators.Similarity.mmrTopK]] at
     * λ = 0.6: the k greedy selection rounds unroll as materialized CTEs
     * (the [[bpeCtes]] technique — an iterative argmax over a BOUNDED
-    * constant k IS SQL-expressible). Float parity holds because every
-    * value in play is a round-3 cosine (`list_cosine_similarity` ≡ the
-    * engine kernel to round-3, proven by `ns_ann_mmr_lambda1`) and the
-    * score `0.6·rel − 0.4·maxSim` evaluates the identical IEEE ops both
+    * constant k IS SQL-expressible). Float parity rests on three legs,
+    * one per implementation in play: the REL path (engine kernel ≡
+    * `list_cosine_similarity` to round-3 — proven by
+    * `ns_ann_mmr_lambda1`, which exercises exactly that population); the
+    * PAIRWISE path (the engine's maxSim comes from mmrTopK's
+    * driver-side Scala loop, pinned bit-for-bit to the Catalyst kernel
+    * by SimilaritySpec "driverCos ≡ cosine_similarity", with the
+    * pairwise population's distance to round-3 boundaries certified by
+    * `scripts/margin_audit.py`); and the SCORE arithmetic
+    * (`0.6·rel − 0.4·maxSim` evaluates the identical IEEE ops both
     * sides — including the constant: Scala's `1 - 0.6` and the SQL
-    * literal `0.4` are the same double bit pattern. Ties break to the
+    * literal `0.4` are the same double bit pattern). Ties break to the
     * smaller id, the engine's total order.
     *
     * Coupling: `k`/`pool` must mirror the declared query's `k` and

@@ -109,24 +109,45 @@ object StreamingPack {
     * proceeds and the shape is named loudly. Contract everywhere: the
     * checkpoint dir and the state dir live and die together.
     */
+  // per-state-dir memo for the rewind alarm: the on-disk max batch_id is
+  // read ONCE per stream (first batch after this JVM starts); afterwards
+  // the in-process high-water mark advances for free, so steady-state
+  // batches pay ZERO extra Spark jobs for the alarm. The alarm itself
+  // fires at most once per state dir per process — the decision point is
+  // the first batch after a restart, and repeating it on every legitimate
+  // at-least-once redelivery is noise, not signal.
+  private val rewindHighWater =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val rewindWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private[streaming] def warnIfRewound(spark: SparkSession, stateDir: String,
                                        batchId: Long, who: String): Unit = {
-    val root = new Path(stateDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    // an alarm must never break the pipeline: an empty/odd state dir
-    // (no parquet yet) simply has nothing to warn about
-    val mx = scala.util.Try(spark.read.parquet(stateDir)
-        .agg(max(col("batch_id"))).collect().head)
-      .toOption.filterNot(_.isNullAt(0)).map(_.getLong(0))
-    if (mx.exists(_ > batchId))
-      System.err.println(
-        s"[$who] WARNING: batchId $batchId is below the max committed " +
-          s"state batch_id ${mx.get} at $stateDir. Legitimate " +
-          "only as an at-least-once redelivery; if the streaming " +
-          "checkpoint was deleted/reset while this state dir survived, " +
-          "the stream is now forking/rewinding its carried state — " +
-          "delete the state dir and checkpoint dir together.")
+    val prior = Option(rewindHighWater.get(stateDir)).map(_.longValue())
+      .orElse {
+        val root = new Path(stateDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(root)) None
+        else
+          // one state scan per stream startup, never per batch; an
+          // empty/odd state dir (no parquet yet) has nothing to warn about
+          scala.util.Try(spark.read.parquet(stateDir)
+              .agg(max(col("batch_id"))).collect().head)
+            .toOption.filterNot(_.isNullAt(0)).map(_.getLong(0))
+      }
+    prior.foreach { mx =>
+      if (mx > batchId && rewindWarned.add(stateDir))
+        System.err.println(
+          s"[$who] WARNING: batchId $batchId is below the max committed " +
+            s"state batch_id $mx at $stateDir. Legitimate " +
+            "only as an at-least-once redelivery; if the streaming " +
+            "checkpoint was deleted/reset while this state dir survived, " +
+            "the stream is now forking/rewinding its carried state — " +
+            "delete the state dir and checkpoint dir together. " +
+            "(warned once per state dir)")
+    }
+    val hw = math.max(prior.getOrElse(Long.MinValue), batchId)
+    rewindHighWater.put(stateDir, java.lang.Long.valueOf(hw))
   }
 
   /** Auto-compaction hook: compact once the log exceeds `maxFiles` parts.

@@ -16,6 +16,32 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(VectorKernels.dot(arr(1f, 2f), arr(3f, 4f)) - 11.0) < 1e-12)
   }
 
+  test("driverCos ≡ cosine_similarity bit-for-bit on fixture vectors") {
+    // the MMR greedy loop's pairwise penalties come from the DRIVER-side
+    // cosine; this pins it to the Catalyst kernel (the rel path, which
+    // ns_ann_mmr_lambda1 proves ≡ DuckDB to round-3) so the λ=0.6
+    // oracle's maxSim population rides the same certified arithmetic
+    val rows = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 64)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val q = rows.find(_._1 == 0L).get._2
+    val engine = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 64)
+      .select(col("vec_id"), graft.functions.cosine_similarity(
+        col("embedding"),
+        org.apache.spark.sql.functions.typedlit(q.toSeq)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    engine.zip(rows).foreach { case ((id1, ce), (id2, v)) =>
+      assert(id1 == id2)
+      assert(java.lang.Double.doubleToLongBits(ce) ==
+        java.lang.Double.doubleToLongBits(Similarity.driverCos(v, q)),
+        s"vec $id1: engine $ce != driver ${Similarity.driverCos(v, q)}")
+    }
+  }
+
   test("brute-force top-k returns k rows sorted by similarity desc") {
     val topk = Similarity.bruteForceTopK(
       Tables.embeddings(spark, sfDir), "vec_id", "embedding", 0, 10).collect()
