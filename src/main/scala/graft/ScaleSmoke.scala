@@ -46,8 +46,9 @@ object ScaleSmoke {
     val stages = if (args.length > 1) args(1) else "all"
     require(Set("all", "lexical", "semantic", "recall", "pipeline",
       "streaming", "classifier", "curation", "streamlearn", "semdedup",
-      "embed", "bm25", "minhashindex", "layout", "propagate", "fuzzy",
-      "slayout", "drift", "graphstruct", "graphupdate", "overlap")(stages),
+      "semroute", "embed", "bm25", "minhashindex", "layout", "propagate",
+      "fuzzy", "slayout", "drift", "graphstruct", "graphupdate",
+      "overlap")(stages),
       s"unknown stage set '$stages'")
     def on(s: String) = stages == "all" || stages == s
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -740,6 +741,73 @@ object ScaleSmoke {
     println(f"SCALE   semdedup-auto k=$k maxCluster=${occ.getLong(0)} " +
       f"avgCluster=${occ.getDouble(1)}%.1f pairBudget=${occ.getLong(2)}")
     rep.unpersist(); embs.unpersist()
+    }
+
+    if (on("semroute")) {
+    // ---- SemDeDup ASSIGNMENT hierarchy at full corpus size: the flat
+    // scan is N·k cosines and k = N/2048 grows with N, so flat assignment
+    // is quadratic in N — the routed two-level path (g = ⌈√k⌉ supers,
+    // nprobe-pruned member scan) must hold per-vector cost to
+    // O((1+nprobe)·√k). Plant: k deterministic pseudo-random dim-64
+    // centroids, every vector = its (id mod k) centroid + 2% noise, so
+    // the true assignment is known and unambiguous (own-centroid cos
+    // ≈ 0.999 vs ≲ 0.7 cross talk). Asserts (1) routed assignment
+    // recovers the plant node-exactly at N, (2) routed == flat on a
+    // sampled flat run (the exact-agreement audit), and reports the
+    // per-vector cost of both paths — the sub-linearity evidence.
+    import graft.operators.SemDedup
+    val k = SemDedup.kForCorpus(n.toLong)
+    val centroids = spark.range(k.toLong).toDF("cid")
+      .select(col("cid").cast("int").as("cid"),
+        transform(sequence(lit(0), lit(63)), i =>
+          (pmod(xxhash64(col("cid"), i, lit(13L)), lit(1000L)).cast("float")
+            / 500.0f - 1.0f).cast("float")).as("cvec"))
+      .cache()
+    centroids.count()
+    val vecs = spark.range(n.toLong).toDF("vec_id")
+      .withColumn("own", pmod(col("vec_id"), lit(k.toLong)).cast("int"))
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)), i =>
+        ((pmod(xxhash64(col("own"), i, lit(13L)), lit(1000L)).cast("float")
+          / 500.0f - 1.0f) +
+          (pmod(xxhash64(col("vec_id"), i, lit(29L)), lit(1000L)).cast("float")
+            / 25000.0f - 0.02f)).cast("float")))
+      .repartition(spark.sparkContext.defaultParallelism.toInt)
+      .cache()
+    t("semroute_vecs_materialize")(vecs.count())
+    // materialize through parquet, NOT .cache(): building an InMemoryRelation
+    // from this multi-stage plan under AQE measured ~10x slower than the
+    // computation itself (92 s vs 9.7 s AQE-off vs 4 s uncached at 1 M) —
+    // see the assignRouted scaladoc; the write cost is part of the timing
+    val routedPath = java.nio.file.Files
+      .createTempDirectory("graft_semroute_smoke").toString + "/assigned"
+    val routed = t(s"semroute_routed_n=$n,k=$k") {
+      SemDedup.assignRouted(vecs, "vec_id", "embedding", centroids)
+        .write.mode("overwrite").parquet(routedPath)
+      spark.read.parquet(routedPath)
+    }
+    val wrong = routed.join(vecs.select(col("vec_id").as("id"), col("own")), "id")
+      .filter(col("cid") =!= col("own")).count()
+    println(s"SCALE   semroute planted-miss=$wrong of $n " +
+      s"(${if (wrong == 0) "EXACT" else "MISS"})")
+    // flat agreement audit on a 1/20 sample (flat at full N·k is the
+    // quadratic cost this stage exists to retire — sample it)
+    val ns = n / 20
+    val sample = vecs.filter(col("vec_id") < ns.toLong)
+    val flatS = t(s"semroute_flat_n=$ns,k=$k") {
+      val f = SemDedup.assignScored(sample, "vec_id", "embedding",
+        centroids, routedThreshold = Int.MaxValue).cache()
+      f.count(); f
+    }
+    val disagree = flatS.select(col("id"), col("cid").as("fcid"))
+      .join(routed.select(col("id"), col("cid")), "id")
+      .filter(col("cid") =!= col("fcid")).count()
+    println(s"SCALE   semroute flat-vs-routed disagree=$disagree of $ns " +
+      s"(${if (disagree == 0) "EXACT" else "MISS"})")
+    println(f"SCALE   semroute per-vector candidate work: flat=k=$k " +
+      f"routed=g+nprobe*k/g=${k / math.ceil(math.sqrt(k.toDouble)).toInt * 8 +
+        math.ceil(math.sqrt(k.toDouble)).toInt}")
+    flatS.unpersist(); vecs.unpersist()
+    centroids.unpersist()
     }
 
     if (on("classifier")) {

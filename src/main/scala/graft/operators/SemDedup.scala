@@ -37,20 +37,162 @@ object SemDedup {
 
   /** Assign each vector to its max-cosine centroid.
     *
-    * `centroids` is `(cid int, cvec array<float>)` — k rows, broadcast.
-    * Returns `(id, cid)`. One broadcast nested-loop over k rows + a
-    * map-side-combinable `max_by` — the only shuffle is the N-row
-    * aggregate (same shape as the IVF build's assignment, but with the
-    * rounded-cosine / smaller-cid tie rule the cross-engine oracle needs).
+    * `centroids` is `(cid int, cvec array<float>)` — k rows. Returns
+    * `(id, cid)`. Dispatches on k: at or below `routedThreshold` the flat
+    * path scans all k centroids per vector (one broadcast nested-loop +
+    * a map-side-combinable `max_by` — the only shuffle is the N-row
+    * aggregate); above it, assignment routes through a two-level
+    * super-centroid hierarchy ([[assignRouted]]) so per-vector work is
+    * O((1+nprobe)·√k) instead of O(k) — the scale seam for corpora past
+    * ~10⁸ vectors, where k = N/2048 makes the flat scan quadratic in N.
+    * Both paths share the same final argmax law (rounded-3 cosine, ties
+    * to the SMALLER cid — the cross-engine oracle convention), so on
+    * separated clusters the routed result equals the flat one exactly
+    * and the dispatch is invisible to downstream [[report]] semantics.
     */
   def assign(embs: DataFrame, idCol: String, vecCol: String,
-             centroids: DataFrame): DataFrame =
-    embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cos", round(cosine_similarity(col("v"), col("cvec")), 3))
+             centroids: DataFrame, routedThreshold: Int = 4096,
+             nprobe: Int = 8): DataFrame =
+    assignScored(embs, idCol, vecCol, centroids, routedThreshold, nprobe)
+      .select("id", "cid")
+
+  /** [[assign]] keeping the winning cosine: `(id, cid, proto)` — `proto`
+    * is the assignment's max rounded cosine (the prototypicality score of
+    * [[prototypePrune]]). Same flat/routed dispatch as [[assign]]; the
+    * k-row `count()` that drives the dispatch is paid per call, so cache
+    * `centroids` if its lineage is expensive.
+    */
+  private[graft] def assignScored(embs: DataFrame, idCol: String,
+                                  vecCol: String, centroids: DataFrame,
+                                  routedThreshold: Int = 4096,
+                                  nprobe: Int = 8): DataFrame =
+    if (centroids.count() <= routedThreshold)
+      argmaxPacked(embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("cos", round(cosine_similarity(col("v"), col("cvec")), 3)))
+    else assignRouted(embs, idCol, vecCol, centroids, nprobe)
+
+  private val PackBase = 4294967296L // 2^32
+
+  /** The assignment argmax — highest rounded-3 cosine, ties to the
+    * SMALLEST cid — over a `(id, cid, cos)` candidate relation, as a
+    * PRIMITIVE `max()`: the rounded cosine is an integer count of
+    * thousandths in [-1000, 1000], so (cos·1000) and (2³¹−1−cid) pack
+    * losslessly into one sortable long. A `max_by(cid, struct(cos,
+    * -cid))` spells the same law but its struct buffer is not
+    * hash-aggregable — Spark falls back to SortAggregate and SORTS the
+    * entire candidate relation (N·k rows flat, N·nprobe·√k routed) per
+    * assignment; the packed key keeps it a map-side-combinable
+    * HashAggregate. Decode is exact: |key| < 2⁴³ so the divisions stay
+    * inside double precision, and m/1000.0 is the correctly-rounded
+    * double of the decimal — bit-equal to what `round(cos, 3)` produced
+    * (both are the nearest double to the same 3-decimal value), so the
+    * cross-engine oracle convention is unchanged.
+    */
+  private def argmaxPacked(cand: DataFrame): DataFrame =
+    cand
+      // cos is round(x,3): ×1000 lands within 1e-10 of an integer; the
+      // 0-decimal round snaps it exactly
+      .withColumn("key",
+        round(col("cos") * 1000, 0).cast("long") * PackBase +
+          (lit(2147483647L) - col("cid")))
+      .groupBy("id").agg(max("key").as("key"))
+      .withColumn("s", pmod(col("key"), lit(PackBase)))
+      .select(col("id"),
+        (lit(2147483647L) - col("s")).cast("int").as("cid"),
+        (((col("key") - col("s")) / PackBase).cast("long") / 1000.0)
+          .as("proto"))
+
+  /** Two-level routed assignment — the >10⁸-vector scale path.
+    *
+    * Flat assignment is N·k cosines; with k sized for constant cluster
+    * occupancy (k = N/target, [[kForCorpus]]) that is quadratic in N.
+    * The hierarchy restores near-linearity the way IVF probes do: cluster
+    * the k CENTROIDS into g = ⌈√k⌉ super-centroids (a k-row problem —
+    * the same deterministic seeded-Lloyd scheme as the IVF build, run
+    * over centroids instead of vectors), route each vector to its
+    * `nprobe` best supers (N·g cosines via one broadcast scan + the
+    * bounded [[graft.functions.top_n_by]] aggregate — never a window
+    * over the N·g relation), then argmax over only the routed supers'
+    * member centroids (≈ nprobe·√k candidates via an equi-join on
+    * `gid`). Per-vector work: g + nprobe·(k/g) ≈ (1+nprobe)·√k.
+    *
+    * Approximation contract: the true argmax centroid is missed only if
+    * its super is outside the vector's top-`nprobe` routing — rare for
+    * separated clusters (a vector near centroid c is near c's super too)
+    * and measured in ScaleSmoke's `semroute` stage (planted corpora
+    * assign exactly; a flat-assigned sample audits agreement). With
+    * `nprobe >= g` every centroid is a candidate and the result equals
+    * the flat path EXACTLY (identical rounded-3 / smaller-cid law) —
+    * the spec's equivalence anchor.
+    *
+    * Scale notes: `centroids` is referenced 2·`superIterations`+3 times
+    * (cache it if its lineage is expensive — [[reportKMeans]] reads it
+    * from parquet, which is fine); the membership join broadcasts the
+    * k-row (gid, cid, cvec) relation, which holds to k ≈ 10⁷ at dim 64
+    * — past the broadcast ceiling, drop the hint and let the join
+    * shuffle on `gid` (both sides are gid-keyed; vectors carry ≤ nprobe
+    * gid rows each). Do NOT `.cache()` the result to reuse it: building
+    * an InMemoryRelation from this multi-stage plan under AQE measured
+    * ~10× slower than the computation itself (92 s cached vs 9.7 s
+    * AQE-off vs ~4 s uncached at 1 M×489 — the adaptive re-planning
+    * inside a cache build serializes the pipeline); materialize through
+    * a parquet write-and-read-back when the assignment is consumed more
+    * than once, as ScaleSmoke's `semroute` stage does.
+    */
+  def assignRouted(embs: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame, nprobe: Int = 8,
+                   superIterations: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{top_n_by, vector_avg}
+    val g = math.max(1L, math.ceil(math.sqrt(
+      centroids.count().toDouble)).toLong).toInt
+
+    // -- level-2 build: deterministic mini-k-means over the k centroid
+    // rows (seeds = smallest xxhash64(cid); Lloyd via vector_avg; empty
+    // supers keep their previous position — the IvfIndex.build scheme)
+    var supers = centroids
+      .withColumn("h", xxhash64(col("cid")))
+      .orderBy("h", "cid").limit(g)
+      .withColumn("gid", row_number().over(Window.orderBy("h", "cid")) - 1)
+      .select(col("gid"), col("cvec").as("gvec"))
+    (0 until superIterations).foreach { _ =>
+      val means = routeMembership(centroids, supers)
+        .groupBy("gid").agg(vector_avg(col("cvec")).as("gvec"))
+      supers = supers.as("old").join(means.as("new"), Seq("gid"), "left")
+        .select(col("gid"),
+          coalesce(col("new.gvec"), col("old.gvec")).as("gvec"))
+    }
+    val memb = routeMembership(centroids, supers)
+
+    // -- route: top-nprobe supers per vector, bounded map-side partials
+    val np = math.min(nprobe, g)
+    val routed = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(supers))
+      .withColumn("gcos", cosine_similarity(col("v"), col("gvec")))
       .groupBy("id")
-      // struct max: highest cos first, then highest -cid = SMALLEST cid
-      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"))
+      .agg(top_n_by(col("gid"), col("gcos"), np).as("gids"),
+        first(col("v")).as("v"))
+
+    // -- argmax over the routed supers' members: same law as flat
+    argmaxPacked(
+      routed.select(col("id"), col("v"), explode(col("gids")).as("gid"))
+        .join(broadcast(memb), Seq("gid"))
+        .withColumn("cos",
+          round(cosine_similarity(col("v"), col("cvec")), 3)))
+  }
+
+  /** Each centroid's super assignment: `(gid, cid, cvec)` — raw-cosine
+    * argmax (engine-internal routing, no cross-engine contract), ties to
+    * the smaller gid. */
+  private def routeMembership(centroids: DataFrame,
+                              supers: DataFrame): DataFrame =
+    centroids.crossJoin(broadcast(supers))
+      .withColumn("gc", cosine_similarity(col("cvec"), col("gvec")))
+      .groupBy("cid")
+      .agg(max_by(col("gid"), struct(col("gc"), -col("gid"))).as("gid"),
+        first(col("cvec")).as("cvec"))
+      .select("gid", "cid", "cvec")
 
   /** Within-cluster near-dup pairs: `(id_a, id_b, cid, cos)` with
     * `id_a < id_b`, both in cluster `cid`, and rounded cosine ≥ `eps`.
@@ -106,27 +248,23 @@ object SemDedup {
     * core near the mode, which abundant-data training learns from least
     * — and keep the harder tail. Returns `(id, cid, proto, keep)`.
     *
-    * Plan shape: ONE broadcast-k scan computes assignment and
+    * Plan shape: ONE [[assignScored]] pass computes assignment and
     * prototypicality together (`proto` IS the assignment's max cosine, so
-    * no re-join against centroids), one N-row aggregate, and one
-    * cid-partitioned window for the per-cluster rank — clusters are the
-    * unit of parallelism, same skew rule as [[pairs]] (hot cluster ⇒
-    * raise k, never salt). Determinism: rounded-3 cosines, assignment
-    * ties to the smaller cid, rank ties to the smaller id, and the drop
-    * count `floor(pruneFrac · |cluster|)` is an IEEE double multiply +
-    * floor — identical in any engine.
+    * no re-join against centroids — and past `routedThreshold` centroids
+    * it routes through the [[assignRouted]] hierarchy like [[assign]]),
+    * one N-row aggregate, and one cid-partitioned window for the
+    * per-cluster rank — clusters are the unit of parallelism, same skew
+    * rule as [[pairs]] (hot cluster ⇒ raise k, never salt). Determinism:
+    * rounded-3 cosines, assignment ties to the smaller cid, rank ties to
+    * the smaller id, and the drop count `floor(pruneFrac · |cluster|)`
+    * is an IEEE double multiply + floor — identical in any engine.
     */
   def prototypePrune(embs: DataFrame, idCol: String, vecCol: String,
                      centroids: DataFrame, pruneFrac: Double): DataFrame = {
     require(pruneFrac >= 0.0 && pruneFrac < 1.0,
       "need 0 <= pruneFrac < 1")
     import org.apache.spark.sql.expressions.Window
-    val scored = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cos", round(cosine_similarity(col("v"), col("cvec")), 3))
-      .groupBy("id")
-      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
-        max("cos").as("proto"))
+    val scored = assignScored(embs, idCol, vecCol, centroids)
     val wRank = Window.partitionBy("cid").orderBy(col("proto").desc, col("id"))
     scored.withColumn("rn", row_number().over(wRank))
       .withColumn("csize", count(lit(1)).over(Window.partitionBy("cid")))
@@ -142,10 +280,10 @@ object SemDedup {
     * cluster's pair scan at ≈2 M cosines — a seconds-scale task — while
     * the quadratic term stays O(N·target). The OTHER term this exposes:
     * brute assignment is N·k cosines, so k grows linearly with N and
-    * assignment grows quadratically — past ~10⁸ vectors, assign against
-    * a two-level centroid hierarchy (route via √k super-centroids) before
-    * the within-cell argmax; the 1 M-vector ScaleSmoke stage measures
-    * where the flat default stands.
+    * assignment grows quadratically — which is why [[assign]] switches
+    * to the [[assignRouted]] √k super-centroid hierarchy past
+    * `routedThreshold` centroids; ScaleSmoke's `semroute` stage measures
+    * both paths and audits their agreement.
     */
   private[graft] def kForCorpus(n: => Long,
                                 targetClusterSize: Long = 2048L): Int =

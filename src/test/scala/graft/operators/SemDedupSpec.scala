@@ -138,6 +138,48 @@ class SemDedupSpec extends SparkSpec {
     assert(got.find(_._1 == 5L).get._3 === 1.0)
   }
 
+  test("assignRouted with nprobe >= g equals the flat path exactly (ties included)") {
+    val embs = graft.Tables.embeddings(spark, sfDir)
+    // 16 learned-ish centroids plus a DUPLICATE of cid 0 at cid 16: the
+    // routed argmax must resolve the exact tie to the smaller cid, like flat
+    val c = embs.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+      .union(embs.filter(col("vec_id") === 0)
+        .select(lit(16).as("cid"), col("embedding").as("cvec")))
+    // g = ceil(sqrt(17)) = 5; nprobe 5 covers every super -> every centroid
+    // is a candidate and the result must be IDENTICAL to the flat scan
+    val routed = SemDedup.assignRouted(embs, "vec_id", "embedding", c, nprobe = 5)
+      .orderBy("id").as[(Long, Int, Double)].collect().toSeq
+    val flat = SemDedup.assignScored(embs, "vec_id", "embedding", c,
+      routedThreshold = Int.MaxValue)
+      .orderBy("id").as[(Long, Int, Double)].collect().toSeq
+    assert(routed === flat)
+    assert(flat.forall(_._2 < 16), "duplicate centroid ties must go to cid 0")
+  }
+
+  test("routed dispatch past routedThreshold prunes supers yet assigns separated clusters exactly") {
+    // 100 one-hot centroids in dim 100; every vector IS its centroid, so
+    // the true assignment is known. g = 10 supers, nprobe 2 < g: routing
+    // really prunes (each probe scans ~20 of 100 centroids), and a
+    // vector's own super always outranks the orthogonal rest, so the
+    // routed result must still be exact.
+    val dim = 100
+    val c = spark.range(100).toDF("cid")
+      .select(col("cid").cast("int").as("cid"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => when(i === col("cid"), 1.0f).otherwise(0.0f)).as("cvec"))
+    val e = spark.range(300).toDF("id")
+      .withColumn("v", transform(sequence(lit(0), lit(dim - 1)),
+        i => when(i === pmod(col("id"), lit(100)).cast("int"), 1.0f)
+          .otherwise(0.0f)))
+    val got = SemDedup.assign(e, "id", "v", c,
+      routedThreshold = 4, nprobe = 2)
+      .as[(Long, Int)].collect().toSeq
+    assert(got.size === 300)
+    assert(got.forall { case (id, cid) => cid === (id % 100).toInt },
+      "routed assignment must recover the planted cluster for every vector")
+  }
+
   test("prototypePrune: pruneFrac 0 keeps everything; ranking ties break to the smaller id") {
     val e = emb(
       1L -> Seq(1f, 0f), 2L -> Seq(1f, 0f), 3L -> Seq(1f, 0f),
