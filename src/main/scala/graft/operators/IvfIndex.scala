@@ -138,16 +138,26 @@ object IvfIndex {
     } finally probes.unpersist()
   }
 
-  /** Exact cosine top-k over the `nprobe` nearest inverted lists. */
+  /** Exact cosine top-k over the `nprobe` nearest inverted lists.
+    *
+    * Probe selection is DETERMINISTIC under the cross-engine convention:
+    * centroids rank by rounded-3 cosine (Spark's HALF_UP-on-shortest-
+    * decimal law, `BigDecimal.valueOf`), ties to the smaller cid — so a
+    * DuckDB oracle reading the materialized centroids reproduces the
+    * probed list set exactly (the raw-double ranking it replaces had no
+    * tie law at all: equal-cosine centroids probed in collect order).
+    */
   def topK(spark: SparkSession, indexDir: String, queryVec: Array[Float],
            k: Int, nprobe: Int = 4): DataFrame = {
     val q = new GenericArrayData(queryVec)
+    def r3(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue
     // centroid ranking is driver-side: k rows of dim floats, bounded
     val probeCids = spark.read.parquet(centroidsDir(indexDir))
       .select("cid", "cvec")
       .collect()
       .map(r => (r.getInt(0), new GenericArrayData(r.getSeq[Float](1).toArray)))
-      .sortBy { case (_, c) => -VectorKernels.cosine(q, c) }
+      .sortBy { case (cid, c) => (-r3(VectorKernels.cosine(q, c)), cid) }
       .take(nprobe).map(_._1)
     spark.read.parquet(listsDir(indexDir))
       .filter(col("cid").isin(probeCids.map(Integer.valueOf).toSeq: _*))

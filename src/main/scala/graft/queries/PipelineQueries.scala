@@ -118,6 +118,21 @@ object PipelineQueries {
   private def dCos(a: String, b: String) =
     s"round(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])), 3)"
 
+  /** UNROUNDED cosine, bit-exact to [[graft.functions.VectorKernels]]
+    * `cosine`: per-element double-converted multiplies summed LEFT-TO-
+    * RIGHT (DuckDB's `list_sum` is sequential — verified with
+    * cancellation probes), `dot / (sqrt(na) * sqrt(nb))` in the kernel's
+    * exact association. For ORDER BY positions where the engine ranks on
+    * the raw double (IVF batch centroid ranking) — rounding there would
+    * change probe selection instead of reproducing it. */
+  private def dCosExact(a: String, b: String) =
+    s"(list_sum(list_transform($a, (x, i) -> CAST(x AS DOUBLE) * " +
+      s"CAST($b[i] AS DOUBLE))) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * " +
+      s"CAST(x AS DOUBLE)))) * " +
+      s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * " +
+      s"CAST(x AS DOUBLE))))))"
+
   /** Exact integer-dot k=5 KNN edges `(id, nbr, w)` over the embeddings
     * table — the INTEGER-EXACT graph (r12-1 discipline: fixed-point
     * 2^20 quantization, int64 dot ranking with ties to the smaller id,
@@ -1168,11 +1183,28 @@ object PipelineQueries {
     // ---- ANN: hyperplane-LSH bucketed top-k (scale path; approximate by
     // design, so no cross-engine oracle — recall vs brute force is asserted
     // in ScalaTest instead) ----
+    // Hash-oracled through the OracleFeed (round 14): the engine's own
+    // bucket map is published as parquet and DuckDB re-runs the ENTIRE
+    // probe from it — Hamming≤2 candidacy over the fed buckets + exact
+    // rounded-3 rerank — so candidate selection and ranking are
+    // cross-engine-checked; only the bucket CONSTRUCTION (xxhash64
+    // hyperplanes) stays engine-side, covered by ns_ann_lsh_recall.
     ("ns_ann_lsh_topk",
-      (s: SparkSession, d: String) =>
-        Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-          queryId = 0, k = 10),
-      None),
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        OracleFeed.publish("ns_ann_lsh_topk", "buckets",
+          embs.select(col("vec_id").as("id"),
+            Similarity.bucketExpr(col("embedding"), 8).as("bucket")))
+        Similarity.lshTopK(embs, "vec_id", "embedding", queryId = 0, k = 10)
+      },
+      Some("WITH b AS (SELECT id, bucket FROM " +
+        OracleFeed.sqlPath("ns_ann_lsh_topk", "buckets") + "), " +
+        "q AS (SELECT b.bucket AS qb, e.embedding AS qv FROM b " +
+        "JOIN embeddings e ON e.vec_id = b.id WHERE b.id = 0) " +
+        "SELECT e.vec_id, " + dCos("e.embedding", "q.qv") + " AS cos " +
+        "FROM b JOIN embeddings e ON e.vec_id = b.id CROSS JOIN q " +
+        "WHERE b.id <> 0 AND bit_count(xor(b.bucket, q.qb)) <= 2 " +
+        "ORDER BY cos DESC, e.vec_id LIMIT 10")),
 
     // ---- ANN: materialized bucket-partitioned index probe (repeated-query
     // scale path: the probe opens ONLY bucket-pruned partitions; recall and
@@ -1188,13 +1220,26 @@ object PipelineQueries {
         val indexDir = IndexCatalog.ensure(s, "ann-lsh",
           Seq(s"$d/embeddings.parquet"), "planes=6")(dir =>
           Similarity.buildIndex(embs, "vec_id", "embedding", dir, numPlanes = 6))
+        // feed the materialized index's bucket map: the oracle re-runs the
+        // probe (Hamming≤2 over fed buckets + rounded-3 rerank) from it
+        OracleFeed.publish("ns_ann_index_topk", "buckets",
+          s.read.parquet(indexDir)
+            .select(col("id"), col("bucket").cast("long").as("bucket")))
         val qv = embs.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0).toArray
         // k+1 then drop the query point itself: a clean top-10 of neighbors
         Similarity.indexTopK(s, indexDir, qv, k = 11, numPlanes = 6)
           .filter(col("id") =!= 0)
       },
-      None),
+      Some("WITH b AS (SELECT id, bucket FROM " +
+        OracleFeed.sqlPath("ns_ann_index_topk", "buckets") + "), " +
+        "q AS (SELECT b.bucket AS qb, e.embedding AS qv FROM b " +
+        "JOIN embeddings e ON e.vec_id = b.id WHERE b.id = 0), " +
+        "top AS (SELECT b.id, " + dCos("e.embedding", "q.qv") + " AS cos " +
+        "FROM b JOIN embeddings e ON e.vec_id = b.id CROSS JOIN q " +
+        "WHERE bit_count(xor(b.bucket, q.qb)) <= 2 " +
+        "ORDER BY cos DESC, b.id LIMIT 11) " +
+        "SELECT id, cos FROM top WHERE id <> 0 ORDER BY cos DESC, id")),
 
     // ---- ANN: IVF-flat inverted lists (data-adaptive scale path: k-means
     // centroids + nprobe-pruned list scan; deterministic build, recall and
@@ -1205,18 +1250,47 @@ object PipelineQueries {
         val indexDir = IndexCatalog.ensure(s, "ann-ivf",
           Seq(s"$d/embeddings.parquet"), "k=16,it=2")(dir =>
           graft.operators.IvfIndex.build(embs, "vec_id", "embedding", dir))
+        // feed the learned centroids + list membership: the oracle re-runs
+        // the probe (rounded-3/cid centroid ranking → nprobe=4 list prune →
+        // rounded-3 exact top-k) from them; the k-means BUILD stays
+        // engine-side, covered by ns_ann_ivf_recall's all-list probe
+        OracleFeed.publish("ns_ann_ivf_topk", "centroids",
+          s.read.parquet(s"$indexDir/centroids"))
+        OracleFeed.publish("ns_ann_ivf_topk", "lists",
+          s.read.parquet(s"$indexDir/lists")
+            .select(col("cid").cast("int").as("cid"), col("id")))
         val qv = embs.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0).toArray
         graft.operators.IvfIndex.topK(s, indexDir, qv, k = 11)
           .filter(col("id") =!= 0)
       },
-      None),
+      Some("WITH q AS (SELECT embedding AS qv FROM embeddings " +
+        "WHERE vec_id = 0), " +
+        "probe AS (SELECT cid FROM " +
+        OracleFeed.sqlPath("ns_ann_ivf_topk", "centroids") +
+        " CROSS JOIN q ORDER BY " + dCos("cvec", "q.qv") +
+        " DESC, cid LIMIT 4), " +
+        "cand AS (SELECT l.id FROM " +
+        OracleFeed.sqlPath("ns_ann_ivf_topk", "lists") +
+        " l JOIN probe USING (cid)), " +
+        "top AS (SELECT e.vec_id AS id, " + dCos("e.embedding", "q.qv") +
+        " AS cos FROM cand JOIN embeddings e ON e.vec_id = cand.id " +
+        "CROSS JOIN q ORDER BY cos DESC, id LIMIT 11) " +
+        "SELECT id, cos FROM top WHERE id <> 0 ORDER BY cos DESC, id")),
 
     // ---- ANN: product-quantization index — 8 one-byte codes per vector
     // (32x scan reduction vs float32), ADC byte-scan + exact rerank of the
     // top rerankFactor*k (the standard two-stage PQ shape). Deterministic
     // build; recall vs brute force asserted in PqIndexSpec — approximate
     // by design. ----
+    // Hash-oracled from the fed codes+codebooks (round 14): DuckDB
+    // rebuilds the query LUT BIT-EXACTLY — Scala's `q(i)*c(i)` is an IEEE
+    // float32 multiply widened into a sequential double accumulator, and
+    // DuckDB's FLOAT*FLOAT + list_sum(list_transform(...)) is the same
+    // correctly-rounded chain (list_sum verified left-to-right) — then
+    // replays the ADC byte scan, the top-88 candidate cut (rounded-4,
+    // id ties) and the exact rounded-3 rerank. Only codebook TRAINING
+    // stays engine-side, covered by ns_ann_pq_recall's full-corpus rerank.
     ("ns_ann_pq_topk",
       (s: SparkSession, d: String) => {
         val embs = Tables.embeddings(s, d)
@@ -1224,13 +1298,38 @@ object PipelineQueries {
           Seq(s"$d/embeddings.parquet"), "m=8,ksub=256,it=8")(dir =>
           graft.operators.PqIndex.build(embs, "vec_id", "embedding", dir,
             m = 8, ksub = 256))
+        OracleFeed.publish("ns_ann_pq_topk", "codes",
+          s.read.parquet(s"$indexDir/codes"))
+        OracleFeed.publish("ns_ann_pq_topk", "books",
+          s.read.parquet(s"$indexDir/codebooks"))
         val qv = embs.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0).toArray
         graft.operators.PqIndex.topK(s, indexDir, qv, k = 11,
             rerankFrom = Some((embs, "vec_id", "embedding")))
           .filter(col("id") =!= 0)
       },
-      None),
+      Some("WITH qraw AS (SELECT embedding AS qv FROM embeddings " +
+        "WHERE vec_id = 0), " +
+        "qn AS (SELECT qv, sqrt(list_sum(list_transform(qv, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM qraw), " +
+        "qf AS (SELECT list_transform(qv, x -> CAST(x / nrm AS FLOAT)) " +
+        "AS u FROM qn), " +
+        "lut AS (SELECT j, cid, CAST(list_sum(list_transform(cvec, " +
+        "(c, i) -> CAST(qf.u[j*8+i] * c AS DOUBLE))) AS FLOAT) AS dotf " +
+        "FROM " + OracleFeed.sqlPath("ns_ann_pq_topk", "books") +
+        " CROSS JOIN qf), " +
+        "lutl AS (SELECT list(CAST(dotf AS DOUBLE) ORDER BY j, cid) AS l, " +
+        "CAST(max(cid) + 1 AS INTEGER) AS ks FROM lut), " +
+        "adc AS (SELECT c.id, round(list_sum(list_transform(c.codes, " +
+        "(cd, j) -> lutl.l[(j-1)*lutl.ks + ((CAST(cd AS INTEGER)+256)%256) + 1]" +
+        ")), 4) AS score FROM " +
+        OracleFeed.sqlPath("ns_ann_pq_topk", "codes") +
+        " c CROSS JOIN lutl), " +
+        "cand AS (SELECT id FROM adc ORDER BY score DESC, id LIMIT 88), " +
+        "top AS (SELECT e.vec_id AS id, " + dCos("e.embedding", "qraw.qv") +
+        " AS cos FROM cand JOIN embeddings e ON e.vec_id = cand.id " +
+        "CROSS JOIN qraw ORDER BY cos DESC, id LIMIT 11) " +
+        "SELECT id, cos FROM top WHERE id <> 0 ORDER BY cos DESC, id")),
 
     // ---- ANN: COLD index builds, timed every invocation (deterministic
     // dir, wiped first). The probe queries above amortize builds through
@@ -1268,19 +1367,57 @@ object PipelineQueries {
     // on unit vectors), exact rerank. The at-scale composition of the two
     // index families above; approximate by design, recall + pruning
     // asserted in IvfPqIndexSpec. ----
+    // Hash-oracled from the fed coarse centroids + residual codebooks +
+    // code lists (round 14): DuckDB replays the coarse q·c ranking, the
+    // residual LUT, the per-list `q·c + adc` byte scan (all bit-exact
+    // float-multiply/double-accumulate chains, see ns_ann_pq_topk), the
+    // rounded-4 top-88 cut and the exact rounded-3 rerank. Training stays
+    // engine-side, covered by ns_ann_ivfpq_recall's all-list full rerank.
     ("ns_ann_ivfpq_topk",
       (s: SparkSession, d: String) => {
         val embs = Tables.embeddings(s, d)
         val indexDir = IndexCatalog.ensure(s, "ann-ivfpq",
           Seq(s"$d/embeddings.parquet"), "k=16,m=8,ksub=256")(dir =>
           graft.operators.IvfPqIndex.build(embs, "vec_id", "embedding", dir))
+        OracleFeed.publish("ns_ann_ivfpq_topk", "coarse",
+          s.read.parquet(s"$indexDir/centroids"))
+        OracleFeed.publish("ns_ann_ivfpq_topk", "books",
+          s.read.parquet(s"$indexDir/codebooks"))
+        OracleFeed.publish("ns_ann_ivfpq_topk", "codes",
+          s.read.parquet(s"$indexDir/codes")
+            .select(col("cid").cast("int").as("cid"), col("id"), col("codes")))
         val qv = embs.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0).toArray
         graft.operators.IvfPqIndex.topK(s, indexDir, qv, k = 11, nprobe = 4,
             rerankFrom = Some((embs, "vec_id", "embedding")))
           .filter(col("id") =!= 0)
       },
-      None),
+      Some("WITH qraw AS (SELECT embedding AS qv FROM embeddings " +
+        "WHERE vec_id = 0), " +
+        "qn AS (SELECT qv, sqrt(list_sum(list_transform(qv, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM qraw), " +
+        "qf AS (SELECT list_transform(qv, x -> CAST(x / nrm AS FLOAT)) " +
+        "AS u FROM qn), " +
+        "probe AS (SELECT cid, list_sum(list_transform(cvec, " +
+        "(x, i) -> CAST(qf.u[i] * x AS DOUBLE))) AS qc FROM " +
+        OracleFeed.sqlPath("ns_ann_ivfpq_topk", "coarse") +
+        " CROSS JOIN qf ORDER BY qc DESC, cid LIMIT 4), " +
+        "lut AS (SELECT j, cid, CAST(list_sum(list_transform(cvec, " +
+        "(c, i) -> CAST(qf.u[j*8+i] * c AS DOUBLE))) AS FLOAT) AS dotf " +
+        "FROM " + OracleFeed.sqlPath("ns_ann_ivfpq_topk", "books") +
+        " CROSS JOIN qf), " +
+        "lutl AS (SELECT list(CAST(dotf AS DOUBLE) ORDER BY j, cid) AS l, " +
+        "CAST(max(cid) + 1 AS INTEGER) AS ks FROM lut), " +
+        "adc AS (SELECT c.id, round(p.qc + list_sum(list_transform(c.codes, " +
+        "(cd, j) -> lutl.l[(j-1)*lutl.ks + ((CAST(cd AS INTEGER)+256)%256) + 1]" +
+        ")), 4) AS score FROM " +
+        OracleFeed.sqlPath("ns_ann_ivfpq_topk", "codes") +
+        " c JOIN probe p USING (cid) CROSS JOIN lutl), " +
+        "cand AS (SELECT id FROM adc ORDER BY score DESC, id LIMIT 88), " +
+        "top AS (SELECT e.vec_id AS id, " + dCos("e.embedding", "qraw.qv") +
+        " AS cos FROM cand JOIN embeddings e ON e.vec_id = cand.id " +
+        "CROSS JOIN qraw ORDER BY cos DESC, id LIMIT 11) " +
+        "SELECT id, cos FROM top WHERE id <> 0 ORDER BY cos DESC, id")),
 
     ("ns_ann_pq_build",
       (s: SparkSession, d: String) => {
@@ -1439,11 +1576,36 @@ object PipelineQueries {
         val indexDir = IndexCatalog.ensure(s, "ann-ivf",
           Seq(s"$d/embeddings.parquet"), "k=16,it=2")(dir =>
           graft.operators.IvfIndex.build(embs, "vec_id", "embedding", dir))
+        // feed centroids + list membership: the oracle replays the
+        // per-query probe — bit-exact raw-cosine centroid ranking (the
+        // engine windows on the unrounded double), nprobe=4 prune, exact
+        // rounded-3 per-query rank
+        OracleFeed.publish("ns_ann_batch_ivf_topk", "centroids",
+          s.read.parquet(s"$indexDir/centroids"))
+        OracleFeed.publish("ns_ann_batch_ivf_topk", "lists",
+          s.read.parquet(s"$indexDir/lists")
+            .select(col("cid").cast("int").as("cid"), col("id")))
         graft.operators.IvfIndex.topKBatch(s, indexDir,
           embs.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
           .orderBy("qid", "rank")
       },
-      None),
+      Some("WITH q AS (SELECT vec_id AS qid, embedding AS qv " +
+        "FROM embeddings WHERE vec_id < 10), " +
+        "probe AS (SELECT qid, cid, qv FROM (SELECT q.qid, c.cid, q.qv, " +
+        "row_number() OVER (PARTITION BY q.qid ORDER BY " +
+        dCosExact("q.qv", "c.cvec") + " DESC, c.cid) AS crank FROM " +
+        OracleFeed.sqlPath("ns_ann_batch_ivf_topk", "centroids") +
+        " c CROSS JOIN q) WHERE crank <= 4), " +
+        "scored AS (SELECT p.qid, l.id, " + dCos("e.embedding", "p.qv") +
+        " AS cos FROM " +
+        OracleFeed.sqlPath("ns_ann_batch_ivf_topk", "lists") +
+        " l JOIN probe p USING (cid) " +
+        "JOIN embeddings e ON e.vec_id = l.id WHERE l.id <> p.qid), " +
+        "r AS (SELECT qid, id, cos, CAST(row_number() OVER (" +
+        "PARTITION BY qid ORDER BY cos DESC, id) AS INTEGER) AS rank " +
+        "FROM scored) " +
+        "SELECT qid, id, cos, rank FROM r WHERE rank <= 3 " +
+        "ORDER BY qid, rank")),
 
     ("ns_ann_batch_index_topk",
       (s: SparkSession, d: String) => {
@@ -1453,12 +1615,28 @@ object PipelineQueries {
         val indexDir = IndexCatalog.ensure(s, "ann-lsh",
           Seq(s"$d/embeddings.parquet"), "planes=6")(dir =>
           Similarity.buildIndex(embs, "vec_id", "embedding", dir, numPlanes = 6))
+        // feed the bucket map: the oracle replays per-query Hamming≤2
+        // candidacy + the exact rounded-3 per-query rank
+        OracleFeed.publish("ns_ann_batch_index_topk", "buckets",
+          s.read.parquet(indexDir)
+            .select(col("id"), col("bucket").cast("long").as("bucket")))
         Similarity.indexTopKBatch(s, indexDir,
           embs.filter(col("vec_id") < 10), "vec_id", "embedding",
           k = 3, numPlanes = 6)
           .orderBy("qid", "rank")
       },
-      None),
+      Some("WITH b AS (SELECT id, bucket FROM " +
+        OracleFeed.sqlPath("ns_ann_batch_index_topk", "buckets") + "), " +
+        "q AS (SELECT b.id AS qid, b.bucket AS qb, e.embedding AS qv " +
+        "FROM b JOIN embeddings e ON e.vec_id = b.id WHERE b.id < 10), " +
+        "scored AS (SELECT q.qid, b.id, " + dCos("e.embedding", "q.qv") +
+        " AS cos FROM b JOIN embeddings e ON e.vec_id = b.id CROSS JOIN q " +
+        "WHERE b.id <> q.qid AND bit_count(xor(b.bucket, q.qb)) <= 2), " +
+        "r AS (SELECT qid, id, cos, CAST(row_number() OVER (" +
+        "PARTITION BY qid ORDER BY cos DESC, id) AS INTEGER) AS rank " +
+        "FROM scored) " +
+        "SELECT qid, id, cos, rank FROM r WHERE rank <= 3 " +
+        "ORDER BY qid, rank")),
 
     // ---- ANN RECALL AUDITS: the driver-hashable twin of the rows-only
     // index probes. Each audit probes the SAME catalog index EXHAUSTIVELY
