@@ -1085,12 +1085,47 @@ object PipelineQueries {
         "SELECT av.id, av.cid, coalesce(c.grp, av.id) = av.id AS keep " +
         "FROM av LEFT JOIN closure c ON c.id = av.id ORDER BY av.id")),
 
+    // Hash-oracled from the fed LEARNED centroids (round 14): the oracle
+    // replays the whole SemDeDup policy — rounded-3/smaller-cid
+    // assignment, within-cluster ≥ eps pairing, min-id connected
+    // components — from the k-means output it cannot train itself
+    // (distributed xxhash64-seeded Lloyd); training correctness stays
+    // with ns_dedup_semdedup_kmeans_audit's pipeline-identity check.
     ("ns_dedup_semdedup_kmeans",
-      (s: SparkSession, d: String) =>
-        SemDedup.reportKMeans(Tables.embeddings(s, d), "vec_id", "embedding",
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        // same catalog key as reportKMeans resolves internally: ensure is
+        // idempotent, so this either builds once or reads the memo
+        val indexDir = IndexCatalog.ensure(s, "semdedup-kmeans",
+          Seq(s"$d/embeddings.parquet"), "k=8,it=2")(dir =>
+          graft.operators.IvfIndex.build(embs, "vec_id", "embedding", dir,
+            k = 8, iterations = 2))
+        OracleFeed.publish("ns_dedup_semdedup_kmeans", "centroids",
+          s.read.parquet(s"$indexDir/centroids"))
+        SemDedup.reportKMeans(embs, "vec_id", "embedding",
           Seq(s"$d/embeddings.parquet"), k = 8, iterations = 2, eps = 0.4)
-          .orderBy("id"),
-      None),
+          .orderBy("id")
+      },
+      Some("WITH cent AS (SELECT cid, cvec FROM " +
+        OracleFeed.sqlPath("ns_dedup_semdedup_kmeans", "centroids") + "), " +
+        "a AS (SELECT e.vec_id AS id, c.cid, " +
+        dCos("e.embedding", "c.cvec") + " AS cos " +
+        "FROM embeddings e CROSS JOIN cent c), " +
+        "asg AS (SELECT id, cid FROM a QUALIFY " +
+        "row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) = 1), " +
+        "av AS (SELECT asg.id, asg.cid, e.embedding FROM asg " +
+        "JOIN embeddings e ON asg.id = e.vec_id), " +
+        "p AS (SELECT x.id AS id_a, y.id AS id_b FROM av x " +
+        "JOIN av y ON x.cid = y.cid AND x.id < y.id " +
+        "WHERE " + dCos("x.embedding", "y.embedding") + " >= 0.4), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM p " +
+        "UNION ALL SELECT id_b, id_a FROM p), " +
+        "closure AS (WITH RECURSIVE reach(id, r) AS (" +
+        "SELECT a, a FROM (SELECT DISTINCT a FROM edges) " +
+        "UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id) " +
+        "SELECT id, min(r) AS grp FROM reach GROUP BY id) " +
+        "SELECT av.id, av.cid, coalesce(c.grp, av.id) = av.id AS keep " +
+        "FROM av LEFT JOIN closure c ON c.id = av.id ORDER BY av.id")),
 
     // ---- prototypicality pruning (Sorscher et al. 2022 / D4 stage 2):
     // per cluster, drop the 25% most-prototypical examples (highest
@@ -1436,16 +1471,40 @@ object PipelineQueries {
 
     // ---- ANN: int8-quantized top-k (4x smaller scan; approximate by
     // design — recall vs the float ranking asserted in SimilaritySpec) ----
+    // Hash-oracled from the fed QUANTIZED payloads (round 14): the r13
+    // rejection stands for emulating the float32 quantization itself
+    // (double-divide-then-cast double-rounds), so the feed sidesteps it —
+    // the engine's own int8 bytes publish as array<int> and the oracle
+    // replays the ranking in EXACT integer arithmetic (int dot / norms,
+    // one double division — bit-equal by construction). Quantization
+    // correctness stays with ns_ann_quantized_recall.
     ("ns_ann_quantized_topk",
       (s: SparkSession, d: String) => {
         val q = Similarity.quantize(Tables.embeddings(s, d), "vec_id", "embedding")
+        import s.implicits._
+        OracleFeed.publish("ns_ann_quantized_topk", "qvecs",
+          q.select("id", "qvec").as[(Long, Array[Byte])]
+            .map { case (id, b) => (id, b.map(_.toInt).toSeq) }
+            .toDF("id", "qarr"))
         val qv = q.filter(col("id") === 0).select("qvec").head().getAs[Array[Byte]](0)
         Similarity.quantizedTopK(q, qv, queryId = 0, k = 10)
       },
-      None),
+      Some("WITH qt AS (SELECT id, qarr FROM " +
+        OracleFeed.sqlPath("ns_ann_quantized_topk", "qvecs") + "), " +
+        "q AS (SELECT qarr AS qa FROM qt WHERE id = 0) " +
+        "SELECT qt.id, round(CAST(list_sum(list_transform(qt.qarr, " +
+        "(x, i) -> CAST(x AS BIGINT) * CAST(q.qa[i] AS BIGINT))) AS DOUBLE) " +
+        "/ (sqrt(CAST(list_sum(list_transform(qt.qarr, " +
+        "x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS DOUBLE)) * " +
+        "sqrt(CAST(list_sum(list_transform(q.qa, " +
+        "x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS DOUBLE))), 3) AS cos " +
+        "FROM qt CROSS JOIN q WHERE qt.id <> 0 " +
+        "ORDER BY cos DESC, qt.id LIMIT 10")),
 
-    // Driver-visible twin of the rows-only quantized probe. Unlike the
-    // exhaustive `ns_ann_*_recall` audits, int8 quantization is LOSSY by
+    // Driver-visible twin of the quantized probe (kept: the feed oracle
+    // above checks the RANKING from the engine's bytes, this checks the
+    // QUANTIZATION against float brute force). Unlike the exhaustive
+    // `ns_ann_*_recall` audits, int8 quantization is LOSSY by
     // construction — no parameter makes it reproduce brute force — so the
     // auditable invariant is the SimilaritySpec recall floor (>= 8 of the
     // float top-10 survive), stated as a constant-oracle boolean.
