@@ -3126,17 +3126,42 @@ object PipelineQueries {
     // ---- KNN graph: every vector's top-5 neighbors, cluster-scoped
     // (IVF centroids, nprobe=2) — approximate by design, so rows-only;
     // the recall audit below is the driver-visible quality gate. ----
+    // Hash-oracled from the fed IVF centroids (round 14): KnnGraph.build
+    // is a pure function of (embeddings, centroids) under the oracle laws
+    // (rounded-3 cosines, centroid ties to the smaller cid, neighbor ties
+    // to the smaller id), so DuckDB replays the WHOLE graph — multi-probe
+    // assignment, shared-cluster candidacy, undirected scoring, per-node
+    // top-k — from the one artifact it cannot train.
     ("ns_ann_knn_graph",
       (s: SparkSession, d: String) => {
         val embs = Tables.embeddings(s, d)
         val dir = IndexCatalog.ensure(s, "ann-ivf",
           Seq(s"$d/embeddings.parquet"), "k=16,it=2")(
           p => graft.operators.IvfIndex.build(embs, "vec_id", "embedding", p))
+        OracleFeed.publish("ns_ann_knn_graph", "centroids",
+          s.read.parquet(s"$dir/centroids"))
         graft.operators.KnnGraph.build(embs, "vec_id", "embedding",
             s.read.parquet(s"$dir/centroids"), k = 5, nprobe = 4)
           .orderBy("id", "rank")
       },
-      None),
+      Some("WITH cent AS (SELECT cid, cvec FROM " +
+        OracleFeed.sqlPath("ns_ann_knn_graph", "centroids") + "), " +
+        "taken AS (SELECT id, cid FROM (SELECT e.vec_id AS id, c.cid, " +
+        "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        dCos("e.embedding", "c.cvec") + " DESC, c.cid) AS r " +
+        "FROM embeddings e CROSS JOIN cent c) WHERE r <= 4), " +
+        "pairs AS (SELECT DISTINCT x.id AS a, y.id AS b FROM taken x " +
+        "JOIN taken y USING (cid) WHERE x.id < y.id), " +
+        "scored AS (SELECT a, b, " + dCos("ea.embedding", "eb.embedding") +
+        " AS cos FROM pairs JOIN embeddings ea ON ea.vec_id = a " +
+        "JOIN embeddings eb ON eb.vec_id = b), " +
+        "directed AS (SELECT a AS id, b AS nbr, cos FROM scored " +
+        "UNION ALL SELECT b, a, cos FROM scored), " +
+        "r AS (SELECT id, nbr, cos, CAST(row_number() OVER (" +
+        "PARTITION BY id ORDER BY cos DESC, nbr) AS INTEGER) AS rank " +
+        "FROM directed) " +
+        "SELECT id, nbr, cos, rank FROM r WHERE rank <= 5 " +
+        "ORDER BY id, rank")),
 
     // ---- KNN-graph recall audit (constant oracle): the graph must
     // recover >= 80% of the exact brute-force top-5 edges over a fixed
