@@ -228,21 +228,44 @@ object Curation {
   def adaptiveQualityFloorSketch(docs: DataFrame, idCol: String,
                                  textCol: String, domainCol: String,
                                  floorQuantile: Double = 0.2,
-                                 k: Int = 200): DataFrame = {
+                                 k: Int = 200): DataFrame =
+    applyDomainFloor(docs, idCol, textCol, domainCol,
+      domainQualityFloorsSketch(docs, idCol, textCol, domainCol,
+        floorQuantile, k))
+
+  /** The sketch-derived per-domain floors alone: `(domain,
+    * domain_threshold)` — the storable/re-mergeable profile product.
+    * Split out so callers can materialize or publish the learned floors
+    * (the OracleFeed path) and re-apply them with [[applyDomainFloor]].
+    */
+  def domainQualityFloorsSketch(docs: DataFrame, idCol: String,
+                                textCol: String, domainCol: String,
+                                floorQuantile: Double = 0.2,
+                                k: Int = 200): DataFrame = {
     import graft.functions.{kll_agg, kll_quantiles}
-    val qual = TextAnalysis.quality(docs, idCol, textCol)
-      .select(col(idCol).as("id"), col("quality_score"))
-    val scored = docs.select(col(idCol).as("id"), col(domainCol).as("domain"))
-      .join(qual, "id")
-    val thresholds = scored.groupBy("domain")
+    scoredByDomain(docs, idCol, textCol, domainCol).groupBy("domain")
       .agg(kll_agg(col("quality_score"), k).as("sk"))
       .select(col("domain"),
         element_at(kll_quantiles(col("sk"), Seq(floorQuantile)), 1)
           .as("domain_threshold"))
-    scored.join(thresholds, "domain")
+  }
+
+  /** Apply per-domain floors `(domain, domain_threshold)` to the corpus:
+    * `(id, domain, quality_score, domain_threshold, keep)`. The floors
+    * relation is domain-cardinality — broadcast by the planner. */
+  def applyDomainFloor(docs: DataFrame, idCol: String, textCol: String,
+                       domainCol: String, thresholds: DataFrame): DataFrame =
+    scoredByDomain(docs, idCol, textCol, domainCol).join(thresholds, "domain")
       .select(col("id"), col("domain"), col("quality_score"),
         col("domain_threshold"),
         (col("quality_score") >= col("domain_threshold")).as("keep"))
+
+  private def scoredByDomain(docs: DataFrame, idCol: String, textCol: String,
+                             domainCol: String): DataFrame = {
+    val qual = TextAnalysis.quality(docs, idCol, textCol)
+      .select(col(idCol).as("id"), col("quality_score"))
+    docs.select(col(idCol).as("id"), col(domainCol).as("domain"))
+      .join(qual, "id")
   }
 
   /** SEMANTIC benchmark decontamination: flag every corpus embedding whose

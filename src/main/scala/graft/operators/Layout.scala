@@ -127,23 +127,40 @@ object Layout {
     * share one cell rather than faking balance.
     */
   def zorderByQuantiles(df: DataFrame, cols: Seq[String], bits: Int,
-                        log2Bins: Int): DataFrame = {
-    require(log2Bins > 0 && log2Bins <= cols.size * bits,
-      s"log2Bins $log2Bins out of range for ${cols.size} cols x $bits bits")
+                        log2Bins: Int): DataFrame =
+    zorderWithQuantileBounds(df, cols,
+      quantileBounds(df, cols, bits), bits, log2Bins)
+
+  /** The learned per-column bucket boundaries alone (one KLL pass, ≤
+    * 2^bits−1 doubles per column of planning state) — split out so
+    * callers can materialize or publish the boundaries (the OracleFeed
+    * path) and re-apply them with [[zorderWithQuantileBounds]]. */
+  def quantileBounds(df: DataFrame, cols: Seq[String],
+                     bits: Int): Seq[Array[Double]] = {
     val nb = 1 << bits
     val sketchRow = df.agg(
       graft.functions.kll_agg(col(cols.head).cast("double")).as("s0"),
       cols.tail.zipWithIndex.map { case (c, i) =>
         graft.functions.kll_agg(col(c).cast("double")).as(s"s${i + 1}") }: _*)
       .head()
+    cols.indices.map { i =>
+      val qs = graft.functions.KllKernels
+        .deserialize(sketchRow.getAs[Array[Byte]](i))
+      (1 until nb).map(j => qs.getQuantile(j.toDouble / nb))
+        .distinct.sorted.toArray
+    }
+  }
+
+  /** Z-order against PRE-LEARNED quantile boundaries. */
+  def zorderWithQuantileBounds(df: DataFrame, cols: Seq[String],
+                               bounds: Seq[Array[Double]], bits: Int,
+                               log2Bins: Int): DataFrame = {
+    require(log2Bins > 0 && log2Bins <= cols.size * bits,
+      s"log2Bins $log2Bins out of range for ${cols.size} cols x $bits bits")
     val buckets = cols.indices.map { i =>
-      val sk = sketchRow.getAs[Array[Byte]](i)
-      val qs = graft.functions.KllKernels.deserialize(sk)
-      val bounds = (1 until nb)
-        .map(j => qs.getQuantile(j.toDouble / nb)).distinct.sorted.toArray
       // bucket = #boundaries <= x (counting scan over the tiny literal
       // boundary array — codegen'd, no join)
-      aggregate(typedLit(bounds), lit(0L),
+      aggregate(typedLit(bounds(i)), lit(0L),
         (acc, b) => acc + when(col(cols(i)).cast("double") >= b, 1L)
           .otherwise(0L))
     }

@@ -536,6 +536,19 @@ object Similarity {
     */
   def whiten(embs: DataFrame, idCol: String, vecCol: String,
              eps: Double = 1e-5): DataFrame = {
+    val (mean, w) = whitenParams(embs, vecCol, eps)
+    whitenWith(embs, idCol, vecCol, mean, w)
+  }
+
+  /** Fit the ZCA transform only: `(mean, W)` with `W = V diag((λ+eps)^
+    * (-1/2)) Vᵀ` row-major — one [[graft.functions.vector_moments]] pass
+    * + driver Jacobi (d² state, geometry-bounded). Exposed so callers
+    * can publish the learned transform (the OracleFeed path) and so the
+    * fit is paid once when both the transform and its parameters are
+    * needed.
+    */
+  def whitenParams(embs: DataFrame, vecCol: String,
+                   eps: Double = 1e-5): (Array[Double], Array[Double]) = {
     val row = embs.agg(graft.functions.vector_moments(col(vecCol))
       .as("m")).select("m.n", "m.mean", "m.m2").head()
     require(!row.isNullAt(0),
@@ -564,6 +577,13 @@ object Similarity {
       }
       i += 1
     }
+    (mean, w)
+  }
+
+  /** Apply a fitted ZCA transform: `W·(v − μ)` as a zero-shuffle
+    * codegen'd map over broadcast parameters. */
+  def whitenWith(embs: DataFrame, idCol: String, vecCol: String,
+                 mean: Array[Double], w: Array[Double]): DataFrame = {
     val sc = embs.sparkSession.sparkContext
     embs.select(col(idCol),
       graft.functions.mat_vec_center(sc.broadcast(w), sc.broadcast(mean),

@@ -36,4 +36,13 @@ object OracleFeed {
     * SQL construction. */
   def sqlPath(query: String, table: String): String =
     s"read_parquet('${dir(query, table)}/*.parquet')"
+
+  /** Read a just-published feed table back. For queries whose RESULT
+    * consumes the fed artifact (e.g. fed thresholds applied to every
+    * row): reading the published parquet guarantees the engine result
+    * and the oracle saw byte-identical values, and skips recomputing
+    * the artifact's lineage. */
+  def readBack(spark: org.apache.spark.sql.SparkSession, query: String,
+               table: String): DataFrame =
+    spark.read.parquet(dir(query, table))
 }

@@ -2081,16 +2081,38 @@ object PipelineQueries {
 
     // ---- curation: the same floor from MERGEABLE KLL sketches — the
     // profile-scale path (and the storable/re-mergeable shard-profile
-    // shape). Rank error ≲1.65% at k=200 means thresholds are exact order
-    // statistics of a near-correct rank: no value-level oracle by design;
-    // CurationSpec asserts per-domain keep-fraction against the exact
-    // operator. ----
+    // shape). Hash-oracled from the fed FLOORS (round 14): the sketch
+    // thresholds publish as the feed and the engine result is built by
+    // re-applying the PUBLISHED values (readBack — oracle and engine see
+    // byte-identical floors), so DuckDB replays the scoring + join +
+    // keep policy; the sketch COMPACTION itself stays engine-side,
+    // keep-fraction-audited against the exact operator in CurationSpec. ----
     ("ns_curate_quality_floor_kll",
-      (s: SparkSession, d: String) =>
-        Curation.adaptiveQualityFloorSketch(Tables.documents(s, d), "doc_id",
-          "text", "source", floorQuantile = 0.2)
-          .orderBy("id"),
-      None),
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        OracleFeed.publish("ns_curate_quality_floor_kll", "floors",
+          Curation.domainQualityFloorsSketch(docs, "doc_id", "text",
+            "source", floorQuantile = 0.2))
+        Curation.applyDomainFloor(docs, "doc_id", "text", "source",
+          OracleFeed.readBack(s, "ns_curate_quality_floor_kll", "floors"))
+          .orderBy("id")
+      },
+      Some("WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks " +
+        "FROM documents), " +
+        "m AS (SELECT doc_id, CAST(length(text) AS INTEGER) AS nc, " +
+        "CAST(len(toks) AS INTEGER) AS nt, " +
+        "len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS nst, " +
+        "length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS npc " +
+        "FROM t), " +
+        "q AS (SELECT doc_id, " + qScoreSql("nc", "nt", "nst", "npc") +
+        " AS quality_score FROM m), " +
+        "j AS (SELECT d.doc_id AS id, d.source AS domain, q.quality_score " +
+        "FROM q JOIN documents d USING (doc_id)), " +
+        "th AS (SELECT domain, domain_threshold FROM " +
+        OracleFeed.sqlPath("ns_curate_quality_floor_kll", "floors") + ") " +
+        "SELECT j.id, j.domain, j.quality_score, th.domain_threshold, " +
+        "j.quality_score >= th.domain_threshold AS keep " +
+        "FROM j JOIN th USING (domain) ORDER BY id")),
 
     // ---- curation: SEMANTIC decontamination (embedding-cosine vs an eval
     // subset; catches paraphrased leakage the shingle overlap misses). The
@@ -3230,14 +3252,35 @@ object PipelineQueries {
     // driver Jacobi + zero-shuffle transform). Rows-only by design (the
     // whitened values depend on the eigenbasis, which has no SQL form);
     // the audit below proves the transform did what whitening means. ----
+    // Hash-oracled from the fed FITTED transform (round 14): (mean, W)
+    // publish as one feed row and DuckDB replays the distributed
+    // application — W·(v−μ) per vector (sequential double dot, bit-exact
+    // to MatVecCenter) and the norm fold — so the zero-shuffle transform
+    // map is cross-engine-checked; the FIT (moments + driver Jacobi)
+    // stays engine-side, covered by ns_embed_whiten_audit's spectrum
+    // identity.
     ("ns_embed_whiten",
-      (s: SparkSession, d: String) =>
-        Similarity.whiten(Tables.embeddings(s, d), "vec_id", "embedding")
+      (s: SparkSession, d: String) => {
+        val embs = Tables.embeddings(s, d)
+        val (mean, w) = Similarity.whitenParams(embs, "embedding")
+        import s.implicits._
+        OracleFeed.publish("ns_embed_whiten", "transform",
+          Seq((w.toSeq, mean.toSeq)).toDF("w", "mean"))
+        Similarity.whitenWith(embs, "vec_id", "embedding", mean, w)
           .select(col("vec_id"), size(col("w")).as("dims"),
             round(sqrt(aggregate(col("w"), lit(0.0),
               (acc, x) => acc + x * x)), 4).as("w_norm"))
-          .orderBy("vec_id"),
-      None),
+          .orderBy("vec_id")
+      },
+      Some("WITH wm AS (SELECT w, mean FROM " +
+        OracleFeed.sqlPath("ns_embed_whiten", "transform") + "), " +
+        "x AS (SELECT e.vec_id, list_transform(range(1, 65), i -> " +
+        "list_sum(list_transform(e.embedding, (vj, j) -> " +
+        "wm.w[(i-1)*64 + j] * (CAST(vj AS DOUBLE) - wm.mean[j])))) AS wv " +
+        "FROM embeddings e CROSS JOIN wm) " +
+        "SELECT vec_id, CAST(len(wv) AS INTEGER) AS dims, " +
+        "round(sqrt(list_sum(list_transform(wv, y -> y * y))), 4) " +
+        "AS w_norm FROM x ORDER BY vec_id")),
 
     // Whitening audit: whitened mean is 0; the whitened covariance's
     // EIGENVALUES equal lambda/(lambda+eps) of the original spectrum
@@ -4809,17 +4852,52 @@ object PipelineQueries {
     // an exponentially-skewed dim. Sketch boundaries are approximate, so
     // this path has no bit oracle (rows-only) — the audit below is the
     // driver-visible proof. ----
+    // Hash-oracled from the fed quantile BOUNDS (round 14): the KLL
+    // boundaries publish per dimension and DuckDB replays the whole
+    // placement — count-of-boundaries bucketing, the 2×6-bit Morton
+    // interleave, the z_bin shift — in exact integer arithmetic (and
+    // recomputes the md5-derived skew key itself: md5_lower64 is
+    // md5_number_lower-compatible by construction). Sketch compaction
+    // stays engine-side, balance-audited by ns_layout_skew_audit. ----
     ("ns_layout_zorder_skew",
       (s: SparkSession, d: String) => {
         val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
           pow(lit(2.0),
             pmod(graft.functions.md5_lower64(col("event_id").cast("string")),
               lit(20L))).cast("long").as("sk"))
-        graft.operators.Layout.zorderByQuantiles(ev,
-            Seq("sk", "user_id"), bits = 6, log2Bins = 6)
+        val bounds = graft.operators.Layout.quantileBounds(ev,
+          Seq("sk", "user_id"), bits = 6)
+        import s.implicits._
+        OracleFeed.publish("ns_layout_zorder_skew", "bounds",
+          bounds.zipWithIndex.map { case (b, i) => (i, b.toSeq) }
+            .toDF("dim", "bounds"))
+        graft.operators.Layout.zorderWithQuantileBounds(ev,
+            Seq("sk", "user_id"), bounds, bits = 6, log2Bins = 6)
           .select("event_id", "z_bin").orderBy("event_id")
       },
-      None),
+      Some("WITH bnd AS (SELECT dim, bounds FROM " +
+        OracleFeed.sqlPath("ns_layout_zorder_skew", "bounds") + "), " +
+        "b0s AS (SELECT bounds AS bounds0 FROM bnd WHERE dim = 0), " +
+        "b1s AS (SELECT bounds AS bounds1 FROM bnd WHERE dim = 1), " +
+        // md5_number_lower is UNSIGNED in DuckDB; the engine's md5_lower64
+        // is the SIGNED two's-complement long, so re-sign through HUGEINT
+        // before the pmod or residues diverge by 2^64 mod 20
+        "h AS (SELECT event_id, user_id, " +
+        "CAST(md5_number_lower(CAST(event_id AS VARCHAR)) AS HUGEINT) - " +
+        "(CASE WHEN md5_number_lower(CAST(event_id AS VARCHAR)) >= " +
+        "9223372036854775808 THEN 18446744073709551616::HUGEINT " +
+        "ELSE 0::HUGEINT END) AS hs FROM events), " +
+        "ev AS (SELECT event_id, CAST(user_id AS DOUBLE) AS ud, " +
+        "pow(2.0, CAST(((hs % 20) + 20) % 20 AS DOUBLE)) AS skd FROM h), " +
+        "b AS (SELECT e.event_id, " +
+        "len(list_filter(bounds0, bd -> e.skd >= bd)) AS b0, " +
+        "len(list_filter(bounds1, bd -> e.ud >= bd)) AS b1 " +
+        "FROM ev e CROSS JOIN b0s CROSS JOIN b1s) " +
+        "SELECT event_id, CAST((" +
+        (0 until 6).map(i =>
+          s"(((b0 >> $i) & 1) << ${2 * i + 1}) | (((b1 >> $i) & 1) << ${2 * i})")
+          .mkString(" | ") +
+        ") >> 6 AS BIGINT) AS z_bin FROM b ORDER BY event_id")),
 
     // ---- the balance audit: min-max cells on the skewed dim dump most
     // rows into one bin (pruning dies); quantile cells bound the max bin
