@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Convert a full check.py run at sf0.1 into a driver-shaped correctness
+artifact (the CORRECTNESS_r{N}.json schema), so the round commits a
+machine-checkable full-SF typed-gate record instead of a prose claim.
+
+Usage: python3 scripts/sf01_artifact.py <check_output.txt> <verify_outDir> <out.json>
+
+check.py line forms parsed:
+  OK  <name>                         -> all three matches true
+  FAIL <name> - <why>                -> err recorded, matches false
+  ROWS <name>: <n>                   -> rows-only (no oracle): spark_rows only
+Row counts for OK/FAIL oracled queries are read from the verify dump's
+parquet (spark side); oracle_rows is reported equal on OK (check.py
+compared them row-by-row) and None on FAIL (the compare stops at the
+first divergence, so no trustworthy count exists).
+"""
+import json
+import re
+import sys
+from pathlib import Path
+
+import duckdb
+
+txt, out_dir, out_json = sys.argv[1], sys.argv[2], sys.argv[3]
+con = duckdb.connect()
+
+
+def spark_rows(name):
+    d = Path(out_dir) / name
+    if not d.exists():
+        return None
+    return con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+
+
+result = {}
+for line in Path(txt).read_text().splitlines():
+    m = re.match(r"OK\s+(\S+)\s*$", line)
+    if m:
+        n = spark_rows(m.group(1))
+        result[m.group(1)] = {
+            "rows_match": True, "schema_match": True, "hash_match": True,
+            "spark_rows": n, "oracle_rows": n, "err": None}
+        continue
+    m = re.match(r"FAIL\s+(\S+)\s+[—-]+\s+(.*)$", line)
+    if m:
+        result[m.group(1)] = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": spark_rows(m.group(1)), "oracle_rows": None,
+            "err": m.group(2)[:500]}
+        continue
+    m = re.match(r"ROWS\s+(\S+):\s+(\d+)\s*$", line)
+    if m:
+        result[m.group(1)] = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": int(m.group(2)), "oracle_rows": None,
+            "err": "no_oracle"}
+
+Path(out_json).write_text(json.dumps(dict(sorted(result.items())), indent=1))
+ok = sum(1 for v in result.values() if v["hash_match"])
+rows_only = sum(1 for v in result.values() if v["err"] == "no_oracle")
+fails = len(result) - ok - rows_only
+print(f"{out_json}: {len(result)} queries — {ok} hashed-OK, "
+      f"{rows_only} rows-only, {fails} FAIL")
+sys.exit(1 if fails else 0)
