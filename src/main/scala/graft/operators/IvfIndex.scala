@@ -51,34 +51,66 @@ object IvfIndex {
       .agg(max_by(col("cid"), struct(col("cos"), col("cid"))).as("cid"),
         first(col("vec")).as("vec"))
 
-  /** Build the index at `indexDir`. `k` lists, `iterations` Lloyd rounds.
-    * `vecs` is cached for the duration of the build: the Lloyd lineage
-    * references it `2·iterations+1` times, and without the cache every
+  /** Build the index at `indexDir`. `k` lists, `iterations` Lloyd rounds
+    * over a deterministic sample of at most `trainRows` vectors — the
+    * [[PqIndex.build]] training discipline: centroids need a
+    * REPRESENTATIVE sample, not the corpus, and an uncapped Lloyd round
+    * is N·k cosines with k typically growing as N/occupancy — quadratic
+    * in N, the same wall [[SemDedup.assignRouted]] retires for
+    * assignment. With the cap the training term is `trainRows·k` per
+    * round and only the single final list-encode pass touches all N.
+    * When the corpus is at most `trainRows` rows the sample IS the
+    * corpus (same set — order cannot change an assign/average round), so
+    * gate-SF builds and their learned-artifact oracles are byte-
+    * identical to the uncapped form. `vecs` is cached for the build: the
+    * lineage references it across rounds, and without the cache every
     * reference re-scans the source.
     */
   def build(embs: DataFrame, idCol: String, vecCol: String, indexDir: String,
-            k: Int = 16, iterations: Int = 2): Unit = {
+            k: Int = 16, iterations: Int = 2,
+            trainRows: Int = 200000): Unit = {
     val vecs = embs.select(col(idCol).as("id"), col(vecCol).as("vec")).cache()
-    try buildCached(vecs, indexDir, k, iterations)
+    try buildCached(vecs, indexDir, k, iterations, trainRows)
     finally vecs.unpersist()
   }
 
   private def buildCached(vecs: DataFrame, indexDir: String,
-                          k: Int, iterations: Int): Unit = {
+                          k: Int, iterations: Int, trainRows: Int): Unit = {
+    // Deterministic training sample by HASH FILTER, not a sorted top-k:
+    // rows where xxhash64(id) mod ceil(N/cap) == 0 — a zero-shuffle
+    // codegen'd filter over the cached corpus. (The first cut used
+    // `orderBy(h, id).limit(cap)`, and a TakeOrdered at cap=200 000 keeps
+    // a 200 k-element queue PER PARTITION and merges them on the driver
+    // — measured SLOWER at 1 M×489 than the uncapped N·k Lloyd it was
+    // supposed to retire. A modulo filter costs one count of the cached
+    // input and nothing else.) At or below the cap no filter is applied,
+    // so gate-SF builds and their learned-artifact oracles are
+    // byte-identical to the historical uncapped form. The cap never
+    // drops below k·4 so every centroid keeps seed + evidence; raise
+    // trainRows with k at extreme auto-sized corpora (occupancy
+    // trainRows/k is the per-centroid evidence).
+    val total = vecs.count() // cached by build(); one cheap pass
+    val cap = math.max(trainRows.toLong, 4L * k)
+    val withH = vecs.withColumn("h", xxhash64(col("id")))
+    val train =
+      if (total <= cap) withH
+      else withH.filter(pmod(col("h"), lit(total / cap + 1L)) === 0L)
 
-    // deterministic seeds: smallest xxhash64(id), picked via orderBy+limit
-    // (TakeOrdered — parallel, no global sort); the rank window then runs
-    // over only the k seed rows
-    var centroids = vecs
-      .withColumn("h", xxhash64(col("id")))
+    // deterministic seeds: smallest xxhash64(id) inside the sample (the
+    // whole corpus when uncapped); the rank window runs over only the k
+    // seed rows
+    var centroids = train
       .orderBy("h", "id").limit(k)
       .withColumn("cid", row_number().over(Window.orderBy("h", "id")) - 1)
       .select(col("cid"), col("vec").as("cvec"))
 
     (0 until iterations).foreach { _ =>
-      // centroid refinement: ONE map-side-combinable aggregate over intact
-      // vector rows (vector_avg) — not a posexplode of N·dim rows
-      val means = assign(vecs, centroids)
+      // centroid refinement: ONE map-side-combinable aggregate over
+      // intact vector rows (vector_avg) — not a posexplode of N·dim rows.
+      // `train` re-derives from the CACHED corpus each round — a filter
+      // scan, deliberately not cached itself (columnar-caching array
+      // columns costs more than the filter, the semroute lesson)
+      val means = assign(train.select("id", "vec"), centroids)
         .groupBy("cid")
         .agg(graft.functions.vector_avg(col("vec")).as("cvec"))
       // empty clusters (no assigned vectors) keep their previous centroid
@@ -88,7 +120,8 @@ object IvfIndex {
           coalesce(col("new.cvec"), col("old.cvec")).as("cvec"))
     }
 
-    centroids.coalesce(1).write.mode("overwrite").parquet(centroidsDir(indexDir))
+    centroids.coalesce(1).write.mode("overwrite")
+      .parquet(centroidsDir(indexDir))
     val cents = spark(vecs).read.parquet(centroidsDir(indexDir))
     assign(vecs, cents)
       .repartition(col("cid")) // one file per inverted list
