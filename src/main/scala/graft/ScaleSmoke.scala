@@ -46,8 +46,8 @@ object ScaleSmoke {
     val stages = if (args.length > 1) args(1) else "all"
     require(Set("all", "lexical", "semantic", "recall", "pipeline",
       "streaming", "classifier", "curation", "streamlearn", "semdedup",
-      "semroute", "embed", "bm25", "minhashindex", "layout", "propagate",
-      "fuzzy", "slayout", "drift", "graphstruct", "graphupdate",
+      "semroute", "ivfencode", "embed", "bm25", "minhashindex", "layout",
+      "propagate", "fuzzy", "slayout", "drift", "graphstruct", "graphupdate",
       "overlap")(stages),
       s"unknown stage set '$stages'")
     def on(s: String) = stages == "all" || stages == s
@@ -808,6 +808,57 @@ object ScaleSmoke {
         math.ceil(math.sqrt(k.toDouble)).toInt}")
     flatS.unpersist(); vecs.unpersist()
     centroids.unpersist()
+    }
+
+    if (on("ivfencode")) {
+    // ---- IVF list-encode A/B (round 15): the final full-corpus
+    // assignment pass of IvfIndex.build. A = the retired shape, a
+    // `max_by(cid, struct(cos, cid))` whose struct buffer silently falls
+    // back to SortAggregate and sorts all N·k candidate rows; B = the
+    // packed-long argmax HashAggregate IvfIndex.assign now uses (routed
+    // through the √k hierarchy past 4096 centroids — at auto-sized k
+    // that dispatch needs N > ~8.4 M, so at 1 M this A/B isolates the
+    // sort-fallback retirement; the routed path's exactness is the
+    // semroute stage's assertion). Plant: same separated corpus as
+    // semroute, so B must recover the plant node-exactly.
+    import graft.operators.{IvfIndex, SemDedup}
+    val k = SemDedup.kForCorpus(n.toLong)
+    val centroids = spark.range(k.toLong).toDF("cid")
+      .select(col("cid").cast("int").as("cid"),
+        transform(sequence(lit(0), lit(63)), i =>
+          (pmod(xxhash64(col("cid"), i, lit(13L)), lit(1000L)).cast("float")
+            / 500.0f - 1.0f).cast("float")).as("cvec"))
+      .cache()
+    centroids.count()
+    val vecs = spark.range(n.toLong).toDF("id")
+      .withColumn("own", pmod(col("id"), lit(k.toLong)).cast("int"))
+      .withColumn("vec", transform(sequence(lit(0), lit(63)), i =>
+        ((pmod(xxhash64(col("own"), i, lit(13L)), lit(1000L)).cast("float")
+          / 500.0f - 1.0f) +
+          (pmod(xxhash64(col("id"), i, lit(29L)), lit(1000L)).cast("float")
+            / 25000.0f - 0.02f)).cast("float")))
+      .repartition(spark.sparkContext.defaultParallelism.toInt)
+      .cache()
+    t("ivfencode_vecs_materialize")(vecs.count())
+    val oldN = t(s"ivfencode_OLD_maxby_struct_n=$n,k=$k") {
+      vecs.select("id", "vec").crossJoin(broadcast(centroids))
+        .withColumn("cos",
+          graft.functions.cosine_similarity(col("vec"), col("cvec")))
+        .groupBy("id")
+        .agg(max_by(col("cid"), struct(col("cos"), col("cid"))).as("cid"),
+          first(col("vec")).as("vec"))
+        .count()
+    }
+    val packed = t(s"ivfencode_NEW_packed_n=$n,k=$k") {
+      val a = IvfIndex.assign(vecs.select("id", "vec"), centroids, k)
+      (a.count(), a)
+    }
+    val miss = packed._2.join(vecs.select(col("id"), col("own")), "id")
+      .filter(col("cid") =!= col("own")).count()
+    require(oldN == n && packed._1 == n, s"row drop: old=$oldN new=${packed._1}")
+    println(s"SCALE   ivfencode planted-miss=$miss of $n " +
+      s"(${if (miss == 0) "EXACT" else "MISS"})")
+    vecs.unpersist(); centroids.unpersist()
     }
 
     if (on("classifier")) {

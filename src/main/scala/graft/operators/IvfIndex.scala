@@ -21,10 +21,11 @@ import graft.functions.{cosine_similarity, VectorKernels}
   *  1. seed k centroids: the vectors with the smallest `xxhash64(id)`
   *     (a deterministic pseudo-random spread);
   *  2. Lloyd iterations: assign every vector to its max-cosine centroid
-  *     (broadcast of k centroid rows, map-side-combinable `max_by` — the
-  *     only shuffle is the N-row aggregate), then recompute centroids as
-  *     per-dimension means (explode to (cid, pos, v), one aggregate);
-  *     empty clusters keep their previous centroid;
+  *     ([[assign]]: packed-long argmax over broadcast centroids, routed
+  *     through the √k hierarchy past [[RoutedThreshold]] — the only
+  *     shuffle is the N-row HashAggregate), then recompute centroids as
+  *     per-dimension means (one `vector_avg` aggregate); empty clusters
+  *     keep their previous centroid;
   *  3. write the lists clustered + partitioned by `cid` (one file per
   *     list) and the k centroids as a side table.
   *
@@ -41,15 +42,45 @@ object IvfIndex {
   private def listsDir(indexDir: String) = s"$indexDir/lists"
   private def centroidsDir(indexDir: String) = s"$indexDir/centroids"
 
-  /** Assign each (id, vec) to its max-cosine centroid: one broadcast
-    * cross-join over k centroid rows + a map-side-combinable aggregate.
+  /** Past this many centroids, [[assign]] routes through the
+    * [[SemDedup.assignRouted]] √k super-centroid hierarchy instead of
+    * scanning all k per vector — the same dispatch threshold as
+    * [[SemDedup.assignScored]], so the two k-means surfaces share one
+    * scale seam. */
+  private[operators] val RoutedThreshold = 4096
+
+  /** Assign each (id, vec) to its max-cosine centroid, returning
+    * `(id, cid, vec)`.
+    *
+    * Law (shared with [[SemDedup.assign]] — ONE cross-engine convention
+    * for every k-means surface): highest rounded-3 cosine, ties to the
+    * SMALLER cid. The argmax runs as [[SemDedup.argmaxPacked]]'s
+    * primitive `max()` over a packed long — map-side-combinable
+    * HashAggregate — NOT a `max_by(cid, struct(cos, cid))`, whose struct
+    * buffer silently falls back to SortAggregate and SORTS the whole
+    * N·k candidate relation per pass (RUNTIME.md §6; replacing the same
+    * shape in SemDedup measured 160 s → 9.8 s at 1 M×2442).
+    *
+    * Dispatch on `k`: at or below [[RoutedThreshold]] the flat path
+    * scans all k broadcast centroids per vector; above it — auto-sized
+    * k ∝ N makes the flat scan quadratic in N — assignment routes
+    * through the two-level super-centroid hierarchy, O((1+nprobe)·√k)
+    * per vector. Both paths keep the vector in the same aggregate
+    * (`keepV`), so the list-encode pass never joins back to the corpus.
     */
-  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(centroids))
-      .withColumn("cos", cosine_similarity(col("vec"), col("cvec")))
-      .groupBy("id")
-      .agg(max_by(col("cid"), struct(col("cos"), col("cid"))).as("cid"),
-        first(col("vec")).as("vec"))
+  private[graft] def assign(vecs: DataFrame, centroids: DataFrame,
+                            k: Int): DataFrame = {
+    val v = vecs.select(col("id"), col("vec").as("v"))
+    val asg =
+      if (k <= RoutedThreshold)
+        SemDedup.argmaxPacked(
+          v.crossJoin(broadcast(centroids))
+            .withColumn("cos",
+              round(cosine_similarity(col("v"), col("cvec")), 3)),
+          keepV = true)
+      else SemDedup.assignRouted(v, "id", "v", centroids, keepV = true)
+    asg.select(col("id"), col("cid"), col("v").as("vec"))
+  }
 
   /** Build the index at `indexDir`. `k` lists, `iterations` Lloyd rounds
     * over a deterministic sample of at most `trainRows` vectors — the
@@ -110,7 +141,7 @@ object IvfIndex {
       // `train` re-derives from the CACHED corpus each round — a filter
       // scan, deliberately not cached itself (columnar-caching array
       // columns costs more than the filter, the semroute lesson)
-      val means = assign(train.select("id", "vec"), centroids)
+      val means = assign(train.select("id", "vec"), centroids, k)
         .groupBy("cid")
         .agg(graft.functions.vector_avg(col("vec")).as("cvec"))
       // empty clusters (no assigned vectors) keep their previous centroid
@@ -123,7 +154,7 @@ object IvfIndex {
     centroids.coalesce(1).write.mode("overwrite")
       .parquet(centroidsDir(indexDir))
     val cents = spark(vecs).read.parquet(centroidsDir(indexDir))
-    assign(vecs, cents)
+    assign(vecs, cents, k)
       .repartition(col("cid")) // one file per inverted list
       .write.mode("overwrite").partitionBy("cid").parquet(listsDir(indexDir))
   }
@@ -149,26 +180,29 @@ object IvfIndex {
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
     val cents = spark.read.parquet(centroidsDir(indexDir))
     val wc = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid"))
-    // cached: read by the driver-side cid-list collect AND the candidate join
+    // evaluated TWICE (the driver-side cid-list collect and the candidate
+    // join), deliberately uncached: the plan is one narrow Q×k broadcast
+    // scan + a window over ≤k candidates per query — recomputing it costs
+    // less than building an InMemoryRelation of a crossJoin+window plan,
+    // the SemDedup.assignRouted cache lesson (92 s cached vs ~4 s uncached
+    // at 1 M; RUNTIME.md §6). Deterministic plan, so both evaluations
+    // agree exactly.
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("ccos", cosine_similarity(col("qvec"), col("cvec")))
       .withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= nprobe)
       .select(col("qid"), col("qvec"), col("cid"))
-      .cache()
-    try {
-      val cidList = probes.select("cid").distinct()
-        .collect().map(_.getInt(0)).sorted
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
-      spark.read.parquet(listsDir(indexDir))
-        .filter(col("cid").isin(cidList.map(Integer.valueOf).toSeq: _*))
-        .join(probes, Seq("cid"))
-        .filter(if (excludeSelf) col("id") =!= col("qid") else lit(true))
-        .withColumn("cos", round(cosine_similarity(col("vec"), col("qvec")), 3))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("qid"), col("id"), col("cos"), col("rank"))
-    } finally probes.unpersist()
+    val cidList = probes.select("cid").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
+    spark.read.parquet(listsDir(indexDir))
+      .filter(col("cid").isin(cidList.map(Integer.valueOf).toSeq: _*))
+      .join(probes, Seq("cid"))
+      .filter(if (excludeSelf) col("id") =!= col("qid") else lit(true))
+      .withColumn("cos", round(cosine_similarity(col("vec"), col("qvec")), 3))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("cos"), col("rank"))
   }
 
   /** Exact cosine top-k over the `nprobe` nearest inverted lists.

@@ -88,20 +88,31 @@ object SemDedup {
     * double of the decimal — bit-equal to what `round(cos, 3)` produced
     * (both are the nearest double to the same 3-decimal value), so the
     * cross-engine oracle convention is unchanged.
+    *
+    * `keepV = true` carries the vector column `v` through the aggregate
+    * (`first(v)` — one value per id, so "first" is exact, not
+    * order-dependent) for callers that consume the assignment WITH the
+    * vector, like [[IvfIndex]]'s list-encode pass: keeping `v` in the
+    * same HashAggregate beats a post-hoc N-row join back to the corpus.
     */
-  private def argmaxPacked(cand: DataFrame): DataFrame =
+  private[operators] def argmaxPacked(cand: DataFrame,
+                                      keepV: Boolean = false): DataFrame = {
+    val aggs = Seq(max("key").as("key")) ++
+      (if (keepV) Seq(first(col("v")).as("v")) else Nil)
+    val out = Seq(col("id"),
+      (lit(2147483647L) - col("s")).cast("int").as("cid"),
+      (((col("key") - col("s")) / PackBase).cast("long") / 1000.0)
+        .as("proto")) ++ (if (keepV) Seq(col("v")) else Nil)
     cand
       // cos is round(x,3): ×1000 lands within 1e-10 of an integer; the
       // 0-decimal round snaps it exactly
       .withColumn("key",
         round(col("cos") * 1000, 0).cast("long") * PackBase +
           (lit(2147483647L) - col("cid")))
-      .groupBy("id").agg(max("key").as("key"))
+      .groupBy("id").agg(aggs.head, aggs.tail: _*)
       .withColumn("s", pmod(col("key"), lit(PackBase)))
-      .select(col("id"),
-        (lit(2147483647L) - col("s")).cast("int").as("cid"),
-        (((col("key") - col("s")) / PackBase).cast("long") / 1000.0)
-          .as("proto"))
+      .select(out: _*)
+  }
 
   /** Two-level routed assignment — the >10⁸-vector scale path.
     *
@@ -142,7 +153,8 @@ object SemDedup {
     */
   def assignRouted(embs: DataFrame, idCol: String, vecCol: String,
                    centroids: DataFrame, nprobe: Int = 8,
-                   superIterations: Int = 2): DataFrame = {
+                   superIterations: Int = 2,
+                   keepV: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.{top_n_by, vector_avg}
     val g = math.max(1L, math.ceil(math.sqrt(
@@ -179,7 +191,8 @@ object SemDedup {
       routed.select(col("id"), col("v"), explode(col("gids")).as("gid"))
         .join(broadcast(memb), Seq("gid"))
         .withColumn("cos",
-          round(cosine_similarity(col("v"), col("cvec")), 3)))
+          round(cosine_similarity(col("v"), col("cvec")), 3)),
+      keepV = keepV)
   }
 
   /** Each centroid's super assignment: `(gid, cid, cvec)` — raw-cosine

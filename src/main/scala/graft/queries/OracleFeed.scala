@@ -4,26 +4,65 @@ import org.apache.spark.sql.DataFrame
 
 /** Artifact feed for the cross-engine oracle: declared queries whose
   * ranking math runs against LEARNED index state (LSH buckets, k-means
-  * centroids, PQ codebooks) publish that state as small parquet tables at
-  * a FIXED path, and their DuckDB oracle reads it back with
-  * `read_parquet` — so the PROBE math (candidate selection, scoring,
-  * ranking, rerank) is hash-oracled end-to-end while build correctness
-  * stays with the recall audits (the build itself — xxhash64 seeding,
-  * distributed Lloyd — is not SQL-expressible, which is exactly why these
-  * queries were rows-only before the feed existed).
+  * centroids, PQ codebooks) publish that state as small parquet tables,
+  * and their DuckDB oracle reads it back with `read_parquet` — so the
+  * PROBE math (candidate selection, scoring, ranking, rerank) is
+  * hash-oracled end-to-end while build correctness stays with the recall
+  * audits (the build itself — xxhash64 seeding, distributed Lloyd — is
+  * not SQL-expressible, which is exactly why these queries were
+  * rows-only before the feed existed).
   *
-  * The path is a compile-time constant because `SparkEntry.oracleSql`
-  * strings are static: the feed cannot vary with the sf directory.
-  * Instead, every Verify/Bench invocation of a feeding query OVERWRITES
-  * its feed with the artifacts of THAT run before the driver's DuckDB
-  * pass reads them — the driver runs Verify to completion first, so the
-  * oracle always sees the artifacts the engine result came from. This is
-  * correctness-gate plumbing, not a production surface: the write is a
-  * coalesced single file of at most corpus-row size (bucket maps) and
-  * usually geometry-bounded (centroids, codebooks).
+  * Isolation (round 15, the ADVICE item): the feed root is PER-USER and
+  * PER-JVM (`/tmp/graft-oracle-feed-<user>/run-<pid>-<startMillis>`),
+  * not a fixed shared path. `SparkEntry.oracleSql` strings only need to
+  * be constant WITHIN one Verify/Bench invocation — the driver runs
+  * Verify to completion (publishing feeds and dumping the SQL, nonce'd
+  * paths embedded) before its DuckDB pass reads either — so a per-JVM
+  * nonce keeps the publish/read pairing exact while making interference
+  * impossible: a concurrent Verify/Bench (or another user on a shared
+  * host) writes under its own run dir, and a query that fails before
+  * publishing leaves NO feed at this run's path — the oracle fails
+  * loudly on a missing file instead of silently reading a stale
+  * artifact from a prior run at a possibly different SF.
+  *
+  * This is correctness-gate plumbing, not a production surface: the
+  * write is a coalesced single file of at most corpus-row size (bucket
+  * maps) and usually geometry-bounded (centroids, codebooks). Run dirs
+  * older than a day are swept at first use (best-effort) so repeated
+  * gate runs don't accumulate in /tmp.
   */
 object OracleFeed {
-  val Root = "/tmp/graft-oracle-feed"
+  private val userRoot = {
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9_.-]", "_")
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-oracle-feed-$user"
+  }
+
+  /** This JVM's feed root — stable for the life of the process, distinct
+    * across processes. */
+  val Root: String = {
+    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+    sweepStale()
+    s"$userRoot/run-${rt.getName.takeWhile(_ != '@')}-${rt.getStartTime}"
+  }
+
+  /** Best-effort removal of run dirs from dead JVMs (>24 h old, judged by
+    * the startMillis embedded in the dir name — no filesystem mtime
+    * dependence). Failures are ignored: another live run may hold a dir. */
+  private def sweepStale(): Unit = try {
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    val kids = new java.io.File(userRoot).listFiles()
+    if (kids != null) kids.foreach { d =>
+      val started = d.getName.split("-").lastOption.flatMap(_.toLongOption)
+      if (started.exists(_ < cutoff)) deleteRecursively(d)
+    }
+  } catch { case _: Exception => () }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete()
+  }
 
   private def dir(query: String, table: String) = s"$Root/$query/$table"
 
