@@ -3989,10 +3989,14 @@ object PipelineQueries {
         "SELECT round(list_sum(list(term ORDER BY bin)), 6) AS psi " +
         "FROM t")),
 
-    // Binary logistic regression (lang='en' vs rest) — iterative gradient
-    // descent is not SQL-expressible; rows-only by design. The trainer is
-    // integer-exact and bit-identical to a serial reference under any
-    // partitioning (ClassifierSpec), the BPE verification pattern.
+    // Binary logistic regression (lang='en' vs rest). The iterative
+    // gradient-descent TRAINING is not SQL-expressible (it stays covered
+    // by ns_quality_lr_audit's distributed-equals-serial hash and
+    // ClassifierSpec), but SCORING is an exact integer fold over the
+    // trained nano-grid weights — so the model is published through
+    // OracleFeed (round 15, the KLL-floors move) and DuckDB replays the
+    // margin `Σ w_nano[b]·cnt + bias` in exact BIGINT arithmetic, one
+    // double division by 1e9, and the round-6 sigmoid/threshold.
     ("ns_quality_lr_score",
       (s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)
@@ -4000,11 +4004,37 @@ object PipelineQueries {
         val model = Classifier.lrTrain(docs.filter(b < 80),
           "doc_id", "text", col("lang") === "en",
           buckets = 1024, iters = 5, learnRate = 0.5)
+        OracleFeed.publish("ns_quality_lr_score", "weights",
+          model.select(col("b"), col("w_nano")))
         Classifier.lrScore(docs.filter(b >= 80), "doc_id", "text",
-            model, 1024)
+            OracleFeed.readBack(s, "ns_quality_lr_score", "weights"), 1024)
           .orderBy("doc_id")
       },
-      None),
+      Some("WITH t0 AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "f0 AS (SELECT doc_id, list_concat(t, " +
+        "[t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS f FROM t0), " +
+        "fx AS (SELECT doc_id, unnest(f) AS feat FROM f0), " +
+        "fb AS (SELECT doc_id, " + dHashMod("u", 1024L) + " AS b " +
+        "FROM (SELECT doc_id, md5_number_lower(feat) AS u FROM fx)), " +
+        "sp AS (SELECT doc_id, " + dHashMod("su", 100L) + " >= 80 " +
+        "AS is_score FROM (SELECT doc_id, " +
+        "md5_number_lower(CAST(doc_id AS VARCHAR)) AS su FROM documents)), " +
+        "cnt AS (SELECT doc_id, b, count(*) AS cnt FROM fb " +
+        "JOIN sp USING (doc_id) WHERE is_score GROUP BY 1, 2), " +
+        "wt AS (SELECT b, w_nano FROM " +
+        OracleFeed.sqlPath("ns_quality_lr_score", "weights") +
+        " WHERE b >= 0), " +
+        "bias AS (SELECT w_nano AS bw FROM " +
+        OracleFeed.sqlPath("ns_quality_lr_score", "weights") +
+        " WHERE b = -1), " +
+        "m AS (SELECT doc_id, sum(coalesce(w.w_nano, 0) * cnt.cnt) AS mm " +
+        "FROM cnt LEFT JOIN wt w USING (b) GROUP BY 1), " +
+        "sc AS (SELECT doc_id, round((mm + bias.bw) / 1e9, 6) AS margin, " +
+        "round(1.0 / (1.0 + exp(-((mm + bias.bw) / 1e9))), 6) AS p " +
+        "FROM m CROSS JOIN bias) " +
+        "SELECT doc_id, margin, p, CAST(p >= 0.5 AS INTEGER) AS predicted " +
+        "FROM sc ORDER BY doc_id")),
 
     // ---- multimodal decode -> resize -> patchify: payloads constructed
     // from doc_id arithmetic, decoded by the deterministic tile codec,
