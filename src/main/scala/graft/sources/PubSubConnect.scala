@@ -1,0 +1,215 @@
+package graft.sources
+
+import org.sparkproject.connect.grpc.{Channel, InsecureChannelCredentials, ManagedChannel, TlsChannelCredentials}
+import graft.sources.PubSubProto.ReplayPreset
+import org.sparkproject.connect.grpc.netty.NettyChannelBuilder
+
+/** Production dial-out: the compiled assembly of the full ingest front —
+  * `Auth.authenticate` → TLS channel (`NettyChannelBuilder.forTarget`)
+  * + [[PubSubGrpc.authCallCredentials]] → [[PubSubClient]] →
+  * [[ChangeEventLogWriter]] — so the README SEAMS table's "production
+  * delta" is literally configuration, not an uncompiled comment.
+  *
+  * This is the reference worker's boot sequence (`client.js:124-189`:
+  * authenticate once, build the secure channel, open the subscription)
+  * as one config-driven builder. What a sandbox cannot exercise is ONLY
+  * the live org behind the endpoint: [[connect]] takes an injectable
+  * `Channel`, and `PubSubConnectSpec` drives the identical assembly —
+  * auth metadata, subscribe, flow control, log landing, DSv2 read-back —
+  * against the in-process server; [[main]]'s `--dry-run` builds the real
+  * Netty channel (TLS credentials and all) and the full client stack
+  * without issuing an RPC (gRPC channels connect lazily on first call),
+  * so the dial path itself compiles, assembles, and shuts down cleanly.
+  *
+  * Scale shape: one pump per topic (the reference runs one worker per
+  * subscription); Spark parallelism starts at the log directory the
+  * writer lands batches in — see the [[PubSubGrpc]] scaladoc.
+  */
+object PubSubConnect {
+
+  /** Everything the boot sequence needs. `tenantId` defaults to the org
+    * ID the auth flow resolves (the reference's `tenantid` metadata is
+    * the org ID, `client.js:160-174`). `plaintext` switches the channel
+    * to insecure credentials for dev targets; production stays TLS.
+    */
+  final case class Config(
+      endpoint: String,
+      topic: String,
+      logDir: String,
+      auth: Auth.Mode,
+      tenantId: Option[String] = None,
+      replayPreset: Int = ReplayPreset.LATEST,
+      replayId: Option[Long] = None,
+      numRequested: Option[Int] = None,
+      plaintext: Boolean = false)
+
+  /** A live (or assembled-but-undialed) ingest front. Close order:
+    * half-close the subscription, then drain the channel. */
+  final class Connection(val channel: Option[ManagedChannel],
+                         val client: PubSubClient,
+                         val writer: ChangeEventLogWriter,
+                         val handle: SubscriptionHandle[PubSubProto.FetchRequest]) {
+    def close(): Unit = {
+      handle.close()
+      channel.foreach { ch =>
+        ch.shutdown()
+        ch.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+      }
+    }
+  }
+
+  /** The transport: a Netty channel at `cfg.endpoint` with TLS channel
+    * credentials (the production posture) or insecure ones
+    * (`plaintext = true`, dev only). Construction does not dial —
+    * grpc-java channels connect on first RPC. */
+  def channel(cfg: Config): ManagedChannel =
+    NettyChannelBuilder.forTarget(cfg.endpoint,
+      if (cfg.plaintext) InsecureChannelCredentials.create()
+      else TlsChannelCredentials.create()).build()
+
+  /** Resolve the session triple for the configured auth mode:
+    * USER_SUPPLIED short-circuits ([[Auth.userSuppliedMetadata]], no
+    * network), every OAuth flow goes through [[Auth.authenticate]]. */
+  def resolveMetadata(cfg: Config,
+                      http: Auth.HttpExec = Auth.defaultHttp): Auth.ConnectionMetadata =
+    cfg.auth match {
+      case m: Auth.UserSupplied => Auth.userSuppliedMetadata(m)
+      case m => Auth.authenticate(m, http)
+    }
+
+  /** Assemble the whole front and open the subscription. Pass
+    * `channelOverride` to run the identical assembly over a non-dialing
+    * transport (the spec's in-process channel); otherwise the TLS Netty
+    * channel from [[channel]] is built and owned by the returned
+    * [[Connection]] (closed with it).
+    */
+  def connect(cfg: Config, http: Auth.HttpExec = Auth.defaultHttp,
+              channelOverride: Option[Channel] = None): Connection = {
+    val meta = resolveMetadata(cfg, http)
+    val tenant = cfg.tenantId.orElse(meta.organizationId).getOrElse(
+      throw new IllegalArgumentException(
+        "no tenant id: pass Config.tenantId or an auth mode that resolves the org id"))
+    val creds = PubSubGrpc.authCallCredentials(meta.accessToken,
+      meta.instanceUrl, tenant)
+    val owned = if (channelOverride.isDefined) None else Some(channel(cfg))
+    val ch: Channel = channelOverride.getOrElse(owned.get)
+    val client = new PubSubClient(ch, creds)
+    val writer = new ChangeEventLogWriter(cfg.logDir)
+    val handle = client.subscribe(cfg.topic, writer, cfg.replayPreset,
+      cfg.replayId, cfg.numRequested)
+    new Connection(owned, client, writer, handle)
+  }
+
+  /** PKCS#8 PEM private key (the JWT flow's signing key), as the
+    * reference reads it from config (`auth.js:98-112`). */
+  def privateKeyFromPem(pem: String): java.security.PrivateKey = {
+    val body = pem.linesIterator
+      .filterNot(l => l.startsWith("-----") || l.trim.isEmpty)
+      .mkString
+    java.security.KeyFactory.getInstance("RSA").generatePrivate(
+      new java.security.spec.PKCS8EncodedKeySpec(
+        java.util.Base64.getMimeDecoder.decode(body)))
+  }
+
+  private def parseAuth(a: Map[String, String]): Auth.Mode =
+    a.getOrElse("auth", "user-supplied") match {
+      case "user-supplied" => Auth.UserSupplied(
+        a("access-token"), a("instance-url"), a.get("org-id"))
+      case "password" => Auth.UsernamePassword(
+        a("login-url"), a("client-id"), a("client-secret"),
+        a("username"), a("password"), a.getOrElse("user-token", ""))
+      case "client-credentials" => Auth.ClientCredentials(
+        a("login-url"), a("client-id"), a("client-secret"))
+      case "jwt" => Auth.JwtBearer(
+        a("login-url"), a("client-id"), a("username"),
+        privateKeyFromPem(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(a("jwt-key-file"))),
+          java.nio.charset.StandardCharsets.UTF_8)))
+      case other => throw new IllegalArgumentException(
+        s"unknown --auth '$other' (user-supplied|password|client-credentials|jwt)")
+    }
+
+  /** CLI entrypoint.
+    *
+    * {{{
+    * runMain graft.sources.PubSubConnect \
+    *   --endpoint api.pubsub.salesforce.com:7443 \
+    *   --topic /data/AccountChangeEvent --log-dir /data/cdc-log \
+    *   --auth client-credentials --login-url https://login.salesforce.com \
+    *   --client-id ... --client-secret ... \
+    *   [--tenant-id 00D...] [--replay latest|earliest|custom --replay-id N] \
+    *   [--plaintext] [--dry-run]
+    * }}}
+    *
+    * `--dry-run`: authenticate is SKIPPED for OAuth modes (it would dial
+    * the token endpoint) unless the mode is user-supplied; the Netty
+    * channel, call credentials, client, writer, and subscription request
+    * shape are all constructed, printed, and torn down without an RPC.
+    */
+  def main(args: Array[String]): Unit = {
+    val flagNames = Set("--dry-run", "--plaintext")
+    val flagSet = scala.collection.mutable.Set[String]()
+    val kv = scala.collection.mutable.Map[String, String]()
+    var i = 0
+    while (i < args.length) {
+      if (flagNames(args(i))) { flagSet += args(i); i += 1 }
+      else if (args(i).startsWith("--") && i + 1 < args.length) {
+        kv(args(i).drop(2)) = args(i + 1); i += 2
+      } else throw new IllegalArgumentException(s"unexpected arg '${args(i)}'")
+    }
+    val a = kv.toMap
+    val flags = flagSet.toSet
+    val dryRun = flags("--dry-run")
+    val cfg = Config(
+      endpoint = a("endpoint"),
+      topic = a("topic"),
+      logDir = a("log-dir"),
+      auth = parseAuth(a),
+      tenantId = a.get("tenant-id"),
+      replayPreset = a.getOrElse("replay", "latest") match {
+        case "latest" => ReplayPreset.LATEST
+        case "earliest" => ReplayPreset.EARLIEST
+        case "custom" => ReplayPreset.CUSTOM
+        case other => throw new IllegalArgumentException(s"unknown --replay '$other'")
+      },
+      replayId = a.get("replay-id").map(_.toLong),
+      numRequested = a.get("num-requested").map(_.toInt),
+      plaintext = flags("--plaintext"))
+
+    if (dryRun) {
+      // Assemble everything constructible without a live endpoint: the
+      // real Netty channel (TLS unless --plaintext), placeholder or real
+      // user-supplied credentials, the client, the log writer. No RPC is
+      // issued; the channel never dials.
+      val meta = cfg.auth match {
+        case m: Auth.UserSupplied => Auth.userSuppliedMetadata(m)
+        case _ => Auth.ConnectionMetadata("dry-run-token!", "https://dry.run",
+          cfg.tenantId.orElse(Some("00D000000000000")), None)
+      }
+      val ch = channel(cfg)
+      try {
+        val creds = PubSubGrpc.authCallCredentials(meta.accessToken,
+          meta.instanceUrl, cfg.tenantId.orElse(meta.organizationId).get)
+        val client = new PubSubClient(ch, creds)
+        val writer = new ChangeEventLogWriter(cfg.logDir)
+        require(client != null && writer != null)
+        println(s"DRY-RUN OK endpoint=${cfg.endpoint} " +
+          s"transport=${if (cfg.plaintext) "plaintext" else "tls"} " +
+          s"topic=${cfg.topic} logDir=${cfg.logDir} " +
+          s"replay=${cfg.replayPreset}${cfg.replayId.fold("")(r => s":$r")} " +
+          s"auth=${cfg.auth.getClass.getSimpleName}")
+      } finally {
+        ch.shutdownNow()
+        ch.awaitTermination(5, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      return
+    }
+
+    val conn = connect(cfg)
+    println(s"subscribed topic=${cfg.topic} -> ${cfg.logDir} " +
+      s"(lastReplayId=${conn.handle.lastReplayId})")
+    sys.addShutdownHook(conn.close())
+    // pump runs on gRPC's transport threads; keep the JVM alive
+    while (true) Thread.sleep(60000)
+  }
+}

@@ -250,29 +250,38 @@ class PubSubClient(channel: Channel, creds: CallCredentials) {
     val infinite = numRequested.isEmpty
 
     val call = channel.newCall(SubscribeMethod, callOptions)
+    // The response observer can fire BEFORE asyncBidiStreamingCall
+    // returns the request stream the handle wraps (an immediate
+    // UNAUTHENTICATED close lands onError on the channel executor while
+    // this thread is still between the two statements) — so callbacks
+    // wait on the ready latch instead of reading a maybe-null var.
+    // Callbacks never run on this thread (the channel executor is
+    // pooled, never direct), so the await cannot deadlock.
     var handle: SubscriptionHandle[FetchRequest] = null
+    val ready = new java.util.concurrent.CountDownLatch(1)
+    def h: SubscriptionHandle[FetchRequest] = { ready.await(); handle }
     val requests = ClientCalls.asyncBidiStreamingCall(call,
       new StreamObserver[FetchResponse] {
         override def onNext(resp: FetchResponse): Unit = {
           val latest = ReplayIdCodec.decode(resp.latestReplayId)
-          handle.lastReplayIdRef.set(latest)
+          h.lastReplayIdRef.set(latest)
           if (resp.events.nonEmpty) {
             handler.onEvents(resp.events, latest)
-            val got = handle.receivedCount.addAndGet(resp.events.size)
+            val got = h.receivedCount.addAndGet(resp.events.size)
             // reached the last requested event -> in infinite mode,
             // request the next batch (client.js:816-845)
-            if (got >= handle.requestedCount.get() && infinite)
-              handle.requestAdditionalEvents(MaxEventBatchSize)
+            if (got >= h.requestedCount.get() && infinite)
+              h.requestAdditionalEvents(MaxEventBatchSize)
           } else {
             handler.onKeepalive(latest, resp.pendingNumRequested)
           }
         }
         override def onError(t: Throwable): Unit = {
-          handle.closed = true
+          h.closed = true
           handler.onError(Status.fromThrowable(t))
         }
         override def onCompleted(): Unit = {
-          handle.closed = true
+          h.closed = true
           handler.onEnd()
         }
       })
@@ -280,6 +289,7 @@ class PubSubClient(channel: Channel, creds: CallCredentials) {
       n => FetchRequest(topicName = topicName, numRequested = n),
       mkCommit = null)
     handle.requestedCount.set(firstRequest)
+    ready.countDown()
     requests.onNext(FetchRequest(
       topicName = topicName,
       replayPreset = replayPreset,
@@ -298,29 +308,33 @@ class PubSubClient(channel: Channel, creds: CallCredentials) {
     val firstRequest = numRequested.getOrElse(MaxEventBatchSize)
     val infinite = numRequested.isEmpty
     val call = channel.newCall(ManagedSubscribeMethod, callOptions)
+    // same handle-ready latch as subscribe(): callbacks can beat the
+    // handle assignment when the server closes the stream immediately
     var handle: SubscriptionHandle[ManagedFetchRequest] = null
+    val ready = new java.util.concurrent.CountDownLatch(1)
+    def h: SubscriptionHandle[ManagedFetchRequest] = { ready.await(); handle }
     val requests = ClientCalls.asyncBidiStreamingCall(call,
       new StreamObserver[ManagedFetchResponse] {
         override def onNext(resp: ManagedFetchResponse): Unit = {
           if (resp.latestReplayId.nonEmpty)
-            handle.lastReplayIdRef.set(ReplayIdCodec.decode(resp.latestReplayId))
+            h.lastReplayIdRef.set(ReplayIdCodec.decode(resp.latestReplayId))
           resp.commitResponse.foreach(onCommitResponse)
           if (resp.events.nonEmpty) {
-            handler.onEvents(resp.events, handle.lastReplayIdRef.get())
-            val got = handle.receivedCount.addAndGet(resp.events.size)
-            if (got >= handle.requestedCount.get() && infinite)
-              handle.requestAdditionalEvents(PubSubGrpc.MaxEventBatchSize)
+            handler.onEvents(resp.events, h.lastReplayIdRef.get())
+            val got = h.receivedCount.addAndGet(resp.events.size)
+            if (got >= h.requestedCount.get() && infinite)
+              h.requestAdditionalEvents(PubSubGrpc.MaxEventBatchSize)
           } else if (resp.commitResponse.isEmpty) {
-            handler.onKeepalive(handle.lastReplayIdRef.get(),
+            handler.onKeepalive(h.lastReplayIdRef.get(),
               resp.pendingNumRequested)
           }
         }
         override def onError(t: Throwable): Unit = {
-          handle.closed = true
+          h.closed = true
           handler.onError(Status.fromThrowable(t))
         }
         override def onCompleted(): Unit = {
-          handle.closed = true
+          h.closed = true
           handler.onEnd()
         }
       })
@@ -329,6 +343,7 @@ class PubSubClient(channel: Channel, creds: CallCredentials) {
       (id, rid) => ManagedFetchRequest(subscriptionId = subscriptionId,
         commit = Some(CommitReplayRequest(id, rid))))
     handle.requestedCount.set(firstRequest)
+    ready.countDown()
     requests.onNext(ManagedFetchRequest(subscriptionId = subscriptionId,
       numRequested = firstRequest))
     handle
