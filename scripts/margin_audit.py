@@ -109,6 +109,14 @@ def margin6(x):
     return np.abs(m - np.floor(m) - 0.5) / 1e6
 
 
+def half_up6(x):
+    """Round-6 HALF_UP (away from zero) — the engines' law; np.round is
+    half-to-even and can disagree exactly at the boundaries this script
+    audits."""
+    x = np.asarray(x, dtype=float)
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
 def audit_psi(sf_dir):
     """PSI (ns_corpus_psi*) margins — the r12 ln-grid family: per-bin
     round-6 ln and round-6 term over the real char-length populations."""
@@ -126,7 +134,7 @@ def audit_psi(sf_dir):
     p = (ca + 0.5) / (ca.sum() + 0.5 * bins)
     q = (cb + 0.5) / (cb.sum() + 0.5 * bins)
     lnr = np.log(p / q)
-    term = (p - q) * np.round(lnr, 6)
+    term = (p - q) * half_up6(lnr)
     return [("psi per-bin ln (round-6 grid)", margin6(lnr).min(), bins),
             ("psi per-bin term (round-6 grid)", margin6(term).min(), bins)]
 

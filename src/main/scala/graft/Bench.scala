@@ -48,6 +48,19 @@ object Bench {
   private val CanaryFactor = 3.0
   private val MaxPasses = 4
 
+  /** Fixed cross-round host-speed reference: the canary baseline of the
+    * last drift-clean round (r13, 0.036 s). `queries_normalized` rescales
+    * each query's best sample by `CanaryRef / <that sample's own canary
+    * observation>` — i.e. "what this sample would read at reference host
+    * speed" — so round-over-round comparison survives host weather
+    * without manual ledger arithmetic (r14 verdict item 4). The canary is
+    * a CPU proxy; IO-bound queries normalize imperfectly, so the raw
+    * seconds stay the primary artifact and the normalized map is the
+    * comparison aid. This constant must NOT change between rounds or the
+    * normalized columns stop being comparable.
+    */
+  private val CanaryRefSec = 0.036
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -219,17 +232,25 @@ object Bench {
       pending = pending.filterNot(q => errors(q._1) >= 2 && samples(q._1).isEmpty)
     }
 
-    // Final classification against the final (tightest) baseline.
+    // Final classification against the final (tightest) baseline. Best
+    // samples keep their own canary observation — the normalization input.
     val best = names.map(_._1).flatMap { n =>
-      val ts = cleanTimes(n); if (ts.nonEmpty) Some(n -> ts.min) else None
+      val ts = samples(n).filter(_._2 <= CanaryFactor * canaryBase)
+      if (ts.nonEmpty) Some(n -> ts.minBy(_._1)) else None
     }.toMap
     val bestAny = names.map(_._1).flatMap { n =>
-      val ts = samples(n).map(_._1); if (ts.nonEmpty) Some(n -> ts.min) else None
+      val ts = samples(n); if (ts.nonEmpty) Some(n -> ts.minBy(_._1)) else None
     }.toMap
     val suspect = names.map(_._1).filter(n => !best.contains(n) && bestAny.contains(n))
     val failed = names.map(_._1).filter(n => !best.contains(n) && !bestAny.contains(n))
-    val results = names.flatMap { case (name, _) =>
+    val resultPairs = names.flatMap { case (name, _) =>
       best.get(name).orElse(bestAny.get(name)).map(name -> _)
+    }
+    val results = resultPairs.map { case (n, (t, _)) => n -> t }
+    // normalized to reference host speed via the sample's OWN canary
+    // (min-of-2 adjacent runs — the most local host-speed estimate)
+    val normalized = resultPairs.map { case (n, (t, c)) =>
+      n -> (if (c > 0) t * (CanaryRefSec / c) else t)
     }
 
     // 3-decimal seconds: ~40% shorter line (the full-precision doubles
@@ -238,6 +259,8 @@ object Bench {
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     def jArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val qsNorm = normalized.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -263,7 +286,8 @@ object Bench {
         else resampled.take(20) :+ s"...+${resampled.size - 20} more"
       s"""{"pass":$p,"sampled":${cs.size},"canary_min":${fmt(if (sorted.isEmpty) 0.0 else sorted.head)},"canary_med":${fmt(med)},"canary_max":${fmt(if (sorted.isEmpty) 0.0 else sorted.last)},"resampled_n":${resampled.size},"resampled":${jArr(names)}}"""
     }.mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","policy":"min-of-2-separate-passes-canary-gated-rolling","canary_base_sec":${fmt(canaryBase)},"canary_base_startup_sec":${fmt(canaryStartup)},"canary_drift":$drift,"canary_drift_means":"startup baseline >1.5x final rolling min; samples re-classified against final baseline, see canary_ledger","canary_ledger":$ledgerJson,"passes":$pass,"skipped":${jArr(skip.toSeq.sorted)},"suspect":${jArr(suspect)},"failed":${jArr(failed)},"errors":$errJson,"plan_violations":$pvJson}"""
+    val totalNorm = if (normalized.nonEmpty) normalized.map(_._2).sum else 0.0
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_normalized":${fmt(totalNorm)},"canary_ref_sec":${fmt(CanaryRefSec)},"queries":$qs,"queries_normalized":$qsNorm,"sf":"$sfDir","policy":"min-of-2-separate-passes-canary-gated-rolling","canary_base_sec":${fmt(canaryBase)},"canary_base_startup_sec":${fmt(canaryStartup)},"canary_drift":$drift,"canary_drift_means":"startup baseline >1.5x final rolling min; samples re-classified against final baseline, see canary_ledger","canary_ledger":$ledgerJson,"passes":$pass,"skipped":${jArr(skip.toSeq.sorted)},"suspect":${jArr(suspect)},"failed":${jArr(failed)},"errors":$errJson,"plan_violations":$pvJson}"""
     // Belt and braces against capture truncation: the full line also lands
     // in a committable file.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
