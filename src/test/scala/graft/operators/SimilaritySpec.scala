@@ -484,6 +484,29 @@ class SimilaritySpec extends SparkSpec {
       "planted high-cosine neighbors must survive the binary shortlist")
   }
 
+  test("IVF assignment law: rounded-3 cosine, ties to the SMALLER cid, vec kept") {
+    import spark.implicits._
+    // cid 0 and cid 1 are IDENTICAL centroids — an exact rounded-cosine
+    // tie for every vector, which must break to the smaller cid (the one
+    // cross-engine convention shared with SemDedup.assign; the retired
+    // max_by(struct(cos, cid)) shape broke ties to the LARGER cid)
+    val cents = Seq(
+      (0, Seq(1.0f, 0.0f)), (1, Seq(1.0f, 0.0f)), (2, Seq(0.0f, 1.0f)))
+      .toDF("cid", "cvec")
+    val vecs = Seq(
+      (10L, Seq(1.0f, 0.0f)),   // ties 0 vs 1 -> 0
+      (11L, Seq(0.6f, 0.8f)),   // cos .6 vs .8 -> cid 2
+      (12L, Seq(0.7071f, 0.7071f))) // rounded .707 everywhere -> 0
+      .toDF("id", "vec")
+    val got = IvfIndex.assign(vecs, cents, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(10L -> 0, 11L -> 2, 12L -> 0))
+    // the vector rides the aggregate (the encode pass writes it)
+    val withVec = IvfIndex.assign(vecs, cents, k = 3)
+      .filter(col("id") === 11L).collect()(0)
+    assert(withVec.getSeq[Float](2) === Seq(0.6f, 0.8f))
+  }
+
   test("fused int_dot_q bit-equals the quantize-then-fold reference") {
     // the reference composition (fixedPointQuantize + intDot) and the
     // codegen'd kernel must never drift apart — every real pair of the
