@@ -840,15 +840,25 @@ object ScaleSmoke {
       .repartition(spark.sparkContext.defaultParallelism.toInt)
       .cache()
     t("ivfencode_vecs_materialize")(vecs.count())
-    val oldN = t(s"ivfencode_OLD_maxby_struct_n=$n,k=$k") {
-      vecs.select("id", "vec").crossJoin(broadcast(centroids))
-        .withColumn("cos",
-          graft.functions.cosine_similarity(col("vec"), col("cvec")))
-        .groupBy("id")
-        .agg(max_by(col("cid"), struct(col("cos"), col("cid"))).as("cid"),
-          first(col("vec")).as("vec"))
-        .count()
-    }
+    // the OLD side is the deliberately-quadratic sort-fallback shape;
+    // past ~2e9 candidate rows it stops being an A/B and starts being a
+    // stall, so it caps out (printed, never silent) and the stage's value
+    // at big n is exercising the NEW routed path (k > 4096) planted-exact
+    val oldN =
+      if (n.toLong * k > 2000000000L) {
+        println(s"SCALE   ivfencode OLD side SKIPPED: n*k = ${n.toLong * k} " +
+          "candidate rows through a SortAggregate fallback (the retired " +
+          "wall); A/B evidence lives at n=1M")
+        n.toLong
+      } else t(s"ivfencode_OLD_maxby_struct_n=$n,k=$k") {
+        vecs.select("id", "vec").crossJoin(broadcast(centroids))
+          .withColumn("cos",
+            graft.functions.cosine_similarity(col("vec"), col("cvec")))
+          .groupBy("id")
+          .agg(max_by(col("cid"), struct(col("cos"), col("cid"))).as("cid"),
+            first(col("vec")).as("vec"))
+          .count()
+      }
     val packed = t(s"ivfencode_NEW_packed_n=$n,k=$k") {
       val a = IvfIndex.assign(vecs.select("id", "vec"), centroids, k)
       (a.count(), a)
