@@ -49,7 +49,7 @@ object OracleFeed {
   /** Best-effort removal of run dirs from dead JVMs (>24 h old, judged by
     * the startMillis embedded in the dir name — no filesystem mtime
     * dependence). Failures are ignored: another live run may hold a dir. */
-  private def sweepStale(): Unit = try {
+  private[queries] def sweepStale(): Unit = try {
     val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
     val kids = new java.io.File(userRoot).listFiles()
     if (kids != null) kids.foreach { d =>
