@@ -248,9 +248,15 @@ object Bench {
     }
     val results = resultPairs.map { case (n, (t, _)) => n -> t }
     // normalized to reference host speed via the sample's OWN canary
-    // (min-of-2 adjacent runs — the most local host-speed estimate)
+    // (min-of-2 adjacent runs — the most local host-speed estimate).
+    // SUSPECT queries (no canary-clean sample) are NOT deflated: their
+    // only samples came from inside a slow window, and scaling a
+    // gate-failing sample by its 3x-inflated canary would assume the
+    // inflation applied proportionally to the query — overstating
+    // improvement exactly when the host was worst. They enter the
+    // normalized map at raw seconds and stay listed in "suspect".
     val normalized = resultPairs.map { case (n, (t, c)) =>
-      n -> (if (c > 0) t * (CanaryRefSec / c) else t)
+      n -> (if (best.contains(n) && c > 0) t * (CanaryRefSec / c) else t)
     }
 
     // 3-decimal seconds: ~40% shorter line (the full-precision doubles

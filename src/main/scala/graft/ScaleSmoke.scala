@@ -859,13 +859,25 @@ object ScaleSmoke {
             first(col("vec")).as("vec"))
           .count()
       }
-    val packed = t(s"ivfencode_NEW_packed_n=$n,k=$k") {
-      val a = IvfIndex.assign(vecs.select("id", "vec"), centroids, k)
-      (a.count(), a)
+    // leg 1 — the A/B against OLD (both sides: full assignment, count
+    // action): isolates the aggregate shape, the thing being retired
+    val newN = t(s"ivfencode_NEW_packed_n=$n,k=$k") {
+      IvfIndex.assign(vecs.select("id", "vec"), centroids, k).count()
     }
-    val miss = packed._2.join(vecs.select(col("id"), col("own")), "id")
+    // leg 2 — materialize through parquet for the miss audit, not a
+    // recompute (the semroute lesson); timed separately so the write
+    // cost never muddies the A/B
+    val encPath = java.nio.file.Files
+      .createTempDirectory("graft_ivfencode_smoke").toString + "/assigned"
+    val packed = t(s"ivfencode_NEW_materialize_n=$n") {
+      IvfIndex.assign(vecs.select("id", "vec"), centroids, k)
+        .write.mode("overwrite").parquet(encPath)
+      spark.read.parquet(encPath)
+    }
+    val miss = packed.select(col("id"), col("cid"))
+      .join(vecs.select(col("id"), col("own")), "id")
       .filter(col("cid") =!= col("own")).count()
-    require(oldN == n && packed._1 == n, s"row drop: old=$oldN new=${packed._1}")
+    require(oldN == n && newN == n, s"row drop: old=$oldN new=$newN")
     println(s"SCALE   ivfencode planted-miss=$miss of $n " +
       s"(${if (miss == 0) "EXACT" else "MISS"})")
     vecs.unpersist(); centroids.unpersist()

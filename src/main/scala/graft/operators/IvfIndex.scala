@@ -42,13 +42,6 @@ object IvfIndex {
   private def listsDir(indexDir: String) = s"$indexDir/lists"
   private def centroidsDir(indexDir: String) = s"$indexDir/centroids"
 
-  /** Past this many centroids, [[assign]] routes through the
-    * [[SemDedup.assignRouted]] √k super-centroid hierarchy instead of
-    * scanning all k per vector — the same dispatch threshold as
-    * [[SemDedup.assignScored]], so the two k-means surfaces share one
-    * scale seam. */
-  private[operators] val RoutedThreshold = 4096
-
   /** Assign each (id, vec) to its max-cosine centroid, returning
     * `(id, cid, vec)`.
     *
@@ -61,25 +54,32 @@ object IvfIndex {
     * N·k candidate relation per pass (RUNTIME.md §6; replacing the same
     * shape in SemDedup measured 160 s → 9.8 s at 1 M×2442).
     *
-    * Dispatch on `k`: at or below [[RoutedThreshold]] the flat path
-    * scans all k broadcast centroids per vector; above it — auto-sized
-    * k ∝ N makes the flat scan quadratic in N — assignment routes
-    * through the two-level super-centroid hierarchy, O((1+nprobe)·√k)
-    * per vector. Both paths keep the vector in the same aggregate
-    * (`keepV`), so the list-encode pass never joins back to the corpus.
+    * The argmax output is skinny `(id, cid)`; the vector the list write
+    * needs comes from ONE hash join back to `vecs` on `id`. That join is
+    * deliberate, not avoidable overhead: carrying `vec` through the
+    * aggregate itself (`first(v)`) would put an array in the aggregate
+    * buffer, which is non-mutable and silently demotes the whole
+    * aggregate to SortAggregate over the N·k candidate relation WITH the
+    * vector payload on every row — the exact wall being retired (plan
+    * verified; see the [[SemDedup.argmaxPacked]] scaladoc).
+    *
+    * Dispatch on `k` (the [[SemDedup.RoutedThreshold]] shared seam): at
+    * or below it the flat path scans all k broadcast centroids per
+    * vector; above it — auto-sized k ∝ N makes the flat scan quadratic
+    * in N — assignment routes through the two-level super-centroid
+    * hierarchy, O((1+nprobe)·√k) per vector.
     */
   private[graft] def assign(vecs: DataFrame, centroids: DataFrame,
                             k: Int): DataFrame = {
     val v = vecs.select(col("id"), col("vec").as("v"))
     val asg =
-      if (k <= RoutedThreshold)
+      if (k <= SemDedup.RoutedThreshold)
         SemDedup.argmaxPacked(
           v.crossJoin(broadcast(centroids))
             .withColumn("cos",
-              round(cosine_similarity(col("v"), col("cvec")), 3)),
-          keepV = true)
-      else SemDedup.assignRouted(v, "id", "v", centroids, keepV = true)
-    asg.select(col("id"), col("cid"), col("v").as("vec"))
+              round(cosine_similarity(col("v"), col("cvec")), 3)))
+      else SemDedup.assignRouted(v, "id", "v", centroids)
+    asg.select("id", "cid").join(vecs, "id")
   }
 
   /** Build the index at `indexDir`. `k` lists, `iterations` Lloyd rounds

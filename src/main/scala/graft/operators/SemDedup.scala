@@ -35,6 +35,12 @@ import graft.functions.cosine_similarity
   */
 object SemDedup {
 
+  /** The flat→routed assignment dispatch threshold shared by every
+    * k-means surface ([[assign]]/[[assignScored]] here and
+    * [[IvfIndex.assign]]): one constant, so the two surfaces cannot
+    * silently pick different paths for the same geometry. */
+  private[operators] val RoutedThreshold = 4096
+
   /** Assign each vector to its max-cosine centroid.
     *
     * `centroids` is `(cid int, cvec array<float>)` — k rows. Returns
@@ -51,7 +57,7 @@ object SemDedup {
     * and the dispatch is invisible to downstream [[report]] semantics.
     */
   def assign(embs: DataFrame, idCol: String, vecCol: String,
-             centroids: DataFrame, routedThreshold: Int = 4096,
+             centroids: DataFrame, routedThreshold: Int = RoutedThreshold,
              nprobe: Int = 8): DataFrame =
     assignScored(embs, idCol, vecCol, centroids, routedThreshold, nprobe)
       .select("id", "cid")
@@ -64,7 +70,7 @@ object SemDedup {
     */
   private[graft] def assignScored(embs: DataFrame, idCol: String,
                                   vecCol: String, centroids: DataFrame,
-                                  routedThreshold: Int = 4096,
+                                  routedThreshold: Int = RoutedThreshold,
                                   nprobe: Int = 8): DataFrame =
     if (centroids.count() <= routedThreshold)
       argmaxPacked(embs.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -89,30 +95,30 @@ object SemDedup {
     * (both are the nearest double to the same 3-decimal value), so the
     * cross-engine oracle convention is unchanged.
     *
-    * `keepV = true` carries the vector column `v` through the aggregate
-    * (`first(v)` — one value per id, so "first" is exact, not
-    * order-dependent) for callers that consume the assignment WITH the
-    * vector, like [[IvfIndex]]'s list-encode pass: keeping `v` in the
-    * same HashAggregate beats a post-hoc N-row join back to the corpus.
+    * The output is DELIBERATELY skinny — `(id, cid, proto)`, never the
+    * vector: any array-valued aggregate buffer (even `first(v)`) is
+    * non-mutable, which silently demotes the whole aggregate from
+    * HashAggregate to SortAggregate — re-importing the fallback wall
+    * with the vector payload duplicated across every candidate row
+    * (empirically confirmed: `max(key), first(v)` plans as
+    * SortAggregate). Callers that need the vector join this skinny
+    * result back to the corpus on `id` — one hash join of two N-row
+    * relations, which at scale is strictly cheaper than sorting the
+    * N·k (or N·nprobe·√k) candidate relation.
     */
-  private[operators] def argmaxPacked(cand: DataFrame,
-                                      keepV: Boolean = false): DataFrame = {
-    val aggs = Seq(max("key").as("key")) ++
-      (if (keepV) Seq(first(col("v")).as("v")) else Nil)
-    val out = Seq(col("id"),
-      (lit(2147483647L) - col("s")).cast("int").as("cid"),
-      (((col("key") - col("s")) / PackBase).cast("long") / 1000.0)
-        .as("proto")) ++ (if (keepV) Seq(col("v")) else Nil)
+  private[operators] def argmaxPacked(cand: DataFrame): DataFrame =
     cand
       // cos is round(x,3): ×1000 lands within 1e-10 of an integer; the
       // 0-decimal round snaps it exactly
       .withColumn("key",
         round(col("cos") * 1000, 0).cast("long") * PackBase +
           (lit(2147483647L) - col("cid")))
-      .groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .groupBy("id").agg(max("key").as("key"))
       .withColumn("s", pmod(col("key"), lit(PackBase)))
-      .select(out: _*)
-  }
+      .select(col("id"),
+        (lit(2147483647L) - col("s")).cast("int").as("cid"),
+        (((col("key") - col("s")) / PackBase).cast("long") / 1000.0)
+          .as("proto"))
 
   /** Two-level routed assignment — the >10⁸-vector scale path.
     *
@@ -153,8 +159,7 @@ object SemDedup {
     */
   def assignRouted(embs: DataFrame, idCol: String, vecCol: String,
                    centroids: DataFrame, nprobe: Int = 8,
-                   superIterations: Int = 2,
-                   keepV: Boolean = false): DataFrame = {
+                   superIterations: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.{top_n_by, vector_avg}
     val g = math.max(1L, math.ceil(math.sqrt(
@@ -176,11 +181,21 @@ object SemDedup {
           coalesce(col("new.gvec"), col("old.gvec")).as("gvec"))
     }
     val memb = routeMembership(centroids, supers)
+    // Route vectors ONLY among supers that actually hold member
+    // centroids: an empty super (kept at its stale position after a
+    // memberless Lloyd round) can still WIN a vector's top-nprobe
+    // routing cosines, and if all nprobe routed supers were empty the
+    // membership join below would emit zero candidates for that vector —
+    // silently dropping it from the assignment (a row the flat path can
+    // never lose). Filtering supers to the live set makes every routed
+    // super contribute >= 1 candidate, so the assignment is total by
+    // construction.
+    val liveSupers = supers.join(memb.select("gid").distinct(), "gid")
 
     // -- route: top-nprobe supers per vector, bounded map-side partials
     val np = math.min(nprobe, g)
     val routed = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(supers))
+      .crossJoin(broadcast(liveSupers))
       .withColumn("gcos", cosine_similarity(col("v"), col("gvec")))
       .groupBy("id")
       .agg(top_n_by(col("gid"), col("gcos"), np).as("gids"),
@@ -191,8 +206,7 @@ object SemDedup {
       routed.select(col("id"), col("v"), explode(col("gids")).as("gid"))
         .join(broadcast(memb), Seq("gid"))
         .withColumn("cos",
-          round(cosine_similarity(col("v"), col("cvec")), 3)),
-      keepV = keepV)
+          round(cosine_similarity(col("v"), col("cvec")), 3)))
   }
 
   /** Each centroid's super assignment: `(gid, cid, cvec)` — raw-cosine

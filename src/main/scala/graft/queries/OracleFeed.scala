@@ -46,15 +46,25 @@ object OracleFeed {
     s"$userRoot/run-${rt.getName.takeWhile(_ != '@')}-${rt.getStartTime}"
   }
 
-  /** Best-effort removal of run dirs from dead JVMs (>24 h old, judged by
-    * the startMillis embedded in the dir name — no filesystem mtime
-    * dependence). Failures are ignored: another live run may hold a dir. */
+  /** Best-effort removal of run dirs from DEAD JVMs: >24 h old by the
+    * startMillis embedded in the dir name (no filesystem mtime
+    * dependence) AND the embedded pid no longer alive (`/proc/<pid>`
+    * check — a >24 h Verify/Bench that is still mid-suite keeps its
+    * feeds; POSIX delete would otherwise succeed under it and its
+    * oracle pass would read nothing). Where /proc is unavailable the
+    * age rule alone applies. Failures are ignored. */
   private[queries] def sweepStale(): Unit = try {
     val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    val procfs = new java.io.File("/proc").isDirectory
+    def alive(pid: String): Boolean =
+      procfs && pid.nonEmpty && new java.io.File(s"/proc/$pid").exists()
     val kids = new java.io.File(userRoot).listFiles()
     if (kids != null) kids.foreach { d =>
-      val started = d.getName.split("-").lastOption.flatMap(_.toLongOption)
-      if (started.exists(_ < cutoff)) deleteRecursively(d)
+      // dir name shape: run-<pid>-<startMillis>
+      val parts = d.getName.split("-")
+      val started = parts.lastOption.flatMap(_.toLongOption)
+      val pid = if (parts.length >= 3) parts(1) else ""
+      if (started.exists(_ < cutoff) && !alive(pid)) deleteRecursively(d)
     }
   } catch { case _: Exception => () }
 

@@ -48,7 +48,13 @@ object PubSubConnect {
   final class Connection(val channel: Option[ManagedChannel],
                          val client: PubSubClient,
                          val writer: ChangeEventLogWriter,
-                         val handle: SubscriptionHandle[PubSubProto.FetchRequest]) {
+                         val handle: SubscriptionHandle[PubSubProto.FetchRequest],
+                         terminal: java.util.concurrent.atomic.AtomicReference[Option[String]]) {
+    /** Non-empty once the stream has terminally ended (server error or
+      * orderly end-of-stream) — the supervisor signal: a one-pump worker
+      * whose stream died must exit and be restarted, not sleep looking
+      * healthy while zero events land. */
+    def terminalReason: Option[String] = terminal.get()
     def close(): Unit = {
       handle.close()
       channel.foreach { ch =>
@@ -92,12 +98,41 @@ object PubSubConnect {
     val creds = PubSubGrpc.authCallCredentials(meta.accessToken,
       meta.instanceUrl, tenant)
     val owned = if (channelOverride.isDefined) None else Some(channel(cfg))
-    val ch: Channel = channelOverride.getOrElse(owned.get)
-    val client = new PubSubClient(ch, creds)
-    val writer = new ChangeEventLogWriter(cfg.logDir)
-    val handle = client.subscribe(cfg.topic, writer, cfg.replayPreset,
-      cfg.replayId, cfg.numRequested)
-    new Connection(owned, client, writer, handle)
+    try {
+      val ch: Channel = channelOverride.getOrElse(owned.get)
+      val client = new PubSubClient(ch, creds)
+      val writer = new ChangeEventLogWriter(cfg.logDir)
+      // terminal-state monitor around the writer: the writer keeps its
+      // no-op onError/onEnd (the DSv2 log contract), the connection
+      // records WHY the stream died so a supervisor loop can act
+      val terminal =
+        new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+      val monitored = new SubscribeHandler {
+        override def onEvents(events: Seq[PubSubProto.ConsumerEvent],
+                              latest: Long): Unit =
+          writer.onEvents(events, latest)
+        override def onKeepalive(latest: Long, pending: Int): Unit =
+          writer.onKeepalive(latest, pending)
+        override def onError(status: org.sparkproject.connect.grpc.Status): Unit = {
+          writer.onError(status)
+          terminal.set(Some(s"stream error: ${status.getCode} ${
+            Option(status.getDescription).getOrElse("")}"))
+        }
+        override def onEnd(): Unit = {
+          writer.onEnd()
+          terminal.set(Some("server ended the stream"))
+        }
+      }
+      val handle = client.subscribe(cfg.topic, monitored, cfg.replayPreset,
+        cfg.replayId, cfg.numRequested)
+      new Connection(owned, client, writer, handle, terminal)
+    } catch {
+      // don't leak the owned channel's threads/sockets when the writer
+      // or the subscribe request throws mid-assembly
+      case e: Throwable =>
+        owned.foreach(_.shutdownNow())
+        throw e
+    }
   }
 
   /** PKCS#8 PEM private key (the JWT flow's signing key), as the
@@ -209,7 +244,13 @@ object PubSubConnect {
     println(s"subscribed topic=${cfg.topic} -> ${cfg.logDir} " +
       s"(lastReplayId=${conn.handle.lastReplayId})")
     sys.addShutdownHook(conn.close())
-    // pump runs on gRPC's transport threads; keep the JVM alive
-    while (true) Thread.sleep(60000)
+    // pump runs on gRPC's transport threads; keep the JVM alive but
+    // EXIT on a dead stream (expired token, network cut, server end) so
+    // a supervisor restarts the worker instead of it sleeping forever
+    // looking healthy while zero events land
+    while (conn.terminalReason.isEmpty) Thread.sleep(1000)
+    System.err.println(s"subscription terminated: ${conn.terminalReason.get}")
+    conn.close()
+    sys.exit(1)
   }
 }

@@ -254,12 +254,20 @@ class PubSubClient(channel: Channel, creds: CallCredentials) {
     // returns the request stream the handle wraps (an immediate
     // UNAUTHENTICATED close lands onError on the channel executor while
     // this thread is still between the two statements) — so callbacks
-    // wait on the ready latch instead of reading a maybe-null var.
-    // Callbacks never run on this thread (the channel executor is
-    // pooled, never direct), so the await cannot deadlock.
+    // wait on the ready latch instead of reading a maybe-null var. On a
+    // pooled channel executor (the default) the await is momentary; on a
+    // directExecutor channel the callback would run ON the constructing
+    // thread and the await could never be satisfied — the timed await
+    // turns that misconfiguration into a loud failure, not a deadlock.
     var handle: SubscriptionHandle[FetchRequest] = null
     val ready = new java.util.concurrent.CountDownLatch(1)
-    def h: SubscriptionHandle[FetchRequest] = { ready.await(); handle }
+    def h: SubscriptionHandle[FetchRequest] = {
+      if (!ready.await(60, java.util.concurrent.TimeUnit.SECONDS))
+        throw new IllegalStateException(
+          "subscription callback before the handle was ready for 60s — " +
+            "is the channel using directExecutor()? Use a pooled executor.")
+      handle
+    }
     val requests = ClientCalls.asyncBidiStreamingCall(call,
       new StreamObserver[FetchResponse] {
         override def onNext(resp: FetchResponse): Unit = {
@@ -309,10 +317,17 @@ class PubSubClient(channel: Channel, creds: CallCredentials) {
     val infinite = numRequested.isEmpty
     val call = channel.newCall(ManagedSubscribeMethod, callOptions)
     // same handle-ready latch as subscribe(): callbacks can beat the
-    // handle assignment when the server closes the stream immediately
+    // handle assignment when the server closes the stream immediately,
+    // and the timed await fails loud on a directExecutor channel
     var handle: SubscriptionHandle[ManagedFetchRequest] = null
     val ready = new java.util.concurrent.CountDownLatch(1)
-    def h: SubscriptionHandle[ManagedFetchRequest] = { ready.await(); handle }
+    def h: SubscriptionHandle[ManagedFetchRequest] = {
+      if (!ready.await(60, java.util.concurrent.TimeUnit.SECONDS))
+        throw new IllegalStateException(
+          "subscription callback before the handle was ready for 60s — " +
+            "is the channel using directExecutor()? Use a pooled executor.")
+      handle
+    }
     val requests = ClientCalls.asyncBidiStreamingCall(call,
       new StreamObserver[ManagedFetchResponse] {
         override def onNext(resp: ManagedFetchResponse): Unit = {

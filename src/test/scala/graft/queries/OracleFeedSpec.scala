@@ -43,9 +43,11 @@ class OracleFeedSpec extends SparkSpec {
 
   test("stale run dirs (>24h by embedded start time) are swept; fresh survive") {
     val userRoot = new File(OracleFeed.Root).getParentFile
-    val old = new File(userRoot, s"run-99999-${
+    // pid 999999999 exceeds every Linux pid_max, so the dir is provably
+    // from a dead JVM and the liveness guard cannot veto the sweep
+    val old = new File(userRoot, s"run-999999999-${
       System.currentTimeMillis() - 25L * 3600 * 1000}")
-    val fresh = new File(userRoot, s"run-99998-${System.currentTimeMillis()}")
+    val fresh = new File(userRoot, s"run-999999998-${System.currentTimeMillis()}")
     assert(old.mkdirs() && fresh.mkdirs())
     new java.io.FileOutputStream(new File(old, "x.parquet")).close()
     OracleFeed.sweepStale() // the real sweep, re-run after init
