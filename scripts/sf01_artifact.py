@@ -13,6 +13,14 @@ Row counts for OK/FAIL oracled queries are read from the verify dump's
 parquet (spark side); oracle_rows is reported equal on OK (check.py
 compared them row-by-row) and None on FAIL (the compare stops at the
 first divergence, so no trustworthy count exists).
+
+Hardened (r15 verdict item 7): the parsed names are validated against
+the DECLARED query set (the verify dump's per-query directories plus
+errors.json keys — everything Verify attempted). A truncated check log
+or a regex drift that silently drops queries now exits non-zero naming
+the missing/unknown entries, instead of emitting a shorter artifact
+that reads as green. Each entry records its provenance (which check.py
+line form produced it, from which input file).
 """
 import json
 import re
@@ -32,6 +40,16 @@ def spark_rows(name):
     return con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
 
 
+def declared_queries():
+    """Everything Verify attempted: one dump dir per succeeded query,
+    one errors.json key per failed one. This is the ground truth the
+    parsed check log must cover exactly."""
+    dirs = {p.name for p in Path(out_dir).iterdir() if p.is_dir()}
+    errs_file = Path(out_dir) / "errors.json"
+    errs = set(json.loads(errs_file.read_text())) if errs_file.exists() else set()
+    return dirs | errs, errs
+
+
 result = {}
 for line in Path(txt).read_text().splitlines():
     m = re.match(r"OK\s+(\S+)\s*$", line)
@@ -39,21 +57,38 @@ for line in Path(txt).read_text().splitlines():
         n = spark_rows(m.group(1))
         result[m.group(1)] = {
             "rows_match": True, "schema_match": True, "hash_match": True,
-            "spark_rows": n, "oracle_rows": n, "err": None}
+            "spark_rows": n, "oracle_rows": n, "err": None,
+            "provenance": f"check:OK <- {txt}"}
         continue
     m = re.match(r"FAIL\s+(\S+)\s+[—-]+\s+(.*)$", line)
     if m:
         result[m.group(1)] = {
             "rows_match": False, "schema_match": False, "hash_match": False,
             "spark_rows": spark_rows(m.group(1)), "oracle_rows": None,
-            "err": m.group(2)[:500]}
+            "err": m.group(2)[:500],
+            "provenance": f"check:FAIL <- {txt}"}
         continue
     m = re.match(r"ROWS\s+(\S+):\s+(\d+)\s*$", line)
     if m:
         result[m.group(1)] = {
             "rows_match": None, "schema_match": None, "hash_match": None,
             "spark_rows": int(m.group(2)), "oracle_rows": None,
-            "err": "no_oracle"}
+            "err": "no_oracle",
+            "provenance": f"check:ROWS <- {txt}"}
+
+declared, verify_errs = declared_queries()
+missing = sorted(declared - set(result))
+unknown = sorted(set(result) - declared)
+if missing or unknown:
+    if missing:
+        print(f"ERROR: {len(missing)} declared queries absent from the "
+              f"check log (truncated log?): {', '.join(missing[:10])}"
+              f"{' ...' if len(missing) > 10 else ''}", file=sys.stderr)
+    if unknown:
+        print(f"ERROR: {len(unknown)} parsed names not in the declared set "
+              f"(parser/regex drift?): {', '.join(unknown[:10])}"
+              f"{' ...' if len(unknown) > 10 else ''}", file=sys.stderr)
+    sys.exit(2)
 
 Path(out_json).write_text(json.dumps(dict(sorted(result.items())), indent=1))
 ok = sum(1 for v in result.values() if v["hash_match"])

@@ -120,12 +120,25 @@ object Bench {
         try {
           val v = PlanAudit.violations(fn(spark, sfDir).queryExecution.executedPlan)
           if (v.nonEmpty) Some(name -> v) else None
-        } catch { case _: Throwable => None }
+        } catch { case _: Throwable =>
+          // the query may have published only SOME of its oracle-feed
+          // tables at the target SF before throwing — drop them from the
+          // publish-once memo so the timed path re-publishes a coherent set
+          queries.OracleFeed.invalidate(name)
+          None
+        }
       }
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.catalog.clearCache()
       out
     }
+    // The plan-audit pass above invoked every query lambda once, so every
+    // OracleFeed table is already published (untimed). From here on,
+    // re-publishes are skipped: the fed queries' timed samples measure
+    // the query, not the correctness gate's coalesce(1) write+read-back
+    // (r15 verdict item 3 — ns_quality_lr_score carried +0.53 s of feed
+    // write per sample).
+    queries.OracleFeed.enablePublishOnce()
 
     // Canary: fixed CPU-bound work across all cores — a faithful proxy for
     // the slow-window symptom ("every task ~4× slower"). Baseline = min of
@@ -271,16 +284,32 @@ object Bench {
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val drift = canaryStartup > 1.5 * canaryBase
+    // Two DISTINCT drift truths (r15 verdict: the single startup flag
+    // read as "clean window" on a run whose mid-run ambient was 2×):
+    //  - startup drift: the startup baseline was >1.5× the final rolling
+    //    min — the run STARTED inside a slow window; samples were
+    //    re-classified against the final baseline, so reported times are
+    //    still clean unless listed in "suspect".
+    //  - ambient drift: some pass's MEDIAN canary ran >1.2× the final
+    //    base (the r13 clean-window criterion) — the host was slow for a
+    //    sustained stretch MID-run. Raw seconds from such a pass are
+    //    inflated even when each sample clears the 3× gate; the
+    //    normalized column is the comparable number. Only passes with
+    //    >= 5 canary observations vote (a 2-observation re-sample pass
+    //    median is noise, and pass 1 always qualifies at suite size).
+    // The headline canary_drift is the OR — a false flag now certifies
+    // both truths at once and cannot over-claim.
+    val driftStartup = canaryStartup > 1.5 * canaryBase
+    val driftAmbient = passLedger.exists { case (_, _, cs) =>
+      cs.size >= 5 && { val s = cs.sorted; s(s.size / 2) > 1.2 * canaryBase }
+    }
+    val drift = driftStartup || driftAmbient
     val pvJson = planViolations
       .map { case (k, vs) => "\"" + k + "\":" + jArr(vs) }.mkString("{", ",", "}")
-    // canary_drift SEMANTICS (field is a flag, this is its contract):
-    // true means the startup canary baseline was >1.5× the final rolling
-    // min — the run STARTED inside a slow window; all samples were
-    // re-classified against the final (tightest) baseline, so reported
-    // times are still clean unless they appear in "suspect". The ledger
-    // below gives per-pass canary min/med/max and the re-sampled query
-    // names, so the flag is adjudicable from the artifact alone.
+    // canary_drift = canary_drift_startup || canary_drift_ambient (see
+    // the flag definitions above). The ledger below gives per-pass canary
+    // min/med/max and the re-sampled query names, so both flags are
+    // adjudicable from the artifact alone.
     val ledgerJson = passLedger.map { case (p, resampled, cs) =>
       val sorted = cs.sorted
       val med = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
@@ -293,7 +322,7 @@ object Bench {
       s"""{"pass":$p,"sampled":${cs.size},"canary_min":${fmt(if (sorted.isEmpty) 0.0 else sorted.head)},"canary_med":${fmt(med)},"canary_max":${fmt(if (sorted.isEmpty) 0.0 else sorted.last)},"resampled_n":${resampled.size},"resampled":${jArr(names)}}"""
     }.mkString("[", ",", "]")
     val totalNorm = if (normalized.nonEmpty) normalized.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_normalized":${fmt(totalNorm)},"canary_ref_sec":${fmt(CanaryRefSec)},"queries":$qs,"queries_normalized":$qsNorm,"sf":"$sfDir","policy":"min-of-2-separate-passes-canary-gated-rolling","canary_base_sec":${fmt(canaryBase)},"canary_base_startup_sec":${fmt(canaryStartup)},"canary_drift":$drift,"canary_drift_means":"startup baseline >1.5x final rolling min; samples re-classified against final baseline, see canary_ledger","canary_ledger":$ledgerJson,"passes":$pass,"skipped":${jArr(skip.toSeq.sorted)},"suspect":${jArr(suspect)},"failed":${jArr(failed)},"errors":$errJson,"plan_violations":$pvJson}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_normalized":${fmt(totalNorm)},"canary_ref_sec":${fmt(CanaryRefSec)},"queries":$qs,"queries_normalized":$qsNorm,"sf":"$sfDir","policy":"min-of-2-separate-passes-canary-gated-rolling","canary_base_sec":${fmt(canaryBase)},"canary_base_startup_sec":${fmt(canaryStartup)},"canary_drift":$drift,"canary_drift_startup":$driftStartup,"canary_drift_ambient":$driftAmbient,"canary_drift_means":"drift = startup (baseline >1.5x final rolling min; samples re-classified against final baseline) OR ambient (some pass median canary >1.2x final base; raw secs inflated, use queries_normalized); see canary_ledger","canary_ledger":$ledgerJson,"passes":$pass,"skipped":${jArr(skip.toSeq.sorted)},"suspect":${jArr(suspect)},"failed":${jArr(failed)},"errors":$errJson,"plan_violations":$pvJson}"""
     // Belt and braces against capture truncation: the full line also lands
     // in a committable file.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

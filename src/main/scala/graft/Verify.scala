@@ -27,7 +27,11 @@ object Verify {
       // runtime re-planning targets data volumes the testdata never
       // reaches — while Bench keeps it ON because that is the posture
       // the plans are audited under for the 100 TB story.
-      .config("spark.sql.adaptive.enabled", "false")
+      // GRAFT_VERIFY_AQE=1 (r15 verdict item 4) flips the gate to the
+      // bench's AQE-on posture, so the hash gate periodically exercises
+      // the planner configuration the published numbers ship under.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.get("GRAFT_VERIFY_AQE").contains("1").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

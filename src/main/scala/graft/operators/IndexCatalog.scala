@@ -63,12 +63,22 @@ object IndexCatalog {
     * default to "v1".
     */
   private val algoVersions = Map(
-    "ann-lsh" -> "v1", "ann-ivf" -> "v1", "ann-pq" -> "v1",
-    "ann-ivfpq" -> "v1", "minhash" -> "v1", "minhashupd" -> "v1",
+    "ann-lsh" -> "v1",
+    // v2 (round 16): the r15 assignment-law change — raw-cosine
+    // max_by ties-to-LARGER-cid became rounded-3 cosine ties-to-SMALLER
+    // cid, and encode past k=4096 dispatches to the approximate routed
+    // hierarchy. Per this registry's own contract that is a builder
+    // arithmetic change: a v1 artifact's lists/centroids were assigned
+    // under the old law, so serving them to v2 probe code would break
+    // the "rebuilt index is byte-identical" determinism story.
+    // "ann-ivfpq" bumps with "ann-ivf": its coarse lists come from
+    // IvfIndex.build, so the same law change is baked into its artifact.
+    "ann-ivf" -> "v2", "ann-pq" -> "v1",
+    "ann-ivfpq" -> "v2", "minhash" -> "v1", "minhashupd" -> "v1",
     "bm25" -> "v1", "bm25upd" -> "v1",
     "bm25merge" -> "v1", "bpe" -> "v1", "nb-quality" -> "v1",
     "unigram" -> "v1", "dup-clusters" -> "v1", "sem-clusters" -> "v1",
-    "semdedup-kmeans" -> "v1", "knn-intdot" -> "v1")
+    "semdedup-kmeans" -> "v2", "knn-intdot" -> "v1")
 
   // test hook: simulate a version bump without editing the registry
   private val versionOverrides = new ConcurrentHashMap[String, String]()

@@ -68,6 +68,15 @@ object IvfIndex {
     * vector; above it — auto-sized k ∝ N makes the flat scan quadratic
     * in N — assignment routes through the two-level super-centroid
     * hierarchy, O((1+nprobe)·√k) per vector.
+    *
+    * PRECONDITION: `id` is unique in `vecs`. The skinny-argmax +
+    * join-back shape emits one output row PER MATCHING vecs ROW — with a
+    * duplicate id the old groupBy shape emitted one row, this one fans
+    * out, silently inflating the list write. Every caller satisfies this
+    * (ids are primary keys of the corpus tables); NOT checked at runtime
+    * — an exact check is a full extra aggregate on the hot encode path,
+    * and dedup-by-id here would silently pick an arbitrary vector per
+    * id, which is worse than the fan-out it hides.
     */
   private[graft] def assign(vecs: DataFrame, centroids: DataFrame,
                             k: Int): DataFrame = {

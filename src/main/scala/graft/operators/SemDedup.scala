@@ -39,7 +39,7 @@ object SemDedup {
     * k-means surface ([[assign]]/[[assignScored]] here and
     * [[IvfIndex.assign]]): one constant, so the two surfaces cannot
     * silently pick different paths for the same geometry. */
-  private[operators] val RoutedThreshold = 4096
+  private[graft] val RoutedThreshold = 4096
 
   /** Assign each vector to its max-cosine centroid.
     *
@@ -64,19 +64,43 @@ object SemDedup {
 
   /** [[assign]] keeping the winning cosine: `(id, cid, proto)` — `proto`
     * is the assignment's max rounded cosine (the prototypicality score of
-    * [[prototypePrune]]). Same flat/routed dispatch as [[assign]]; the
-    * k-row `count()` that drives the dispatch is paid per call, so cache
-    * `centroids` if its lineage is expensive.
+    * [[prototypePrune]]). Same flat/routed dispatch as [[assign]].
+    * Centroids are snapshotted through [[localizeCentroids]] first, so
+    * the dispatch count and every downstream reference cost ONE
+    * evaluation of the caller's centroid lineage total (r15 ADVICE: the
+    * count() used to be paid per call ON TOP of the routed path's
+    * 2·superIterations+3 lineage re-evaluations).
     */
   private[graft] def assignScored(embs: DataFrame, idCol: String,
                                   vecCol: String, centroids: DataFrame,
                                   routedThreshold: Int = RoutedThreshold,
-                                  nprobe: Int = 8): DataFrame =
-    if (centroids.count() <= routedThreshold)
+                                  nprobe: Int = 8): DataFrame = {
+    val (cents, k) = localizeCentroids(centroids)
+    if (k <= routedThreshold)
       argmaxPacked(embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-        .crossJoin(broadcast(centroids))
+        .crossJoin(broadcast(cents))
         .withColumn("cos", round(cosine_similarity(col("v"), col("cvec")), 3)))
-    else assignRouted(embs, idCol, vecCol, centroids, nprobe)
+    else assignRouted(embs, idCol, vecCol, cents, nprobe)
+  }
+
+  /** Snapshot a k-row `(cid, cvec)` relation into a driver-local
+    * LocalRelation, returning it with its row count: ONE evaluation of
+    * the input's lineage, after which the dispatch `count()`, the flat
+    * path's broadcast, and [[assignRouted]]'s 2·`superIterations`+3
+    * references are all free re-reads of local rows. The collect is
+    * bounded by the same ceiling the assignment already carries — both
+    * paths broadcast the k-row relation to every task, so a centroid set
+    * that cannot sit on the driver could not be broadcast either (past
+    * that ceiling, shuffle on `gid` per the [[assignRouted]] scaladoc —
+    * and skip this snapshot).
+    */
+  private def localizeCentroids(centroids: DataFrame): (DataFrame, Int) = {
+    val proj = centroids.select(col("cid"), col("cvec"))
+    val rows = proj.collect()
+    val local = centroids.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), proj.schema)
+    (local, rows.length)
+  }
 
   private val PackBase = 4294967296L // 2^32
 
@@ -143,9 +167,10 @@ object SemDedup {
     * the flat path EXACTLY (identical rounded-3 / smaller-cid law) —
     * the spec's equivalence anchor.
     *
-    * Scale notes: `centroids` is referenced 2·`superIterations`+3 times
-    * (cache it if its lineage is expensive — [[reportKMeans]] reads it
-    * from parquet, which is fine); the membership join broadcasts the
+    * Scale notes: the centroid relation is snapshotted to a
+    * LocalRelation on entry ([[localizeCentroids]]) — its
+    * 2·`superIterations`+3 references in this body cost one evaluation
+    * of the caller's lineage total; the membership join broadcasts the
     * k-row (gid, cid, cvec) relation, which holds to k ≈ 10⁷ at dim 64
     * — past the broadcast ceiling, drop the hint and let the join
     * shuffle on `gid` (both sides are gid-keyed; vectors carry ≤ nprobe
@@ -158,12 +183,18 @@ object SemDedup {
     * than once, as ScaleSmoke's `semroute` stage does.
     */
   def assignRouted(embs: DataFrame, idCol: String, vecCol: String,
-                   centroids: DataFrame, nprobe: Int = 8,
+                   rawCentroids: DataFrame, nprobe: Int = 8,
                    superIterations: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.{top_n_by, vector_avg}
+    // snapshot once: this body references the centroid relation
+    // 2·superIterations+3 times (count, seeds, each Lloyd round's
+    // membership, the final membership) — against a raw caller lineage
+    // each reference would re-run it (when called via [[assignScored]]
+    // the input is already local and this is a k-row local re-read)
+    val (centroids, kCount) = localizeCentroids(rawCentroids)
     val g = math.max(1L, math.ceil(math.sqrt(
-      centroids.count().toDouble)).toLong).toInt
+      kCount.toDouble)).toLong).toInt
 
     // -- level-2 build: deterministic mini-k-means over the k centroid
     // rows (seeds = smallest xxhash64(cid); Lloyd via vector_avg; empty

@@ -76,10 +76,43 @@ object OracleFeed {
 
   private def dir(query: String, table: String) = s"$Root/$query/$table"
 
-  /** Publish one feed table (overwrite) and return the input unchanged
-    * so call sites can feed mid-pipeline. */
-  def publish(query: String, table: String, df: DataFrame): Unit =
-    df.coalesce(1).write.mode("overwrite").parquet(dir(query, table))
+  /** Publish-once mode (r15 verdict item 3): with it ON, a (query,
+    * table) pair that this JVM already published is NOT re-written —
+    * [[graft.Bench]] enables it AFTER its untimed plan-audit pass (which
+    * invokes every query lambda once, paying every feed write outside
+    * the timers), so the 14 fed queries' timed samples stop carrying a
+    * `coalesce(1)` parquet write + read-back that belongs to the
+    * correctness gate, not the query. Sound because feeds are
+    * deterministic in (spark, sfDir), both fixed for a bench run. OFF by
+    * default: Verify runs each query once (nothing to memoize) and specs
+    * legitimately re-publish different content under one key.
+    */
+  private val publishOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val alreadyPublished =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def enablePublishOnce(): Unit = publishOnce.set(true)
+
+  /** Drop a query's feed tables from the publish-once memo, so its next
+    * publish writes again. [[graft.Bench]] calls this when a query THROWS
+    * during the untimed plan-audit pass: that query may have published
+    * only some of its tables at the target SF (the rest still hold the
+    * warmup SF's content), and memoizing that mixed state would freeze it
+    * for the timed samples. */
+  private[graft] def invalidate(query: String): Unit = {
+    val it = alreadyPublished.iterator()
+    while (it.hasNext) if (it.next().startsWith(query + "/")) it.remove()
+  }
+
+  /** Publish one feed table (overwrite); a no-op for keys already
+    * published by this JVM when publish-once mode is on. */
+  def publish(query: String, table: String, df: DataFrame): Unit = {
+    val key = s"$query/$table"
+    if (!(publishOnce.get && alreadyPublished.contains(key))) {
+      df.coalesce(1).write.mode("overwrite").parquet(dir(query, table))
+      alreadyPublished.add(key)
+      ()
+    }
+  }
 
   /** The `read_parquet('…')` operand for this feed table, for oracle
     * SQL construction. */

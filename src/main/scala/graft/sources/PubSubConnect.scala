@@ -49,12 +49,16 @@ object PubSubConnect {
                          val client: PubSubClient,
                          val writer: ChangeEventLogWriter,
                          val handle: SubscriptionHandle[PubSubProto.FetchRequest],
-                         terminal: java.util.concurrent.atomic.AtomicReference[Option[String]]) {
+                         terminal: java.util.concurrent.atomic.AtomicReference[Option[(String, String)]]) {
     /** Non-empty once the stream has terminally ended (server error or
       * orderly end-of-stream) — the supervisor signal: a one-pump worker
       * whose stream died must exit and be restarted, not sleep looking
       * healthy while zero events land. */
-    def terminalReason: Option[String] = terminal.get()
+    def terminalReason: Option[String] = terminal.get().map(_._1)
+    /** The gRPC status code name of the terminal error (`"OUT_OF_RANGE"`,
+      * `"UNAVAILABLE"`, …), or `"OK"` for an orderly server end-of-stream
+      * — the [[supervise]] routing key. */
+    def terminalCode: Option[String] = terminal.get().map(_._2)
     def close(): Unit = {
       handle.close()
       channel.foreach { ch =>
@@ -106,7 +110,7 @@ object PubSubConnect {
       // no-op onError/onEnd (the DSv2 log contract), the connection
       // records WHY the stream died so a supervisor loop can act
       val terminal =
-        new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+        new java.util.concurrent.atomic.AtomicReference[Option[(String, String)]](None)
       val monitored = new SubscribeHandler {
         override def onEvents(events: Seq[PubSubProto.ConsumerEvent],
                               latest: Long): Unit =
@@ -115,12 +119,13 @@ object PubSubConnect {
           writer.onKeepalive(latest, pending)
         override def onError(status: org.sparkproject.connect.grpc.Status): Unit = {
           writer.onError(status)
-          terminal.set(Some(s"stream error: ${status.getCode} ${
-            Option(status.getDescription).getOrElse("")}"))
+          terminal.set(Some((s"stream error: ${status.getCode} ${
+            Option(status.getDescription).getOrElse("")}",
+            status.getCode.name)))
         }
         override def onEnd(): Unit = {
           writer.onEnd()
-          terminal.set(Some("server ended the stream"))
+          terminal.set(Some(("server ended the stream", "OK")))
         }
       }
       val handle = client.subscribe(cfg.topic, monitored, cfg.replayPreset,
@@ -133,6 +138,90 @@ object PubSubConnect {
         owned.foreach(_.shutdownNow())
         throw e
     }
+  }
+
+  /** Supervised subscription loop — the reference worker's restart
+    * posture in-process (`index.ts:83-85` relies on the platform
+    * restarting the crashed worker; the setup doc's retry components run
+    * exponential backoff, `initialBackoffMs` ×2 per attempt,
+    * `maxAttempts` ≈ 4 — Node-based_Salesforce_PubSub_Setup.md
+    * `defaultRetryBehavior`). Instead of exiting on the FIRST dead
+    * stream (the plain `main` path, which delegates every restart to an
+    * external supervisor), this re-dials in-process:
+    *
+    *  - terminal stream error or orderly end → close, back off
+    *    (`initialBackoffMs` · 2^(consecutiveFailures−1)), reconnect
+    *    resuming CUSTOM from the last landed replay id (no events lost
+    *    or re-fetched: the writer already landed everything at or below
+    *    it);
+    *  - `OUT_OF_RANGE` → the resume id has aged past the bus's retention
+    *    window; replaying it is permanently impossible, so the attempt
+    *    routes through `resync` — defaulting to an EARLIEST re-land of
+    *    the topic, the in-process analog of the T3 snapshot-resync path
+    *    ([[graft.streaming.SyncState.resyncIfStale]]; a full deployment
+    *    hooks [[graft.streaming.Bootstrap.snapshotThenStream]] here);
+    *  - a stream that made progress (the server responded at least
+    *    once) resets the failure counter — only CONSECUTIVE dead dials
+    *    escalate toward giving up;
+    *  - `maxConsecutiveFailures` dead dials in a row → give up and
+    *    return 1 for the outer supervisor (the container restart is
+    *    still the last line, as in the reference).
+    *
+    * `channelFactory` dials a fresh transport per attempt (`None` =
+    * the production Netty channel from [[channel]]); `sleep`/`pollMs`
+    * are injectable so the spec can compress time.
+    */
+  def supervise(cfg: Config, http: Auth.HttpExec = Auth.defaultHttp,
+                channelFactory: Option[() => Channel] = None,
+                maxConsecutiveFailures: Int = 4,
+                initialBackoffMs: Long = 500L,
+                pollMs: Long = 1000L,
+                sleep: Long => Unit = Thread.sleep,
+                resync: Config => Config = c =>
+                  c.copy(replayPreset = ReplayPreset.EARLIEST, replayId = None),
+                log: String => Unit = System.err.println): Int = {
+    var current = cfg
+    var consecutiveFailures = 0
+    var resumeId = cfg.replayId.getOrElse(-1L)
+    while (consecutiveFailures < maxConsecutiveFailures) {
+      var progressed = false
+      var outOfRange = false
+      try {
+        val conn = connect(current, http, channelFactory.map(_()))
+        try {
+          log(s"subscribed topic=${current.topic} " +
+            s"preset=${current.replayPreset}" +
+            current.replayId.fold("")(r => s":$r"))
+          while (conn.terminalReason.isEmpty) sleep(pollMs)
+          log(s"subscription terminated: ${conn.terminalReason.get}")
+          // the server responded at least once (events or keepalive) —
+          // a live-then-killed stream, not a dead dial
+          progressed = conn.handle.lastReplayId >= 0
+          if (progressed) resumeId = conn.handle.lastReplayId
+          outOfRange = conn.terminalCode.contains("OUT_OF_RANGE")
+        } finally conn.close()
+      } catch {
+        case e: IllegalArgumentException => throw e // config error: no retry
+        case e: Throwable =>
+          log(s"dial failed: ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
+      }
+      consecutiveFailures = if (progressed) 1 else consecutiveFailures + 1
+      if (consecutiveFailures < maxConsecutiveFailures) {
+        current =
+          if (outOfRange) resync(current)
+          else if (resumeId >= 0)
+            current.copy(replayPreset = ReplayPreset.CUSTOM,
+              replayId = Some(resumeId))
+          else current
+        val backoff = initialBackoffMs << math.min(consecutiveFailures - 1, 20)
+        log(s"resubscribing in ${backoff}ms " +
+          s"(consecutive failures: $consecutiveFailures)" +
+          (if (outOfRange) " via OUT_OF_RANGE resync" else ""))
+        sleep(backoff)
+      }
+    }
+    log(s"giving up after $maxConsecutiveFailures consecutive dead dials")
+    1
   }
 
   /** PKCS#8 PEM private key (the JWT flow's signing key), as the
@@ -182,7 +271,7 @@ object PubSubConnect {
     * shape are all constructed, printed, and torn down without an RPC.
     */
   def main(args: Array[String]): Unit = {
-    val flagNames = Set("--dry-run", "--plaintext")
+    val flagNames = Set("--dry-run", "--plaintext", "--resubscribe")
     val flagSet = scala.collection.mutable.Set[String]()
     val kv = scala.collection.mutable.Map[String, String]()
     var i = 0
@@ -240,6 +329,17 @@ object PubSubConnect {
       return
     }
 
+    if (flags("--resubscribe")) {
+      // in-process supervision (reference parity with the setup doc's
+      // exponential-backoff retry components): re-dial on dead streams,
+      // resume CUSTOM from the last landed replay id, OUT_OF_RANGE →
+      // EARLIEST resync; exit non-zero only after --max-retries
+      // consecutive dead dials
+      sys.exit(supervise(cfg,
+        maxConsecutiveFailures = a.get("max-retries").fold(4)(_.toInt),
+        initialBackoffMs = a.get("backoff-ms").fold(500L)(_.toLong)))
+    }
+
     val conn = connect(cfg)
     println(s"subscribed topic=${cfg.topic} -> ${cfg.logDir} " +
       s"(lastReplayId=${conn.handle.lastReplayId})")
@@ -247,7 +347,8 @@ object PubSubConnect {
     // pump runs on gRPC's transport threads; keep the JVM alive but
     // EXIT on a dead stream (expired token, network cut, server end) so
     // a supervisor restarts the worker instead of it sleeping forever
-    // looking healthy while zero events land
+    // looking healthy while zero events land (--resubscribe supervises
+    // in-process instead)
     while (conn.terminalReason.isEmpty) Thread.sleep(1000)
     System.err.println(s"subscription terminated: ${conn.terminalReason.get}")
     conn.close()

@@ -180,6 +180,38 @@ class SemDedupSpec extends SparkSpec {
       "routed assignment must recover the planted cluster for every vector")
   }
 
+  test("assignScored evaluates the centroid lineage exactly once (flat and routed)") {
+    // r15 ADVICE: the dispatch count() plus the routed path's
+    // 2·superIterations+3 centroid references used to re-run the
+    // caller's centroid lineage each time. localizeCentroids snapshots
+    // it — an accumulator-instrumented lineage must tick exactly k rows
+    // per assignment, regardless of path.
+    val dim = 16
+    def instrumented() = {
+      val acc = spark.sparkContext.longAccumulator("centroid-evals")
+      val tick = udf { (cid: Int) => acc.add(1); cid }
+      val c = spark.range(9).toDF("cid")
+        .select(tick(col("cid").cast("int")).as("cid"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => when(pmod(i, lit(9)) === col("cid"), 1.0f)
+              .otherwise(0.0f)).as("cvec"))
+      (c, acc)
+    }
+    val e = spark.range(30).toDF("id")
+      .withColumn("v", transform(sequence(lit(0), lit(dim - 1)),
+        i => when(i === pmod(col("id"), lit(9)).cast("int"), 1.0f)
+          .otherwise(0.0f)))
+    val (cFlat, accFlat) = instrumented()
+    SemDedup.assignScored(e, "id", "v", cFlat).collect()
+    assert(accFlat.value === 9L,
+      s"flat path evaluated the centroid lineage ${accFlat.value}/9 times")
+    val (cRouted, accRouted) = instrumented()
+    SemDedup.assignScored(e, "id", "v", cRouted,
+      routedThreshold = 4, nprobe = 2).collect()
+    assert(accRouted.value === 9L,
+      s"routed path evaluated the centroid lineage ${accRouted.value}/9 times")
+  }
+
   test("prototypePrune: pruneFrac 0 keeps everything; ranking ties break to the smaller id") {
     val e = emb(
       1L -> Seq(1f, 0f), 2L -> Seq(1f, 0f), 3L -> Seq(1f, 0f),

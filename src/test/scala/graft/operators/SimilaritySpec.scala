@@ -507,6 +507,46 @@ class SimilaritySpec extends SparkSpec {
     assert(withVec.getSeq[Float](2) === Seq(0.6f, 0.8f))
   }
 
+  test("assignment argmax plans HashAggregate, never SortAggregate (the retired wall)") {
+    // The r15 wall re-imported itself once via an innocent `first(v)`
+    // (array buffer demotes the whole aggregate to SortAggregate over the
+    // N·k candidate relation) — this is the automated invariant the r15
+    // verdict asked for: assign/assignScored must plan a HashAggregate
+    // and ZERO SortAggregates, and PlanAudit.violations must catch the
+    // retired shape if it ever comes back.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, SortAggregateExec}
+    val cents = (0 until 8).map(c => (c, Seq(c.toFloat, 1.0f))).toDF("cid", "cvec")
+    val vecs = (0L until 32L).map(i => (i, Seq(i.toFloat, 1.0f))).toDF("id", "vec")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // static plan = the contract
+    try {
+      def check(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+        val plan = df.queryExecution.executedPlan
+        assert(plan.collect { case h: HashAggregateExec => h }.nonEmpty,
+          s"$tag: argmax must plan as HashAggregate")
+        assert(plan.collect { case a: SortAggregateExec => a }.isEmpty,
+          s"$tag: SortAggregate fallback present — the retired N·k wall is back")
+        assert(graft.PlanAudit.violations(plan).isEmpty, s"$tag: PlanAudit violations")
+      }
+      check(IvfIndex.assign(vecs, cents, k = 8), "IvfIndex.assign")
+      check(SemDedup.assignScored(vecs, "id", "vec", cents), "SemDedup.assignScored")
+      // negative control: the retired max_by(struct)+first(v) shape must
+      // trip the new PlanAudit invariant (proves the detector sees the
+      // wall, not just that today's plans happen to be clean)
+      import org.apache.spark.sql.functions.{broadcast, first, max_by, struct}
+      val retired = vecs.crossJoin(broadcast(cents))
+        .withColumn("cos",
+          graft.functions.cosine_similarity(col("vec"), col("cvec")))
+        .groupBy("id")
+        .agg(max_by(col("cid"), struct(col("cos"), col("cid"))).as("cid"),
+          first(col("vec")).as("vec"))
+      val v = graft.PlanAudit.violations(retired.queryExecution.executedPlan)
+      assert(v.contains("sort-agg-over-cross-candidates"),
+        s"detector missed the retired shape (got: $v)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("fused int_dot_q bit-equals the quantize-then-fold reference") {
     // the reference composition (fixedPointQuantize + intDot) and the
     // codegen'd kernel must never drift apart — every real pair of the

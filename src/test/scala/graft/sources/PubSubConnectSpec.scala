@@ -104,6 +104,89 @@ class PubSubConnectSpec extends SparkSpec {
     assert(new java.io.File(logDir).isDirectory)
   }
 
+  test("supervise: server kill -> backoff -> resubscribe -> events resume (OUT_OF_RANGE resync included)") {
+    // The r15 verdict item 6 sequence, in-process: generation A streams
+    // 3 events and dies; the supervisor backs off, resumes CUSTOM from
+    // the last landed replay id against generation B, whose retention
+    // floor has moved past it -> OUT_OF_RANGE routes through the resync
+    // path (EARLIEST re-land) instead of exiting; B's events land in the
+    // same log; killing B with no successor exhausts the consecutive
+    // failure budget and supervise returns 1 for the outer supervisor.
+    val serverA = new PubSubTestServer(Token, Instance, OrgId)
+    serverA.publishDirect(Topic, (1 to 3).map(i => ev(s"a$i", s"pa$i"))) // rid 1..3
+    @volatile var currentName = serverA.start()
+    val channels = new scala.collection.mutable.ArrayBuffer[
+      org.sparkproject.connect.grpc.ManagedChannel]()
+    def factory() = channels.synchronized {
+      val ch = InProcessChannelBuilder.forName(currentName).build()
+      channels += ch; ch
+    }
+    val sleeps = new scala.collection.mutable.ArrayBuffer[Long]()
+    val logs = new scala.collection.mutable.ArrayBuffer[String]()
+    val logDir = Files.createTempDirectory("graft_supervise_spec").toString
+    val cfg = PubSubConnect.Config(
+      endpoint = "ignored.example:7443", topic = Topic, logDir = logDir,
+      auth = Auth.UserSupplied(Token, Instance),
+      replayPreset = ReplayPreset.EARLIEST)
+    var exitCode = -1
+    val supervisor = new Thread(() => {
+      exitCode = PubSubConnect.supervise(cfg,
+        channelFactory = Some(() => factory()),
+        maxConsecutiveFailures = 3, initialBackoffMs = 20L, pollMs = 10L,
+        sleep = ms => {
+          sleeps.synchronized(sleeps += ms)
+          Thread.sleep(math.min(ms, 30)) // compress time, keep ordering
+        },
+        log = m => logs.synchronized(logs += m))
+    }, "supervise-spec")
+    supervisor.start()
+    import org.scalatest.concurrent.Eventually.{eventually, timeout}
+    import org.scalatest.time.{Seconds, Span}
+    def landed(): Int = {
+      val fs = new java.io.File(logDir).listFiles()
+      if (fs == null) 0
+      else fs.filter(_.getName.startsWith("events-"))
+        .map(_.getName.split("-n")(1).stripSuffix(".jsonl").toInt).sum
+    }
+    try {
+      eventually(timeout(Span(20, Seconds))) { assert(landed() == 3) }
+
+      // generation B: same topic, retention floor moved past A's last
+      // replay id (rid 1..4 expired; live events at rid 5..7) — the
+      // CUSTOM resume at rid 3 must OUT_OF_RANGE and resync EARLIEST
+      val serverB = new PubSubTestServer(Token, Instance, OrgId)
+      serverB.publishDirect(Topic, (1 to 4).map(i => ev(s"x$i", s"px$i")))
+      serverB.expireBefore(Topic, 5L)
+      serverB.publishDirect(Topic, (5 to 7).map(i => ev(s"b$i", s"pb$i")))
+      currentName = serverB.start()
+      serverA.stop() // kill generation A under the live stream
+
+      eventually(timeout(Span(30, Seconds))) { assert(landed() == 6) }
+      logs.synchronized {
+        assert(logs.exists(_.contains("via OUT_OF_RANGE resync")),
+          s"expected the OUT_OF_RANGE resync route in: $logs")
+        assert(logs.exists(_.startsWith("resubscribing in")),
+          s"expected a backoff/resubscribe line in: $logs")
+        // the first post-kill dial resumed CUSTOM from the landed rid 3
+        assert(logs.exists(_.contains(s"preset=${ReplayPreset.CUSTOM}:3")),
+          s"expected a CUSTOM:3 resume in: $logs")
+      }
+
+      // no successor: consecutive dead dials exhaust the budget -> 1
+      serverB.stop()
+      supervisor.join(60000)
+      assert(!supervisor.isAlive, "supervise did not give up")
+      assert(exitCode === 1)
+      // exponential growth among backoff sleeps (poll sleeps are 10ms)
+      val backoffs = sleeps.synchronized(sleeps.filter(_ >= 20L)).toList
+      assert(backoffs.containsSlice(Seq(20L, 40L)),
+        s"expected 20ms then 40ms backoff growth in: $backoffs")
+    } finally {
+      serverA.stop(); supervisor.interrupt()
+      channels.synchronized(channels.foreach(_.shutdownNow()))
+    }
+  }
+
   test("privateKeyFromPem parses a generated PKCS#8 RSA key") {
     val kp = java.security.KeyPairGenerator.getInstance("RSA")
     kp.initialize(2048)
