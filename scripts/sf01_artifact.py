@@ -60,13 +60,21 @@ for line in Path(txt).read_text().splitlines():
             "spark_rows": n, "oracle_rows": n, "err": None,
             "provenance": f"check:OK <- {txt}"}
         continue
-    m = re.match(r"FAIL\s+(\S+)\s+[—-]+\s+(.*)$", line)
+    # FAIL forms check.py actually emits (all four):
+    #   FAIL <name> — <why>
+    #   FAIL <name> — ENGINE ERROR: <msg>
+    #   FAIL <name> (rows-only): <why>
+    #   FAIL <name> (rows-only) — ENGINE ERROR: <msg>
+    m = re.match(r"FAIL\s+(\S+)(\s+\(rows-only\))?\s*(?:[—-]+|:)\s*(.*)$",
+                 line)
     if m:
+        rows_only = bool(m.group(2))
         result[m.group(1)] = {
             "rows_match": False, "schema_match": False, "hash_match": False,
             "spark_rows": spark_rows(m.group(1)), "oracle_rows": None,
-            "err": m.group(2)[:500],
-            "provenance": f"check:FAIL <- {txt}"}
+            "err": ("rows-only: " if rows_only else "") + m.group(3)[:500],
+            "provenance": f"check:FAIL{' (rows-only)' if rows_only else ''}"
+                          f" <- {txt}"}
         continue
     m = re.match(r"ROWS\s+(\S+):\s+(\d+)\s*$", line)
     if m:

@@ -90,6 +90,7 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     var bad = 0
+    var unaudited = 0
     names.foreach { name =>
       println(s"===== $name =====")
       try {
@@ -101,11 +102,18 @@ object PlanAudit {
           val skeleton = l.takeWhile(_ != '[').take(110)
           if (skeleton.trim.nonEmpty) println(skeleton)
         }
-      } catch { case e: Exception => println(s"<error: ${e.getMessage}>") }
+      } catch { case e: Exception =>
+        // a query that cannot even PLAN was not audited — that must fail
+        // the sweep, not read as clean (its static plan is exactly the
+        // thing this tool exists to check)
+        unaudited += 1
+        println(s"<error: ${e.getMessage}>")
+      }
       println()
     }
-    println(s"PLAN AUDIT: ${names.size} queries, $bad with violations")
+    println(s"PLAN AUDIT: ${names.size} queries, $bad with violations, " +
+      s"$unaudited unaudited (planning error)")
     spark.stop()
-    if (bad > 0) sys.exit(1)
+    if (bad > 0 || unaudited > 0) sys.exit(1)
   }
 }

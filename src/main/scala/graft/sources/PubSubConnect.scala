@@ -167,12 +167,14 @@ object PubSubConnect {
     *    return 1 for the outer supervisor (the container restart is
     *    still the last line, as in the reference).
     *
-    * `channelFactory` dials a fresh transport per attempt (`None` =
-    * the production Netty channel from [[channel]]); `sleep`/`pollMs`
-    * are injectable so the spec can compress time.
+    * `channelFactory` dials a fresh transport per attempt, owned and
+    * shut down by this loop after the attempt (`None` = the production
+    * Netty channel from [[channel]], owned and closed by the
+    * Connection); `sleep`/`pollMs` are injectable so the spec can
+    * compress time.
     */
   def supervise(cfg: Config, http: Auth.HttpExec = Auth.defaultHttp,
-                channelFactory: Option[() => Channel] = None,
+                channelFactory: Option[() => ManagedChannel] = None,
                 maxConsecutiveFailures: Int = 4,
                 initialBackoffMs: Long = 500L,
                 pollMs: Long = 1000L,
@@ -186,8 +188,12 @@ object PubSubConnect {
     while (consecutiveFailures < maxConsecutiveFailures) {
       var progressed = false
       var outOfRange = false
+      // the factory channel is owned HERE, not by the Connection
+      // (channelOverride connections own nothing) — without this shutdown
+      // every attempt of a long-lived worker leaks one ManagedChannel
+      val attemptChannel = channelFactory.map(_())
       try {
-        val conn = connect(current, http, channelFactory.map(_()))
+        val conn = connect(current, http, attemptChannel)
         try {
           log(s"subscribed topic=${current.topic} " +
             s"preset=${current.replayPreset}" +
@@ -195,7 +201,10 @@ object PubSubConnect {
           while (conn.terminalReason.isEmpty) sleep(pollMs)
           log(s"subscription terminated: ${conn.terminalReason.get}")
           // the server responded at least once (events or keepalive) —
-          // a live-then-killed stream, not a dead dial
+          // a live-then-killed stream, not a dead dial. lastReplayId only
+          // advances AFTER the handler lands a batch (PubSubGrpc sets the
+          // ref post-onEvents), so resuming CUSTOM from it never skips
+          // events the writer failed to persist.
           progressed = conn.handle.lastReplayId >= 0
           if (progressed) resumeId = conn.handle.lastReplayId
           outOfRange = conn.terminalCode.contains("OUT_OF_RANGE")
@@ -204,16 +213,30 @@ object PubSubConnect {
         case e: IllegalArgumentException => throw e // config error: no retry
         case e: Throwable =>
           log(s"dial failed: ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
+      } finally attemptChannel.foreach { ch =>
+        ch.shutdownNow()
+        ch.awaitTermination(5, java.util.concurrent.TimeUnit.SECONDS)
+        ()
       }
-      consecutiveFailures = if (progressed) 1 else consecutiveFailures + 1
+      // progress RESETS the counter: only consecutive dead dials count
+      // toward giving up (a stream that served events for hours and died
+      // has zero dead dials against it)
+      consecutiveFailures = if (progressed) 0 else consecutiveFailures + 1
       if (consecutiveFailures < maxConsecutiveFailures) {
         current =
-          if (outOfRange) resync(current)
-          else if (resumeId >= 0)
+          if (outOfRange) {
+            // the resume id is proven unreplayable (past retention) —
+            // clear it, or the attempt AFTER a failed resync dial would
+            // revert to CUSTOM at an id that is guaranteed OUT_OF_RANGE
+            // again, burning the failure budget on dials that cannot work
+            resumeId = -1L
+            resync(current)
+          } else if (resumeId >= 0)
             current.copy(replayPreset = ReplayPreset.CUSTOM,
               replayId = Some(resumeId))
           else current
-        val backoff = initialBackoffMs << math.min(consecutiveFailures - 1, 20)
+        val backoff =
+          initialBackoffMs << math.min(math.max(consecutiveFailures - 1, 0), 20)
         log(s"resubscribing in ${backoff}ms " +
           s"(consecutive failures: $consecutiveFailures)" +
           (if (outOfRange) " via OUT_OF_RANGE resync" else ""))

@@ -272,15 +272,22 @@ class PubSubClient(channel: Channel, creds: CallCredentials) {
       new StreamObserver[FetchResponse] {
         override def onNext(resp: FetchResponse): Unit = {
           val latest = ReplayIdCodec.decode(resp.latestReplayId)
-          h.lastReplayIdRef.set(latest)
           if (resp.events.nonEmpty) {
             handler.onEvents(resp.events, latest)
+            // advance the resume cursor only AFTER the handler landed the
+            // batch: a handler throw cancels the stream, and an in-process
+            // supervisor (PubSubConnect.supervise) resumes CUSTOM from
+            // this ref — set before the handler, a writer failure would
+            // permanently skip the batch it failed to persist
+            h.lastReplayIdRef.set(latest)
             val got = h.receivedCount.addAndGet(resp.events.size)
             // reached the last requested event -> in infinite mode,
             // request the next batch (client.js:816-845)
             if (got >= h.requestedCount.get() && infinite)
               h.requestAdditionalEvents(MaxEventBatchSize)
           } else {
+            // keepalives involve no persistence — safe to advance first
+            h.lastReplayIdRef.set(latest)
             handler.onKeepalive(latest, resp.pendingNumRequested)
           }
         }
@@ -331,17 +338,23 @@ class PubSubClient(channel: Channel, creds: CallCredentials) {
     val requests = ClientCalls.asyncBidiStreamingCall(call,
       new StreamObserver[ManagedFetchResponse] {
         override def onNext(resp: ManagedFetchResponse): Unit = {
-          if (resp.latestReplayId.nonEmpty)
-            h.lastReplayIdRef.set(ReplayIdCodec.decode(resp.latestReplayId))
+          val latest =
+            if (resp.latestReplayId.nonEmpty)
+              ReplayIdCodec.decode(resp.latestReplayId)
+            else h.lastReplayIdRef.get()
           resp.commitResponse.foreach(onCommitResponse)
           if (resp.events.nonEmpty) {
-            handler.onEvents(resp.events, h.lastReplayIdRef.get())
+            handler.onEvents(resp.events, latest)
+            // post-handler, like the Subscribe path: the resume cursor
+            // must never run ahead of what the handler persisted
+            h.lastReplayIdRef.set(latest)
             val got = h.receivedCount.addAndGet(resp.events.size)
             if (got >= h.requestedCount.get() && infinite)
               h.requestAdditionalEvents(PubSubGrpc.MaxEventBatchSize)
-          } else if (resp.commitResponse.isEmpty) {
-            handler.onKeepalive(h.lastReplayIdRef.get(),
-              resp.pendingNumRequested)
+          } else {
+            h.lastReplayIdRef.set(latest)
+            if (resp.commitResponse.isEmpty)
+              handler.onKeepalive(latest, resp.pendingNumRequested)
           }
         }
         override def onError(t: Throwable): Unit = {
