@@ -37,7 +37,13 @@ def spark_rows(name):
     d = Path(out_dir) / name
     if not d.exists():
         return None
-    return con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+    try:
+        return con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+    except Exception:
+        # a rows-only FAIL line exists precisely because this read raised
+        # in check.py (empty dir, corrupt parquet) — record no count
+        # instead of dying in a traceback before the artifact is written
+        return None
 
 
 def declared_queries():

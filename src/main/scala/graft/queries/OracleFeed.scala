@@ -92,6 +92,14 @@ object OracleFeed {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private[graft] def enablePublishOnce(): Unit = publishOnce.set(true)
 
+  // test hook: the switch is one-way JVM-global by design (Bench owns the
+  // JVM), but a spec exercising it must restore the default or it would
+  // silently break later suites' legitimate re-publishes
+  private[graft] def resetPublishOnceForTest(): Unit = {
+    publishOnce.set(false)
+    alreadyPublished.clear()
+  }
+
   /** Drop a query's feed tables from the publish-once memo, so its next
     * publish writes again. [[graft.Bench]] calls this when a query THROWS
     * during the untimed plan-audit pass: that query may have published

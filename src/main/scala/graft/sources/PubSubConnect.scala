@@ -185,6 +185,10 @@ object PubSubConnect {
     var current = cfg
     var consecutiveFailures = 0
     var resumeId = cfg.replayId.getOrElse(-1L)
+    // true while the CURRENT attempt is the resync an OUT_OF_RANGE routed
+    // us to — a second OUT_OF_RANGE right after a resync IS budget-worthy
+    // (a server that rejects every position would otherwise loop free)
+    var resyncArmed = false
     while (consecutiveFailures < maxConsecutiveFailures) {
       var progressed = false
       var outOfRange = false
@@ -220,8 +224,17 @@ object PubSubConnect {
       }
       // progress RESETS the counter: only consecutive dead dials count
       // toward giving up (a stream that served events for hours and died
-      // has zero dead dials against it)
-      consecutiveFailures = if (progressed) 0 else consecutiveFailures + 1
+      // has zero dead dials against it). A FIRST OUT_OF_RANGE is neither:
+      // the server answered with a definitive position error, and the
+      // documented contract is to resync, not to burn budget — at
+      // --max-retries 1 counting it would exit without ever attempting
+      // the EARLIEST resync. Only an OUT_OF_RANGE on the resync attempt
+      // itself (resyncArmed) counts, so a server rejecting every
+      // position still decays the budget.
+      consecutiveFailures =
+        if (progressed) 0
+        else if (outOfRange && !resyncArmed) consecutiveFailures
+        else consecutiveFailures + 1
       if (consecutiveFailures < maxConsecutiveFailures) {
         current =
           if (outOfRange) {
@@ -235,6 +248,7 @@ object PubSubConnect {
             current.copy(replayPreset = ReplayPreset.CUSTOM,
               replayId = Some(resumeId))
           else current
+        resyncArmed = outOfRange
         val backoff =
           initialBackoffMs << math.min(math.max(consecutiveFailures - 1, 0), 20)
         log(s"resubscribing in ${backoff}ms " +

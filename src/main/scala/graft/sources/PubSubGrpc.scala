@@ -167,7 +167,14 @@ final class SubscriptionHandle[Req](
   /** Events received since the last top-up (reference
     * `info.receivedEventCount`). */
   def received: Long = receivedCount.get()
-  /** Latest replay ID seen (events or keepalive), -1 before any. */
+  /** The resume cursor: for EVENT batches, the latest replay ID whose
+    * batch the handler LANDED (advanced only after `onEvents` returns —
+    * a handler throw leaves the cursor at the previous batch, so a
+    * supervisor resuming CUSTOM from here never skips unpersisted
+    * events); for keepalives, the latest seen on the wire (no
+    * persistence involved). -1 before any response. NOT "latest seen on
+    * the wire" for events — a stuck writer holds this at the last landed
+    * batch by design. */
   def lastReplayId: Long = lastReplayIdRef.get()
 
   /** `requestAdditionalEvents` (`client.js:455-477`): reset the received

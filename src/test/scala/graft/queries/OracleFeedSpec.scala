@@ -36,6 +36,35 @@ class OracleFeedSpec extends SparkSpec {
     assert(OracleFeed.readBack(spark, "spec_query", "t1").count() == 1)
   }
 
+  test("publish-once: skips re-publish after enable, invalidate re-opens, reset restores") {
+    // the r16 bench contract: the untimed plan pass publishes everything,
+    // enablePublishOnce() freezes it, timed samples skip the write; a
+    // query that THREW mid-pass gets invalidated so its next publish is
+    // real again
+    import spark.implicits._
+    try {
+      OracleFeed.publish("once_query", "t", Seq((1L, "a")).toDF("k", "v"))
+      OracleFeed.enablePublishOnce()
+      // skipped: the artifact keeps the pre-enable content
+      OracleFeed.publish("once_query", "t", Seq((2L, "b"), (3L, "c")).toDF("k", "v"))
+      assert(OracleFeed.readBack(spark, "once_query", "t").count() == 1)
+      // a key never published before the enable still publishes
+      OracleFeed.publish("once_query", "t2", Seq((9L, "z")).toDF("k", "v"))
+      assert(OracleFeed.readBack(spark, "once_query", "t2").count() == 1)
+      // ...and is then memoized too
+      OracleFeed.publish("once_query", "t2", Seq((1L, "x"), (2L, "y")).toDF("k", "v"))
+      assert(OracleFeed.readBack(spark, "once_query", "t2").count() == 1)
+      // invalidate re-opens ONLY this query's keys
+      OracleFeed.invalidate("once_query")
+      OracleFeed.publish("once_query", "t", Seq((2L, "b"), (3L, "c")).toDF("k", "v"))
+      assert(OracleFeed.readBack(spark, "once_query", "t").count() == 2)
+    } finally OracleFeed.resetPublishOnceForTest()
+    // default restored: re-publish overwrites again (the spec contract
+    // the round-trip test above relies on)
+    OracleFeed.publish("once_query", "t", Seq((1L, "a")).toDF("k", "v"))
+    assert(OracleFeed.readBack(spark, "once_query", "t").count() == 1)
+  }
+
   test("a query that never published has NO feed at this run's path") {
     val d = new File(s"${OracleFeed.Root}/never_published/t")
     assert(!d.exists, "stale-feed hazard: path must not pre-exist")

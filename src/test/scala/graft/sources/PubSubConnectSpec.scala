@@ -187,6 +187,58 @@ class PubSubConnectSpec extends SparkSpec {
     }
   }
 
+  test("supervise at max-retries 1: OUT_OF_RANGE still resyncs (a position error is not a dead dial)") {
+    // the r16 second-review finding: OUT_OF_RANGE used to burn failure
+    // budget, so at --max-retries 1 the loop exited WITHOUT attempting
+    // the documented EARLIEST resync. A first OUT_OF_RANGE is now free
+    // (the server answered); only one on the resync attempt itself counts.
+    val server = new PubSubTestServer(Token, Instance, OrgId)
+    server.publishDirect(Topic, (1 to 4).map(i => ev(s"x$i", s"px$i")))
+    server.expireBefore(Topic, 5L) // rid 1..4 gone
+    server.publishDirect(Topic, (5 to 6).map(i => ev(s"b$i", s"pb$i")))
+    val name = server.start()
+    val channels = new scala.collection.mutable.ArrayBuffer[
+      org.sparkproject.connect.grpc.ManagedChannel]()
+    val logDir = Files.createTempDirectory("graft_supervise_oor").toString
+    val logs = new scala.collection.mutable.ArrayBuffer[String]()
+    val cfg = PubSubConnect.Config(
+      endpoint = "ignored.example:7443", topic = Topic, logDir = logDir,
+      auth = Auth.UserSupplied(Token, Instance),
+      replayPreset = ReplayPreset.CUSTOM, replayId = Some(2L)) // past retention
+    var exitCode = -1
+    val t = new Thread(() => {
+      exitCode = PubSubConnect.supervise(cfg,
+        channelFactory = Some(() => channels.synchronized {
+          val ch = InProcessChannelBuilder.forName(name).build(); channels += ch; ch
+        }),
+        maxConsecutiveFailures = 1, initialBackoffMs = 10L, pollMs = 10L,
+        sleep = ms => Thread.sleep(math.min(ms, 20)),
+        log = m => logs.synchronized(logs += m))
+    }, "supervise-oor-spec")
+    t.start()
+    import org.scalatest.concurrent.Eventually.{eventually, timeout}
+    import org.scalatest.time.{Seconds, Span}
+    try {
+      // the resync attempt must run and land rid 5..6 despite budget 1
+      eventually(timeout(Span(20, Seconds))) {
+        val fs = new java.io.File(logDir).listFiles()
+        val n = if (fs == null) 0
+          else fs.filter(_.getName.startsWith("events-"))
+            .map(_.getName.split("-n")(1).stripSuffix(".jsonl").toInt).sum
+        assert(n == 2)
+      }
+      assert(logs.synchronized(
+        logs.exists(_.contains("via OUT_OF_RANGE resync"))))
+      // one dead dial after the progressed stream exhausts budget 1
+      server.stop()
+      t.join(30000)
+      assert(!t.isAlive && exitCode === 1)
+    } finally {
+      server.stop(); t.interrupt()
+      channels.synchronized(channels.foreach(_.shutdownNow()))
+    }
+  }
+
   test("privateKeyFromPem parses a generated PKCS#8 RSA key") {
     val kp = java.security.KeyPairGenerator.getInstance("RSA")
     kp.initialize(2048)
