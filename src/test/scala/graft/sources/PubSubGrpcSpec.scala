@@ -161,6 +161,14 @@ class PubSubGrpcSpec extends SparkSpec {
           events.foreach(e => latestGot.add(e.event.id)); events.foreach(_ => threeNew.countDown())
         }
       }) // default preset LATEST
+      // subscribe() returns when the first request is SENT; the server
+      // fixes the LATEST cursor when it PROCESSES it. Publishing in that
+      // window would raise the cursor past the "new" events and the
+      // latch would time out (observed once under full-suite load) —
+      // wait for the registration, like the keepalive test does.
+      val deadline1 = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (server.activeSubscriptions == 0 && System.nanoTime() < deadline1)
+        Thread.sleep(10)
       server.publishDirect(Topic, (1 to 3).map(i => ev(s"new$i", "y")))
       await(threeNew)
       assert(latestGot.asScala.toSet == Set("new1", "new2", "new3"))
