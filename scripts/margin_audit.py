@@ -162,8 +162,23 @@ def audit_lr(sf_dir):
         return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
                               "little", signed=True)
 
-    def jround(x):  # Java Math.round(double): floor(x + 0.5)
-        return math.floor(x + 0.5)
+    def jround(x):
+        # Java Math.round(double) is NOT floor(x + 0.5): for raw values
+        # within 1 ulp below an n+0.5 boundary (e.g. 0.49999999999999994),
+        # x + 0.5 rounds UP to n+0.5 in double arithmetic and floor(x+0.5)
+        # returns n+1 where Java returns n. The JDK (8+) special-cases
+        # this: floor(x + 0.5 - ulp_adjust) via bit twiddling. Exactly the
+        # near-half-grid cases this audit measures, so replicate the JDK
+        # result: floor(x) + 1 iff x > (the largest double strictly below
+        # floor(x)+0.5), i.e. iff x >= floor(x)+0.5 after accounting for
+        # the representable predecessor (r16 ADVICE).
+        fl = math.floor(x)
+        half = fl + 0.5
+        if x >= half:
+            return fl + 1
+        # x < half exactly as doubles -> Java rounds down, even when
+        # x + 0.5 == half + eps by double rounding
+        return fl
 
     feats = []
     for did, text, lang in zip(t["doc_id"], t["text"], t["lang"]):

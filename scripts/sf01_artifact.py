@@ -3,7 +3,14 @@
 artifact (the CORRECTNESS_r{N}.json schema), so the round commits a
 machine-checkable full-SF typed-gate record instead of a prose claim.
 
-Usage: python3 scripts/sf01_artifact.py <check_output.txt> <verify_outDir> <out.json>
+Usage: python3 scripts/sf01_artifact.py <check_output.txt> <verify_outDir> <out.json> [only1,only2,...]
+
+The optional 4th argument (or GRAFT_ARTIFACT_ONLY env var) names the
+query subset a FILTERED check run covered (r16 ADVICE: the declared-set
+validation compared against every dump directory, so an ONLY-filtered
+check log exited 2 with false "missing" errors). With a filter, the
+exact-coverage check runs against the intersection of the declared set
+and the filter; full runs keep the exact full-coverage check.
 
 check.py line forms parsed:
   OK  <name>                         -> all three matches true
@@ -30,6 +37,9 @@ from pathlib import Path
 import duckdb
 
 txt, out_dir, out_json = sys.argv[1], sys.argv[2], sys.argv[3]
+only = (sys.argv[4] if len(sys.argv) > 4
+        else __import__("os").environ.get("GRAFT_ARTIFACT_ONLY", ""))
+only = {q for q in only.split(",") if q}
 con = duckdb.connect()
 
 
@@ -91,6 +101,15 @@ for line in Path(txt).read_text().splitlines():
             "provenance": f"check:ROWS <- {txt}"}
 
 declared, verify_errs = declared_queries()
+if only:
+    # a filtered check run only covers `only` — validate against that
+    # slice, but still reject names outside the FULL declared set
+    bogus = sorted(only - declared)
+    if bogus:
+        print(f"ERROR: filter names not in the declared set: "
+              f"{', '.join(bogus[:10])}", file=sys.stderr)
+        sys.exit(2)
+    declared = declared & only
 missing = sorted(declared - set(result))
 unknown = sorted(set(result) - declared)
 if missing or unknown:

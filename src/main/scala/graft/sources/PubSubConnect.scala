@@ -205,17 +205,29 @@ object PubSubConnect {
           while (conn.terminalReason.isEmpty) sleep(pollMs)
           log(s"subscription terminated: ${conn.terminalReason.get}")
           // the server responded at least once (events or keepalive) —
-          // a live-then-killed stream, not a dead dial. lastReplayId only
-          // advances AFTER the handler lands a batch (PubSubGrpc sets the
-          // ref post-onEvents), so resuming CUSTOM from it never skips
-          // events the writer failed to persist.
+          // a live-then-killed stream, not a dead dial. For EVENT batches
+          // lastReplayId advances only AFTER the handler lands the batch
+          // (PubSubGrpc sets the ref post-onEvents), so a resume never
+          // skips events the writer failed to persist. KEEPALIVE replay
+          // ids also advance it on the wire — safe to resume from, because
+          // a keepalive's latestReplayId asserts the server has no
+          // undelivered events at or below that id.
           progressed = conn.handle.lastReplayId >= 0
           if (progressed) resumeId = conn.handle.lastReplayId
           outOfRange = conn.terminalCode.contains("OUT_OF_RANGE")
         } finally conn.close()
       } catch {
         case e: IllegalArgumentException => throw e // config error: no retry
-        case e: Throwable =>
+        case e: InterruptedException =>
+          // an interrupt is a SHUTDOWN request, not a failed dial: restore
+          // the flag (callers poll it) and exit the supervision loop instead
+          // of burning the retry budget re-dialing through it
+          Thread.currentThread().interrupt()
+          log(s"supervision interrupted: ${Option(e.getMessage).getOrElse("")}")
+          return 130 // the finally below still closes attemptChannel
+        case scala.util.control.NonFatal(e) =>
+          // fatal JVM errors (OOM, LinkageError) propagate — swallowing one
+          // into the retry budget would loop a corrupted process
           log(s"dial failed: ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
       } finally attemptChannel.foreach { ch =>
         ch.shutdownNow()
