@@ -48,7 +48,7 @@ object ScaleSmoke {
       "streaming", "classifier", "curation", "streamlearn", "semdedup",
       "semroute", "ivfencode", "embed", "bm25", "minhashindex", "layout",
       "propagate", "fuzzy", "slayout", "drift", "graphstruct", "graphupdate",
-      "overlap", "core")(stages),
+      "overlap", "core", "coreskew", "corepressure")(stages),
       s"unknown stage set '$stages'")
     def on(s: String) = stages == "all" || stages == s
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -1726,42 +1726,7 @@ object ScaleSmoke {
     val mult = math.max(1, n)
     require(mult <= 64, s"core multiplier $mult looks like a row count — " +
       "usage: runMain graft.ScaleSmoke <mult<=64> core")
-    val base = "/root/testdata/sf0.1"
-    val dir = java.nio.file.Files.createTempDirectory("graft_core_scale").toString
-    val rep = spark.range(mult).toDF("rep")
-
-    val li = spark.read.parquet(s"$base/lineitem.parquet")
-    val ord = spark.read.parquet(s"$base/orders.parquet")
-    val ev = Tables.events(spark, base)
-    val okStride = ord.agg(max("o_orderkey")).head().getLong(0) + 1
-    val evStride = ev.agg(max("event_id")).head().getLong(0) + 1
-    val uStride = ev.agg(max("user_id")).head().getLong(0) + 1
-
-    t(s"core_gen_lineitem_x$mult") {
-      li.crossJoin(broadcast(rep))
-        .withColumn("l_orderkey", col("l_orderkey") + col("rep") * okStride)
-        .select(li.columns.toIndexedSeq.map(col): _*)
-        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    }
-    t(s"core_gen_orders_x$mult") {
-      ord.crossJoin(broadcast(rep))
-        .withColumn("o_orderkey", col("o_orderkey") + col("rep") * okStride)
-        .select(ord.columns.toIndexedSeq.map(col): _*)
-        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-    }
-    t(s"core_gen_events_x$mult") {
-      ev.crossJoin(broadcast(rep))
-        .withColumn("event_id", col("event_id") + col("rep") * evStride)
-        .withColumn("user_id", col("user_id") + col("rep") * uStride)
-        .select(ev.columns.toIndexedSeq.map(col): _*)
-        .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    }
-    Seq("region", "nation", "customer", "supplier", "part",
-      "documents", "embeddings").foreach { tb =>
-      spark.read.parquet(s"$base/$tb.parquet")
-        .write.mode("overwrite").parquet(s"$dir/$tb.parquet")
-    }
-
+    CoreScale.withReplicated(spark, mult) { dir =>
     // the 10 costliest core queries per the r15 bench ranking
     val coreTen = Seq("q05_star_join", "q08_tpch_q1", "q31_incremental_agg",
       "q17_rollup", "q19_session_window", "q20_window_frames",
@@ -1788,7 +1753,7 @@ object ScaleSmoke {
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3)))
       .toMap
-    val gb = groups(base)
+    val gb = groups(CoreScale.Base)
     val gs = groups(dir)
     require(gs.keySet == gb.keySet, "q08 group drift under replication")
     gb.foreach { case (k, (sq, n0)) =>
@@ -1800,6 +1765,10 @@ object ScaleSmoke {
     println(s"SCALE   core replication invariant OK " +
       s"(q08 groups=${gb.size}, count and sum_qty exact at ${mult}x)")
     }
+    }
+
+    if (stages == "coreskew") CoreScale.skewStage(spark, math.max(1, n))
+    if (stages == "corepressure") CoreScale.pressureStage(spark, math.max(1, n))
 
     spark.stop()
   }

@@ -25,6 +25,25 @@ object CdcFold {
       .drop("__rn")
   }
 
+  /** Skew-immune twin of [[latestWins]]: `max_by(row, offset)` under a
+    * hash aggregate instead of a `row_number` window. PARTIAL aggregation
+    * combines a hot key's rows map-side, so a key holding 20 % of the
+    * corpus costs one reducer a single pre-combined record per upstream
+    * partition — where the window form must sort that key's entire row
+    * set in one task. Requires `offset` to be UNIQUE per key (true for
+    * replay ids within a topic, `setup.md:542`): `max_by` breaks ties
+    * arbitrarily while the window form breaks them by its full sort order,
+    * so with duplicate offsets the two can disagree — callers with
+    * at-least-once duplicate offsets keep [[latestWins]]. Equality of the
+    * two paths under a planted 20 % hot key is asserted in the ScaleSmoke
+    * `coreskew` stage.
+    */
+  def latestWinsAgg(df: DataFrame, key: Column, offset: Column): DataFrame = {
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
+    df.groupBy(key).agg(max_by(payload, offset).as("__row"))
+      .select(col("__row.*"))
+  }
+
   /** Fold a change log to final table state: latest-wins per key, then
     * delete-through rows whose winning change is a DELETE (S8 + S9).
     */
