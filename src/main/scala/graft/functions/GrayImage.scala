@@ -36,6 +36,105 @@ object TileDecoder extends GrayDecoder {
     else Array.tabulate(width * height)(i => content(i % content.length))
 }
 
+/** REAL pixel codec over the JDK's `javax.imageio` (public API shipped
+  * with every JRE — no new dependency): PNG, BMP, GIF (first frame) and
+  * JPEG, i.e. whatever the JRE's reader registry resolves. Closes the
+  * multimodal surface's one documented codec boundary.
+  *
+  * Contract (all integer arithmetic — bit-deterministic across JVMs):
+  *  - the payload decodes at its INTRINSIC size; gray-encoded containers
+  *    (single-band, non-palette) read their raster samples EXACTLY
+  *    (rescaled `(s·255 + max/2)/max` for >8-bit depths) — not through
+  *    `getRGB`, whose linear-gray→sRGB conversion gamma-shifts stored
+  *    values; color pixels luma by integer BT.601,
+  *    `(299·r + 587·g + 114·b + 500) / 1000`; alpha is ignored;
+  *  - when intrinsic dims differ from the DECLARED `width`×`height`, the
+  *    luma plane nearest-neighbor-resamples with [[GrayResize]]'s exact
+  *    convention — `out(x,y) = in((y·ih)/height, (x·iw)/width)` — NOT
+  *    Java2D's interpolating `drawImage`, whose output is
+  *    implementation-defined;
+  *  - corrupt or undecodable payloads (and non-positive dims) yield BLACK
+  *    (all-zero) pixels and NEVER throw — the [[MediaHeader]] `unknown`
+  *    degrade convention: one bad producer must not fail a batch. Callers
+  *    that need to quarantine such rows route on
+  *    `media_header(content).format = 'unknown'` to dead-letter first.
+  *
+  * Thread-safety: `ImageIO.read` constructs a fresh reader per call, so
+  * concurrent executor tasks don't share decoder state. The JVM-global
+  * disk-cache toggle is left alone; reads come from in-memory
+  * `ByteArrayInputStream`s, which the stream cache wraps without IO.
+  */
+object ImageIoDecoder extends GrayDecoder {
+  override def decode(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    if (width <= 0 || height <= 0) return Array.emptyByteArray
+    val black = new Array[Byte](width * height)
+    if (content == null || content.isEmpty) return black
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return black // unreadable container == corrupt
+    try {
+      val iw = img.getWidth
+      val ih = img.getHeight
+      if (iw <= 0 || ih <= 0) return black
+      val luma = new Array[Byte](iw * ih)
+      val raster = img.getRaster
+      // gray-encoded containers: read the RASTER samples — the exact
+      // stored values. getRGB on a TYPE_BYTE_GRAY image routes through a
+      // linear-gray -> sRGB ColorSpace conversion that gamma-shifts every
+      // pixel (stored 11 reads back 59), which would break pixel-exact
+      // goldens. Palette images (IndexColorModel) are excluded: their one
+      // band holds palette INDICES, not intensities.
+      val grayDirect = raster.getNumBands == 1 &&
+        !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+      if (grayDirect) {
+        val maxVal = (1 << img.getColorModel.getComponentSize(0)) - 1
+        var y = 0
+        while (y < ih) {
+          var x = 0
+          while (x < iw) {
+            val s = raster.getSample(x, y, 0)
+            luma(y * iw + x) =
+              (if (maxVal == 255) s else (s * 255 + maxVal / 2) / maxVal).toByte
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        var y = 0
+        while (y < ih) {
+          var x = 0
+          while (x < iw) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF
+            val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            luma(y * iw + x) = ((299 * r + 587 * g + 114 * b + 500) / 1000).toByte
+            x += 1
+          }
+          y += 1
+        }
+      }
+      if (iw == width && ih == height) luma
+      else {
+        val out = new Array[Byte](width * height)
+        var oy = 0
+        while (oy < height) {
+          val sy = oy.toLong * ih / height
+          var ox = 0
+          while (ox < width) {
+            val sx = ox.toLong * iw / width
+            out(oy * width + ox) = luma((sy * iw + sx).toInt)
+            ox += 1
+          }
+          oy += 1
+        }
+        out
+      }
+    } catch { case scala.util.control.NonFatal(_) => black }
+  }
+}
+
 private[functions] trait GrayTernary extends TernaryExpression {
   protected def wantTypes: (DataType, String)
   override def checkInputDataTypes(): TypeCheckResult = {

@@ -80,6 +80,88 @@ class GrayImageSpec extends SparkSpec {
       (2, 1, 5.0, 0, 5)))     // trailing partial frame
   }
 
+  // ---- ImageIoDecoder: real encoded images through the JDK codec ----
+
+  /** Deterministic w×h gray pixel grid (unsigned values 0–255). */
+  private def grid(w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+
+  /** Encode a gray pixel grid as a REAL image container via ImageIO. */
+  private def encodeGray(px: Array[Byte], w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, px)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JRE lacks $fmt writer")
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder: pixel-exact golden decode of real PNG and BMP") {
+    val (w, h) = (8, 6)
+    val px = grid(w, h)
+    for (fmt <- Seq("png", "bmp")) {
+      val bytes = encodeGray(px, w, h, fmt)
+      // sanity: these are REAL containers, not our arithmetic stand-in
+      assert(MediaHeaderKernel.parse(bytes).getUTF8String(0).toString === fmt,
+        s"fixture is not a recognizable $fmt")
+      assert(ImageIoDecoder.decode(bytes, w, h).toSeq === px.toSeq,
+        s"$fmt decode not pixel-exact")
+    }
+  }
+
+  test("ImageIoDecoder: BT.601 integer luma on an RGB PNG") {
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000) // pure red
+    img.setRGB(1, 0, 0x336699)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val got = ImageIoDecoder.decode(bos.toByteArray, 2, 1)
+    def luma(r: Int, g: Int, b: Int) = (299 * r + 587 * g + 114 * b + 500) / 1000
+    assert((got(0) & 0xFF) === luma(0xFF, 0, 0))
+    assert((got(1) & 0xFF) === luma(0x33, 0x66, 0x99))
+  }
+
+  test("ImageIoDecoder: declared-dim mismatch resamples with the gray_resize convention") {
+    val (iw, ih) = (8, 6)
+    val px = grid(iw, ih)
+    val bytes = encodeGray(px, iw, ih, "png")
+    val (w, h) = (4, 3)
+    val got = ImageIoDecoder.decode(bytes, w, h)
+    val want = Array.tabulate(w * h) { i =>
+      val (x, y) = (i % w, i / w)
+      px((y * ih / h) * iw + (x * iw / w))
+    }
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("ImageIoDecoder: corrupt payloads yield black, never throw") {
+    val cases = Seq[Array[Byte]](
+      Array.empty[Byte],
+      null,
+      Array.fill[Byte](64)(0x5A), // garbage, no magic
+      // a real PNG truncated mid-stream: magic parses, decode must degrade
+      encodeGray(grid(8, 6), 8, 6, "png").take(24),
+      "not an image at all".getBytes("UTF-8"))
+    cases.foreach { c =>
+      assert(ImageIoDecoder.decode(c, 3, 2).toSeq === Seq[Byte](0, 0, 0, 0, 0, 0))
+    }
+    assert(ImageIoDecoder.decode(grid(2, 2), 0, 2).toSeq === Seq.empty)
+  }
+
+  test("ImageIoDecoder drops in behind the seam: patchFeatures over real PNGs") {
+    val (w, h) = (4, 4)
+    val px = grid(w, h)
+    val df = Seq((1L, encodeGray(px, w, h, "png"))).toDF("doc_id", "content")
+    val got = Multimodal.patchFeatures(df, "doc_id", "content",
+        w, h, outW = w, outH = h, p = 4, decoder = ImageIoDecoder)
+      .as[(Long, Int, Int, Double, Double)].collect().toSeq
+    val vs = px.map(_ & 0xFF)
+    val mean = vs.sum / 16.0
+    val std = r6(math.sqrt(vs.map(v => v.toLong * v).sum / 16.0 - mean * mean))
+    assert(got === Seq((1L, 0, 0, r6(mean), std)))
+  }
+
   test("a custom decoder drops in behind the seam") {
     object Inverter extends GrayDecoder {
       override def decode(c: Array[Byte], w: Int, h: Int): Array[Byte] =
