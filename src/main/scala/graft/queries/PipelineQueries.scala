@@ -4712,6 +4712,52 @@ object PipelineQueries {
             .toSet
           streamed == batch
         }
+        // 5. event-time tumbling windows through the WATERMARKED streaming
+        // aggregate (T11's streaming twin; EventTimeWindow): replay a
+        // bounded event log in micro-batches with a watermark-advancing
+        // sentinel as the deterministic LAST file, and the append-mode
+        // sink of FINALIZED windows must equal the batch
+        // groupBy(window(ts)) aggregate; a checkpoint restart over the
+        // same log must emit nothing new (exactly-once per window).
+        val winFut = Future {
+          import s.implicits._
+          val ev = Tables.events(s, d).filter(col("event_id") < 2000)
+            .select("event_id", "ts", "event_type", "value")
+          val wlog = s"$tmp/win_log"
+          def writeTimed(df: DataFrame, modTime: Long): Unit = {
+            val dir = new java.io.File(wlog)
+            val before = Option(dir.listFiles())
+              .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+            df.write.mode("append").parquet(wlog)
+            dir.listFiles()
+              .filter(f => !before(f.getName) && !f.getName.startsWith("_"))
+              .foreach(_.setLastModified(modTime))
+          }
+          val sentinelTs = ev.agg(max("ts")).head()
+            .getAs[java.time.LocalDateTime](0).plusDays(2)
+          val t0 = System.currentTimeMillis() - 120000
+          // explicit mod times: FileStreamSource orders by modTime, and a
+          // sentinel processed FIRST would watermark-drop every real event
+          writeTimed(ev.filter(col("event_id") % 2 === 0), t0)
+          writeTimed(ev.filter(col("event_id") % 2 === 1), t0 + 10000)
+          writeTimed(Seq((-1L, sentinelTs, "__sentinel", 0.0))
+            .toDF("event_id", "ts", "event_type", "value"), t0 + 20000)
+          def runWin(): Unit = graft.streaming.EventTimeWindow.start(s,
+            s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1").parquet(wlog),
+            "ts", Seq("event_type"), Seq("value"), "1 hour", "1 second",
+            s"$tmp/win_out", s"$tmp/win_ckpt").awaitTermination()
+          runWin()
+          def sink() = s.read.parquet(s"$tmp/win_out")
+            .filter(col("event_type") =!= "__sentinel")
+            .collect().map(_.toSeq).toSet
+          val first = sink()
+          val want = graft.streaming.EventTimeWindow.batchReference(ev,
+            "ts", Seq("event_type"), Seq("value"), "1 hour")
+            .collect().map(_.toSeq).toSet
+          runWin() // restart, same checkpoint, no new data
+          first == want && sink() == want
+        }
         val annFut = Future {
           val embs = Tables.embeddings(s, d).filter(col("vec_id") < 600)
           val eParts = Seq(embs.filter(col("vec_id") % 2 === 0),
@@ -4744,6 +4790,8 @@ object PipelineQueries {
           scala.concurrent.duration.Duration.Inf)
         val cmsEq = Await.result(cmsFut,
           scala.concurrent.duration.Duration.Inf)
+        val winEq = Await.result(winFut,
+          scala.concurrent.duration.Duration.Inf)
         __mark("ann_done")
 
         // stream done by now (or we wait out its tail), then compare
@@ -4761,11 +4809,13 @@ object PipelineQueries {
           "streaming_nb_equals_batch" -> nbEq,
           "streaming_dedup_keeps_min_id" -> ddEq,
           "streaming_ann_probe_equals_batch" -> annEq,
-          "streaming_cms_grid_equals_batch" -> cmsEq))
+          "streaming_cms_grid_equals_batch" -> cmsEq,
+          "streaming_window_equals_batch" -> winEq))
       },
       Some(auditOracleSql(Seq("streaming_nb_equals_batch",
         "streaming_dedup_keeps_min_id", "streaming_ann_probe_equals_batch",
-        "streaming_cms_grid_equals_batch")))),
+        "streaming_cms_grid_equals_batch",
+        "streaming_window_equals_batch")))),
 
     // MMR (diversifying lambda): k rows, the first pick is the relevance
     // top-1, and every pick comes from the top-k·factor candidate pool.
