@@ -84,7 +84,15 @@ object CoreScale {
               when(hot(Seq(col("l_orderkey"), col("l_linenumber"))),
                 lit(hotPart)).otherwise(col("l_partkey")))
           else shifted
-          skewed.select(li.columns.toIndexedSeq.map(col): _*)
+          // repartition before write: the sf0.1 source is ONE scan split,
+          // so an un-repartitioned replica lands in 1-2 parquet files and
+          // reads back with 1-2 map tasks — under-parallelizing every
+          // downstream scan AND defeating AQE's skew split, which divides
+          // a skewed reduce partition at MAPPER boundaries (one mapper =
+          // nothing to divide; at 100 TB there are thousands). 32 files
+          // mirrors the multi-mapper reality the smoke exists to model.
+          skewed.repartition(spark.sparkContext.defaultParallelism)
+            .select(li.columns.toIndexedSeq.map(col): _*)
             .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
         }
       }
@@ -101,7 +109,8 @@ object CoreScale {
               when(hot(Seq(col("o_orderkey"))), lit(hotCust))
                 .otherwise(col("o_custkey")))
           else shifted
-          skewed.select(ord.columns.toIndexedSeq.map(col): _*)
+          skewed.repartition(spark.sparkContext.defaultParallelism)
+            .select(ord.columns.toIndexedSeq.map(col): _*)
             .write.mode("overwrite").parquet(s"$dir/orders.parquet")
         }
       }
@@ -119,7 +128,8 @@ object CoreScale {
               when(hot(Seq(col("event_id"))), lit(hotUser))
                 .otherwise(col("user_id")))
           else shifted
-          skewed.select(ev.columns.toIndexedSeq.map(col): _*)
+          skewed.repartition(spark.sparkContext.defaultParallelism)
+            .select(ev.columns.toIndexedSeq.map(col): _*)
             .write.mode("overwrite").parquet(s"$dir/events.parquet")
         }
       }
@@ -222,9 +232,10 @@ object CoreScale {
           val j = ordS.join(cust, col("o_custkey") === col("c_custkey"))
             .groupBy("c_mktsegment")
             .agg(count(lit(1)).as("n"), sum("o_totalprice").as("rev"))
-          t(s"skew_smj_aqe_split_x$mult") {
-            j.write.mode("overwrite").format("noop").save()
-          }
+          // the action must run through THIS Dataset's own QueryExecution:
+          // a .write would execute a separate command QueryExecution and
+          // leave j's adaptive plan un-finalized (no skew markers to read)
+          t(s"skew_smj_aqe_split_x$mult") { j.collect(); () }
           val plan = j.queryExecution.executedPlan.toString
           require(plan.contains("skew=true"),
             "AQE skew-join did not engage on the hot-custkey SMJ:\n" + plan)

@@ -32,6 +32,18 @@ class CdcFoldSpec extends SparkSpec {
     assert(result.toSeq == Seq(("a", 3L, "v3-late"), ("c", 9L, "c2")))
   }
 
+  test("latestWinsAgg: max_by twin equals the window form on unique offsets") {
+    // the duplicate replayId rows are identical payloads, so even though
+    // max_by tie-breaking is arbitrary the outputs must still agree here;
+    // keys with genuinely unique offsets are the documented contract
+    val win = CdcFold.latestWins(log, col("sfId"), col("replayId"))
+      .select("sfId", "replayId", "changeType", "value")
+    val agg = CdcFold.latestWinsAgg(log, col("sfId"), col("replayId"))
+      .select("sfId", "replayId", "changeType", "value")
+    assert(win.exceptAll(agg).isEmpty && agg.exceptAll(win).isEmpty)
+    assert(agg.count() === 3) // one row per key
+  }
+
   test("mergeBatch applies a change batch over a snapshot (S8/S9)") {
     val target = Seq(("a", "old-a"), ("b", "old-b"), ("z", "keep-z"))
       .toDF("sfId", "value")
