@@ -27,6 +27,11 @@ doc = {
 }
 for spec in runs:
     label, log = spec.split("=", 1)
+    if label in doc["runs"]:
+        # a duplicate label would silently overwrite an earlier run and the
+        # committed evidence would lack one of the runs the round claims
+        print(f"ERROR: duplicate run label '{label}'", file=sys.stderr)
+        sys.exit(2)
     timings, notes = {}, []
     for line in Path(log).read_text(errors="replace").splitlines():
         m = re.search(r"SCALE (\S+)\s+([0-9.]+) s\s*$", line)

@@ -142,9 +142,12 @@ object CoreScale {
     } finally deleteRecursively(dirPath)
   }
 
-  /** Static-plan audit (the bench's posture: AQE off) + one timed noop run. */
-  private def auditAndTime(spark: SparkSession, name: String, tag: String,
-                           dir: String): Double = {
+  /** Static-plan audit (the bench's posture: AQE off) + one timed noop run.
+    * Shared by every core-scale stage so the measurement protocol cannot
+    * drift between the uniform, skew, and pressure runs.
+    */
+  private[graft] def auditAndTime(spark: SparkSession, name: String, tag: String,
+                                  dir: String): Double = {
     val fn = SparkEntry.queries(name)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val v = PlanAudit.violations(fn(spark, dir).queryExecution.executedPlan)
@@ -324,7 +327,9 @@ object CoreScale {
       // memory-bound, at any multiplier. The spill-prone shape at 100 TB is
       // a big sort: force the orders↔lineitem SORT-MERGE join (broadcast
       // off) so both sides sort `mult`× sf0.1 under the constrained heap.
-      val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.join.preferSortMergeJoin")
+        .map(k => k -> spark.conf.getOption(k)).toMap
       try {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         // shuffled-hash would dodge the sort; prefer SMJ explicitly
@@ -339,9 +344,9 @@ object CoreScale {
               .write.mode("overwrite").format("noop").save()
           }
         }
-      } finally saved.fold(spark.conf.unset(
-        "spark.sql.autoBroadcastJoinThreshold"))(
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      } finally saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
     }
   }
 }

@@ -1731,17 +1731,10 @@ object ScaleSmoke {
     val coreTen = Seq("q05_star_join", "q08_tpch_q1", "q31_incremental_agg",
       "q17_rollup", "q19_session_window", "q20_window_frames",
       "q16_scalar_json", "q21_range_join", "q12b_set_ops", "q11_lag_delta")
+    // static-plan invariants + timed noop per query, via the one shared
+    // protocol (CoreScale.auditAndTime — also used by skew/pressure stages)
     coreTen.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      // static-plan invariants first (the bench's audit posture)
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val v = PlanAudit.violations(fn(spark, dir).queryExecution.executedPlan)
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      require(v.isEmpty, s"$name plan violations at ${mult}x: $v")
-      t(s"core_${name}_x$mult") {
-        fn(spark, dir).write.mode("overwrite").format("noop").save()
-      }
-      spark.catalog.clearCache()
+      CoreScale.auditAndTime(spark, name, s"core_${name}_x$mult", dir)
     }
 
     // replication invariant: q08 per-group (count, sum_qty) at mult×

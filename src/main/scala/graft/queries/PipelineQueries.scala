@@ -4724,14 +4724,24 @@ object PipelineQueries {
           val ev = Tables.events(s, d).filter(col("event_id") < 2000)
             .select("event_id", "ts", "event_type", "value")
           val wlog = s"$tmp/win_log"
+          // ONE data file per write (coalesce(1)), asserted: with several
+          // same-modTime files per half, FileStreamSource consumes them in
+          // ARBITRARY order at maxFilesPerTrigger=1, and a sibling holding
+          // older ts than an already-processed one is watermark-dropped —
+          // empirically the sink then diverges nondeterministically. One
+          // file per half = exactly three batches in modTime order.
           def writeTimed(df: DataFrame, modTime: Long): Unit = {
             val dir = new java.io.File(wlog)
             val before = Option(dir.listFiles())
               .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
-            df.write.mode("append").parquet(wlog)
-            dir.listFiles()
-              .filter(f => !before(f.getName) && !f.getName.startsWith("_"))
-              .foreach(_.setLastModified(modTime))
+            df.coalesce(1).write.mode("append").parquet(wlog)
+            // exclude _SUCCESS and the hidden .crc twins, like the source does
+            val fresh = dir.listFiles().filter(f => !before(f.getName) &&
+              !f.getName.startsWith("_") && !f.getName.startsWith("."))
+            require(fresh.length == 1,
+              s"audit invariant: expected 1 data file per write, got ${fresh.length}")
+            require(fresh.head.setLastModified(modTime),
+              s"audit invariant: cannot set modTime on ${fresh.head}")
           }
           val sentinelTs = ev.agg(max("ts")).head()
             .getAs[java.time.LocalDateTime](0).plusDays(2)

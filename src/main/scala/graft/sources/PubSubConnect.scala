@@ -231,7 +231,13 @@ object PubSubConnect {
           log(s"dial failed: ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
       } finally attemptChannel.foreach { ch =>
         ch.shutdownNow()
-        ch.awaitTermination(5, java.util.concurrent.TimeUnit.SECONDS)
+        // must not throw: with the interrupt flag restored by the catch
+        // above, a bare awaitTermination throws InterruptedException from
+        // the finally and REPLACES the `return 130` (abrupt-completion
+        // rule) — the supervisor would crash on the exact shutdown path
+        // the interrupt handling exists for. Swallow and re-assert.
+        try ch.awaitTermination(5, java.util.concurrent.TimeUnit.SECONDS)
+        catch { case _: InterruptedException => Thread.currentThread().interrupt() }
         ()
       }
       // progress RESETS the counter: only consecutive dead dials count

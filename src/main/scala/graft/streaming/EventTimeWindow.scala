@@ -44,19 +44,27 @@ object EventTimeWindow {
   private def withEventTime(df: DataFrame, tsCol: String): DataFrame =
     df.withColumn("__ts", col(tsCol).cast(TimestampType))
 
+  /** The one windowed-aggregate expression BOTH sides share — the streamed
+    * and batch plans must stay bit-comparable, so the grouping, the
+    * decimal-sum convention, and the flattening live in exactly one place.
+    */
+  private def windowed(df: DataFrame, keyCols: Seq[String],
+                       valueCols: Seq[String], width: String): DataFrame =
+    df.groupBy(window(col("__ts"), width).as("__w") +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        valueCols.map(v =>
+          sum(col(v).cast(DecimalType(28, 6))).as(s"sum_$v")): _*)
+      .select(col("__w.start").as("w_start") +: col("__w.end").as("w_end") +:
+        (keyCols.map(col) ++ (col("cnt") +: valueCols.map(v => col(s"sum_$v")))): _*)
+
   /** Flattened windowed aggregate of `stream`: one row per closed
     * (`w_start`, `w_end`, key) with `cnt` and `sum_<v>` columns.
     */
   def aggregate(stream: DataFrame, tsCol: String, keyCols: Seq[String],
                 valueCols: Seq[String], width: String,
                 delay: String): DataFrame =
-    withEventTime(stream, tsCol).withWatermark("__ts", delay)
-      .groupBy(window(col("__ts"), width).as("__w") +: keyCols.map(col): _*)
-      .agg(count(lit(1)).as("cnt"),
-        valueCols.map(v =>
-          sum(col(v).cast(DecimalType(28, 6))).as(s"sum_$v")): _*)
-      .select(col("__w.start").as("w_start") +: col("__w.end").as("w_end") +:
-        (keyCols.map(col) ++ (col("cnt") +: valueCols.map(v => col(s"sum_$v")))): _*)
+    windowed(withEventTime(stream, tsCol).withWatermark("__ts", delay),
+      keyCols, valueCols, width)
 
   /** Start the checkpointed append-mode stream into a parquet sink. */
   def start(spark: SparkSession, stream: DataFrame, tsCol: String,
@@ -78,11 +86,5 @@ object EventTimeWindow {
     */
   def batchReference(log: DataFrame, tsCol: String, keyCols: Seq[String],
                      valueCols: Seq[String], width: String): DataFrame =
-    withEventTime(log, tsCol)
-      .groupBy(window(col("__ts"), width).as("__w") +: keyCols.map(col): _*)
-      .agg(count(lit(1)).as("cnt"),
-        valueCols.map(v =>
-          sum(col(v).cast(DecimalType(28, 6))).as(s"sum_$v")): _*)
-      .select(col("__w.start").as("w_start") +: col("__w.end").as("w_end") +:
-        (keyCols.map(col) ++ (col("cnt") +: valueCols.map(v => col(s"sum_$v")))): _*)
+    windowed(withEventTime(log, tsCol), keyCols, valueCols, width)
 }

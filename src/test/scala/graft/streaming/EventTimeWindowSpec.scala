@@ -24,9 +24,14 @@ class EventTimeWindowSpec extends SparkSpec {
     val dir = new java.io.File(log)
     val before =
       Option(dir.listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty)
-    df.write.mode("append").parquet(log)
-    dir.listFiles().filter(f => !before(f.getName) && !f.getName.startsWith("_"))
-      .foreach(f => assert(f.setLastModified(modTime)))
+    // one data file per batch: several same-modTime files are consumed in
+    // arbitrary order, and a sibling holding older ts than an already-seen
+    // one gets watermark-dropped — the equality would flap
+    df.coalesce(1).write.mode("append").parquet(log)
+    val fresh = dir.listFiles().filter(f => !before(f.getName) &&
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(fresh.length === 1, s"expected 1 data file, got ${fresh.length}")
+    assert(fresh.head.setLastModified(modTime))
   }
 
   private def sinkRows(out: String): Set[Seq[Any]] =
