@@ -187,6 +187,56 @@ class PubSubConnectSpec extends SparkSpec {
     }
   }
 
+  test("supervise: interrupt during a live stream returns 130 with the flag restored") {
+    // r17 review finding: the catch restored the interrupt flag and
+    // `return 130`-ed, but the finally's bare awaitTermination then threw
+    // InterruptedException off that very flag and REPLACED the return
+    // value (abrupt-completion rule) whenever a channelFactory was in
+    // use — the supervisor crashed on its own shutdown path. This pins
+    // the contract: interrupt => exit 130, flag left set for the caller.
+    val server = new PubSubTestServer(Token, Instance, OrgId)
+    server.publishDirect(Topic, Seq(ev("a1", "p1")))
+    val name = server.start()
+    val logDir = Files.createTempDirectory("graft_supervise_int").toString
+    val cfg = PubSubConnect.Config(
+      endpoint = "ignored.example:7443", topic = Topic, logDir = logDir,
+      auth = Auth.UserSupplied(Token, Instance),
+      replayPreset = ReplayPreset.EARLIEST)
+    val channels = new scala.collection.mutable.ArrayBuffer[
+      org.sparkproject.connect.grpc.ManagedChannel]()
+    @volatile var exitCode = -1
+    @volatile var flagRestored = false
+    val supervisor = new Thread(() => {
+      exitCode = PubSubConnect.supervise(cfg,
+        channelFactory = Some(() => channels.synchronized {
+          val ch = InProcessChannelBuilder.forName(name).build()
+          channels += ch; ch
+        }),
+        maxConsecutiveFailures = 3, initialBackoffMs = 20L, pollMs = 10L,
+        log = _ => ())
+      flagRestored = Thread.currentThread().isInterrupted
+    }, "supervise-int-spec")
+    supervisor.start()
+    import org.scalatest.concurrent.Eventually.{eventually, timeout}
+    import org.scalatest.time.{Seconds, Span}
+    try {
+      eventually(timeout(Span(20, Seconds))) {
+        val fs = new java.io.File(logDir).listFiles()
+        assert(fs != null && fs.exists(_.getName.startsWith("events-")),
+          "stream never landed the first batch")
+      }
+      supervisor.interrupt() // lands in the poll-loop sleep
+      supervisor.join(15000)
+      assert(!supervisor.isAlive, "supervisor did not exit on interrupt")
+      assert(exitCode === 130,
+        "interrupt must exit 130, not crash or count as a dead dial")
+      assert(flagRestored, "interrupt flag must stay set for the caller")
+    } finally {
+      server.stop(); supervisor.interrupt()
+      channels.synchronized(channels.foreach(_.shutdownNow()))
+    }
+  }
+
   test("supervise at max-retries 1: OUT_OF_RANGE still resyncs (a position error is not a dead dial)") {
     // the r16 second-review finding: OUT_OF_RANGE used to burn failure
     // budget, so at --max-retries 1 the loop exited WITHOUT attempting
