@@ -47,10 +47,15 @@ object EventTimeWindow {
   /** The one windowed-aggregate expression BOTH sides share — the streamed
     * and batch plans must stay bit-comparable, so the grouping, the
     * decimal-sum convention, and the flattening live in exactly one place.
+    * `slide` = `width` is a tumbling window; a shorter slide assigns each
+    * row to `width/slide` overlapping windows (Spark's epoch-aligned
+    * convention), which APPEND mode still emits exactly once per window
+    * as the watermark passes each end.
     */
   private def windowed(df: DataFrame, keyCols: Seq[String],
-                       valueCols: Seq[String], width: String): DataFrame =
-    df.groupBy(window(col("__ts"), width).as("__w") +: keyCols.map(col): _*)
+                       valueCols: Seq[String], width: String,
+                       slide: String): DataFrame =
+    df.groupBy(window(col("__ts"), width, slide).as("__w") +: keyCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
         valueCols.map(v =>
           sum(col(v).cast(DecimalType(28, 6))).as(s"sum_$v")): _*)
@@ -62,16 +67,16 @@ object EventTimeWindow {
     */
   def aggregate(stream: DataFrame, tsCol: String, keyCols: Seq[String],
                 valueCols: Seq[String], width: String,
-                delay: String): DataFrame =
+                delay: String, slide: String = ""): DataFrame =
     windowed(withEventTime(stream, tsCol).withWatermark("__ts", delay),
-      keyCols, valueCols, width)
+      keyCols, valueCols, width, if (slide.isEmpty) width else slide)
 
   /** Start the checkpointed append-mode stream into a parquet sink. */
   def start(spark: SparkSession, stream: DataFrame, tsCol: String,
             keyCols: Seq[String], valueCols: Seq[String], width: String,
             delay: String, outDir: String, checkpointDir: String,
-            availableNow: Boolean = true): StreamingQuery = {
-    val writer = aggregate(stream, tsCol, keyCols, valueCols, width, delay)
+            availableNow: Boolean = true, slide: String = ""): StreamingQuery = {
+    val writer = aggregate(stream, tsCol, keyCols, valueCols, width, delay, slide)
       .writeStream
       .format("parquet")
       .option("path", outDir)
@@ -85,6 +90,8 @@ object EventTimeWindow {
     * must equal once every window has flushed.
     */
   def batchReference(log: DataFrame, tsCol: String, keyCols: Seq[String],
-                     valueCols: Seq[String], width: String): DataFrame =
-    windowed(withEventTime(log, tsCol), keyCols, valueCols, width)
+                     valueCols: Seq[String], width: String,
+                     slide: String = ""): DataFrame =
+    windowed(withEventTime(log, tsCol), keyCols, valueCols, width,
+      if (slide.isEmpty) width else slide)
 }

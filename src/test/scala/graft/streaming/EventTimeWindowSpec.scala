@@ -81,6 +81,34 @@ class EventTimeWindowSpec extends SparkSpec {
     assert(sinkRows(out) === want)
   }
 
+  test("sliding windows: each row lands in width/slide overlapping windows, streamed equals batch") {
+    val log = Files.createTempDirectory("etw_slog").toString + "/data"
+    val out = Files.createTempDirectory("etw_sout").toString + "/win"
+    val ckpt = Files.createTempDirectory("etw_sckpt").toString
+    val rows = Seq(("u1", "2026-01-01 10:01:00", 1.0),
+      ("u1", "2026-01-01 10:07:00", 2.0),
+      ("u2", "2026-01-01 10:12:00", 4.0))
+    val sentinel = Seq(("__sentinel", "2026-01-02 00:00:00", 0.0))
+    val t0 = System.currentTimeMillis() - 60000
+    writeBatch(ntz(rows), log, t0)
+    writeBatch(ntz(sentinel), log, t0 + 10000)
+
+    EventTimeWindow.start(spark,
+      spark.readStream.schema(ntz(rows).schema)
+        .option("maxFilesPerTrigger", "1").parquet(log),
+      "ts", Seq("k"), Seq("v"), "10 minutes", "1 second", out, ckpt,
+      slide = "5 minutes").awaitTermination()
+
+    val want = EventTimeWindow.batchReference(ntz(rows), "ts", Seq("k"),
+        Seq("v"), "10 minutes", slide = "5 minutes")
+      .collect().map(_.toSeq).toSet
+    // epoch-aligned starts: 10:01 -> [9:55, 10:00], 10:07 -> [10:00, 10:05],
+    // 10:12 -> [10:05, 10:10]; u1 shares the 10:00 window => 5 (window, key)
+    // rows, and the overlap window aggregates BOTH u1 rows
+    assert(want.size === 5)
+    assert(sinkRows(out) === want)
+  }
+
   test("MaterializedAgg tumbling twin: redelivered batch cannot double-count a window") {
     val tgt = Files.createTempDirectory("etw_ma").toString + "/agg"
     def bucketed(rows: Seq[(String, String, Double)]) =
