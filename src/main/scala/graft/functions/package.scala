@@ -169,6 +169,13 @@ package object functions {
   def top_n_by_scored(value: Column, score: Column, n: Int): Column =
     col(TopNByScored(ex(value), ex(score), n).toAggregateExpression())
 
+  /** Per-group row with the maximum `ord` (hash-aggregable latest-wins
+    * over an arbitrary struct payload — `max_by(struct)` demotes to
+    * SortAggregate; this stays an ObjectHashAggregate with map-side
+    * partials). Deterministic byte-order tie-break on duplicate ords. */
+  def max_by_row(row: Column, ord: Column): Column =
+    col(MaxByRow(ex(row), ex(ord)).toAggregateExpression())
+
   /** Decode an MG sketch's survivors as
     * `array<struct<item, est>>` ordered by (est desc, item). */
   def mg_items(sketch: Column): Column = col(MgItems(ex(sketch)))
@@ -178,6 +185,11 @@ package object functions {
   def gray_decode(decoder: GrayDecoder, content: Column,
                   w: Column, h: Column): Column =
     col(GrayDecode(decoder, ex(content), ex(w), ex(h)))
+
+  /** Encode `w·h` gray pixels as a real PNG container (JDK writer;
+    * lossless — pixels round-trip exactly through [[ImageIoDecoder]]). */
+  def png_gray_encode(pixels: Column, w: Column, h: Column): Column =
+    col(PngGrayEncode(ex(pixels), ex(w), ex(h)))
 
   /** Nearest-neighbor resample of a gray pixel buffer to `outW·outH`. */
   def gray_resize(outW: Int, outH: Int, pixels: Column,

@@ -25,22 +25,34 @@ object CdcFold {
       .drop("__rn")
   }
 
-  /** Skew-immune twin of [[latestWins]]: `max_by(row, offset)` under a
-    * hash aggregate instead of a `row_number` window. PARTIAL aggregation
-    * combines a hot key's rows map-side, so a key holding 20 % of the
-    * corpus costs one reducer a single pre-combined record per upstream
-    * partition — where the window form must sort that key's entire row
-    * set in one task. Requires `offset` to be UNIQUE per key (true for
-    * replay ids within a topic, `setup.md:542`): `max_by` breaks ties
-    * arbitrarily while the window form breaks them by its full sort order,
-    * so with duplicate offsets the two can disagree — callers with
+  /** Skew-immune twin of [[latestWins]]: the whole row with the maximum
+    * `offset` per key under a HASH aggregate instead of a `row_number`
+    * window. PARTIAL aggregation combines a hot key's rows map-side, so a
+    * key holding 20 % of the corpus costs one reducer a single
+    * pre-combined record per upstream partition — where the window form
+    * must sort that key's entire row set in one task.
+    *
+    * Implementation (r18): [[graft.functions.max_by_row]], a
+    * TypedImperativeAggregate, so the plan is an ObjectHashAggregate. The
+    * obvious `max_by(struct(...), offset)` is NOT equivalent at scale: a
+    * declarative buffer holding strings/arrays is non-mutable and Spark
+    * silently demotes the whole aggregate to SortAggregate — a map-side
+    * sort per partition that buys nothing here (the r15 buffer-mutability
+    * lesson, now with the fix instead of the fallback).
+    *
+    * Requires `offset` to be UNIQUE per key (true for replay ids within a
+    * topic, `setup.md:542`): on duplicate offsets `max_by_row` breaks ties
+    * by a deterministic byte order, while the window form breaks them by
+    * its full sort order, so the two can disagree — callers with
     * at-least-once duplicate offsets keep [[latestWins]]. Equality of the
     * two paths under a planted 20 % hot key is asserted in the ScaleSmoke
-    * `coreskew` stage.
+    * `coreskew` stage; the declared `q10b_latest_wins_agg` query gates the
+    * output against q10's oracle.
     */
   def latestWinsAgg(df: DataFrame, key: Column, offset: Column): DataFrame = {
     val payload = struct(df.columns.toIndexedSeq.map(col): _*)
-    df.groupBy(key).agg(max_by(payload, offset).as("__row"))
+    df.groupBy(key)
+      .agg(graft.functions.max_by_row(payload, offset).as("__row"))
       .select(col("__row.*"))
   }
 

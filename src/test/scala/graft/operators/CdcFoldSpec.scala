@@ -32,10 +32,10 @@ class CdcFoldSpec extends SparkSpec {
     assert(result.toSeq == Seq(("a", 3L, "v3-late"), ("c", 9L, "c2")))
   }
 
-  test("latestWinsAgg: max_by twin equals the window form on unique offsets") {
+  test("latestWinsAgg: hash-agg twin equals the window form on unique offsets") {
     // the duplicate replayId rows are identical payloads, so even though
-    // max_by tie-breaking is arbitrary the outputs must still agree here;
-    // keys with genuinely unique offsets are the documented contract
+    // max_by_row tie-breaking is a byte order the outputs must still agree
+    // here; keys with genuinely unique offsets are the documented contract
     val win = CdcFold.latestWins(log, col("sfId"), col("replayId"))
       .select("sfId", "replayId", "changeType", "value")
     val agg = CdcFold.latestWinsAgg(log, col("sfId"), col("replayId"))
