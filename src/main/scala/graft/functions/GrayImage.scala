@@ -31,9 +31,14 @@ trait GrayDecoder extends Serializable {
   * pixel grid. Empty payloads decode to black.
   */
 object TileDecoder extends GrayDecoder {
-  override def decode(content: Array[Byte], width: Int, height: Int): Array[Byte] =
+  override def decode(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    // declared-dim overflow degrade (never-throw): width·height past
+    // Int.MaxValue would overflow the allocation size negative
+    if (width <= 0 || height <= 0 ||
+      width.toLong * height > Int.MaxValue) return Array.emptyByteArray
     if (content.isEmpty) new Array[Byte](width * height)
     else Array.tabulate(width * height)(i => content(i % content.length))
+  }
 }
 
 /** REAL pixel codec over the JDK's `javax.imageio` (public API shipped
@@ -66,7 +71,11 @@ object TileDecoder extends GrayDecoder {
   */
 object ImageIoDecoder extends GrayDecoder {
   override def decode(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
-    if (width <= 0 || height <= 0) return Array.emptyByteArray
+    // non-positive AND overflowing declared dims degrade to empty — a
+    // 50000×50000 declaration would overflow the Int product negative and
+    // throw NegativeArraySizeException, violating the never-throw contract
+    if (width <= 0 || height <= 0 ||
+      width.toLong * height > Int.MaxValue) return Array.emptyByteArray
     val black = new Array[Byte](width * height)
     if (content == null || content.isEmpty) return black
     val img =
@@ -76,7 +85,8 @@ object ImageIoDecoder extends GrayDecoder {
     try {
       val iw = img.getWidth
       val ih = img.getHeight
-      if (iw <= 0 || ih <= 0) return black
+      // intrinsic dims come from the container — same overflow degrade
+      if (iw <= 0 || ih <= 0 || iw.toLong * ih > Int.MaxValue) return black
       val luma = new Array[Byte](iw * ih)
       val raster = img.getRaster
       // gray-encoded containers: read the RASTER samples — the exact
@@ -133,6 +143,61 @@ object ImageIoDecoder extends GrayDecoder {
       }
     } catch { case scala.util.control.NonFatal(_) => black }
   }
+}
+
+/** `png_gray_encode(pixels, w, h) -> binary` — encode `w·h` row-major gray
+  * pixels as a REAL PNG container via `javax.imageio` (the JDK writer; no
+  * new dependency). PNG is lossless and the gray samples land in the
+  * raster verbatim, so [[ImageIoDecoder]]'s raster-exact gray read
+  * round-trips every pixel bit-identically — which is what lets
+  * `mm_image_decode_real` run the SHIPPED container decoder inside the
+  * cross-engine hash gate: the payload is a genuine encoded PNG while the
+  * pixel plane stays arithmetic the SQL oracle can replicate.
+  *
+  * Degrade contract (never-throw, mirroring the decoders): non-positive
+  * or overflowing dims, or a pixel buffer shorter than `w·h`, yield an
+  * EMPTY payload (which [[ImageIoDecoder]] in turn decodes to black).
+  * PNG byte-stream identity across JVMs is NOT contracted — only pixel
+  * round-trip identity, which is all the gate consumes.
+  */
+case class PngGrayEncode(first: Expression, second: Expression, third: Expression)
+  extends GrayTernary {
+  override protected def wantTypes: (DataType, String) = (BinaryType, "binary")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "png_gray_encode"
+
+  def kernel(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue ||
+      px.length < w * h) return Array.emptyByteArray
+    try {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h,
+        if (px.length == w * h) px else java.util.Arrays.copyOf(px, w * h))
+      val bos = new java.io.ByteArrayOutputStream()
+      // every JRE ships a PNG ImageWriter; a false return (no writer)
+      // degrades to empty like a corrupt payload would on the read side
+      if (javax.imageio.ImageIO.write(img, "png", bos)) bos.toByteArray
+      else Array.emptyByteArray
+    } catch {
+      case scala.util.control.NonFatal(_) => Array.emptyByteArray
+    }
+  }
+
+  override protected def nullSafeEval(c: Any, w: Any, h: Any): Any =
+    kernel(c.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pngGrayEncode", this,
+      classOf[PngGrayEncode].getName)
+    nullSafeCodeGen(ctx, ev,
+      (c, w, h) => s"${ev.value} = $ref.kernel($c, $w, $h);")
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PngGrayEncode =
+    copy(first = f, second = s, third = t)
 }
 
 private[functions] trait GrayTernary extends TernaryExpression {

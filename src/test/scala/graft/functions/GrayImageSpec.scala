@@ -18,6 +18,39 @@ class GrayImageSpec extends SparkSpec {
       === Seq[Byte](0, 0, 0))
   }
 
+  test("png_gray_encode emits a real PNG that round-trips pixel-exactly") {
+    val px = Array.tabulate(48)(i => ((i * 37 + 11) % 256).toByte) // 8x6
+    val df = Seq(Tuple1(px)).toDF("px")
+    val png = png_gray_encode(col("px"), lit(8), lit(6))
+    // a genuine container per the header sniffer, with intrinsic dims
+    val hdr = df.select(media_header(png).as("h"))
+      .select("h.format", "h.width", "h.height")
+      .as[(String, Int, Int)].head()
+    assert(hdr === (("png", 8, 6)))
+    // raster-exact round-trip through the SHIPPED decoder at intrinsic dims
+    val back = df.select(gray_decode(ImageIoDecoder, png, lit(8), lit(6)))
+      .head().getAs[Array[Byte]](0)
+    assert(back.toSeq === px.toSeq)
+    // declared-dim mismatch resamples with GrayResize's exact convention
+    val resampled = df.select(gray_decode(ImageIoDecoder, png, lit(4), lit(4)))
+      .head().getAs[Array[Byte]](0)
+    val want = df.select(gray_resize(4, 4, col("px"), lit(8), lit(6)))
+      .head().getAs[Array[Byte]](0)
+    assert(resampled.toSeq === want.toSeq)
+    // degrade contract: short buffer / overflowing dims -> empty, no throw
+    assert(df.select(png_gray_encode(col("px"), lit(9), lit(6)))
+      .head().getAs[Array[Byte]](0).isEmpty)
+    assert(df.select(png_gray_encode(col("px"), lit(50000), lit(50000)))
+      .head().getAs[Array[Byte]](0).isEmpty)
+  }
+
+  test("decoders degrade on overflowing declared dims instead of throwing") {
+    // 50000*50000 overflows the Int product negative — the r17 ADVICE
+    // NegativeArraySizeException path; the never-throw contract wins
+    assert(TileDecoder.decode(Array[Byte](1, 2), 50000, 50000).isEmpty)
+    assert(ImageIoDecoder.decode(Array[Byte](1, 2), 50000, 50000).isEmpty)
+  }
+
   test("gray_resize nearest-neighbor mapping is (y*h)/outH, (x*w)/outW") {
     // 4x2 -> 2x1: out(0,0)=in(0,0)=10, out(1,0)=in(0,2)=30
     val df = Seq(Tuple1(Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)))
