@@ -210,6 +210,29 @@ object CoreQueries {
         "SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn " +
         "FROM events) WHERE rn = 1 ORDER BY user_id")),
 
+    // ---- Q10b: skew-immune latest-wins via hash aggregate (W1): the
+    // max_by_row twin of q10 (CdcFold.latestWinsAgg, an
+    // ObjectHashAggregate — max_by(struct) would silently demote to
+    // SortAggregate on the non-mutable buffer). PARTIAL aggregation
+    // pre-combines a hot key's rows map-side where q10's row_number
+    // window must sort that key's entire row set in one task — the
+    // 100 TB posture for Zipf keys (ScaleSmoke coreskew measured the
+    // twin output-equal under a planted 20 % hot key at 20×/50×).
+    // event_id is globally unique, so the max_by tie-break precondition
+    // holds and both forms share ONE oracle. Plan: HashAggregate with
+    // partial aggregation, no Window, no sort before the final orderBy
+    // (asserted in PipelineQueriesSpec). ----
+    ("q10b_latest_wins_agg",
+      (s: SparkSession, d: String) =>
+        CdcFold.latestWinsAgg(Tables.events(s, d), col("user_id"), col("event_id"))
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_event_type"), col("value").as("last_value"))
+          .orderBy("user_id"),
+      Some("SELECT user_id, event_id AS last_event_id, " +
+        "event_type AS last_event_type, value AS last_value FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn " +
+        "FROM events) WHERE rn = 1 ORDER BY user_id")),
+
     // ---- Q11: analytic window lag (W3) ----
     ("q11_lag_delta",
       (s: SparkSession, d: String) => {
@@ -278,6 +301,29 @@ object CoreQueries {
       Some("SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, " +
         "count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1 ORDER BY 1")),
+
+    // ---- Q14b: event-time SLIDING window (T11): window(ts, width, slide)
+    // with slide < width assigns each row to width/slide overlapping
+    // epoch-aligned windows (here 2: starts at bucket(ts, 30m) and
+    // bucket(ts, 30m) − 30m, both satisfying start ≤ ts < start + 1h).
+    // The oracle enumerates exactly those candidate buckets per row via a
+    // small cross join — no window-table materialization. The streaming
+    // twin of this shape (append-mode watermarked, slide < width) is
+    // EventTimeWindow; ns_streaming_audit_win proves streamed ≡ batch. ----
+    ("q14b_sliding_window",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(col("window.start").as("w_start"),
+            col("window.end").as("w_end"), col("n"), col("sum_value"))
+          .orderBy("w_start"),
+      Some("SELECT w_start, w_start + INTERVAL '1 hour' AS w_end, " +
+        "count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "FROM (SELECT time_bucket(INTERVAL '30 minutes', ts) " +
+        "- k * INTERVAL '30 minutes' AS w_start, value " +
+        "FROM events CROSS JOIN generate_series(0, 1) g(k)) " +
+        "GROUP BY w_start ORDER BY w_start")),
 
     // ---- Q15: CDC fold — latest-wins + delete-through (S8/S9) ----
     ("q15_cdc_fold",

@@ -4068,6 +4068,52 @@ object PipelineQueries {
         "round(sqrt(sum(v * v) / 4.0 - (sum(v) / 4.0) * (sum(v) / 4.0)), 6) " +
         "AS std FROM v GROUP BY doc_id, py, px ORDER BY doc_id, py, px")),
 
+    // ---- REAL container decode in the gated path: the same arithmetic
+    // pixel plane as mm_patch_grid (TileDecoder over a doc_id payload) is
+    // ENCODED into a genuine PNG container per row (png_gray_encode, JDK
+    // writer) and decoded back through the SHIPPED ImageIoDecoder
+    // (GrayImage.scala codec seam) — intrinsic 8×6 raster-exact gray read,
+    // then the declared-4×4 mismatch exercises the decoder's documented
+    // integer resample convention (== GrayResize). PNG is lossless, so the
+    // output equals mm_patch_grid's and the oracle replays the identical
+    // pixel arithmetic — a gamma shift, palette misread, or resample drift
+    // in the real decoder breaks the hash. Per-row codegen'd projections
+    // throughout: encode+decode ride the scan, no shuffle before the agg. ----
+    ("mm_image_decode_real",
+      (s: SparkSession, d: String) => {
+        import graft.functions.{ImageIoDecoder, TileDecoder, gray_decode,
+          gray_patch_stats, png_gray_encode}
+        def hex2(c: Column) = lpad(hex(c % 256), 2, "0")
+        val payload = unhex(concat(hex2(col("doc_id")),
+          hex2(floor(col("doc_id") / 256).cast("long")), lit("070B")))
+        val plane = gray_decode(TileDecoder, payload, lit(8), lit(6))
+        val png = png_gray_encode(plane, lit(8), lit(6))
+        val decoded = gray_decode(ImageIoDecoder, png, lit(4), lit(4))
+        Tables.documents(s, d)
+          .select(col("doc_id"), decoded.as("__px"))
+          .select(col("doc_id"),
+            explode(gray_patch_stats(2, col("__px"), lit(4), lit(4))).as("__s"))
+          .select(col("doc_id"), col("__s.py").as("py"), col("__s.px").as("px"),
+            col("__s.mean").as("mean"), col("__s.std").as("std"))
+          .orderBy("doc_id", "py", "px")
+      },
+      // identical pixel arithmetic to mm_patch_grid's oracle: the PNG
+      // encode→decode round-trip is bit-lossless by contract, so the real
+      // decoder must reproduce the tile plane exactly
+      Some("WITH px AS (SELECT doc_id, py, qx AS px, dy, dx, " +
+        "((py * 2 + dy) * 6) // 4 AS sy, ((qx * 2 + dx) * 8) // 4 AS sx " +
+        "FROM documents CROSS JOIN generate_series(0, 1) a(py) " +
+        "CROSS JOIN generate_series(0, 1) b(qx) " +
+        "CROSS JOIN generate_series(0, 1) c(dy) " +
+        "CROSS JOIN generate_series(0, 1) e(dx)), " +
+        "v AS (SELECT doc_id, py, px, CASE (sy * 8 + sx) % 4 " +
+        "WHEN 0 THEN doc_id % 256 WHEN 1 THEN (doc_id // 256) % 256 " +
+        "WHEN 2 THEN 7 ELSE 11 END AS v FROM px) " +
+        "SELECT doc_id, CAST(py AS INTEGER) AS py, CAST(px AS INTEGER) AS px, " +
+        "round(sum(v) / 4.0, 6) AS mean, " +
+        "round(sqrt(sum(v * v) / 4.0 - (sum(v) / 4.0) * (sum(v) / 4.0)), 6) " +
+        "AS std FROM v GROUP BY doc_id, py, px ORDER BY doc_id, py, px")),
+
     // ---- interleaved multimodal example packing (the VLM pretraining
     // input): per doc [IMG_BEGIN] patch-tokens [IMG_END] text-ids, packed
     // into exact-64-id examples by the SAME carve stage as the text/id
@@ -4712,62 +4758,6 @@ object PipelineQueries {
             .toSet
           streamed == batch
         }
-        // 5. event-time tumbling windows through the WATERMARKED streaming
-        // aggregate (T11's streaming twin; EventTimeWindow): replay a
-        // bounded event log in micro-batches with a watermark-advancing
-        // sentinel as the deterministic LAST file, and the append-mode
-        // sink of FINALIZED windows must equal the batch
-        // groupBy(window(ts)) aggregate; a checkpoint restart over the
-        // same log must emit nothing new (exactly-once per window).
-        val winFut = Future {
-          import s.implicits._
-          val ev = Tables.events(s, d).filter(col("event_id") < 2000)
-            .select("event_id", "ts", "event_type", "value")
-          val wlog = s"$tmp/win_log"
-          // ONE data file per write (coalesce(1)), asserted: with several
-          // same-modTime files per half, FileStreamSource consumes them in
-          // ARBITRARY order at maxFilesPerTrigger=1, and a sibling holding
-          // older ts than an already-processed one is watermark-dropped —
-          // empirically the sink then diverges nondeterministically. One
-          // file per half = exactly three batches in modTime order.
-          def writeTimed(df: DataFrame, modTime: Long): Unit = {
-            val dir = new java.io.File(wlog)
-            val before = Option(dir.listFiles())
-              .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
-            df.coalesce(1).write.mode("append").parquet(wlog)
-            // exclude _SUCCESS and the hidden .crc twins, like the source does
-            val fresh = dir.listFiles().filter(f => !before(f.getName) &&
-              !f.getName.startsWith("_") && !f.getName.startsWith("."))
-            require(fresh.length == 1,
-              s"audit invariant: expected 1 data file per write, got ${fresh.length}")
-            require(fresh.head.setLastModified(modTime),
-              s"audit invariant: cannot set modTime on ${fresh.head}")
-          }
-          val sentinelTs = ev.agg(max("ts")).head()
-            .getAs[java.time.LocalDateTime](0).plusDays(2)
-          val t0 = System.currentTimeMillis() - 120000
-          // explicit mod times: FileStreamSource orders by modTime, and a
-          // sentinel processed FIRST would watermark-drop every real event
-          writeTimed(ev.filter(col("event_id") % 2 === 0), t0)
-          writeTimed(ev.filter(col("event_id") % 2 === 1), t0 + 10000)
-          writeTimed(Seq((-1L, sentinelTs, "__sentinel", 0.0))
-            .toDF("event_id", "ts", "event_type", "value"), t0 + 20000)
-          def runWin(): Unit = graft.streaming.EventTimeWindow.start(s,
-            s.readStream.schema(ev.schema)
-              .option("maxFilesPerTrigger", "1").parquet(wlog),
-            "ts", Seq("event_type"), Seq("value"), "1 hour", "1 second",
-            s"$tmp/win_out", s"$tmp/win_ckpt").awaitTermination()
-          runWin()
-          def sink() = s.read.parquet(s"$tmp/win_out")
-            .filter(col("event_type") =!= "__sentinel")
-            .collect().map(_.toSeq).toSet
-          val first = sink()
-          val want = graft.streaming.EventTimeWindow.batchReference(ev,
-            "ts", Seq("event_type"), Seq("value"), "1 hour")
-            .collect().map(_.toSeq).toSet
-          runWin() // restart, same checkpoint, no new data
-          first == want && sink() == want
-        }
         val annFut = Future {
           val embs = Tables.embeddings(s, d).filter(col("vec_id") < 600)
           val eParts = Seq(embs.filter(col("vec_id") % 2 === 0),
@@ -4800,8 +4790,6 @@ object PipelineQueries {
           scala.concurrent.duration.Duration.Inf)
         val cmsEq = Await.result(cmsFut,
           scala.concurrent.duration.Duration.Inf)
-        val winEq = Await.result(winFut,
-          scala.concurrent.duration.Duration.Inf)
         __mark("ann_done")
 
         // stream done by now (or we wait out its tail), then compare
@@ -4819,13 +4807,92 @@ object PipelineQueries {
           "streaming_nb_equals_batch" -> nbEq,
           "streaming_dedup_keeps_min_id" -> ddEq,
           "streaming_ann_probe_equals_batch" -> annEq,
-          "streaming_cms_grid_equals_batch" -> cmsEq,
-          "streaming_window_equals_batch" -> winEq))
+          "streaming_cms_grid_equals_batch" -> cmsEq))
       },
       Some(auditOracleSql(Seq("streaming_nb_equals_batch",
         "streaming_dedup_keeps_min_id", "streaming_ann_probe_equals_batch",
-        "streaming_cms_grid_equals_batch",
-        "streaming_window_equals_batch")))),
+        "streaming_cms_grid_equals_batch")))),
+
+    // Event-time windows through the WATERMARKED streaming aggregate
+    // (T11's streaming twin; EventTimeWindow) — its own declared entry
+    // (split out of ns_streaming_audit in r18 so bench attributes the
+    // checkpointed-stream cost per leg and a regression names its leg):
+    // replay a bounded event log in micro-batches with a
+    // watermark-advancing sentinel as the deterministic LAST file; the
+    // append-mode sink of FINALIZED windows must equal the batch
+    // groupBy(window(ts)) aggregate — for BOTH the tumbling shape and the
+    // r17 sliding shape (slide < width, the q14b semantics) — and a
+    // checkpoint restart over the same log must emit nothing new
+    // (exactly-once per window).
+    ("ns_streaming_audit_win",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_stream_audit_win").toString
+        val ev = Tables.events(s, d).filter(col("event_id") < 2000)
+          .select("event_id", "ts", "event_type", "value")
+        val wlog = s"$tmp/win_log"
+        // ONE data file per write (coalesce(1)), asserted: with several
+        // same-modTime files per half, FileStreamSource consumes them in
+        // ARBITRARY order at maxFilesPerTrigger=1, and a sibling holding
+        // older ts than an already-processed one is watermark-dropped —
+        // empirically the sink then diverges nondeterministically. One
+        // file per half = exactly three batches in modTime order.
+        def writeTimed(df: DataFrame, modTime: Long): Unit = {
+          val dir = new java.io.File(wlog)
+          val before = Option(dir.listFiles())
+            .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+          df.coalesce(1).write.mode("append").parquet(wlog)
+          // exclude _SUCCESS and the hidden .crc twins, like the source does
+          val fresh = dir.listFiles().filter(f => !before(f.getName) &&
+            !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          require(fresh.length == 1,
+            s"audit invariant: expected 1 data file per write, got ${fresh.length}")
+          require(fresh.head.setLastModified(modTime),
+            s"audit invariant: cannot set modTime on ${fresh.head}")
+        }
+        val sentinelTs = ev.agg(max("ts")).head()
+          .getAs[java.time.LocalDateTime](0).plusDays(2)
+        val t0 = System.currentTimeMillis() - 120000
+        // explicit mod times: FileStreamSource orders by modTime, and a
+        // sentinel processed FIRST would watermark-drop every real event
+        writeTimed(ev.filter(col("event_id") % 2 === 0), t0)
+        writeTimed(ev.filter(col("event_id") % 2 === 1), t0 + 10000)
+        writeTimed(Seq((-1L, sentinelTs, "__sentinel", 0.0))
+          .toDF("event_id", "ts", "event_type", "value"), t0 + 20000)
+        def runShape(tag: String, slide: String): (Boolean, Boolean) = {
+          def run(): Unit = graft.streaming.EventTimeWindow.start(s,
+            s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1").parquet(wlog),
+            "ts", Seq("event_type"), Seq("value"), "1 hour", "1 second",
+            s"$tmp/out_$tag", s"$tmp/ckpt_$tag", slide = slide)
+            .awaitTermination()
+          run()
+          def sink() = s.read.parquet(s"$tmp/out_$tag")
+            .filter(col("event_type") =!= "__sentinel")
+            .collect().map(_.toSeq).toSet
+          val first = sink()
+          val want = graft.streaming.EventTimeWindow.batchReference(ev,
+            "ts", Seq("event_type"), Seq("value"), "1 hour", slide = slide)
+            .collect().map(_.toSeq).toSet
+          run() // restart, same checkpoint, no new data
+          (first == want, sink() == want)
+        }
+        // the two shapes share the log but keep separate sinks/checkpoints
+        // and run sequentially (two concurrent streams over one
+        // FileStreamSource dir would race the modTime-ordered consumption)
+        val (tumbleEq, tumbleRestart) = runShape("tumble", "")
+        val (slideEq, slideRestart) = runShape("slide", "30 minutes")
+        auditDf(s, Seq(
+          "streaming_window_equals_batch" -> tumbleEq,
+          "streaming_window_restart_emits_nothing" -> tumbleRestart,
+          "streaming_sliding_equals_batch" -> slideEq,
+          "streaming_sliding_restart_emits_nothing" -> slideRestart))
+      },
+      Some(auditOracleSql(Seq("streaming_window_equals_batch",
+        "streaming_window_restart_emits_nothing",
+        "streaming_sliding_equals_batch",
+        "streaming_sliding_restart_emits_nothing")))),
 
     // MMR (diversifying lambda): k rows, the first pick is the relevance
     // top-1, and every pick comes from the top-k·factor candidate pool.
