@@ -182,18 +182,24 @@ object CoreScale {
         //   an exchange, and the groupBy's partial agg combines map-side.
         // q07: pure groupBy — partial aggregation absorbs the hot key.
         // q10: row_number window — the one genuinely skew-sensitive shape:
-        //   the hot key's 20 % of rows sort in ONE task. Tolerance 4× the
-        //   uniform run (at 32 slots a single task holding 20 % of rows
-        //   bounds the stage at ~6.4× a perfectly even spread; in practice
-        //   the other 31 slots stream the remaining 80 % concurrently).
-        //   The production-shape fix is latestWinsAgg, measured below.
-        Seq(("q05_star_join", 4.0), ("q07_max_offset", 4.0),
-          ("q10_latest_wins", 4.0)).foreach { case (name, tol) =>
+        //   the hot key's 20 % of rows sort in ONE task (~6.4× a perfectly
+        //   even spread at 32 slots as the analytic bound; in practice the
+        //   other 31 slots stream the remaining 80 % concurrently). The
+        //   production-shape fix is latestWinsAgg, measured below.
+        // The skew/uniform ratio is REPORTED, not require()d (r17 ADVICE):
+        // a timing gate on a shared host fails the whole manual run on an
+        // ambient spike even when the engine behaved correctly — exactly
+        // the flakiness the bench's canary machinery exists to absorb.
+        // Gated assertions in this stage are the STRUCTURAL ones only:
+        // the plant fraction (deterministic row-hash, ambient-free),
+        // plan cleanliness, skew=true, row equality, exact merge counts.
+        Seq("q05_star_join", "q07_max_offset", "q10_latest_wins")
+          .foreach { name =>
           val tu = auditAndTime(spark, name, s"skew_${name}_uniform", uni)
           val ts = auditAndTime(spark, name, s"skew_${name}_hot20", skw)
           val ratio = ts / math.max(tu, 0.05)
-          println(f"SCALE   $name skew/uniform ratio $ratio%.2f")
-          require(ratio <= tol, s"$name skew blow-up: ${ts}s vs ${tu}s uniform")
+          println(f"SCALE   $name skew/uniform ratio $ratio%.2f" +
+            (if (ratio > 4.0) " (above the 4x analytic bound — re-measure on calm ambient)" else ""))
         }
 
         // --- latest-wins: window form vs skew-immune aggregate twin ---
@@ -286,9 +292,97 @@ object CoreScale {
         val (mu, _) = mergeRun(uni, s"skew_merge_uniform_x$mult")
         val (ms, _) = mergeRun(skw, s"skew_merge_hot20_x$mult")
         val mRatio = ms / math.max(mu, 0.05)
-        println(f"SCALE   merge skew/uniform ratio $mRatio%.2f (counts exact)")
-        require(mRatio <= 4.0, s"merge hot-key blow-up: ${ms}s vs ${mu}s")
+        // reported, not gated (r17 ADVICE — timing; the counts ARE gated)
+        println(f"SCALE   merge skew/uniform ratio $mRatio%.2f (counts exact)" +
+          (if (mRatio > 4.0) " (above the 4x analytic bound — re-measure on calm ambient)" else ""))
       }
+    }
+  }
+
+  /** Sliding-window state growth: `runMain graft.ScaleSmoke <mult>
+    * slidestate`. slide < width multiplies OPEN-window state by
+    * width/slide (each row lives in width/slide windows until the
+    * watermark passes them) — this stage measures the state store under
+    * the tumbling shape (slide = width = 1 h) and a 12-slides-per-width
+    * shape (slide = 5 min) over the same day-ordered replay of the
+    * replicated events log, and asserts the two STRUCTURAL bounds the
+    * 100 TB posture needs:
+    *
+    *  1. max state rows under slide 12 stays O(width/slide) of the
+    *     tumbling run — NOT O(total windows): the multiplier is the open
+    *     horizon, bounded by (width + watermark delay)/slide per key;
+    *  2. max state rows stays far below the total finalized windows the
+    *     sink receives — i.e. the watermark genuinely EVICTS; unbounded
+    *     state would grow with stream length.
+    *
+    * Timings are incidental here and not gated (the r17 ADVICE rule:
+    * structural gates only in manual smoke stages).
+    */
+  def slideStage(spark: SparkSession, mult: Int): Unit = {
+    require(mult <= 64, s"slidestate multiplier $mult looks like a row count")
+    withReplicated(spark, mult, tables = Set("events")) { dir =>
+      val ev = Tables.events(spark, dir)
+        .select("event_id", "ts", "event_type", "value")
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_slide_state")
+      try {
+        val tmp = tmpPath.toString
+        val wlog = s"$tmp/log"
+        // day-ordered file log, one file per day with increasing modTimes:
+        // micro-batches then advance event time monotonically like a live
+        // ingest, so the watermark moves and evicts exactly as production
+        // state management would (an arbitrary-order replay would measure
+        // late-drop behavior, not state growth)
+        val bounds = ev.agg(min("ts"), max("ts")).head()
+        val d0 = bounds.getAs[java.time.LocalDateTime](0).toLocalDate
+        val days = java.time.temporal.ChronoUnit.DAYS.between(
+          d0, bounds.getAs[java.time.LocalDateTime](1).toLocalDate).toInt + 1
+        val t0 = System.currentTimeMillis() - 86400000L
+        (0 until days).foreach { i =>
+          val lo = java.sql.Timestamp.valueOf(d0.plusDays(i).atStartOfDay)
+          val hi = java.sql.Timestamp.valueOf(d0.plusDays(i + 1L).atStartOfDay)
+          val dirF = new java.io.File(wlog)
+          val before = Option(dirF.listFiles())
+            .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+          ev.filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+            .coalesce(1).write.mode("append").parquet(wlog)
+          dirF.listFiles().filter(f => !before(f.getName) &&
+              !f.getName.startsWith("_") && !f.getName.startsWith("."))
+            .foreach(f => require(f.setLastModified(t0 + i * 1000L)))
+        }
+        def run(tag: String, slide: String): (Long, Long, Long) = {
+          val q = graft.streaming.EventTimeWindow.start(spark,
+            spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1").parquet(wlog),
+            "ts", Seq("event_type"), Seq("value"), "1 hour", "1 hour",
+            s"$tmp/out_$tag", s"$tmp/ckpt_$tag", slide = slide)
+          q.awaitTermination()
+          val states = q.recentProgress.toSeq
+            .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal))
+          val maxState = if (states.isEmpty) 0L else states.max
+          val lastState = if (states.isEmpty) 0L else states.last
+          val sinkRows = spark.read.parquet(s"$tmp/out_$tag").count()
+          println(f"SCALE   slidestate[$tag] max state rows $maxState%,d, " +
+            f"final $lastState%,d, finalized windows $sinkRows%,d")
+          (maxState, lastState, sinkRows)
+        }
+        val (maxTumble, _, sinkTumble) = t(s"slidestate_tumble_x$mult") {
+          run("tumble", "1 hour")
+        }
+        val (maxSlide, lastSlide, sinkSlide) = t(s"slidestate_slide12_x$mult") {
+          run("slide12", "5 minutes")
+        }
+        println(f"SCALE   slidestate ratios: state ${maxSlide.toDouble / math.max(maxTumble, 1)}%.1fx " +
+          f"(width/slide = 12), windows ${sinkSlide.toDouble / math.max(sinkTumble, 1)}%.1fx")
+        // structural gate 1: O(width/slide), with headroom for per-batch
+        // in-flight windows — NOT O(total windows), which would be ~720x
+        require(maxSlide <= 30L * math.max(maxTumble, 1),
+          s"sliding state grew past O(width/slide): $maxSlide vs $maxTumble tumbling")
+        // structural gate 2: the watermark evicts — concurrent state stays
+        // far below the total finalized windows the sink accumulated
+        require(maxSlide < sinkSlide / 5,
+          s"watermark not bounding state: $maxSlide open vs $sinkSlide total windows")
+        require(lastSlide <= maxSlide, "state metric inconsistent")
+      } finally deleteRecursively(tmpPath)
     }
   }
 
@@ -313,7 +407,20 @@ object CoreScale {
     def spillReport(tag: String)(f: => Unit): Unit = {
       val d0 = disk.get(); val m0 = mem.get()
       f
-      Thread.sleep(500) // listener bus drains asynchronously
+      // the listener bus drains asynchronously: poll until the counters
+      // are stable for two consecutive intervals (r17 ADVICE — a fixed
+      // 500 ms wait on a loaded host attributed late onTaskEnd events to
+      // the NEXT query's delta), capped so a wedged bus can't hang the run
+      var last = (disk.get, mem.get)
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 10000) {
+        Thread.sleep(250); waited += 250
+        val now = (disk.get, mem.get)
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      if (stable < 2) println(s"SCALE   $tag spill counters still moving " +
+        "after 10 s — attribution may bleed into the next query's delta")
       println(f"SCALE   $tag spill: disk ${(disk.get - d0) / 1e9}%.2f GB, " +
         f"in-mem ${(mem.get - m0) / 1e9}%.2f GB")
     }

@@ -48,7 +48,7 @@ object ScaleSmoke {
       "streaming", "classifier", "curation", "streamlearn", "semdedup",
       "semroute", "ivfencode", "embed", "bm25", "minhashindex", "layout",
       "propagate", "fuzzy", "slayout", "drift", "graphstruct", "graphupdate",
-      "overlap", "core", "coreskew", "corepressure")(stages),
+      "overlap", "core", "coreskew", "corepressure", "slidestate")(stages),
       s"unknown stage set '$stages'")
     def on(s: String) = stages == "all" || stages == s
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -1762,6 +1762,7 @@ object ScaleSmoke {
 
     if (stages == "coreskew") CoreScale.skewStage(spark, math.max(1, n))
     if (stages == "corepressure") CoreScale.pressureStage(spark, math.max(1, n))
+    if (stages == "slidestate") CoreScale.slideStage(spark, math.max(1, n))
 
     spark.stop()
   }
