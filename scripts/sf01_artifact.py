@@ -40,6 +40,16 @@ txt, out_dir, out_json = sys.argv[1], sys.argv[2], sys.argv[3]
 only = (sys.argv[4] if len(sys.argv) > 4
         else __import__("os").environ.get("GRAFT_ARTIFACT_ONLY", ""))
 only = {q for q in only.split(",") if q}
+# r17 ADVICE: a filtered run must not be able to masquerade as full
+# typed-gate evidence — the committed round artifacts are full runs by
+# contract, so refuse the CORRECTNESS_SF01_* name outright when a filter
+# is active, and stamp any other filtered output (below) so the narrowed
+# coverage is visible in the artifact itself, not only in the query count.
+if only and Path(out_json).name.startswith("CORRECTNESS_SF01"):
+    print("ERROR: refusing to write a FILTERED artifact to a "
+          f"CORRECTNESS_SF01_* path ({out_json}); filtered runs are not "
+          "full typed-gate evidence", file=sys.stderr)
+    sys.exit(2)
 con = duckdb.connect()
 
 
@@ -123,7 +133,11 @@ if missing or unknown:
               f"{' ...' if len(unknown) > 10 else ''}", file=sys.stderr)
     sys.exit(2)
 
-Path(out_json).write_text(json.dumps(dict(sorted(result.items())), indent=1))
+out = dict(sorted(result.items()))
+if only:
+    # reserved marker key: a subset artifact names its subset
+    out["__filtered"] = sorted(only)
+Path(out_json).write_text(json.dumps(out, indent=1))
 ok = sum(1 for v in result.values() if v["hash_match"])
 rows_only = sum(1 for v in result.values() if v["err"] == "no_oracle")
 fails = len(result) - ok - rows_only

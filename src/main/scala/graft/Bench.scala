@@ -48,18 +48,29 @@ object Bench {
   private val CanaryFactor = 3.0
   private val MaxPasses = 4
 
-  /** Fixed cross-round host-speed reference: the canary baseline of the
-    * last drift-clean round (r13, 0.036 s). `queries_normalized` rescales
-    * each query's best sample by `CanaryRef / <that sample's own canary
-    * observation>` — i.e. "what this sample would read at reference host
-    * speed" — so round-over-round comparison survives host weather
-    * without manual ledger arithmetic (r14 verdict item 4). The canary is
-    * a CPU proxy; IO-bound queries normalize imperfectly, so the raw
-    * seconds stay the primary artifact and the normalized map is the
-    * comparison aid. This constant must NOT change between rounds or the
-    * normalized columns stop being comparable.
+  /** Fixed cross-round host-speed references. CPU: the canary baseline of
+    * the last drift-clean round (r13, 0.036 s). IO: the first IO-canary
+    * round's cleanest base (r17, 0.175 s). These must NOT change between
+    * rounds or the ambient factors stop being comparable.
+    *
+    * r18 (verdict item 4, after two rounds of IO-ledger history):
+    * `value_normalized` / `queries_normalized` are RETIRED. The r16
+    * five-attempt ledger proved the CPU-canary normalization
+    * anti-correlates with ambient on IO-bound queries (higher-ambient runs
+    * normalized LOWER), and the r17 adoption rule already made raw the
+    * only headline. A second, IO-normalized column was considered and
+    * rejected: per-query CPU/IO weights are unknowable without per-query
+    * instrumentation, so it would repeat the same bias with a different
+    * sign. Instead the line now reports the RAW total plus two AMBIENT
+    * FACTORS — `ambient_cpu` and `ambient_io`, each the run's median
+    * canary observation over its fixed cross-round reference — which is
+    * everything the retired column actually communicated: how slow the
+    * host was, on each axis, while the raw numbers were taken. Cross-round
+    * comparison = raw totals read against the two ambients (and the
+    * per-pass ledger for windows within a run).
     */
-  private val CanaryRefSec = 0.036
+  private val CanaryRefCpuSec = 0.036
+  private val CanaryRefIoSec = 0.175
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -157,8 +168,8 @@ object Bench {
     // small fixed sort-exchange (range → hash repartition → sort within
     // partitions → count), touching shuffle-file write+read on every core.
     // It GATES nothing — it is reported (startup base + per-pass medians in
-    // bench_out.json's ledger) so a consumer can tell a CPU window from an
-    // IO window; `value_normalized` is demoted to advisory accordingly.
+    // bench_out.json's ledger, plus the headline ambient_io factor) so a
+    // consumer can tell a CPU window from an IO window.
     def canaryIo(): Double = {
       val t0 = System.nanoTime()
       spark.range(0, 1000000, 1, cpus.toInt)
@@ -287,17 +298,6 @@ object Bench {
       best.get(name).orElse(bestAny.get(name)).map(name -> _)
     }
     val results = resultPairs.map { case (n, (t, _)) => n -> t }
-    // normalized to reference host speed via the sample's OWN canary
-    // (min-of-2 adjacent runs — the most local host-speed estimate).
-    // SUSPECT queries (no canary-clean sample) are NOT deflated: their
-    // only samples came from inside a slow window, and scaling a
-    // gate-failing sample by its 3x-inflated canary would assume the
-    // inflation applied proportionally to the query — overstating
-    // improvement exactly when the host was worst. They enter the
-    // normalized map at raw seconds and stay listed in "suspect".
-    val normalized = resultPairs.map { case (n, (t, c)) =>
-      n -> (if (best.contains(n) && c > 0) t * (CanaryRefSec / c) else t)
-    }
 
     // 3-decimal seconds: ~40% shorter line (the full-precision doubles
     // overflowed the driver's tail capture two rounds running), and ms
@@ -305,8 +305,6 @@ object Bench {
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     def jArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val qsNorm = normalized.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -320,8 +318,8 @@ object Bench {
     //  - ambient drift: some pass's MEDIAN canary ran >1.2× the final
     //    base (the r13 clean-window criterion) — the host was slow for a
     //    sustained stretch MID-run. Raw seconds from such a pass are
-    //    inflated even when each sample clears the 3× gate; the
-    //    normalized column is the comparable number. Only passes with
+    //    inflated even when each sample clears the 3× gate; read the raw
+    //    total against the ambient factors. Only passes with
     //    >= 5 canary observations vote (a 2-observation re-sample pass
     //    median is noise, and pass 1 always qualifies at suite size).
     // The headline canary_drift is the OR — a false flag now certifies
@@ -349,18 +347,18 @@ object Bench {
         else resampled.take(20) :+ s"...+${resampled.size - 20} more"
       s"""{"pass":$p,"sampled":${cs.size},"canary_min":${fmt(if (sorted.isEmpty) 0.0 else sorted.head)},"canary_med":${fmt(med(cs))},"canary_max":${fmt(if (sorted.isEmpty) 0.0 else sorted.last)},"canary_io_med":${fmt(med(ios))},"resampled_n":${resampled.size},"resampled":${jArr(names)}}"""
     }.mkString("[", ",", "]")
-    val totalNorm = if (normalized.nonEmpty) normalized.map(_._2).sum else 0.0
     // Adoption rule, codified (r16 verdict item 4): the number a round
     // ADOPTS as its headline is the RAW total of the attempt taken at the
-    // cleanest ambient (lowest per-pass CPU-canary medians relative to
-    // base), capped at 2 attempts. `value_normalized` is ADVISORY ONLY —
-    // the CPU canary anti-correlates with ambient on IO-bound queries
-    // (r16 ledger), so cross-round normalized deltas within ±15% carry no
-    // signal. Both statements ride in the artifact so a consumer cannot
-    // misread the normalized column as the headline.
+    // cleanest ambient (lowest ambient factors), capped at 2 attempts.
+    // r18 (verdict item 4): value_normalized is RETIRED — see the
+    // CanaryRef scaladoc. The two ambient factors below are the run's
+    // median canary observation over its fixed cross-round reference:
+    // 1.0 = reference host speed, 2.0 = host ran 2x slow on that axis.
     val adoptionRule = "raw-at-cleanest-ambient-max-2-attempts"
-    val common = s""""unit":"sec","value_normalized":${fmt(totalNorm)},"normalized_advisory":true,"adoption_rule":"$adoptionRule","canary_ref_sec":${fmt(CanaryRefSec)},"sf":"$sfDir","policy":"min-of-2-separate-passes-canary-gated-rolling","canary_base_sec":${fmt(canaryBase)},"canary_base_startup_sec":${fmt(canaryStartup)},"canary_io_base_sec":${fmt(canaryIoBase)},"canary_io_base_startup_sec":${fmt(canaryIoStartup)},"canary_drift":$drift,"canary_drift_startup":$driftStartup,"canary_drift_ambient":$driftAmbient,"passes":$pass"""
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},$common,"queries":$qs,"queries_normalized":$qsNorm,"canary_drift_means":"drift = startup (baseline >1.5x final rolling min; samples re-classified against final baseline) OR ambient (some pass median canary >1.2x final base; raw secs inflated; normalized is ADVISORY — CPU canary anti-correlates with ambient on IO-bound queries, see canary_io_med per pass)","canary_ledger":$ledgerJson,"skipped":${jArr(skip.toSeq.sorted)},"suspect":${jArr(suspect)},"failed":${jArr(failed)},"errors":$errJson,"plan_violations":$pvJson}"""
+    val ambientCpu = med(passLedger.toSeq.flatMap(_._3)) / CanaryRefCpuSec
+    val ambientIo = med(passLedger.toSeq.flatMap(_._4)) / CanaryRefIoSec
+    val common = s""""unit":"sec","ambient_cpu":${fmt(ambientCpu)},"ambient_io":${fmt(ambientIo)},"ambient_ref_cpu_sec":${fmt(CanaryRefCpuSec)},"ambient_ref_io_sec":${fmt(CanaryRefIoSec)},"normalized_retired":"r18 — raw + ambient factors replace value_normalized (CPU-normalization anti-correlated with ambient on IO-bound queries, r16 ledger)","adoption_rule":"$adoptionRule","sf":"$sfDir","policy":"min-of-2-separate-passes-canary-gated-rolling","canary_base_sec":${fmt(canaryBase)},"canary_base_startup_sec":${fmt(canaryStartup)},"canary_io_base_sec":${fmt(canaryIoBase)},"canary_io_base_startup_sec":${fmt(canaryIoStartup)},"canary_drift":$drift,"canary_drift_startup":$driftStartup,"canary_drift_ambient":$driftAmbient,"passes":$pass"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},$common,"queries":$qs,"canary_drift_means":"drift = startup (baseline >1.5x final rolling min; samples re-classified against final baseline) OR ambient (some pass median canary >1.2x final base; raw secs inflated — read value against ambient_cpu/ambient_io and the per-pass ledger)","canary_ledger":$ledgerJson,"skipped":${jArr(skip.toSeq.sorted)},"suspect":${jArr(suspect)},"failed":${jArr(failed)},"errors":$errJson,"plan_violations":$pvJson}"""
     // FULL artifact (per-query maps, ledger) goes to a committable file.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (fullLine + "\n").getBytes("UTF-8"))
