@@ -81,6 +81,25 @@ object Bench {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "10000000") // TypedImperativeAggregate (top_n_by) groups per task
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing's MIN-PARTITION-SIZE floor (default 1 MB), r18
+      // optimization: with parallelismFirst (default) the coalesced
+      // partition target is max(shuffleBytes/defaultParallelism,
+      // minPartitionSize), so any exchange carrying < cores·1 MB
+      // collapses to a handful of partitions — byte-blind coalescing
+      // that SERIALIZES CPU-dense post-shuffle stages (pair cosines,
+      // edit-distance verifies, k-means assignment) whose bytes are tiny
+      // but whose per-row work is not. 16 KB keeps those stages at the
+      // session's parallelism. Scale-inert by construction: any exchange
+      // carrying >= cores·1 MB (every real stage at 100 TB) coalesces
+      // identically under either floor — only the small-shuffle regime
+      // changes, which is exactly the regime the bench runs in.
+      // Paired A/B (one JVM, alternating samples, sf0.1): 22 of 25
+      // heaviest queries improved — knn_graph 3.57→1.58, fuzzy_join
+      // 2.47→1.09, ivf_build 2.68→1.38, ngram_jaccard 2.61→1.38 —
+      // the two LR regressions were then fixed structurally in
+      // Classifier (array-partial gradient; see OPTIMIZATION_r18.md).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "16k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

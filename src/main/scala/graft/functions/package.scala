@@ -284,6 +284,15 @@ package object functions {
       buckets: Column, counts: Column): Column =
     col(BucketWeightSum(weights, ex(buckets), ex(counts)))
 
+  /** LR gradient accumulator: per-row `r · cnts(i)` folded into slot
+    * `bs(i)+1` of a fixed `size`-slot long array (bias pseudo-feature
+    * `b = -1` at slot 0), partial-aggregating — one ~8·size-byte row per
+    * map task crosses the exchange per training iteration. */
+  def bucket_grad_sum(bs: Column, cnts: Column, r: Column,
+                      size: Int): Column =
+    col(BucketGradSum(ex(bs), ex(cnts), ex(r), size)
+      .toAggregateExpression())
+
   /** Extract quantiles at `ranks` from a serialized KLL sketch column. */
   def kll_quantiles(sketch: Column, ranks: Seq[Double]): Column =
     col(KllQuantiles(ex(sketch), ranks))

@@ -50,10 +50,16 @@ object Classifier {
     */
   private[operators] def features(df: DataFrame, id: Column, text: Column,
                                   buckets: Int): DataFrame = {
-    val t = TextOps.tokens(text)
+    // token array staged in its own projection (r18): the one-select form
+    // inlined the split into three places (both bigram slices + the
+    // concat), and HOFs block codegen CSE — so every row paid three
+    // regex splits. CollapseProject keeps the boundary (non-cheap expr,
+    // >1 reference); the emitted rows are expression-identical.
+    val t = col("__ftoks")
     val bi = zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
       (a, b) => concat(a, lit(" "), b))
-    df.select(id.as("id"), posexplode(concat(t, bi)).as(Seq("fpos", "feat")))
+    df.select(id.as("id"), TextOps.tokens(text).as("__ftoks"))
+      .select(col("id"), posexplode(concat(t, bi)).as(Seq("fpos", "feat")))
       .withColumn("b", pmod(md5_lower64(col("feat")), lit(buckets.toLong)))
       .drop("feat")
   }
@@ -349,7 +355,7 @@ object Classifier {
               learnRate: Double = 0.5): DataFrame = {
     val spark = train.sparkSession
     import spark.implicits._
-    import graft.functions.bucket_weight_sum
+    import graft.functions.{bucket_grad_sum, bucket_weight_sum}
     val f = lrFeatureArrays(train, idCol, textCol, positive, buckets)
       .localCheckpoint()
     val nDocs = f.count()
@@ -357,6 +363,15 @@ object Classifier {
     var wNano = Array.fill(buckets + 1)(0L) // [bias at b=-1, w_0 .. w_{buckets-1}]
     for (_ <- 0 until iters) {
       val wB = spark.sparkContext.broadcast(wNano)
+      // r18 optimization: the gradient folds into a FIXED buckets+1-slot
+      // long array per task ([[graft.functions.BucketGradSum]]) instead
+      // of explode(arrays_zip) → groupBy(b) → sum — one job per
+      // iteration whose exchange carries a single ~8·(buckets+1)-byte
+      // row per map task (vs a bucket-keyed shuffle of one row per
+      // (task, bucket) plus a second aggregate). Long addition commutes,
+      // so the gradient is bit-identical to the grouped form under any
+      // partitioning — the serial-equality contract is untouched (the
+      // bias pseudo-feature b = -1 rides slot 0 exactly as before).
       val grads =
         try {
           f.withColumn("m_nano",
@@ -364,16 +379,13 @@ object Classifier {
             .withColumn("r_micro",
               round(lit(1e6) / (lit(1.0) + exp(-(col("m_nano") / 1e9))))
                 .cast("long") - col("y") * 1000000L)
-            .select(col("r_micro"),
-              explode(arrays_zip(col("bs"), col("cnts"))).as("f"))
-            .groupBy(col("f.bs").as("b"))
-            .agg(sum(col("r_micro") * col("f.cnts")).as("g"))
-            .as[(Long, Long)].collect().toMap
+            .select(bucket_grad_sum(col("bs"), col("cnts"),
+              col("r_micro"), buckets + 1).as("g"))
+            .head().getSeq[Long](0)
         } finally wB.destroy()
       val upd = (wOld: Long, g: Long) =>
         math.round(wOld.toDouble - learnRate * (g / 1e6) / nDocs * 1e9)
-      wNano = Array.tabulate(buckets + 1)(i =>
-        upd(wNano(i), grads.getOrElse(i - 1L, 0L)))
+      wNano = Array.tabulate(buckets + 1)(i => upd(wNano(i), grads(i)))
     }
     wNano.zipWithIndex
       .map { case (w, i) => (i - 1L, w, w / 1e9) }
@@ -426,17 +438,39 @@ object Classifier {
     */
   def lrScore(docs: DataFrame, idCol: String, textCol: String,
               model: DataFrame, buckets: Int = 1024): DataFrame = {
-    val bias = model.filter(col("b") === -1L)
-      .select(col("w_nano")).head().getLong(0)
+    // r18 optimization: the model is a ≤ buckets+1-row relation by
+    // construction — collect it into the same dense [bias, w_0..] array
+    // lrTrain trains and probe it with the zero-shuffle
+    // [[graft.functions.BucketWeightSum]] fold, instead of a
+    // broadcast-join against the model relation followed by a second
+    // id-keyed aggregate. Saves one join and one shuffle per scoring
+    // pass; the margin is the same exact long dot (slot b+1, bias at 0),
+    // so margins/p/predicted are bit-identical.
+    import graft.functions.bucket_weight_sum
+    val spark = docs.sparkSession
+    val wNano = {
+      val w = new Array[Long](buckets + 1)
+      model.select(col("b"), col("w_nano")).collect().foreach { r =>
+        val idx = r.getLong(0) + 1
+        if (idx >= 0 && idx < w.length) w(idx.toInt) = r.getLong(1)
+      }
+      w
+    }
+    val wB = spark.sparkContext.broadcast(wNano)
     val f = features(docs, col(idCol), col(textCol), buckets)
       .groupBy("id", "b").agg(count(lit(1)).as("cnt"))
-    f.join(broadcast(model.filter(col("b") >= 0)), Seq("b"), "left")
       .groupBy("id")
-      .agg(sum(coalesce(col("w_nano"), lit(0L)) * col("cnt")).as("m"))
-      .select(col("id").as(idCol),
-        round((col("m") + bias) / 1e9, 6).as("margin"),
-        round(lit(1.0) / (lit(1.0) + exp(-((col("m") + bias) / 1e9))),
-          6).as("p"))
+      .agg(collect_list(struct(col("b"), col("cnt"))).as("f"))
+      .select(col("id"),
+        concat(array(lit(-1L)), transform(col("f"), s => s.getField("b")))
+          .as("bs"),
+        concat(array(lit(1L)), transform(col("f"), s => s.getField("cnt")))
+          .as("cnts"))
+    f.select(col("id").as(idCol),
+        bucket_weight_sum(wB, col("bs"), col("cnts")).as("m"))
+      .select(col(idCol),
+        round(col("m") / 1e9, 6).as("margin"),
+        round(lit(1.0) / (lit(1.0) + exp(-(col("m") / 1e9))), 6).as("p"))
       .withColumn("predicted", (col("p") >= 0.5).cast("int"))
   }
 

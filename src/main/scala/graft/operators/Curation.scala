@@ -1003,10 +1003,14 @@ object Curation {
     // unigrams ++ bigrams as ONE ordered array; fpos indexes the
     // concatenation, pinning the cross-engine summation order
     def features(df: DataFrame, id: Column, text: Column): DataFrame = {
-      val t = TextOps.tokens(text)
+      // staged token array — one split per row instead of three (the
+      // same r18 rationale as Classifier.features; rows are
+      // expression-identical, so fpos order and hashes are unchanged)
+      val t = col("__ftoks")
       val bi = zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
         (a, b) => concat(a, lit(" "), b))
-      df.select(id.as("id"), posexplode(concat(t, bi)).as(Seq("fpos", "feat")))
+      df.select(id.as("id"), TextOps.tokens(text).as("__ftoks"))
+        .select(col("id"), posexplode(concat(t, bi)).as(Seq("fpos", "feat")))
         .withColumn("b", pmod(md5_lower64(col("feat")), lit(buckets.toLong)))
     }
     val rawF = features(raw, col(idCol), col(textCol))

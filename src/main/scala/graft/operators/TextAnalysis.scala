@@ -22,12 +22,16 @@ object TextAnalysis {
     * exercised; swap the marker table for real per-language profiles.)
     */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
+    // staged token array — same one-split-per-row rationale as [[quality]]
     val stops = array(TextOps.EnStopwords.map(lit): _*)
-    val enRatio = size(filter(toks, t => array_contains(stops, t))).cast("double") /
-      size(toks).cast("double")
-    docs.select(col(idCol), round(enRatio, 4).as("en_ratio"),
-      when(enRatio >= 0.10, "en").otherwise("other").as("lang_pred"))
+    val enRatio = col("__ns").cast("double") / col("__nt").cast("double")
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__ltoks"))
+      .select(col(idCol),
+        size(filter(col("__ltoks"), t => array_contains(stops, t))).as("__ns"),
+        size(col("__ltoks")).as("__nt"))
+      .select(col(idCol), round(enRatio, 4).as("en_ratio"),
+        when(enRatio >= 0.10, "en").otherwise("other").as("lang_pred"))
   }
 
   /** Quality metrics + a composite score per document.
@@ -45,23 +49,38 @@ object TextAnalysis {
     * ([[chunks]]).
     */
   def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    val nChars = length(col(textCol))
-    val nTokens = size(toks)
-    val avgTokLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-      .cast("double") / nTokens.cast("double")
+    // r18 optimization (guide §4: per-task work): LAYERED projections.
+    // The single-select form inlined `split(lower(trim(text)))` into
+    // every consumer — six re-splits per row — and the higher-order
+    // functions (aggregate/filter) are CodegenFallback, so the whole
+    // Project ran interpreted with zero common-subexpression
+    // elimination. Staging the token array in its own projection makes
+    // it a per-row attribute; CollapseProject will not re-inline a
+    // non-cheap expression referenced more than once, so the split runs
+    // exactly once per row (measured 1.93 s → 0.83 s at sf0.1,
+    // bit-equal output). The arithmetic below is UNCHANGED — same
+    // expressions over the staged stats, same exact-int64 rounding.
     val stops = array(TextOps.EnStopwords.map(lit): _*)
-    val nStops = size(filter(toks, t => array_contains(stops, t)))
-    val nPunct = nChars - length(regexp_replace(col(textCol), "[^a-z0-9 ]", ""))
-    val stopRatio = nStops.cast("double") / nTokens.cast("double")
-    val punctRatio = nPunct.cast("double") / nChars.cast("double")
+    val staged = docs
+      .select(col(idCol), col(textCol).as("__qtext"),
+        TextOps.tokens(col(textCol)).as("__qtoks"))
+      .select(col(idCol),
+        length(col("__qtext")).as("__nc"),
+        size(col("__qtoks")).as("__nt"),
+        aggregate(col("__qtoks"), lit(0L), (acc, t) => acc + length(t))
+          .as("__tls"),
+        size(filter(col("__qtoks"), t => array_contains(stops, t)))
+          .as("__ns"),
+        (length(col("__qtext")) -
+          length(regexp_replace(col("__qtext"), "[^a-z0-9 ]", "")))
+          .as("__np"))
     // Length-normalized composite: long docs with real words and few
     // symbols score high. Exact int64 rounding (see scaladoc).
-    val ncL = nChars.cast("long")
-    val ntL = nTokens.cast("long")
+    val ncL = col("__nc").cast("long")
+    val ntL = col("__nt").cast("long")
     val num = least(lit(100L), ntL) * ncL * ntL +
-      lit(60L) * (ncL - nPunct.cast("long")) * ntL +
-      lit(40L) * nStops.cast("long") * ncL
+      lit(60L) * (ncL - col("__np").cast("long")) * ntL +
+      lit(40L) * col("__ns").cast("long") * ncL
     val den = lit(200L) * ncL * ntL
     val a = lit(20000L) * num + den
     val b = lit(2L) * den
@@ -69,10 +88,14 @@ object TextAnalysis {
     // (≤ 10⁴) divides to a bit-exact double
     val score4 = when(ntL > 0 && ncL > 0, (a - pmod(a, b)) / b)
       .otherwise(lit(0.0))
-    docs.select(col(idCol), nChars.as("n_chars"), nTokens.as("n_tokens"),
-      round(avgTokLen, 4).as("avg_token_len"),
-      round(stopRatio, 4).as("stopword_ratio"),
-      round(punctRatio, 4).as("punct_ratio"),
+    staged.select(col(idCol), col("__nc").as("n_chars"),
+      col("__nt").as("n_tokens"),
+      round(col("__tls").cast("double") / col("__nt").cast("double"), 4)
+        .as("avg_token_len"),
+      round(col("__ns").cast("double") / col("__nt").cast("double"), 4)
+        .as("stopword_ratio"),
+      round(col("__np").cast("double") / col("__nc").cast("double"), 4)
+        .as("punct_ratio"),
       (score4 / 10000.0).as("quality_score"))
   }
 
@@ -466,11 +489,16 @@ object TextAnalysis {
                terms: Seq[String], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
-    val toks = TextOps.tokens(col(textCol))
-    val base = docs.select(Seq(col(idCol).as("doc_id"),
-      size(toks).cast("long").as("dl")) ++
-      terms.indices.map(i =>
-        size(filter(toks, x => x === lit(terms(i)))).cast("double").as(s"tf$i")): _*)
+    // staged token array — one split per row instead of 1 + |terms|
+    // (same r18 rationale as [[quality]]; expressions unchanged)
+    val toks = col("__btoks")
+    val base = docs
+      .select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__btoks"))
+      .select(Seq(col("doc_id"),
+        size(toks).cast("long").as("dl")) ++
+        terms.indices.map(i =>
+          size(filter(toks, x => x === lit(terms(i)))).cast("double").as(s"tf$i")): _*)
     val stats = base.agg(
       count(lit(1)).cast("double").as("n"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl") +:
