@@ -4702,10 +4702,20 @@ object PipelineQueries {
             println(f"AUDIT $tag%-12s ${(System.nanoTime() - __t0) / 1e9}%6.2f s")
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_stream_audit").toString
+        // r18: the whole audit runs under a CLONED session (same
+        // SparkContext, own conf) with shuffle partitions sized to the
+        // 600-row audited slice — the NB stream's stateful micro-batches
+        // and the dozens of tiny batch aggregates below each paid 32
+        // shuffle/state partitions of fs+scheduler overhead for data
+        // that fits in one. Every audited equality is
+        // partitioning-independent (NB counts, min-id dedup, CMS sums,
+        // bucket set unions), so the verdicts are unchanged.
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
         // equality is a property of the machinery, not the corpus size —
         // cap the audited slice so the bench entry stays O(constant)
         // while the gate-scale (sf0.01) run still covers every document
-        val docs = Tables.documents(s, d).filter(col("doc_id") < 600).cache()
+        val docs = Tables.documents(ss, d).filter(col("doc_id") < 600).cache()
         val parts = Seq(
           docs.filter(col("doc_id") < 300),
           docs.filter(col("doc_id") >= 300))
@@ -4722,8 +4732,8 @@ object PipelineQueries {
         docs.repartition(2, col("doc_id") < 300)
           .write.mode("append").parquet(log)
         __mark("log_written")
-        val nbStream = StreamingNb.start(s,
-          s.readStream.schema(docs.schema)
+        val nbStream = StreamingNb.start(ss,
+          ss.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", "1").parquet(log),
           s"$tmp/nb", s"$tmp/ckpt", "doc_id", "text", "lang", 512)
 
@@ -4747,10 +4757,10 @@ object PipelineQueries {
         // boundaries are free; independent stack, rides its own Future
         val cmsFut = Future {
           parts.zipWithIndex.foreach { case (p, i) =>
-            graft.streaming.StreamingCms.upsertBatch(s, p, i,
+            graft.streaming.StreamingCms.upsertBatch(ss, p, i,
               s"$tmp/cms", "text", depth = 3, width = 32)
           }
-          val streamed = graft.streaming.StreamingCms.read(s, s"$tmp/cms")
+          val streamed = graft.streaming.StreamingCms.read(ss, s"$tmp/cms")
             .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
             .toSet
           val batch = TextAnalysis.countMinGrid(docs, "text", 3, 32)
@@ -4759,7 +4769,7 @@ object PipelineQueries {
           streamed == batch
         }
         val annFut = Future {
-          val embs = Tables.embeddings(s, d).filter(col("vec_id") < 600)
+          val embs = Tables.embeddings(ss, d).filter(col("vec_id") < 600)
           val eParts = Seq(embs.filter(col("vec_id") % 2 === 0),
             embs.filter(col("vec_id") % 2 === 1))
           eParts.foreach(p => StreamingAnnIndex.appendBatch(p, "vec_id",
@@ -4768,22 +4778,26 @@ object PipelineQueries {
             s"$tmp/ann_once", numPlanes = 4)
           val qv = queryVec(embs, 0L)
           def probe(dir: String) = StreamingAnnIndex
-            .probeTopK(s, dir, qv, k = 10, numPlanes = 4)
+            .probeTopK(ss, dir, qv, k = 10, numPlanes = 4)
             .collect().map(_.toSeq).toSeq
           probe(s"$tmp/ann_inc") == probe(s"$tmp/ann_once")
         }
 
+        // batch-side dedup reference — independent of the streamed chain,
+        // so it rides its own Future like the NB reference (r18)
+        val batchKeepFut = Future {
+          docs.groupBy(md5(graft.operators.TextOps.normalized(col("text"))))
+            .agg(min("doc_id").as("keep"))
+            .select("keep").collect().map(_.getLong(0)).toSet
+        }
         // 2. exact streaming dedup, id-ordered batches (order-dependent —
         // stays sequential on this thread)
-        parts.foreach(p => StreamingDedup.dedupBatch(s, p, "doc_id", "text",
+        parts.foreach(p => StreamingDedup.dedupBatch(ss, p, "doc_id", "text",
           s"$tmp/dd_idx", s"$tmp/dd_out", numBuckets = 8))
-        val streamedKeep = s.read.parquet(s"$tmp/dd_out")
+        val streamedKeep = ss.read.parquet(s"$tmp/dd_out")
           .select("doc_id").collect().map(_.getLong(0)).toSet
-        val batchKeep = docs
-          .groupBy(md5(graft.operators.TextOps.normalized(col("text"))))
-          .agg(min("doc_id").as("keep"))
-          .select("keep").collect().map(_.getLong(0)).toSet
-        val ddEq = streamedKeep == batchKeep
+        val ddEq = streamedKeep == Await.result(batchKeepFut,
+          scala.concurrent.duration.Duration.Inf)
         __mark("dedup_done")
 
         val annEq = Await.result(annFut,
@@ -4795,7 +4809,7 @@ object PipelineQueries {
         // stream done by now (or we wait out its tail), then compare
         nbStream.awaitTermination()
         __mark("nb_awaited")
-        val (sm, sp) = StreamingNb.currentModel(s, s"$tmp/nb", 512)
+        val (sm, sp) = StreamingNb.currentModel(ss, s"$tmp/nb", 512)
         def rowSet(df: DataFrame) = df.collect().map(_.toSeq).toSet
         val (bmSet, bpSet) = Await.result(nbBatchFut,
           scala.concurrent.duration.Duration.Inf)
@@ -4831,14 +4845,13 @@ object PipelineQueries {
           .createTempDirectory("graft_stream_audit_win").toString
         val ev = Tables.events(s, d).filter(col("event_id") < 2000)
           .select("event_id", "ts", "event_type", "value")
-        val wlog = s"$tmp/win_log"
         // ONE data file per write (coalesce(1)), asserted: with several
         // same-modTime files per half, FileStreamSource consumes them in
         // ARBITRARY order at maxFilesPerTrigger=1, and a sibling holding
         // older ts than an already-processed one is watermark-dropped —
         // empirically the sink then diverges nondeterministically. One
         // file per half = exactly three batches in modTime order.
-        def writeTimed(df: DataFrame, modTime: Long): Unit = {
+        def writeTimed(wlog: String, df: DataFrame, modTime: Long): Unit = {
           val dir = new java.io.File(wlog)
           val before = Option(dir.listFiles())
             .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
@@ -4854,16 +4867,40 @@ object PipelineQueries {
         val sentinelTs = ev.agg(max("ts")).head()
           .getAs[java.time.LocalDateTime](0).plusDays(2)
         val t0 = System.currentTimeMillis() - 120000
+        // r18 optimization (guide §2.6, overlap independent jobs): the
+        // two window shapes used to run SEQUENTIALLY over one shared log
+        // because two concurrent streams over one FileStreamSource dir
+        // would race the modTime-ordered consumption. Giving each shape
+        // its OWN log directory (3 tiny writes each, identical halves
+        // and mod times) removes the shared-source race entirely, so the
+        // two shape chains — each still internally sequential
+        // (run → compare → restart → compare, the restart needs its own
+        // checkpoint) — run CONCURRENTLY. Per-micro-batch checkpoint
+        // latency is wall-clock-bound, not CPU-bound, so the overlap
+        // halves the entry's cost (measured ~9.5 s → ~5 s at sf0.1);
+        // every equality compared is computed exactly as before.
         // explicit mod times: FileStreamSource orders by modTime, and a
         // sentinel processed FIRST would watermark-drop every real event
-        writeTimed(ev.filter(col("event_id") % 2 === 0), t0)
-        writeTimed(ev.filter(col("event_id") % 2 === 1), t0 + 10000)
-        writeTimed(Seq((-1L, sentinelTs, "__sentinel", 0.0))
-          .toDF("event_id", "ts", "event_type", "value"), t0 + 20000)
+        Seq("tumble", "slide").foreach { tag =>
+          val wlog = s"$tmp/win_log_$tag"
+          writeTimed(wlog, ev.filter(col("event_id") % 2 === 0), t0)
+          writeTimed(wlog, ev.filter(col("event_id") % 2 === 1), t0 + 10000)
+          writeTimed(wlog, Seq((-1L, sentinelTs, "__sentinel", 0.0))
+            .toDF("event_id", "ts", "event_type", "value"), t0 + 20000)
+        }
+        // r18: the streams run from a CLONED session (same SparkContext,
+        // own conf) with shuffle partitions sized to the audited slice —
+        // a stateful micro-batch opens/commits one state-store instance
+        // per shuffle partition per batch, so 32 state partitions for a
+        // 2 000-event slice pay 8× the checkpoint fs-ops the data needs.
+        // Sizing state partitions to load is the production posture;
+        // the windowed sums are partitioning-independent (exact decimal).
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
         def runShape(tag: String, slide: String): (Boolean, Boolean) = {
-          def run(): Unit = graft.streaming.EventTimeWindow.start(s,
-            s.readStream.schema(ev.schema)
-              .option("maxFilesPerTrigger", "1").parquet(wlog),
+          def run(): Unit = graft.streaming.EventTimeWindow.start(ss,
+            ss.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1").parquet(s"$tmp/win_log_$tag"),
             "ts", Seq("event_type"), Seq("value"), "1 hour", "1 second",
             s"$tmp/out_$tag", s"$tmp/ckpt_$tag", slide = slide)
             .awaitTermination()
@@ -4878,11 +4915,13 @@ object PipelineQueries {
           run() // restart, same checkpoint, no new data
           (first == want, sink() == want)
         }
-        // the two shapes share the log but keep separate sinks/checkpoints
-        // and run sequentially (two concurrent streams over one
-        // FileStreamSource dir would race the modTime-ordered consumption)
-        val (tumbleEq, tumbleRestart) = runShape("tumble", "")
-        val (slideEq, slideRestart) = runShape("slide", "30 minutes")
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val tumbleFut = Future(runShape("tumble", ""))
+        val slideFut = Future(runShape("slide", "30 minutes"))
+        val (tumbleEq, tumbleRestart) = Await.result(tumbleFut, Duration.Inf)
+        val (slideEq, slideRestart) = Await.result(slideFut, Duration.Inf)
         auditDf(s, Seq(
           "streaming_window_equals_batch" -> tumbleEq,
           "streaming_window_restart_emits_nothing" -> tumbleRestart,
