@@ -29,20 +29,23 @@ object Curation {
   def funnelReport(docs: DataFrame, idCol: String, textCol: String,
                    minEnRatio: Double = 0.10, minQuality: Double = 0.5,
                    maxDupWordFrac: Double = 0.6): DataFrame = {
-    val lang = TextAnalysis.langId(docs, idCol, textCol)
-      .select(col(idCol), col("en_ratio"))
-    val qual = TextAnalysis.quality(docs, idCol, textCol)
-      .select(col(idCol), col("quality_score"))
+    // r18 (guide §2.4): en_ratio IS quality's stopword_ratio — langId and
+    // quality compute round(n_stopword_tokens/n_tokens, 4) from the same
+    // stopword list — and the fingerprint is a per-row map over the same
+    // text, so lang+quality+fp come off ONE text scan as carried columns.
+    // Three id-keyed self-join shuffles drop to the single rep join.
+    val sig = TextAnalysis.quality(docs, idCol, textCol,
+        extra = Seq("fp" -> md5(TextOps.normalized(col(textCol)))))
+      .select(col(idCol), col("stopword_ratio").as("en_ratio"),
+        col("quality_score"), col("fp"))
     val rep = TextAnalysis.repetition(docs, idCol, textCol)
       .select(col(idCol), col("dup_word_frac"))
-    val fp = docs.select(col(idCol),
-      md5(TextOps.normalized(col(textCol))).as("fp"))
 
     val passLang = col("en_ratio") >= minEnRatio
     val passQual = passLang && col("quality_score") >= minQuality
     val passRep = passQual && col("dup_word_frac") <= maxDupWordFrac
 
-    lang.join(qual, idCol).join(rep, idCol).join(fp, idCol)
+    sig.join(rep, idCol)
       .agg(count(lit(1)).as("n_total"),
         count(when(passLang, 1)).as("n_lang"),
         count(when(passQual, 1)).as("n_quality"),
@@ -153,14 +156,15 @@ object Curation {
   def adaptiveQualityFloor(docs: DataFrame, idCol: String, textCol: String,
                            domainCol: String,
                            floorQuantile: Double = 0.2): DataFrame = {
-    val qual = TextAnalysis.quality(docs, idCol, textCol)
-      .select(col(idCol).as("id"), col("quality_score"))
-    val scored = docs.select(col(idCol).as("id"), col(domainCol).as("domain"))
-      .join(qual, "id")
+    // r18: domain carried on the quality scan (no id self-join — see
+    // [[scoredByDomain]]); the thresholds relation is domain-cardinality
+    // by construction, so it broadcasts (the estimate through the
+    // percentile aggregate is otherwise unknown and planned sort-merge)
+    val scored = scoredByDomain(docs, idCol, textCol, domainCol)
     val thresholds = scored.groupBy("domain")
       .agg(round(percentile(col("quality_score"), lit(floorQuantile)), 6)
         .as("domain_threshold"))
-    scored.join(thresholds, "domain")
+    scored.join(broadcast(thresholds), "domain")
       .select(col("id"), col("domain"), col("quality_score"),
         col("domain_threshold"),
         (col("quality_score") >= col("domain_threshold")).as("keep"))
@@ -255,18 +259,20 @@ object Curation {
     * relation is domain-cardinality — broadcast by the planner. */
   def applyDomainFloor(docs: DataFrame, idCol: String, textCol: String,
                        domainCol: String, thresholds: DataFrame): DataFrame =
-    scoredByDomain(docs, idCol, textCol, domainCol).join(thresholds, "domain")
+    scoredByDomain(docs, idCol, textCol, domainCol)
+      .join(broadcast(thresholds), "domain")
       .select(col("id"), col("domain"), col("quality_score"),
         col("domain_threshold"),
         (col("quality_score") >= col("domain_threshold")).as("keep"))
 
   private def scoredByDomain(docs: DataFrame, idCol: String, textCol: String,
-                             domainCol: String): DataFrame = {
-    val qual = TextAnalysis.quality(docs, idCol, textCol)
-      .select(col(idCol).as("id"), col("quality_score"))
-    docs.select(col(idCol).as("id"), col(domainCol).as("domain"))
-      .join(qual, "id")
-  }
+                             domainCol: String): DataFrame =
+    // r18: the domain rides the quality scan as a carried column — the
+    // previous docs-self-join on id re-scanned the corpus and paid a
+    // full id-keyed shuffle join for a value already on the row
+    TextAnalysis.quality(docs, idCol, textCol,
+        extra = Seq("domain" -> col(domainCol)))
+      .select(col(idCol).as("id"), col("domain"), col("quality_score"))
 
   /** SEMANTIC benchmark decontamination: flag every corpus embedding whose
     * cosine similarity to ANY evaluation-set embedding reaches `threshold`

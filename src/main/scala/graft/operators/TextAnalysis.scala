@@ -48,7 +48,15 @@ object TextAnalysis {
     * any document under ~1.5 M chars — chunk longer docs first
     * ([[chunks]]).
     */
-  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** `extra`: additional output columns evaluated against the INPUT row
+    * (e.g. a domain column, or a fingerprint over the text) and carried
+    * through the staged projections — so consumers that need
+    * (signal, other-column) pairs get them from the ONE text scan
+    * instead of re-scanning the corpus and equi-joining on id (the r17
+    * shape paid a full self-join shuffle per signal table; guide §2.4).
+    */
+  def quality(docs: DataFrame, idCol: String, textCol: String,
+              extra: Seq[(String, Column)] = Nil): DataFrame = {
     // r18 optimization (guide §4: per-task work): LAYERED projections.
     // The single-select form inlined `split(lower(trim(text)))` into
     // every consumer — six re-splits per row — and the higher-order
@@ -61,10 +69,12 @@ object TextAnalysis {
     // bit-equal output). The arithmetic below is UNCHANGED — same
     // expressions over the staged stats, same exact-int64 rounding.
     val stops = array(TextOps.EnStopwords.map(lit): _*)
+    val carry = extra.map { case (n, _) => col(n) }
     val staged = docs
-      .select(col(idCol), col(textCol).as("__qtext"),
-        TextOps.tokens(col(textCol)).as("__qtoks"))
-      .select(col(idCol),
+      .select(Seq(col(idCol), col(textCol).as("__qtext"),
+        TextOps.tokens(col(textCol)).as("__qtoks")) ++
+        extra.map { case (n, c) => c.as(n) }: _*)
+      .select(Seq(col(idCol),
         length(col("__qtext")).as("__nc"),
         size(col("__qtoks")).as("__nt"),
         aggregate(col("__qtoks"), lit(0L), (acc, t) => acc + length(t))
@@ -73,7 +83,7 @@ object TextAnalysis {
           .as("__ns"),
         (length(col("__qtext")) -
           length(regexp_replace(col("__qtext"), "[^a-z0-9 ]", "")))
-          .as("__np"))
+          .as("__np")) ++ carry: _*)
     // Length-normalized composite: long docs with real words and few
     // symbols score high. Exact int64 rounding (see scaladoc).
     val ncL = col("__nc").cast("long")
@@ -88,7 +98,7 @@ object TextAnalysis {
     // (≤ 10⁴) divides to a bit-exact double
     val score4 = when(ntL > 0 && ncL > 0, (a - pmod(a, b)) / b)
       .otherwise(lit(0.0))
-    staged.select(col(idCol), col("__nc").as("n_chars"),
+    staged.select(Seq(col(idCol), col("__nc").as("n_chars"),
       col("__nt").as("n_tokens"),
       round(col("__tls").cast("double") / col("__nt").cast("double"), 4)
         .as("avg_token_len"),
@@ -96,7 +106,7 @@ object TextAnalysis {
         .as("stopword_ratio"),
       round(col("__np").cast("double") / col("__nc").cast("double"), 4)
         .as("punct_ratio"),
-      (score4 / 10000.0).as("quality_score"))
+      (score4 / 10000.0).as("quality_score")) ++ carry: _*)
   }
 
   /** Token counting: whitespace tokens + BPE-ish regex tokens. */

@@ -3005,9 +3005,10 @@ object PipelineQueries {
     ("ns_sft_pref_pairs",
       (s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)
-        val scored = docs.select(col("doc_id"), col("source"))
-          .join(TextAnalysis.quality(docs, "doc_id", "text")
-            .select(col("doc_id"), col("quality_score")), "doc_id")
+        // source carried on the quality scan (r18) — no id self-join
+        val scored = TextAnalysis.quality(docs, "doc_id", "text",
+            extra = Seq("source" -> col("source")))
+          .select(col("doc_id"), col("source"), col("quality_score"))
         Sft.preferencePairs(scored, "source", "doc_id", "quality_score",
             minMargin = 0.05)
           .orderBy("prompt")
