@@ -38,6 +38,26 @@ object Tables {
           s"events.ts: unsupported parquet dtype $other (expected INT64 nanos or timestamp)")
     }
 
+  /** Fan a NARROW scan out to the session's parallelism before a
+    * CPU-dense per-row kernel (image decode, tokenizer, hash features).
+    *
+    * The driver testdata ships each table as ONE parquet row group, and a
+    * row group is the unit of scan splitting — so every scan is a single
+    * task regardless of split-size configs, and a per-row kernel behind
+    * it runs serial on a 32-core session (guide §2.5's "one huge
+    * unsplittable file" input-skew case; its fix — "repartition
+    * immediately after the read" — is exactly this). CONDITIONAL so it is
+    * scale-inert: when the scan already has at least half the session's
+    * parallelism (any real multi-file corpus at 100 TB), this is a no-op
+    * and no shuffle is added. Hash-partitioning on `key` (never
+    * round-robin) keeps row placement content-deterministic and skips
+    * the sort-before-repartition a keyless repartition pays.
+    */
+  def fanOut(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= p) df else df.repartition(p, key)
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

@@ -4090,7 +4090,11 @@ object PipelineQueries {
         val plane = gray_decode(TileDecoder, payload, lit(8), lit(6))
         val png = png_gray_encode(plane, lit(8), lit(6))
         val decoded = gray_decode(ImageIoDecoder, png, lit(4), lit(4))
-        Tables.documents(s, d)
+        // the decode chain derives from doc_id alone — project it first
+        // (8 bytes/row) and fan the single-row-group scan out so the
+        // per-row encode/decode kernels run at session parallelism (r18;
+        // Tables.fanOut is a no-op on any multi-split input)
+        Tables.fanOut(Tables.documents(s, d).select("doc_id"), col("doc_id"))
           .select(col("doc_id"), decoded.as("__px"))
           .select(col("doc_id"),
             explode(gray_patch_stats(2, col("__px"), lit(4), lit(4))).as("__s"))
@@ -5058,10 +5062,15 @@ object PipelineQueries {
     // stays engine-side, balance-audited by ns_layout_skew_audit. ----
     ("ns_layout_zorder_skew",
       (s: SparkSession, d: String) => {
-        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
-          pow(lit(2.0),
-            pmod(graft.functions.md5_lower64(col("event_id").cast("string")),
-              lit(20L))).cast("long").as("sk"))
+        // fanned out (r18): the md5-derived skew key is recomputed by TWO
+        // downstream scans (sketch pass + placement pass), each serial on
+        // the single-row-group events scan without it
+        val ev = Tables.fanOut(Tables.events(s, d)
+            .select("event_id", "user_id"), col("event_id"))
+          .select(col("event_id"), col("user_id"),
+            pow(lit(2.0),
+              pmod(graft.functions.md5_lower64(col("event_id").cast("string")),
+                lit(20L))).cast("long").as("sk"))
         val bounds = graft.operators.Layout.quantileBounds(ev,
           Seq("sk", "user_id"), bits = 6)
         import s.implicits._
