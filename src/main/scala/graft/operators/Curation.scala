@@ -523,10 +523,16 @@ object Curation {
     val slice = floor((h.cast("double") / lit(2.0 * Long.MaxValue) + lit(0.5)) *
       lit(p.toDouble)).cast("int")
 
+    // localCheckpoint (r18): `sliced` feeds BOTH the slice-total collect
+    // below and the window pass — separate actions, so without
+    // truncation the caller's whole upstream (tokenize, vocab join,
+    // per-doc id assembly for the packers) re-executes per consumer.
+    // One materialization, read twice — the knn_update pattern.
     val sliced = df
       .withColumn("__n", weight.cast("long"))
       .withColumn("__h", h)
       .withColumn("__slice", least(slice, lit(p - 1)))
+      .localCheckpoint()
 
     val bases = sliced.groupBy("__slice").agg(sum("__n").as("t"))
       .collect().sortBy(_.getInt(0))

@@ -130,13 +130,19 @@ object Retrieval {
       round((pow(lit(2.0), grade.cast("double")) - 1.0) /
         log2(pos.cast("double") + 1.0), 6)
 
+    // r18: relevance judgments are label-bounded (|queries|·grades rows by
+    // nature — they are human/reference annotations, never corpus-sized),
+    // and the per-qid aggregates below are one row per query. Catalyst
+    // cannot estimate sizes through the upstream windows/aggregates and
+    // planned every join sort-merge (6 exchanges at sf0.1); broadcast
+    // hints pick the strategy the cardinalities dictate (guide §3.1).
     val rel = qrels.filter(col("grade") > 0)
       .select(col("qid"), col("id"), col("grade"))
     val nRel = rel.groupBy("qid").agg(count(lit(1)).as("n_rel"))
     // retrieved relevant docs within the cutoff, with their system rank
     val hits = results.filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("rank"))
-      .join(rel, Seq("qid", "id"))
+      .join(broadcast(rel), Seq("qid", "id"))
     val perQ = hits.groupBy("qid").agg(
       count(lit(1)).as("n_hit"),
       min("rank").as("first_rank"),
@@ -153,7 +159,8 @@ object Retrieval {
             least(lit(k), count(lit(1)).cast("int"))),
           (g, p) => dcgTerm(g, p)),
         lit(0.0), (acc, x) => acc + x).as("idcg"))
-    nRel.join(perQ, Seq("qid"), "left").join(ideal, Seq("qid"), "left")
+    nRel.join(broadcast(perQ), Seq("qid"), "left")
+      .join(broadcast(ideal), Seq("qid"), "left")
       .select(col("qid"), col("n_rel"),
         round(coalesce(col("n_hit"), lit(0L)).cast("double") /
           col("n_rel").cast("double"), 4).as("recall_at_k"),

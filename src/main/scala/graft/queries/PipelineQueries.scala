@@ -4586,14 +4586,23 @@ object PipelineQueries {
         val docs = Tables.documents(s, d)
         val b = Curation.hashBucket(col("doc_id"), 100)
         val train = docs.filter(b < 80)
+        // serial reference trains CONCURRENTLY with the distributed loop
+        // (r18, guide §2.6): it is one collect + pure driver CPU, fully
+        // independent of lrTrain's iteration jobs
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val serialFut = Future {
+          val rows = train
+            .select(col("text"), when(col("lang") === "en", 1L).otherwise(0L))
+            .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+          Classifier.lrTrainSerial(rows, 1024, 5, 0.5).toSeq
+        }
         val model = Classifier.lrTrain(train, "doc_id", "text",
           col("lang") === "en", buckets = 1024, iters = 5, learnRate = 0.5)
         val dist = model.orderBy("b").select("w_nano").collect()
           .map(_.getLong(0)).toSeq
-        val rows = train
-          .select(col("text"), when(col("lang") === "en", 1L).otherwise(0L))
-          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-        val serial = Classifier.lrTrainSerial(rows, 1024, 5, 0.5).toSeq
+        val serial = Await.result(serialFut,
+          scala.concurrent.duration.Duration.Inf)
         val thrOk = Classifier.lrScore(docs.filter(b >= 80), "doc_id",
             "text", model, 1024)
           .filter((col("p") >= 0.5).cast("int") =!= col("predicted")).isEmpty
