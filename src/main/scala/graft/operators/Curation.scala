@@ -1028,10 +1028,19 @@ object Curation {
     val rawF = features(raw, col(idCol), col(textCol))
     val tgtF = features(target, lit(0L), col(targetTextCol))
 
+    // r18: the bucket-count tables are ≤ `buckets` rows — checkpoint them
+    // and derive the totals as Σ counts (identical by definition: every
+    // feature occurrence lands in exactly one bucket). The previous form
+    // embedded the tokenize+explode of BOTH corpora once per consumer in
+    // the final plan (counts + totals + the scoring join's broadcast):
+    // three raw-corpus passes and two target passes per run, now one each
+    // for the count side.
     val rawCounts = rawF.groupBy("b").agg(count(lit(1)).as("cr"))
+      .localCheckpoint()
     val tgtCounts = tgtF.groupBy("b").agg(count(lit(1)).as("ct"))
-    val rawTot = rawF.agg(count(lit(1)).cast("double").as("tr"))
-    val tgtTot = tgtF.agg(count(lit(1)).cast("double").as("tt"))
+      .localCheckpoint()
+    val rawTot = rawCounts.agg(sum("cr").cast("double").as("tr"))
+    val tgtTot = tgtCounts.agg(sum("ct").cast("double").as("tt"))
 
     // ≤ `buckets` rows: only raw-occupied buckets matter (a document's
     // features all exist in the raw corpus by definition)
